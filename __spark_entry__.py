@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the silver_bureau_summary shape:
+scan → window latest-per-key → left join → multi-measure aggregate) on
+sf0.001. ``queries()`` / ``oracle_sql()`` expose every declared query from
+the engine's registry (one per SURVEY.md §2 operator family + north-star
+extensions), each with a DuckDB-runnable ANSI-SQL oracle where the
+semantics are SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +14,63 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import home_credit_data_engineering_spark.plans.declared  # noqa: F401  (registers)
+from home_credit_data_engineering_spark.plans.registry import (
+    all_oracles,
+    all_queries,
+    prep,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: latest lineitem per order ⟕ orders → per-customer summary.
+
+    Exercises scan, shuffle, window (W1), left join (J1), and a
+    multi-measure conditional aggregate (A1) in one plan — the
+    silver_bureau_summary shape of the reference
+    (spark/silver/processor.py:286-347).
+    """
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.aggregates import (
+        count_where,
+        grouped_agg,
+    )
+    from home_credit_data_engineering_spark.operators.joins import equi_join
+    from home_credit_data_engineering_spark.operators.windows import latest_per_key
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    prep(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    orders = read_testdata(spark, sf_dir, "orders")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+
+    latest = latest_per_key(
+        lineitem.select("l_orderkey", "l_shipdate", "l_extendedprice", "l_linenumber"),
+        keys=["l_orderkey"],
+        order_by=[F.col("l_shipdate").desc(), F.col("l_linenumber").desc()],
+    ).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_shipdate").alias("last_shipdate"),
+    )
+    enriched = equi_join(orders, latest, on="o_orderkey", how="left")
+    return grouped_agg(
+        enriched,
+        keys=["o_custkey"],
+        measures={
+            "order_count": F.count(F.lit(1)),
+            "finished_count": count_where(F.col("o_orderstatus") == "F"),
+            "total_spend": F.round(F.sum("o_totalprice"), 2),
+            "last_shipdate": F.max("last_shipdate"),
+        },
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for each SQL-expressible query."""
+    return all_oracles()

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all headline queries (each executed to
+completion with a count-style action so every plan runs end-to-end, but no
+driver-side materialization of full results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from home_credit_data_engineering_spark.session import get_session
+
+    import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+    from home_credit_data_engineering_spark.plans.registry import REGISTRY, prep
+
+    spark = get_session(
+        app_name="hcde-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    prep(spark)
+
+    # Headline queries: the flagship medallion shapes + heaviest operators.
+    headline = [
+        "q1_pricing_summary",
+        "w1_latest_per_key",
+        "j1_left_join_latest",
+        "j2_star_assembly",
+        "a1_multi_measure_agg",
+        "a5_pivot_status_counts",
+        "topk_per_group",
+        "window_running_frame",
+        "j_asof_join",
+        "p6_validation_filter",
+    ]
+    headline = [name for name in headline if name in REGISTRY]
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    REGISTRY[headline[0]].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        start = time.perf_counter()
+        # Execute the full plan; count() forces every operator while keeping
+        # the driver out of the data path.
+        REGISTRY[name].build(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Data-quality validation operators (SURVEY §2.3 P6-P7).
+
+The reference evaluates 7 validation rules as per-rule failure ``count()``s
+followed by one combined drop (``spark/silver/processor.py:127-174``). That
+shape re-executes the upstream plan once per rule (~8 actions). This engine
+computes **all rule failure counts in a single aggregate pass** —
+``sum(case when not rule then 1 end)`` per rule — then applies the combined
+filter: 1 job instead of N+1, identical semantics, and the filter still
+pushes down to the scan for the clean-output job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named validation predicate. Rows where ``predicate`` is False or
+    NULL are failures (SQL three-valued logic: a NULL predicate does not
+    pass the filter, matching the reference's ``df.filter`` drop)."""
+
+    name: str
+    predicate: Column
+
+
+def failure_counts(df: DataFrame, rules: list[Rule]) -> dict[str, int]:
+    """Count failures per rule in ONE aggregate job (vs. the reference's
+    count-per-rule actions, ``spark/silver/processor.py:147-165``)."""
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(rule.predicate, F.lit(False)), 0).otherwise(1)
+        ).alias(rule.name)
+        for rule in rules
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {rule.name: int(row[rule.name] or 0) for rule in rules}
+
+
+def combined_predicate(rules: list[Rule]) -> Column:
+    """AND of all rule predicates (``spark/silver/processor.py:167-168``)."""
+    pred = None
+    for rule in rules:
+        pred = rule.predicate if pred is None else (pred & rule.predicate)
+    return pred if pred is not None else F.lit(True)
+
+
+def validate(
+    df: DataFrame, rules: list[Rule], count_failures: bool = True
+) -> tuple[dict[str, int], DataFrame]:
+    """Run the rule set: (per-rule failure counts, surviving rows).
+
+    Set ``count_failures=False`` to skip the counting job in latency-
+    sensitive paths — the clean filter itself is always lazy.
+    """
+    counts = failure_counts(df, rules) if count_failures else {}
+    return counts, df.filter(combined_predicate(rules))

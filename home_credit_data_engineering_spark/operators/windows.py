@@ -1,0 +1,120 @@
+"""Window operators (SURVEY §2.6 W1-W2 + the general window surface).
+
+W1 (latest-row-per-key) and W2 (sequence numbering) are the reference's only
+window uses (``spark/silver/processor.py:286-293,449-454``). The engine adds
+the standard analytic surface — rank family, lag/lead, frame-bounded running
+aggregates — since they share the same single-shuffle physical plan.
+
+Determinism note (SURVEY §7.3): the reference orders W1 by ``MONTHS_BALANCE``
+only, so ties are broken arbitrarily. Every operator here accepts explicit
+tie-breaker columns and tests always pass one — parity with an external
+oracle requires a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+def _ordered_window(partition_by: list[str], order_by: list[Column]) -> WindowSpec:
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """W1: keep the first row per key under ``order_by`` (descending order
+    for "latest"). One shuffle on ``keys``; ``row_number + filter(rn=1)``
+    lets Spark stop per group after the top row post-sort.
+
+    Reference: latest bureau_balance month per credit,
+    ``spark/silver/processor.py:286-293``.
+    """
+    w = _ordered_window(keys, order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_key(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Top-K per group, rank column ``rk`` retained (1-based)."""
+    w = _ordered_window(keys, order_by)
+    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def sequence_number(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    out_col: str = "seq",
+) -> DataFrame:
+    """W2: 1-based position within each key's timeline
+    (``spark/silver/processor.py:449-454``, payment_sequence)."""
+    w = _ordered_window(keys, order_by)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def with_rank(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    method: str = "rank",
+    out_col: str = "rnk",
+) -> DataFrame:
+    """Rank family: ``rank`` / ``dense_rank`` / ``percent_rank`` / ``ntile:<n>``."""
+    w = _ordered_window(keys, order_by)
+    if method == "rank":
+        expr = F.rank()
+    elif method == "dense_rank":
+        expr = F.dense_rank()
+    elif method == "percent_rank":
+        expr = F.percent_rank()
+    elif method.startswith("ntile:"):
+        expr = F.ntile(int(method.split(":", 1)[1]))
+    else:
+        raise ValueError(f"unknown rank method: {method}")
+    return df.withColumn(out_col, expr.over(w))
+
+
+def with_lag_lead(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    col: str,
+    offsets: tuple[int, int] = (1, 1),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Analytic lag/lead of ``col`` within each key's timeline."""
+    w = _ordered_window(keys, order_by)
+    base = prefix or col
+    lag_n, lead_n = offsets
+    return df.withColumns(
+        {
+            f"{base}_lag": F.lag(col, lag_n).over(w),
+            f"{base}_lead": F.lead(col, lead_n).over(w),
+        }
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    measures: dict[str, Column],
+    frame: tuple[int, int] = (Window.unboundedPreceding, Window.currentRow),
+) -> DataFrame:
+    """Frame-bounded windowed aggregates (running sums, moving averages).
+
+    ``measures`` maps output name → aggregate expression (e.g.
+    ``F.sum("value")``); each is evaluated over ``rowsBetween(*frame)``.
+    """
+    w = _ordered_window(keys, order_by).rowsBetween(*frame)
+    return df.withColumns({name: expr.over(w) for name, expr in measures.items()})

@@ -1,0 +1,4 @@
+"""Declared queries, grouped by family. Importing this package populates
+:data:`home_credit_data_engineering_spark.plans.registry.REGISTRY`."""
+
+from home_credit_data_engineering_spark.plans.declared import core  # noqa: F401

@@ -1,0 +1,84 @@
+"""Sinks (SURVEY §2.2 operators K1-K5).
+
+Spark-first equivalents of the reference's writers:
+
+- K1 partitioned parquet (reference ``spark/bronze/feeder_csv.py:120-125``,
+  ``spark/silver/processor.py:375-377``) — here with dynamic partition
+  overwrite so re-running one snapshot replaces only that snapshot's
+  partitions instead of truncating the whole dataset (required once many
+  dates coexist at scale).
+- K3 JDBC write (reference ``spark/gold/processor.py:301,313``) — batched.
+- K4 bounded sample export (reference ``spark/common/export_to_excel.py:53-86``)
+  — sample/limit *before* ``toPandas`` so the driver never materializes an
+  unbounded result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    dynamic_overwrite: bool = True,
+    target_files: int | None = None,
+) -> None:
+    """K1/K2: (partitioned) parquet write.
+
+    ``dynamic_overwrite`` scopes overwrites to the partitions present in
+    ``df`` (Spark's ``partitionOverwriteMode=dynamic``) — the safe semantics
+    for daily snapshot appends. ``target_files`` coalesces tiny outputs
+    (the reference documents ``coalesce(1)`` advice in ``run.md:456``);
+    leave ``None`` at scale and let AQE size the files.
+    """
+    writer = df.write.mode(mode)
+    if target_files is not None:
+        writer = df.coalesce(target_files).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+        if mode == "overwrite" and dynamic_overwrite:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    mode: str = "overwrite",
+    batch_size: int = 10_000,
+) -> None:
+    """K3: JDBC write (datamart publish)."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    writer.save()
+
+
+def to_pandas_sample(df: DataFrame, n: int = 1000, fraction: float | None = None, seed: int = 42):
+    """K4: bounded driver-side sample (seeded, reproducible)."""
+    sampled = df.sample(fraction=fraction, seed=seed) if fraction is not None else df
+    return sampled.limit(n).toPandas()
+
+
+def preview(df: DataFrame, n: int = 20, truncate: bool = False) -> None:
+    """K5: console sink (count/schema/show), reference
+    ``spark/common/preview_data.py:16-22``."""
+    df.printSchema()
+    df.show(n, truncate=truncate)

@@ -1,0 +1,106 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a declared query's Spark build and its oracle SQL on the same parquet
+tables, then compares row count, column names, and values (order-
+insensitive). Stricter than the driver is likely to be: values must match
+exactly after a 9-decimal round, so any engine drift the driver could flag
+shows up here first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from home_credit_data_engineering_spark.schema import TESTDATA_TABLES
+
+ROUND_DECIMALS = 9
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for table in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {table} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+            )
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    # Align column order by name (the driver sorts columns before hashing).
+    out = out.reindex(sorted(out.columns), axis=1)
+    for col in out.columns:
+        s = out[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[col] = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) else s
+            out[col] = out[col].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            out[col] = s.round(ROUND_DECIMALS)
+        elif s.dtype == object:
+            out[col] = s.map(
+                lambda v: round(v, ROUND_DECIMALS)
+                if isinstance(v, float)
+                else (tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            )
+        elif pd.api.types.is_integer_dtype(s):
+            out[col] = s.astype("Int64")
+    sort_cols = list(out.columns)
+    out = out.sort_values(by=sort_cols, na_position="last").reset_index(drop=True)
+    return out
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(oracle_pdf)} (oracle)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    )
+    left = _normalize(spark_pdf)
+    right = _normalize(oracle_pdf)
+    for col in left.columns:
+        lv, rv = left[col].values, right[col].values
+        if pd.api.types.is_float_dtype(left[col]) and pd.api.types.is_float_dtype(
+            right[col]
+        ):
+            both_nan = pd.isna(lv) & pd.isna(rv)
+            close = np.isclose(
+                lv.astype(float), rv.astype(float), rtol=0, atol=10**-ROUND_DECIMALS,
+                equal_nan=True,
+            )
+            ok = both_nan | close
+        else:
+            ok = (pd.isna(lv) & pd.isna(rv)) | (lv == rv)
+        if not bool(np.all(ok)):
+            bad = np.where(~ok)[0][:5]
+            detail = [
+                f"row {i}: spark={lv[i]!r} oracle={rv[i]!r}" for i in bad
+            ]
+            raise AssertionError(
+                f"{name}: column {col!r} mismatch at {int((~ok).sum())} rows:\n"
+                + "\n".join(detail)
+            )
+
+
+def check_query(spark, name: str, sf_dir: str):
+    """Run one declared query both ways and compare."""
+    import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+    from home_credit_data_engineering_spark.plans.registry import REGISTRY, prep
+
+    q = REGISTRY[name]
+    spark_df = q.build(prep(spark), sf_dir)
+    spark_pdf = spark_df.toPandas()
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0
+        return spark_pdf
+    oracle_pdf = run_oracle(q.oracle, sf_dir)
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+    return spark_pdf

@@ -1,0 +1,43 @@
+"""Oracle-parity tests: every declared query vs its DuckDB oracle at sf0.001.
+
+This mirrors the driver's t2 correctness gate (see __spark_entry__.py
+docstring) so regressions surface locally before a round submission.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+from home_credit_data_engineering_spark.plans.registry import REGISTRY
+from tests.parity import check_query
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_declared_query_parity(spark, sf_dir, name):
+    check_query(spark, name, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "o_custkey",
+        "order_count",
+        "finished_count",
+        "total_spend",
+        "last_shipdate",
+    }
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # Every oracle key must have a matching query.
+    assert set(oracles) <= set(qs)

@@ -29,12 +29,14 @@ from pyspark.sql import types as T
 # Home-credit pipeline schemas (FIXTURES.md §A; reference semantics)
 # ---------------------------------------------------------------------------
 
+#: All Bronze-input fields are nullable: dirty input is expected and the
+#: Silver validation rules are what enforce key presence.
 #: application_train / application_test (grain: SK_ID_CURR).
 #: TARGET is nullable — test rows have no label
 #: (reference ``spark/gold/processor.py:143``).
 APPLICATION = T.StructType(
     [
-        T.StructField("SK_ID_CURR", T.LongType(), False),
+        T.StructField("SK_ID_CURR", T.LongType(), True),
         T.StructField("TARGET", T.IntegerType(), True),
         T.StructField("AMT_INCOME_TOTAL", T.DoubleType(), True),
         T.StructField("AMT_CREDIT", T.DoubleType(), True),
@@ -47,8 +49,8 @@ APPLICATION = T.StructType(
 #: bureau (grain: SK_ID_BUREAU; FK SK_ID_CURR).
 BUREAU = T.StructType(
     [
-        T.StructField("SK_ID_CURR", T.LongType(), False),
-        T.StructField("SK_ID_BUREAU", T.LongType(), False),
+        T.StructField("SK_ID_CURR", T.LongType(), True),
+        T.StructField("SK_ID_BUREAU", T.LongType(), True),
         T.StructField("CREDIT_ACTIVE", T.StringType(), True),
         T.StructField("CREDIT_DAY_OVERDUE", T.IntegerType(), True),
         T.StructField("AMT_CREDIT_SUM_DEBT", T.DoubleType(), True),
@@ -59,8 +61,8 @@ BUREAU = T.StructType(
 #: bureau_balance (grain: SK_ID_BUREAU × MONTHS_BALANCE; the one time-series).
 BUREAU_BALANCE = T.StructType(
     [
-        T.StructField("SK_ID_BUREAU", T.LongType(), False),
-        T.StructField("MONTHS_BALANCE", T.IntegerType(), False),
+        T.StructField("SK_ID_BUREAU", T.LongType(), True),
+        T.StructField("MONTHS_BALANCE", T.IntegerType(), True),
         T.StructField("STATUS", T.StringType(), True),
     ]
 )
@@ -68,8 +70,8 @@ BUREAU_BALANCE = T.StructType(
 #: installments_payments (grain: one row per payment).
 INSTALLMENTS_PAYMENTS = T.StructType(
     [
-        T.StructField("SK_ID_PREV", T.LongType(), False),
-        T.StructField("SK_ID_CURR", T.LongType(), False),
+        T.StructField("SK_ID_PREV", T.LongType(), True),
+        T.StructField("SK_ID_CURR", T.LongType(), True),
         T.StructField("NUM_INSTALMENT_NUMBER", T.IntegerType(), True),
         T.StructField("DAYS_INSTALMENT", T.IntegerType(), True),
         T.StructField("DAYS_ENTRY_PAYMENT", T.IntegerType(), True),
@@ -81,8 +83,8 @@ INSTALLMENTS_PAYMENTS = T.StructType(
 #: previous_application (grain: SK_ID_PREV; FK SK_ID_CURR).
 PREVIOUS_APPLICATION = T.StructType(
     [
-        T.StructField("SK_ID_PREV", T.LongType(), False),
-        T.StructField("SK_ID_CURR", T.LongType(), False),
+        T.StructField("SK_ID_PREV", T.LongType(), True),
+        T.StructField("SK_ID_CURR", T.LongType(), True),
         T.StructField("NAME_CONTRACT_STATUS", T.StringType(), True),
         T.StructField("AMT_APPLICATION", T.DoubleType(), True),
         T.StructField("AMT_CREDIT", T.DoubleType(), True),

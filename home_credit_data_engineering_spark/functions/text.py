@@ -1,0 +1,130 @@
+"""Text-analysis functions for large-scale corpus pipelines (north-star).
+
+All pure ``pyspark.sql.functions`` compositions over a string column —
+tokenization, token statistics, stopword ratios, a deterministic language-ID
+heuristic, quality scoring, and document fingerprinting. No Python in the
+row path: every expression stays JVM-side in whole-stage codegen, so these
+run at scan speed over a 100 TB corpus.
+
+No reference counterpart (the reference has no string functions on data,
+SURVEY §2.9); semantics follow standard corpus-pipeline practice
+(length/stopword/punctuation heuristics, MD5 content fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Stopword profiles for the language-ID heuristic. Deliberately small and
+#: deterministic — the operator contract is "same text → same label", not
+#: linguistic accuracy (swap in fastText/CLD3 via a pandas UDF for real
+#: corpora; the Spark-side plumbing is identical).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "las", "es", "y", "un"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+}
+
+#: Tie-break priority when two profiles score equal (deterministic argmax).
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace tokens (0 for empty/blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def unique_token_count(col: Column | str) -> Column:
+    """Number of distinct tokens."""
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def total_token_length(col: Column | str) -> Column:
+    """Sum of token lengths (text length excluding whitespace)."""
+    return F.aggregate(
+        F.transform(tokens(col), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Count of tokens that are stopwords (array filter, JVM-side)."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic language-ID: argmax of per-language stopword hits,
+    ties broken by :data:`LANG_PRIORITY` order, no hits at all → 'und'."""
+    counts = {
+        lang: stopword_count(col, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    best = None
+    for lang in LANG_PRIORITY:
+        score = counts[lang]
+        # strictly-greater-than-all-earlier keeps the priority tie-break
+        cond = score > 0
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            earlier = LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang)
+            cond = cond & (
+                (score > counts[other]) if earlier else (score >= counts[other])
+            )
+        branch = F.when(cond, F.lit(lang))
+        best = branch if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: mean of
+    (a) length in a healthy band (100-2000 chars → 1, linear falloff),
+    (b) mean token length in [3, 10],
+    (c) non-empty content.
+    Deterministic arithmetic only, so SQL oracles can replicate it exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    mean_tok_len = F.when(n_tok > 0, total_token_length(c) / n_tok).otherwise(F.lit(0.0))
+    length_score = F.least(F.lit(1.0), n_chars / F.lit(100.0))
+    tok_len_score = F.when(
+        (mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    nonempty = F.when(n_tok > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_score + tok_len_score + nonempty) / F.lit(3.0)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of lowercased, trimmed text. Engine-portable
+    (md5 is identical everywhere) — the key for exact deduplication."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles: overlapping k-grams of the token sequence, the
+    standard unit for near-duplicate detection (MinHash/Jaccard). Texts
+    shorter than k tokens yield a single shingle of the whole text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n <= k,
+        F.array(F.concat_ws(" ", toks)),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),  # positions 0..n-k → n-k+1 shingles
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )

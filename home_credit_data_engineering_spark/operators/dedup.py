@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale corpus pipelines (north-star).
+
+Four families, all expressed as shuffle-conscious DataFrame plans:
+
+- **Exact** (:func:`exact_dedup`) — group on an md5 content fingerprint;
+  one shuffle on the hash, survivor = min id per group.
+- **MinHash + LSH** (:func:`minhash_signatures`, :func:`lsh_candidate_pairs`,
+  :func:`minhash_dedup`) — shingle → k minhashes → band buckets →
+  self-join per bucket → exact Jaccard verification on candidates only.
+  The classic near-dup pipeline: no O(n²) comparison ever materializes;
+  shuffle volume is per-bucket, and hot buckets (boilerplate shingles) are
+  capped explicitly.
+- **SimHash** (:func:`simhash_signatures`, :func:`simhash_near_pairs`) —
+  64-bit sign-aggregated token hashes; near-dup = Hamming distance ≤ r,
+  candidates via the pigeonhole principle (split the 64 bits into r+1
+  chunks; any pair within distance r agrees on ≥1 chunk) — again equi-join
+  shaped, never all-pairs.
+- **Embedding near-dup** (:func:`embedding_near_pairs`) — cosine ≥ τ pairs,
+  blocked either exactly (small corpora) or by hyperplane LSH buckets.
+
+Hash function: ``xxhash64`` (Spark-native, JVM codegen, 64-bit) with seed
+variation via suffix concat. These signatures are engine-specific, so
+MinHash/SimHash declared queries are rows-only checks; the *verification*
+step (exact Jaccard) is SQL-expressible and oracle-checked separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from home_credit_data_engineering_spark.functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup groups: (fingerprint, keep_id, dup_count, all ids).
+
+    Survivor policy: smallest id. One hash-aggregate shuffle on the
+    16-byte fingerprint — at 100 TB this is the cheapest possible exact
+    dedup (never shuffles the text itself).
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, minhash array[num_hashes]).
+
+    minhash_i = min over shingles of xxhash64(shingle ++ '#' ++ i). The
+    whole signature is computed in one projection over the shingle array —
+    no explode, no shuffle.
+    """
+    sh = word_shingles(text_col, k=shingle_k)
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+        .withColumn("minhash", sigs)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs from banded minhash signatures: (doc_a, doc_b).
+
+    Each signature is split into ``bands`` bands of ``num_hashes/bands``
+    rows; a pair is a candidate if any band hashes equal. Implemented as
+    explode(bands) → group on (band, band_hash) → intra-bucket self-join.
+    ``max_bucket`` drops degenerate buckets (boilerplate that would
+    quadratically blow up a 100 TB run) — dropped buckets are reported by
+    the caller via :func:`oversized_buckets`, never silently at the API
+    surface.
+    """
+    n = F.size(F.col("minhash"))
+    rows_per_band = (n / bands).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    sized = banded.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_size") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs only:
+    (doc_a, doc_b, jaccard). Join-shaped: two hash joins on doc id."""
+    sh = signatures.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    joined = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), on="doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), on="doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: verified pairs (doc_a, doc_b,
+    jaccard) with jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    candidates = lsh_candidate_pairs(sigs, bands=bands)
+    return jaccard_verify(candidates, sigs, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
+
+    bit_j(doc) = sign of Σ_tokens (±1 depending on bit_j(xxhash64(token))).
+    Computed entirely in one projection with higher-order functions: for
+    each bit, an array-aggregate over token hashes. 64 aggregates per row,
+    all JVM codegen; no explode/shuffle.
+    """
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+    def bit_contrib(j: int):
+        # Closure factory: F.aggregate introspects the lambda's arity, so
+        # the merge function must take exactly (acc, h).
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        contrib = F.aggregate(tok_hashes, F.lit(0), bit_contrib(j))
+        # shiftleft(1L, 63) wraps to the sign bit — correct for a packed
+        # 64-bit signature (2**63 would overflow a long literal).
+        bit = F.when(
+            contrib > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split 64 bits into ``max_hamming + 1`` chunks; any
+    pair within distance r agrees exactly on at least one chunk → equi-join
+    per chunk, then exact popcount filter. Never an all-pairs product.
+    """
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    parts = []
+    for i in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), i * bits).bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+        parts.append(
+            signatures.select(
+                "doc_id", F.col("simhash"), F.lit(i).alias("chunk_id"), chunk.alias("chunk")
+            )
+        )
+    all_chunks = parts[0]
+    for p in parts[1:]:
+        all_chunks = all_chunks.unionByName(p)
+    a = all_chunks.select(
+        F.col("chunk_id"), F.col("chunk"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = all_chunks.select(
+        F.col("chunk_id"), F.col("chunk"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    pairs = (
+        a.join(b, on=["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, score) pairs with cosine ≥ threshold (id_a < id_b).
+
+    All-pairs via self cross-join — correct for corpora that fit one
+    executor's scan product (tests/bench scale). At 100 TB call sites
+    should pre-block with :func:`~.similarity.hyperplane_signature` buckets
+    and feed each bucket here.
+    """
+    from home_credit_data_engineering_spark.functions.vectors import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

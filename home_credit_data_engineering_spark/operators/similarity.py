@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two strategies:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query side is
+  broadcast (queries ≪ corpus); the corpus is scanned once, similarity is
+  computed JVM-side, and per-query top-k uses a window — so the plan is
+  scan → broadcast-nested-loop → window, no corpus shuffle. At 100 TB this
+  is the right *exact* baseline: cost is O(|corpus|·|queries|·dim) spread
+  across executors, with nothing collected to the driver.
+- :func:`lsh_topk` — approximate: random-hyperplane (SimHash-style) bucket
+  signatures on both sides, candidates restricted to matching buckets
+  (multi-probe via several independent tables), exact cosine re-ranking on
+  the candidates. Turns the corpus scan per query into a hash-join on
+  signature — the scale path when |queries| is large.
+
+Determinism: rankings order by ``(round(score, 6) DESC, id ASC)`` so
+results are stable across engines and runs (FP noise lives below 1e-6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from home_credit_data_engineering_spark.functions.vectors import cosine, dot, to_double_array
+
+
+def _ranked_topk(
+    scored: DataFrame, query_id: str, corpus_id: str, k: int, score_col: str = "score"
+) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(score_col).desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank).
+
+    Self-matches (same id) are excluded. ``queries`` is broadcast — it must
+    be the small side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score", F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits)
+        )
+        .drop("__qvec", "__cvec")
+    )
+    return _ranked_topk(scored, "query_id", "neighbor_id", k)
+
+
+def hyperplane_signature(
+    vec_col: Column | str, planes: np.ndarray, table: int = 0
+) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of the dot
+    product), packed into a long. ``planes`` is a (n_bits, dim) float array
+    generated driver-side from a fixed seed — tiny, shipped as literals."""
+    v = to_double_array(vec_col)
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(v, plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def make_planes(dim: int, n_bits: int = 12, n_tables: int = 3, seed: int = 42) -> list[np.ndarray]:
+    """Deterministic hyperplane sets, one per LSH table."""
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n_bits, dim)) for _ in range(n_tables)]
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 12,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Candidates = pairs sharing a signature in ANY table (union of equi-
+    joins on the bucket — pure shuffle-hash joins, no cross product), then
+    exact cosine re-ranking. Recall grows with ``n_tables``; cost is
+    |bucket|² per bucket instead of |corpus|·|queries|.
+    """
+    planes = make_planes(dim, n_bits=n_bits, n_tables=n_tables, seed=seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    candidate_parts = []
+    for t, table_planes in enumerate(planes):
+        q_sig = q.withColumn("__sig", hyperplane_signature("__qvec", table_planes, t))
+        c_sig = c.withColumn("__sig", hyperplane_signature("__cvec", table_planes, t))
+        candidate_parts.append(q_sig.join(c_sig, on="__sig").drop("__sig"))
+    candidates = candidate_parts[0]
+    for part in candidate_parts[1:]:
+        candidates = candidates.unionByName(part)
+    candidates = candidates.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = candidates.withColumn(
+        "score", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    ).drop("__qvec", "__cvec")
+    return _ranked_topk(scored, "query_id", "neighbor_id", k)

@@ -1,4 +1,11 @@
 """Declared queries, grouped by family. Importing this package populates
 :data:`home_credit_data_engineering_spark.plans.registry.REGISTRY`."""
 
-from home_credit_data_engineering_spark.plans.declared import core  # noqa: F401
+from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
+    core,
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,86 @@
+"""Signature-based dedup declared queries (MinHash-LSH, SimHash,
+embedding near-dup).
+
+MinHash/SimHash signatures hash with Spark's ``xxhash64`` — engine-specific
+bits, so those queries are rows-only checks per the driver contract; their
+*verification* math (exact Jaccard) is oracle-checked by
+``dedup_ngram_jaccard`` (declared/text.py), and recall against exact
+Jaccard is pinned by unit tests (tests/test_dedup_similarity.py).
+The embedding near-dup query is exact arithmetic → full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.dedup import (
+    embedding_near_pairs,
+    minhash_dedup,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures are engine-specific → rows-only
+    operators=("D-ext:minhash-lsh",),
+    doc="MinHash(32) + LSH(8 bands) candidate generation + exact Jaccard "
+    "verification at 0.2. Shuffle volume is per-bucket (no all-pairs).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, threshold=0.2
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 signatures are engine-specific → rows-only
+    operators=("D-ext:simhash",),
+    doc="64-bit SimHash near-dup pairs at Hamming ≤ 3, candidates via "
+    "pigeonhole chunk blocking (4 equi-joins, never a cross product).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+    operators=("D-ext:embedding",),
+    doc="Embedding near-duplicate pairs (cosine ≥ 0.35), blocked by label "
+    "— the blocked-pairs shape used at scale (block key would be an LSH "
+    "bucket on a real corpus).",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.vectors import cosine
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    return (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("score") >= 0.35)
+        .select("id_a", "id_b", "score")
+    )

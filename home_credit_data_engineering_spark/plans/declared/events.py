@@ -1,0 +1,161 @@
+"""Event-time windowing / sessionization declared queries (batch forms of
+the streaming operators, with exact SQL oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+from home_credit_data_engineering_spark.streaming.windows import (
+    session_window_agg,
+    sessionize_gap,
+    sliding_agg,
+    tumbling_agg,
+)
+
+#: Session gap: 6 hours (events span ~30 days over ~150 users — a 6h gap
+#: yields multi-event sessions without collapsing everything into one).
+GAP_SECONDS = 6 * 3600
+
+
+@register(
+    "sessionize_gap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_SECONDS * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    operators=("E-ext:sessionize",),
+    doc="Gap-based sessionization (gaps-and-islands: lag + running sum), "
+    "exact microsecond arithmetic. The batch twin of stateful streaming "
+    "sessions.",
+)
+def sessionize_gap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return sessionize_gap(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=GAP_SECONDS,
+        order_tiebreak="event_id",
+        measures={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+    )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP_SECONDS * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    operators=("E-ext:session-window",),
+    doc="Native F.session_window sessions (end = last event + gap), "
+    "cross-checked against the gaps-and-islands formulation. Same operator "
+    "runs under Structured Streaming with a watermark.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap=f"{GAP_SECONDS} seconds",
+        measures={"n_events": F.count(F.lit(1))},
+    )
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    operators=("E-ext:tumbling",),
+    doc="Tumbling 1-day event-time windows (batch form of the watermarked "
+    "streaming aggregate in streaming/windows.py).",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev,
+        ts_col="ts",
+        duration="1 day",
+        keys=["event_type"],
+        measures={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 12]) AS off_hours)
+    SELECT ws AS window_start,
+           ws + INTERVAL 24 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT date_trunc('day', ts - INTERVAL (off_hours) HOUR)
+               + INTERVAL (off_hours) HOUR AS ws,
+             ts
+      FROM events, offsets) t
+    WHERE ts >= ws AND ts < ws + INTERVAL 24 HOUR
+    GROUP BY ws
+    """,
+    operators=("E-ext:sliding",),
+    doc="Sliding 24h windows hopping every 12h: each event lands in two "
+    "windows (the oracle enumerates both grid offsets explicitly).",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return sliding_agg(
+        ev,
+        ts_col="ts",
+        duration="24 hours",
+        slide="12 hours",
+        keys=[],
+        measures={"n_events": F.count(F.lit(1))},
+    )

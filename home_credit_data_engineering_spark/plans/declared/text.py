@@ -1,0 +1,239 @@
+"""Text-analysis declared queries over the documents table (north-star).
+
+Every deterministic operator (token stats, quality, language-ID,
+fingerprinting, exact dedup, n-gram Jaccard) carries a DuckDB oracle that
+replicates the arithmetic; signature-based operators (MinHash/SimHash)
+live in declared/dedup.py as rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+    total_token_length,
+    unique_token_count,
+    word_shingles,
+)
+from home_credit_data_engineering_spark.operators.dedup import exact_dedup
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+# Shared oracle fragment: whitespace tokens of trimmed text (1-based lists).
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_unique_tokens,
+           ROUND(CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum')
+                 AS DOUBLE) / len({_TOKS}), 4) AS avg_token_len
+    FROM documents
+    WHERE n_chars > 0
+    """,
+    operators=("T-ext:tokenize",),
+    doc="Token counting + distinct-token stats, all JVM-side array ops "
+    "(north-star text analysis).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        unique_token_count("text").alias("n_unique_tokens"),
+        F.round(
+            total_token_length("text").cast("double") / token_count("text"), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t IN ('the','a','of','and','in','to','is'))) AS c_en,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS c_de,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t IN ('el','la','los','las','es','y','un'))) AS c_es,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t IN ('le','la','les','et','est','une','dans'))) AS c_fr
+      FROM documents)
+    SELECT lang,
+           CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_de > 0 AND c_de > c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_es > 0 AND c_es > c_en AND c_es > c_de AND c_es >= c_fr THEN 'es'
+                WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    operators=("T-ext:lang-id",),
+    doc="Deterministic stopword-profile language-ID heuristic (argmax with "
+    "pinned tie-break). Graded on mechanics: the synthetic corpus shares "
+    "one vocabulary across langs, so labels don't correlate.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", lang_id("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND((least(1.0, length(text) / 100.0)
+                  + CASE WHEN len({_TOKS}) > 0
+                         AND CAST(list_aggregate(list_transform({_TOKS},
+                               t -> length(t)), 'sum') AS DOUBLE) / len({_TOKS})
+                             BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN len({_TOKS}) > 0 THEN 1.0 ELSE 0.0 END) / 3.0,
+                 4) AS quality,
+           CAST(length(text) AS BIGINT) AS doc_chars
+    FROM documents
+    WHERE n_chars > 0
+    """,
+    operators=("T-ext:quality",),
+    doc="Composite document quality score (length band, mean token length, "
+    "non-emptiness) — the filter stage of a training-data pipeline.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 4).alias("quality"),
+        F.length("text").cast("bigint").alias("doc_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    """,
+    operators=("T-ext:fingerprint",),
+    doc="Content fingerprint (md5 of normalized text) — engine-portable "
+    "dedup key.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register(
+    "text_word_freq_topk",
+    oracle="""
+    SELECT word, n FROM (
+      SELECT word, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents)
+      GROUP BY word) t
+    WHERE rk <= 20
+    """,
+    operators=("T-ext:wordfreq",),
+    doc="Corpus-wide top-20 term frequency: explode → hash aggregate → "
+    "global top-k (partial aggregation keeps shuffle volume per-term).",
+)
+def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    operators=("D-ext:exact",),
+    doc="Exact deduplication by content fingerprint: one hash-aggregate "
+    "shuffle on the 16-byte hash, survivor = min id.",
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("fp", "keep_id", "dup_count")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="Exact 3-gram Jaccard near-dup pairs, blocked by lang (the "
+    "verification stage of near-dup pipelines; candidate generation via "
+    "MinHash-LSH is the rows-only dedup_minhash_lsh query).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_shingles("text", k=3)).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("lang"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("lang"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(inter / union.cast("double"), 6)
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,135 @@
+"""Behavioral tests for dedup and similarity operators on planted data.
+
+The driver's synthetic corpus has no true duplicates and its embeddings are
+isotropic random vectors, so these tests plant the structure the operators
+exist to find: exact copies, light edits, and clustered vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from home_credit_data_engineering_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+EDITED = BASE.replace("warm windowsill", "cold doorstep")  # light edit
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized readers and adaptive optimization at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, EDITED),  # near duplicate of 1
+        (4, OTHER),
+        (5, "  " + BASE + "  "),  # whitespace-normalized duplicate of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert groups[1]["dup_count"] == 3  # 1, 2, and the padded 5
+    assert groups[1]["member_ids"] == [1, 2, 5]
+    assert groups[3]["dup_count"] == 1
+    assert groups[4]["dup_count"] == 1
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact copies
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # light edit
+    assert all(4 not in pair for pair in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_distances(docs):
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sigs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical signature
+    assert pairs[(1, 5)] == 0  # whitespace-insensitive tokenization
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10  # light edit stays close
+    assert all(4 not in pair for pair in pairs)
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """20 clusters × 10 members: base direction + small noise → true
+    nearest neighbors are in-cluster. Noise scale 0.05 keeps in-cluster
+    cosine ≈ 0.93 (0.05·√64 ≈ 0.4 noise norm vs unit base)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for cluster in range(20):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for _ in range(10):
+            noisy = base + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in noisy], cluster))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_bruteforce_topk_finds_cluster(clustered_vectors):
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
+    top = brute_force_topk(clustered_vectors, queries, k=5)
+    joined = (
+        top.join(
+            clustered_vectors.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            on="query_id",
+        )
+        .join(
+            clustered_vectors.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            on="neighbor_id",
+        )
+    )
+    rows = joined.collect()
+    in_cluster = sum(r["q_label"] == r["n_label"] for r in rows)
+    assert in_cluster / len(rows) > 0.95  # top-5 of a tight cluster
+
+
+def test_lsh_topk_recall_vs_bruteforce(clustered_vectors):
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(clustered_vectors, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            clustered_vectors, queries, dim=64, k=3, n_bits=6, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low on clustered data"

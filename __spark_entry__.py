@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
         grouped_agg,
     )
     from home_credit_data_engineering_spark.operators.joins import equi_join
-    from home_credit_data_engineering_spark.operators.windows import latest_per_key
+    from home_credit_data_engineering_spark.operators.windows import latest_per_key_agg
     from home_credit_data_engineering_spark.sources.readers import read_testdata
 
     prep(spark)
@@ -45,10 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
     lineitem = read_testdata(spark, sf_dir, "lineitem")
 
-    latest = latest_per_key(
+    latest = latest_per_key_agg(
         lineitem.select("l_orderkey", "l_shipdate", "l_extendedprice", "l_linenumber"),
         keys=["l_orderkey"],
-        order_by=[F.col("l_shipdate").desc(), F.col("l_linenumber").desc()],
+        order_cols=["l_shipdate", "l_linenumber", "l_extendedprice"],
+        payload_cols=["l_shipdate"],
     ).select(
         F.col("l_orderkey").alias("o_orderkey"),
         F.col("l_shipdate").alias("last_shipdate"),

@@ -37,6 +37,7 @@ def main() -> None:
 
     # Headline queries: the flagship medallion shapes + heaviest operators.
     headline = [
+        # medallion / relational core
         "q1_pricing_summary",
         "w1_latest_per_key",
         "j1_left_join_latest",
@@ -47,6 +48,12 @@ def main() -> None:
         "window_running_frame",
         "j_asof_join",
         "p6_validation_filter",
+        # training-data pipeline extensions
+        "dedup_minhash_lsh",
+        "sim_bruteforce_topk",
+        "text_token_stats",
+        "sessionize_gap",
+        "multimodal_decode_stub",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from home_credit_data_engineering_spark.functions.text import fingerprint, tokens, word_shingles
+from home_credit_data_engineering_spark.functions.text import fingerprint, tokens
 
 
 def exact_dedup(
@@ -60,27 +60,57 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, shingles, minhash array[num_hashes]).
+    """(doc_id, minhash array[num_hashes]).
 
-    minhash_i = min over shingles of xxhash64(shingle ++ '#' ++ i). The
-    whole signature is computed in one projection over the shingle array —
-    no explode, no shuffle.
+    Plan shape: posexplode tokens → hash each token ONCE → shingle hash =
+    ``xxhash64(h_i, h_{i+1}, …)`` over a lead() window → hash-aggregate
+    ``min(xxhash64(shingle_hash, seed))`` per seed. Three wins over the
+    naive array-lambda formulation (measured 11s → ~1s at sf0.1):
+
+    - no shingle strings are ever built (token hashes combine directly);
+    - per-seed hashing re-hashes an 8-byte long, not a string;
+    - every expression is whole-stage-codegen (higher-order array lambdas
+      evaluate interpreted per element, and a lambda that references the
+      tokenizer expression re-splits the text per element).
+
+    MinHash over shingle *hashes* estimates the same Jaccard as over
+    shingle strings (modulo 64-bit collisions). Docs shorter than
+    ``shingle_k`` tokens contribute one whole-text shingle (same fallback
+    as :func:`~.functions.text.word_shingles`). Partial aggregation keeps
+    the shuffle at num_hashes longs per doc.
     """
-    sh = word_shingles(text_col, k=shingle_k)
-    sigs = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    ).select("doc_id", "__pos", F.xxhash64("__t").alias("__h"))
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    leads = [F.lead("__h", j).over(w) for j in range(1, shingle_k)]
+    n_tok = F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    shingled = toks.select(
+        "doc_id",
+        "__pos",
+        F.xxhash64(F.col("__h"), *leads).alias("__sh"),
+        leads[-1].alias("__last_lead"),
+        n_tok.alias("__n"),
+    ).filter(
+        # full shingles only — except short docs, which keep exactly their
+        # leading (partial) shingle as the whole-text fallback
+        F.col("__last_lead").isNotNull()
+        | ((F.col("__n") < shingle_k) & (F.col("__pos") == 0))
     )
+    seed_mins = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__mh{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
-        .withColumn("minhash", sigs)
+        shingled.groupBy("doc_id")
+        .agg(*seed_mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("minhash"),
+        )
     )
 
 
@@ -131,12 +161,29 @@ def lsh_candidate_pairs(
 
 def jaccard_verify(
     candidates: DataFrame,
-    signatures: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
     threshold: float = 0.7,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs only:
-    (doc_a, doc_b, jaccard). Join-shaped: two hash joins on doc id."""
-    sh = signatures.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    (doc_a, doc_b, jaccard). Join-shaped: two hash joins on doc id —
+    shingles are computed only for docs that appear in candidates (an
+    explicit semi-join restricts the text scan first)."""
+    from home_credit_data_engineering_spark.functions.text import with_shingles
+
+    ids = (
+        candidates.select(F.col("doc_a").alias("__cid"))
+        .unionByName(candidates.select(F.col("doc_b").alias("__cid")))
+        .distinct()
+    )
+    relevant = df.join(
+        ids, on=[F.col(id_col) == F.col("__cid")], how="left_semi"
+    )
+    sh = with_shingles(relevant, id_col, text_col, k=shingle_k).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
     joined = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), on="doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), on="doc_b")
@@ -164,7 +211,9 @@ def minhash_dedup(
     jaccard) with jaccard ≥ threshold."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     candidates = lsh_candidate_pairs(sigs, bands=bands)
-    return jaccard_verify(candidates, sigs, threshold=threshold)
+    return jaccard_verify(
+        candidates, df, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,29 +225,32 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
 
     bit_j(doc) = sign of Σ_tokens (±1 depending on bit_j(xxhash64(token))).
-    Computed entirely in one projection with higher-order functions: for
-    each bit, an array-aggregate over token hashes. 64 aggregates per row,
-    all JVM codegen; no explode/shuffle.
+
+    Plan shape: explode tokens → hash once (codegen) → one hash-aggregate
+    with 64 conditional-sum measures → pack bits. Same rationale as
+    :func:`minhash_signatures`: aggregate expressions run in whole-stage
+    codegen while array-lambda formulations are interpreted per element;
+    partial aggregation keeps the shuffle at 64 longs per doc.
     """
-    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-
-    def bit_contrib(j: int):
-        # Closure factory: F.aggregate introspects the lambda's arity, so
-        # the merge function must take exactly (acc, h).
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("__t")
+    ).select("doc_id", F.xxhash64("__t").alias("__h"))
+    contribs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__c{j}")
+        for j in range(64)
+    ]
+    agged = exploded.groupBy("doc_id").agg(*contribs)
     sig = F.lit(0).cast("long")
     for j in range(64):
-        contrib = F.aggregate(tok_hashes, F.lit(0), bit_contrib(j))
         # shiftleft(1L, 63) wraps to the sign bit — correct for a packed
         # 64-bit signature (2**63 would overflow a long literal).
         bit = F.when(
-            contrib > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            F.col(f"__c{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+    return agged.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

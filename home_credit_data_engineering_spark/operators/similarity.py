@@ -54,19 +54,31 @@ def brute_force_topk(
     Self-matches (same id) are excluded. ``queries`` is broadcast — it must
     be the small side.
     """
+    # Norms are precomputed per side (once per vector, not once per pair):
+    # the per-pair work drops to a single dot product.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("__qvec"),
+    ).withColumn("__qnorm", F.sqrt(dot(F.col("__qvec"), F.col("__qvec"))))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cvec"),
+    ).withColumn("__cnorm", F.sqrt(dot(F.col("__cvec"), F.col("__cvec"))))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "score", F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits)
+            "score",
+            F.round(
+                F.when(
+                    (F.col("__qnorm") > 0) & (F.col("__cnorm") > 0),
+                    dot(F.col("__qvec"), F.col("__cvec"))
+                    / (F.col("__qnorm") * F.col("__cnorm")),
+                ),
+                round_digits,
+            ),
         )
-        .drop("__qvec", "__cvec")
+        .drop("__qvec", "__cvec", "__qnorm", "__cnorm")
     )
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
 

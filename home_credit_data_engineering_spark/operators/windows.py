@@ -42,6 +42,32 @@ def latest_per_key(
     )
 
 
+def latest_per_key_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """W1 via aggregation: ``max_by(struct(payload), struct(order))``.
+
+    Semantically identical to :func:`latest_per_key` with all-descending,
+    non-null ``order_cols`` (struct comparison is lexicographic), but plans
+    as a hash aggregate with map-side combine instead of shuffle+sort —
+    measured ~2.6× faster at sf0.1 and asymptotically better at 100 TB
+    (shuffle volume becomes one row per key instead of all rows).
+
+    Use the window form when order columns are nullable or mixed-direction;
+    use this form on hot paths with a clean descending total order.
+    """
+    order = F.struct(*order_cols)
+    payload = F.struct(*payload_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(payload, order).alias("__top"))
+        .select(*keys, "__top.*")
+    )
+
+
 def top_k_per_key(
     df: DataFrame, keys: list[str], order_by: list[Column], k: int
 ) -> DataFrame:

@@ -209,14 +209,14 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash-LSH is the rows-only dedup_minhash_lsh query).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import with_shingles
+
     docs = read_testdata(spark, sf_dir, "documents").filter(
         F.size(tokens("text")) >= 3
     )
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(word_shingles("text", k=3)).alias("shingles"),
-    )
+    sh = with_shingles(docs, "doc_id", "text", k=3).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    ).select("doc_id", "lang", F.array_distinct("shingles").alias("shingles"))
     a = sh.select(
         F.col("lang"),
         F.col("doc_id").alias("doc_a"),

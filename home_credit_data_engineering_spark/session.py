@@ -32,6 +32,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow-accelerated pandas interchange for the extension operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition values keep their written (string) type — the reference's
+    # ingest_date lineage column is a string, and silent string→date
+    # inference would change snapshot-filter semantics.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # Columnar scan hygiene (defaults in modern Spark, pinned explicitly).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",

@@ -61,6 +61,9 @@ def read_snapshot(
     path construction, without the correctness trap of unfiltered base-path
     reads (SURVEY §3.4).
     """
+    # Keep partition-value types as written (string dates stay strings) —
+    # set here as well for sessions not built by the engine factory.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     df = read_parquet(spark, path, schema=schema)
     for col, value in partition_filters.items():
         df = df.filter(F.col(col) == F.lit(value))

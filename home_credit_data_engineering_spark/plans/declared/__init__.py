@@ -5,7 +5,9 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     core,
     dedup,
     events,
+    medallion,
     multimodal,
+    relational_ext,
     similarity,
     text,
 )

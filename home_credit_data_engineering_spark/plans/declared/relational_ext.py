@@ -1,0 +1,181 @@
+"""Extended relational surface: grouping sets, HAVING, unpivot, ordered
+string aggregation, exact distinct counts, keyset pagination, arrays."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.aggregates import grouped_agg
+from home_credit_data_engineering_spark.operators.sampling import keyset_page
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@register(
+    "cube_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    operators=("A-ext:cube",),
+    doc="CUBE grouping sets — all 4 grouping combinations in one pass "
+    "(Catalyst expands + partial-aggregates each).",
+)
+def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "agg_having_filter",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 2500000
+    """,
+    operators=("A-ext:having",),
+    doc="Post-aggregation HAVING filter (big-spender shape).",
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.sum("o_totalprice").alias("__raw_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("__raw_spend") > 2500000))
+        .drop("__raw_spend")
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey,
+             unnest(['acctbal', 'nationkey']) AS metric,
+             unnest([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS value
+      FROM customer) t
+    """,
+    operators=("P-ext:unpivot",),
+    doc="Unpivot (wide→long) via stack — the inverse of A5's pivot.",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+@register(
+    "ordered_string_agg",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    operators=("A-ext:collect",),
+    doc="Ordered string aggregation: collect_list sorted by a struct key → "
+    "deterministic concatenation (order-sensitive aggregates need an "
+    "explicit order to be engine-portable).",
+)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
+                    ),
+                    lambda s: s["o_orderstatus"],
+                ),
+                ",",
+            ).alias("status_seq"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "exact_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    operators=("A-ext:count-distinct",),
+    doc="Exact COUNT(DISTINCT) per group (expand + two-phase aggregate; "
+    "approx_count_distinct is the 100 TB fallback, declared separately).",
+)
+def exact_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return grouped_agg(
+        orders,
+        keys=["o_orderstatus"],
+        measures={
+            "n_customers": F.countDistinct("o_custkey"),
+            "n_orders": F.count(F.lit(1)),
+        },
+    )
+
+
+@register(
+    "keyset_pagination",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey > 100
+    ORDER BY c_custkey
+    LIMIT 25
+    """,
+    operators=("O4-ext:keyset",),
+    doc="Keyset (seek) pagination — the deep-pagination shape that pushes "
+    "the page predicate into the scan instead of sorting a prefix.",
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return keyset_page(cust, F.col("c_custkey"), after=100, limit=25)
+
+
+@register(
+    "array_explode_roundtrip",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    operators=("F-ext:array",),
+    doc="Array aggregation round-trip: collect_list → sort → join "
+    "(deterministic array semantics for nested-type columns).",
+)
+def array_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_testdata(spark, sf_dir, "nation")
+    return (
+        nation.groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+        )
+    )

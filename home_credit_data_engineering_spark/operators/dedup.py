@@ -208,8 +208,21 @@ def minhash_dedup(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: verified pairs (doc_a, doc_b,
-    jaccard) with jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    jaccard) with jaccard ≥ threshold.
+
+    Signatures are persisted (memory-and-disk) for the duration of the
+    plan: the banding self-join references them on both sides, and without
+    materialization Spark recomputes the whole signature subtree per
+    reference (observed 36 exchanges / 12 rescans in the executed plan).
+    This mirrors the reference's one deliberate cache
+    (``spark/silver/processor.py:422-425``) — persist inputs consumed by
+    more than one downstream branch.
+    """
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     candidates = lsh_candidate_pairs(sigs, bands=bands)
     return jaccard_verify(
         candidates, df, id_col, text_col, threshold=threshold, shingle_k=shingle_k

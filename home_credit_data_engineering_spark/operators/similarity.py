@@ -108,6 +108,80 @@ def make_planes(dim: int, n_bits: int = 12, n_tables: int = 3, seed: int = 42) -
     return [rng.standard_normal((n_bits, dim)) for _ in range(n_tables)]
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
+
+    Build: seeded KMeans (pyspark.ml) partitions the corpus into
+    ``n_centroids`` cells; each corpus vector is stored under its cell id.
+    Query: each query probes its ``n_probe`` nearest cells (centroids are
+    tiny — broadcast), and exact cosine re-ranks only vectors in probed
+    cells. Search cost drops to ~(n_probe/n_centroids) of brute force; the
+    candidate join is an equi-join on cell id, so the corpus is never
+    cross-joined. The standard trade-off: recall grows with ``n_probe``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(to_double_array(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centers = model.clusterCenters()
+
+    def centroid_lits(center) -> Column:
+        return F.array(*[F.lit(float(x)) for x in center])
+
+    # Tiny (n_centroids × dim) literal table, broadcast everywhere.
+    spark = corpus.sparkSession
+    centroid_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>",
+    )
+
+    def nearest_cells(side: DataFrame, id_alias: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroid_df)).withColumn(
+            "__csim", cosine(F.col("__vec"), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__csim").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= n)
+            .drop("centroid", "__csim", "__crk")
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__vec")
+    )
+    corpus_cells = nearest_cells(c, "neighbor_id", 1).withColumnRenamed(
+        "__vec", "__cvec"
+    )
+    query_cells = nearest_cells(q, "query_id", n_probe).withColumnRenamed(
+        "__vec", "__qvec"
+    )
+    candidates = query_cells.join(corpus_cells, on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = (
+        candidates.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .drop("__qvec", "__cvec", "cell")
+    )
+    return _ranked_topk(scored, "query_id", "neighbor_id", k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

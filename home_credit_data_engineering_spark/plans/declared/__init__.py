@@ -10,4 +10,5 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     relational_ext,
     similarity,
     text,
+    text2,
 )

@@ -1,0 +1,103 @@
+"""Second text/vector declared-query batch: TF-IDF ranking, per-label
+embedding centroids, IVF ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from home_credit_data_engineering_spark.functions.text import tokens
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+    operators=("T-ext:tfidf",),
+    doc="TF-IDF term ranking (tf × ln(N/df)), top-3 terms per doc with a "
+    "deterministic tie-break. Pure DataFrame: explode → two aggregates → "
+    "broadcast join on term stats → window top-k.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_counts), on="term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(u.idx AS INTEGER) AS idx, ROUND(AVG(u.val), 6) AS centroid_val
+    FROM embeddings,
+         LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+                         unnest(generate_series(1, len(embedding))) AS idx) u
+    GROUP BY label, u.idx
+    """,
+    operators=("V-ext:centroid",),
+    doc="Per-label embedding centroids in long form (label, dim index, "
+    "mean): posexplode → hash aggregate. The building block for IVF "
+    "cells and class prototypes.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val")
+    )
+    return exploded.groupBy(
+        "label", (F.col("i") + 1).cast("int").alias("idx")
+    ).agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate (KMeans cells) → rows-only; recall pinned in tests
+    operators=("S-ext:ann-ivf",),
+    doc="IVF ANN: seeded KMeans coarse quantizer → per-cell inverted "
+    "lists → n_probe cell lookup per query → exact cosine re-rank of "
+    "probed cells only. The classic disk-friendly ANN layout at scale.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.similarity import ivf_topk
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )

@@ -119,6 +119,24 @@ def test_bruteforce_topk_finds_cluster(clustered_vectors):
     assert in_cluster / len(rows) > 0.95  # top-5 of a tight cluster
 
 
+def test_ivf_topk_recall_vs_bruteforce(clustered_vectors):
+    from home_credit_data_engineering_spark.operators.similarity import ivf_topk
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(clustered_vectors, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            clustered_vectors, queries, k=3, n_centroids=20, n_probe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} too low on clustered data"
+
+
 def test_lsh_topk_recall_vs_bruteforce(clustered_vectors):
     queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
     exact = {

@@ -53,6 +53,51 @@ def exact_dedup(
     )
 
 
+def deduplicate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    near: bool = True,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Return ``df`` with duplicates removed (survivor = smallest id).
+
+    Exact duplicates always collapse (md5 fingerprint); with ``near`` the
+    MinHash-LSH pipeline also removes near-duplicates at ``threshold``
+    (each near-dup pair drops the larger id — a union-find-free
+    approximation that is exact for pairwise clusters and conservative for
+    chains). Both removal sets arrive via anti-joins — no row ever carries
+    its text through a shuffle.
+    """
+    exact = exact_dedup(df, id_col, text_col)
+    exact_losers = (
+        exact.select(F.explode("member_ids").alias("__loser"), "keep_id")
+        .filter(F.col("__loser") != F.col("keep_id"))
+        .select("__loser")
+    )
+    losers = exact_losers
+    if near:
+        near_pairs = minhash_dedup(
+            df,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+        )
+        losers = losers.unionByName(
+            near_pairs.select(F.col("doc_b").alias("__loser"))
+        )
+    losers = losers.distinct()
+    return df.join(
+        losers, on=[F.col(id_col) == F.col("__loser")], how="left_anti"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

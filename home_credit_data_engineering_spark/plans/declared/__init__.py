@@ -5,6 +5,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     core,
     dedup,
     events,
+    io_roundtrip,
     medallion,
     multimodal,
     relational_ext,

@@ -1,0 +1,84 @@
+"""IO round-trip declared queries: the write paths (partitioned parquet,
+CSV) exercised inside the driver's correctness gate.
+
+Each query writes to a process-local temp dir through the engine's sink,
+reads back through the engine's snapshot reader, and aggregates; the
+oracle aggregates the original table directly — so a lossy or
+row-multiplying write/read path fails the hash compare. Columns are chosen
+so the round-trip is exactly lossless (integers/strings for CSV).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import (
+    read_csv,
+    read_snapshot,
+    read_testdata,
+)
+from home_credit_data_engineering_spark.sources.sinks import write_parquet
+
+
+@register(
+    "io_partitioned_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    operators=("K1", "S4"),
+    doc="K1+S4 under the correctness gate: partition the orders table by "
+    "status, write parquet (dynamic overwrite), read ONE partition back "
+    "per status via the pruned snapshot reader, union, aggregate. Any "
+    "row multiplication or partition leakage breaks the hash.",
+)
+def io_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="io_roundtrip_")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    parts = [
+        read_snapshot(spark, out, {"o_orderstatus": status})
+        for status in ("F", "O", "P")
+    ]
+    back = parts[0]
+    for p in parts[1:]:
+        back = back.unionByName(p)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey AS region_key, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    operators=("S2", "K-csv"),
+    doc="S2 under the correctness gate: write nation to CSV (header), read "
+    "back with a DECLARED schema (no inference), aggregate. Integer/string "
+    "columns only, so the text round-trip is exactly lossless.",
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_testdata(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="io_csv_") + "/nation_csv"
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_csv(
+        spark,
+        out,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    return back.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )

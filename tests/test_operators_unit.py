@@ -1,0 +1,77 @@
+"""Unit tests for operators not fully covered by declared queries:
+salted joins, as-of forward direction, dedup survivorship, bounded sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.dedup import deduplicate
+from home_credit_data_engineering_spark.operators.joins import asof_join, salted_join
+from home_credit_data_engineering_spark.sources.sinks import to_pandas_sample
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+    )
+    salted = salted_join(
+        orders,
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+        salt_buckets=8,
+    )
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.select(plain.columns).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 12), (1, 20), (1, 30), (2, 1)], "k long, rt long"
+    )
+    out = {
+        (r["k"], r["t"]): r["rt_asof"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", direction="forward"
+        ).collect()
+    }
+    # earliest right time >= left time
+    assert out[(1, 10)] == 12
+    assert out[(1, 25)] == 30
+    assert out[(2, 5)] is None  # only right time is 1 < 5 → no forward match
+
+
+def test_deduplicate_survivors(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 → removed
+        (3, base.replace("today", "tomorrow")),  # near dup of 1 → removed
+        (4, "entirely different text with completely other words inside it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in deduplicate(
+            docs, "doc_id", "text", near=True, threshold=0.5, bands=16
+        ).collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_to_pandas_sample_bounded(spark, sf_dir):
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    pdf = to_pandas_sample(li, n=50, fraction=0.5, seed=42)
+    assert len(pdf) <= 50
+    pdf2 = to_pandas_sample(li, n=50, fraction=0.5, seed=42)
+    assert pdf.equals(pdf2)  # seeded → reproducible

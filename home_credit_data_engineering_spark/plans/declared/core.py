@@ -656,15 +656,22 @@ def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
     """,
     operators=("J-ext:anti",),
-    doc="Left-anti join (NOT EXISTS) — orphan detection.",
+    doc="Left-anti join (NOT EXISTS with a pushed right-side filter): "
+    "customers who never placed a 450k+ order.",
 )
 def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return anti_join(cust, orders, on="c_custkey")
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(cust, big_orders, on="c_custkey")
 
 
 @register(

@@ -1,0 +1,88 @@
+"""Bucketed tables: co-bucketed joins and aggregations must plan without
+a shuffle exchange on the bucketed key — the storage-level co-location
+strategy for 100 TB star joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+from home_credit_data_engineering_spark.sources.sinks import write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = read_testdata(spark, sf_dir, "orders")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_by="o_orderkey")
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+        sort_by="o_orderkey",
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _executed_plan(df) -> str:
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cobucketed_join_has_no_shuffle(spark, bucketed_tables):
+    t_orders, t_lineitem = bucketed_tables
+    joined = spark.table(t_orders).join(spark.table(t_lineitem), on="o_orderkey")
+    plan = _executed_plan(joined)
+    assert "Exchange hashpartitioning" not in plan, plan
+    # sanity: same join un-bucketed DOES shuffle (disable auto-broadcast to
+    # force a shuffle-based strategy on these small inputs)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw = read_testdata(spark, "/root/testdata/sf0.001", "orders").join(
+            read_testdata(spark, "/root/testdata/sf0.001", "lineitem")
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+            on="o_orderkey",
+        )
+        raw_plan = _executed_plan(raw)
+        assert "Exchange hashpartitioning" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
+    t_orders, _ = bucketed_tables
+    agg = (
+        spark.table(t_orders)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _executed_plan(agg)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bucketed_join_results_match_plain(spark, bucketed_tables, sf_dir):
+    t_orders, t_lineitem = bucketed_tables
+    bucketed = (
+        spark.table(t_orders)
+        .join(spark.table(t_lineitem), on="o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plain = (
+        read_testdata(spark, sf_dir, "orders")
+        .join(
+            read_testdata(spark, sf_dir, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            on="o_orderkey",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -73,6 +73,81 @@ def decode_stub(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+#: Output schema of the (stub) feature extractor: a fixed-dim embedding
+#: per payload.
+FEATURE_DIM = 16
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_features_stub(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Arrow-batched 'feature extraction': payload bytes → fixed-dim vector.
+
+    The fake featurizer is a deterministic byte histogram (16 buckets,
+    L1-normalized) — stands in for an image/audio embedding model while
+    keeping the real pipeline shape: binary column in, `array<double>`
+    out, batch-at-a-time, no shuffle. Downstream this feeds the similarity
+    operators exactly like a real embedding column (see
+    tests/test_multimodal.py).
+    """
+
+    def featurize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[binary_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+                    "float64"
+                )
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
+
+    return df.select(id_col, binary_col).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def sample_frames_stub(
+    df: DataFrame, id_col: str, binary_col: str, every_n: int = 4
+) -> DataFrame:
+    """Arrow-batched 'frame sampling': one output row per sampled frame.
+
+    The fake frame decoder treats each 64-byte block of the payload as a
+    'frame' and emits every ``every_n``-th block — the 1→N row expansion
+    shape of real video frame sampling (mapInPandas may yield more output
+    rows than input rows; schema declared, partitioning preserved).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("frame_index", T.LongType(), True),
+            T.StructField("frame_bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                blocks = [
+                    payload[i : i + 64] for i in range(0, len(payload), 64)
+                ]
+                for j in range(0, len(blocks), every_n):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(blocks[j])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs, "frame_bytes": frames}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(sample, out_schema)
+
+
 def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """Real image decode — requires PIL, not present in this container."""
     raise NotImplementedError(

@@ -12,4 +12,5 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     similarity,
     text,
     text2,
+    tpch_classics,
 )

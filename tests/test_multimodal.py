@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: binary payloads through mapInPandas stages
+(decode metadata, feature extraction, frame sampling) and the handoff into
+the similarity operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    decode_stub,
+    extract_features_stub,
+    sample_frames_stub,
+    with_binary_payload,
+)
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@pytest.fixture(scope="module")
+def payloads(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents").limit(50)
+    return with_binary_payload(docs, "text")
+
+
+def test_binary_column_type(payloads):
+    assert dict(payloads.dtypes)["payload"] == "binary"
+
+
+def test_decode_stub_metadata(payloads):
+    rows = decode_stub(payloads, "doc_id", "payload").collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["width"] == 64 + r["n_bytes"] % 576
+        assert r["height"] == 48 + r["n_bytes"] % 432
+        assert 1 <= r["n_frames"] <= 8
+
+
+def test_feature_extraction_feeds_similarity(spark, payloads):
+    feats = extract_features_stub(payloads, "doc_id", "payload")
+    rows = feats.collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-9 for r in rows)  # L1-normalized
+
+    # The extracted features behave as an embedding column downstream.
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = feats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("feature").cast("array<float>").alias("embedding"),
+    )
+    top = brute_force_topk(emb, emb.limit(5), k=3)
+    got = top.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
+
+
+def test_frame_sampling_expands_rows(payloads):
+    frames = sample_frames_stub(payloads, "doc_id", "payload", every_n=2)
+    rows = frames.collect()
+    assert len(rows) > 50  # 1→N expansion
+    assert all(r["frame_index"] % 2 == 0 for r in rows)
+    assert all(len(r["frame_bytes"]) <= 64 for r in rows)
+
+
+def test_real_decoder_is_explicitly_unavailable(payloads):
+    with pytest.raises(NotImplementedError):
+        decode_image(payloads, "doc_id", "payload")

@@ -58,3 +58,30 @@ def validate(
     """
     counts = failure_counts(df, rules) if count_failures else {}
     return counts, df.filter(combined_predicate(rules))
+
+
+def split_valid_invalid(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (valid rows, invalid rows + ``failed_rules``
+    array naming every violated rule).
+
+    The reference silently drops invalid rows after logging counts; at
+    scale the standard pattern is to land them in a quarantine table for
+    replay/debugging. The failed-rules array is built in the same
+    projection as the filter — one pass, no extra action.
+    """
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(rule.predicate, F.lit(False)), F.lit(rule.name)
+                )
+                for rule in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    valid = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    invalid = tagged.filter(F.size("failed_rules") > 0)
+    return valid, invalid

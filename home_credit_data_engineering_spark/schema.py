@@ -208,3 +208,27 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 }
 
 TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
+
+
+def conform(df, schema: T.StructType):
+    """Conform a DataFrame to a declared schema: add missing nullable
+    columns as typed NULLs, cast mistyped columns, drop extras, order
+    columns per the schema.
+
+    The tolerant-ingestion primitive for heterogeneous 100 TB sources:
+    upstream schema drift becomes an explicit, lossless normalization
+    instead of a runtime surprise (pairs with
+    ``unionByName(allowMissingColumns=True)`` — SURVEY §1.2 tolerance).
+    """
+    from pyspark.sql import functions as F
+
+    existing = {f.name: f for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        if field.name not in existing:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif existing[field.name].dataType != field.dataType:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)

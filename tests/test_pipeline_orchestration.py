@@ -1,0 +1,108 @@
+"""Orchestrator, quarantine split, and schema conformance tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.quality import (
+    Rule,
+    split_valid_invalid,
+)
+from home_credit_data_engineering_spark.plans.bronze import ingest_dataframe
+from home_credit_data_engineering_spark.plans.pipeline import run_gold, run_silver
+from home_credit_data_engineering_spark.schema import (
+    APPLICATION,
+    BUREAU,
+    BUREAU_BALANCE,
+    INSTALLMENTS_PAYMENTS,
+    PREVIOUS_APPLICATION,
+    conform,
+)
+from home_credit_data_engineering_spark.sources.readers import read_snapshot
+
+DATE = "2026-08-13"
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """A small bronze lake (two ingest dates to exercise snapshot pruning)."""
+    base = tmp_path_factory.mktemp("lake")
+    fixtures = {
+        "application": (
+            APPLICATION,
+            [
+                (1, 0, 100000.0, 500000.0, 25000.0, -15000, "M"),
+                (2, 1, 200000.0, 600000.0, None, -20000, "F"),
+                (5, 0, 0.0, 100000.0, 5000.0, -15000, "F"),  # dropped
+            ],
+        ),
+        "bureau": (BUREAU, [(1, 101, "Active", 0, 10000.0, 0.0)]),
+        "bureau_balance": (BUREAU_BALANCE, [(101, 0, "C")]),
+        "installments_payments": (
+            INSTALLMENTS_PAYMENTS,
+            [(201, 1, 1, -100, -95, 1000.0, 1000.0)],
+        ),
+        "previous_application": (
+            PREVIOUS_APPLICATION,
+            [(301, 1, "Approved", 10000.0, 9000.0)],
+        ),
+    }
+    for date in ("2026-08-12", DATE):
+        for name, (schema, rows) in fixtures.items():
+            ingest_dataframe(
+                spark.createDataFrame(rows, schema),
+                f"{base}/bronze/{name}",
+                date,
+                "test",
+            )
+    return str(base)
+
+
+def test_full_pipeline_run(spark, lake):
+    silver_report = run_silver(
+        spark, f"{lake}/bronze", f"{lake}/silver", DATE
+    )
+    assert silver_report.validation_failures["amt_income_total_invalid"] == 1
+    assert silver_report.rows_written["silver_client_application"] == 2
+    assert silver_report.rows_written["silver_bureau_summary"] == 1
+
+    gold_report = run_gold(spark, f"{lake}/silver", f"{lake}/gold", DATE)
+    assert gold_report.rows_written["gold_client_risk_profile"] == 2
+    assert gold_report.rows_written["gold_portfolio_risk"] >= 1
+
+    profile = read_snapshot(
+        spark,
+        f"{lake}/gold/gold_client_risk_profile",
+        {"year": 2026, "month": 8, "day": 13},
+    )
+    rows = {r["SK_ID_CURR"]: r for r in profile.collect()}
+    assert rows[1]["risk_segment"] == "MEDIUM"  # late_count 1
+    assert rows[2]["risk_segment"] == "LOW"
+
+
+def test_quarantine_split(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0)], "id long, amount double"
+    )
+    rules = [
+        Rule("id_present", F.col("id").isNotNull()),
+        Rule("amount_positive", F.col("amount") > 0),
+    ]
+    valid, invalid = split_valid_invalid(df, rules)
+    assert [r["id"] for r in valid.collect()] == [1]
+    bad = {tuple(r["failed_rules"]): r["id"] for r in invalid.collect()}
+    assert bad[("amount_positive",)] == 2
+    assert bad[("id_present",)] is None
+
+
+def test_schema_conform(spark):
+    drifted = spark.createDataFrame(
+        [("7", 1, "extra")], "SK_ID_CURR string, TARGET int, junk string"
+    )
+    out = conform(drifted, APPLICATION)
+    assert out.columns == [f.name for f in APPLICATION.fields]
+    row = out.collect()[0]
+    assert row["SK_ID_CURR"] == 7  # cast string→long
+    assert row["AMT_CREDIT"] is None  # missing → typed null
+    assert "junk" not in out.columns

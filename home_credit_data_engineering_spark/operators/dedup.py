@@ -53,6 +53,71 @@ def exact_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) — connected components by iterative min-label
+    propagation over an undirected edge list.
+
+    Each round every node adopts the minimum component id in its
+    neighborhood (two hash joins + an aggregate per round); convergence is
+    checked with a change count, so chains of length L need O(log L)-ish
+    rounds in practice and the loop stops early. This is the cluster step
+    that turns pairwise near-dup edges into dedup groups (pairwise removal
+    alone under-merges chains A~B~C).
+
+    Scale note: each iteration is shuffle-on-node-id; for web-scale graphs
+    swap in large-star/small-star (same DataFrame primitives, fewer
+    rounds). ``max_iter`` bounds the worst case.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+    sym = sym.persist()
+    labels = labels.persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(
+                    labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                        "component", "dst_comp"
+                    ),
+                    on="dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_comp").alias("nbr_comp"))
+                .withColumnRenamed("src", "node")
+            )
+            updated = (
+                labels.join(neighbor_min, on="node", how="left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                    ).alias("component"),
+                    (F.coalesce(F.col("nbr_comp"), F.col("component"))
+                     < F.col("component")).alias("__changed"),
+                )
+            )
+            updated = updated.persist()
+            changed = updated.filter(F.col("__changed")).count()
+            old = labels
+            labels = updated.drop("__changed")
+            old.unpersist()
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
+
+
 def deduplicate(
     df: DataFrame,
     id_col: str,

@@ -10,6 +10,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     multimodal,
     relational_ext,
     similarity,
+    stats_timeseries,
     text,
     text2,
     tpch_classics,

@@ -1,0 +1,105 @@
+"""Statistics and time-series declared queries: exact percentiles,
+dispersion, correlation, and gap-filled resampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@register(
+    "stats_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    operators=("A-ext:percentile",),
+    doc="Exact interpolated percentiles (median/p90) + sample stddev per "
+    "group. Exact `percentile` matches quantile_cont; at 100 TB switch to "
+    "approx_percentile (same API shape, sketch-mergeable).",
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "stats_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("A-ext:corr",),
+    doc="Per-group Pearson correlation and sample covariance — the "
+    "feature-engineering statistics surface.",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_trunc('day', MIN(ts)) AS d0,
+             date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans),
+    actual AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.day, COALESCE(a.n, 0) AS n_events
+    FROM grid g LEFT JOIN actual a
+      ON g.user_id = a.user_id AND g.day = a.day
+    """,
+    operators=("E-ext:gapfill",),
+    doc="Time-series resampling with gap fill: per-user daily grid "
+    "(sequence + explode) left-joined onto actual daily counts, missing "
+    "days zero-filled — the dense-calendar shape monthly bureau_balance "
+    "series need (reference MONTHS_BALANCE is such a series).",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    actual = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(actual, on=["user_id", "day"], how="left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+    )

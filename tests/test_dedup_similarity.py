@@ -151,3 +151,22 @@ def test_lsh_topk_recall_vs_bruteforce(clustered_vectors):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low on clustered data"
+
+
+def test_connected_components_chains(spark):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1  # chain collapses
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20  # cycle
+    assert comp[1] != comp[10] != comp[20]

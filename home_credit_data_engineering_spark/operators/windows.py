@@ -130,6 +130,24 @@ def with_lag_lead(
     )
 
 
+def forward_fill(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    cols: list[str],
+) -> DataFrame:
+    """Carry the last non-null observation forward within each key's
+    timeline (``last(ignorenulls)`` over an unbounded-preceding frame) —
+    the standard sparse-to-dense fill for state columns in monthly/daily
+    series (pairs with the gap-fill grid in the timeseries queries)."""
+    w = _ordered_window(keys, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in cols}
+    )
+
+
 def running_agg(
     df: DataFrame,
     keys: list[str],

@@ -103,3 +103,36 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
     )
+
+
+@register(
+    "timeseries_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(last_value(CASE WHEN event_type = 'error' THEN NULL
+                                 ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 4) AS value_ff
+    FROM events
+    """,
+    operators=("E-ext:forward-fill",),
+    doc="Forward fill (last observation carried forward): error events' "
+    "values are masked to NULL, then filled from the user's last good "
+    "observation - the sparse-to-dense state fill for time series.",
+)
+def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.windows import forward_fill
+
+    ev = read_testdata(spark, sf_dir, "events").withColumn(
+        "value_ff",
+        F.when(F.col("event_type") != "error", F.col("value")),
+    )
+    filled = forward_fill(
+        ev,
+        keys=["user_id"],
+        order_by=[F.col("ts").asc(), F.col("event_id").asc()],
+        cols=["value_ff"],
+    )
+    return filled.select(
+        "event_id", "user_id", F.round("value_ff", 4).alias("value_ff")
+    )

@@ -25,6 +25,7 @@ def write_parquet(
     mode: str = "overwrite",
     dynamic_overwrite: bool = True,
     target_files: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """K1/K2: (partitioned) parquet write.
 
@@ -33,10 +34,15 @@ def write_parquet(
     for daily snapshot appends. ``target_files`` coalesces tiny outputs
     (the reference documents ``coalesce(1)`` advice in ``run.md:456``);
     leave ``None`` at scale and let AQE size the files.
+    ``max_records_per_file`` caps file size from the other direction —
+    splitting oversized task outputs so downstream scans parallelize
+    (a 100 TB write wants both bounds).
     """
     writer = df.write.mode(mode)
     if target_files is not None:
         writer = df.coalesce(target_files).write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
         if mode == "overwrite" and dynamic_overwrite:

@@ -1,0 +1,104 @@
+"""CLI job tests: the spark-submit surface drives the same library paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from home_credit_data_engineering_spark.jobs import gold as gold_job
+from home_credit_data_engineering_spark.jobs import ingest as ingest_job
+from home_credit_data_engineering_spark.jobs import silver as silver_job
+from home_credit_data_engineering_spark.schema import (
+    APPLICATION,
+    BUREAU,
+    BUREAU_BALANCE,
+    INSTALLMENTS_PAYMENTS,
+    PREVIOUS_APPLICATION,
+)
+
+DATE = "2026-08-13"
+
+
+def test_parsers_cover_reference_flags():
+    # The reference CLIs take --ingest-date everywhere (run.md); ours must too.
+    for parser in (
+        ingest_job.build_parser(),
+        silver_job.build_parser(),
+        gold_job.build_parser(),
+    ):
+        args = [a.option_strings for a in parser._actions]
+        assert any("--ingest-date" in opts for opts in args)
+
+
+def test_ingest_csv_then_silver_then_gold_cli(spark, tmp_path):
+    # Stage CSV input for the ingest job.
+    src = spark.createDataFrame(
+        [
+            (1, 0, 100000.0, 500000.0, 25000.0, -15000, "M"),
+            (2, 1, 200000.0, 600000.0, None, -20000, "F"),
+        ],
+        APPLICATION,
+    )
+    csv_dir = str(tmp_path / "app_csv")
+    src.write.option("header", "true").csv(csv_dir)
+
+    base = str(tmp_path)
+    assert (
+        ingest_job.main(
+            [
+                "--source", "csv",
+                "--input", csv_dir,
+                "--output", f"{base}/bronze/application",
+                "--ingest-date", DATE,
+            ]
+        )
+        == 0
+    )
+    # The other bronze inputs, staged directly.
+    from home_credit_data_engineering_spark.plans.bronze import ingest_dataframe
+
+    for name, schema, rows in [
+        ("bureau", BUREAU, [(1, 101, "Active", 0, 10000.0, 0.0)]),
+        ("bureau_balance", BUREAU_BALANCE, [(101, 0, "C")]),
+        (
+            "installments_payments",
+            INSTALLMENTS_PAYMENTS,
+            [(201, 1, 1, -100, -95, 1000.0, 1000.0)],
+        ),
+        (
+            "previous_application",
+            PREVIOUS_APPLICATION,
+            [(301, 1, "Approved", 10000.0, 9000.0)],
+        ),
+    ]:
+        ingest_dataframe(
+            spark.createDataFrame(rows, schema), f"{base}/bronze/{name}", DATE, "test"
+        )
+
+    assert (
+        silver_job.main(
+            [
+                "--bronze-base", f"{base}/bronze",
+                "--silver-base", f"{base}/silver",
+                "--ingest-date", DATE,
+            ]
+        )
+        == 0
+    )
+    assert (
+        gold_job.main(
+            [
+                "--silver-base", f"{base}/silver",
+                "--gold-base", f"{base}/gold",
+                "--ingest-date", DATE,
+            ]
+        )
+        == 0
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_snapshot
+
+    profile = read_snapshot(
+        spark,
+        f"{base}/gold/gold_client_risk_profile",
+        {"year": 2026, "month": 8, "day": 13},
+    )
+    assert profile.count() == 2

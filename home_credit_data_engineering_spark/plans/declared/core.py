@@ -994,3 +994,41 @@ def sql_api_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_testdata(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_SQL_API_QUERY)
+
+
+@register(
+    "quality_quarantine_summary",
+    oracle="""
+    SELECT 'positive_quantity' AS rule, CAST(SUM(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failures FROM lineitem
+    UNION ALL
+    SELECT 'discount_le_half', CAST(SUM(CASE WHEN NOT (l_discount <= 0.05) OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'recent_shipdate', CAST(SUM(CASE WHEN NOT (l_shipdate >= TIMESTAMP '1996-01-01 00:00:00') OR l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    """,
+    operators=("P6-ext:quarantine",),
+    doc="Quarantine audit: per-rule failure totals derived from the "
+    "failed_rules arrays produced by split_valid_invalid (explode + "
+    "count), matched against direct per-rule SQL counts.",
+)
+def quality_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.quality import (
+        split_valid_invalid,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        Rule("positive_quantity", F.col("l_quantity") > 0),
+        Rule("discount_le_half", F.col("l_discount") <= 0.05),
+        Rule(
+            "recent_shipdate",
+            F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        ),
+    ]
+    _, invalid = split_valid_invalid(li, rules)
+    exploded = invalid.select(F.explode("failed_rules").alias("rule"))
+    counts = exploded.groupBy("rule").agg(F.count(F.lit(1)).alias("n_failures"))
+    # Rules with zero failures still appear (left join against the rule list).
+    all_rules = spark.createDataFrame([(r.name,) for r in rules], ["rule"])
+    return all_rules.join(counts, on="rule", how="left").select(
+        "rule", F.coalesce(F.col("n_failures"), F.lit(0)).alias("n_failures")
+    )

@@ -40,8 +40,9 @@ def test_aqe_splits_skewed_join_partition(spark):
 
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
+        # The join node is the stable marker; the AQEShuffleRead label
+        # varies ("skewed" vs "coalesced and skewed") across runs.
         assert "skew=true" in plan, plan
-        assert "AQEShuffleRead skewed" in plan
     finally:
         for k, v in old.items():
             if v is not None:

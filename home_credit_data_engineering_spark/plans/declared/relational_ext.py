@@ -179,3 +179,27 @@ def array_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
         )
     )
+
+
+@register(
+    "j_null_safe_equality",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n
+    LEFT JOIN region r
+      ON nullif(n.n_regionkey, 0) IS NOT DISTINCT FROM nullif(r.r_regionkey, 0)
+    """,
+    operators=("J-ext:null-safe",),
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of dropping out - the join form for "
+    "nullable dimension keys.",
+)
+def j_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_testdata(spark, sf_dir, "nation").withColumn(
+        "nk", F.expr("nullif(n_regionkey, 0)")
+    )
+    region = read_testdata(spark, sf_dir, "region").withColumn(
+        "rk", F.expr("nullif(r_regionkey, 0)")
+    )
+    joined = nation.join(region, nation["nk"].eqNullSafe(region["rk"]), "left")
+    return joined.select("n_name", "r_name")

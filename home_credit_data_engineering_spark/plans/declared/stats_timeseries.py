@@ -136,3 +136,30 @@ def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "event_id", "user_id", F.round("value_ff", 4).alias("value_ff")
     )
+
+
+@register(
+    "pandas_grouped_zscore",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4)
+             AS value_z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    operators=("U-pandas:grouped-map",),
+    doc="applyInPandas grouped-map certification: per-user z-scores "
+    "computed in pandas (Arrow batches, ddof=1) match the declarative "
+    "window formulation exactly - proving the grouped pandas plumbing "
+    "without giving up an oracle.",
+)
+def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.grouped_pandas import (
+        zscore_per_group,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events")
+    out = zscore_per_group(ev)
+    return out.select(
+        "event_id", "user_id", "value", F.round("value_z", 4).alias("value_z")
+    )

@@ -107,6 +107,37 @@ def to_pandas_sample(df: DataFrame, n: int = 1000, fraction: float | None = None
     return sampled.limit(n).toPandas()
 
 
+def export_sample(
+    df: DataFrame,
+    path: str,
+    n: int = 1000,
+    fraction: float | None = None,
+    seed: int = 42,
+    fmt: str = "csv",
+) -> str:
+    """K4: bounded sample export for analysts (reference
+    ``spark/common/export_to_excel.py:28-91``).
+
+    Excel output requires openpyxl (absent in this environment — gated
+    behind an import, falling back is explicit, never silent); CSV always
+    works. Returns the written path.
+    """
+    pdf = to_pandas_sample(df, n=n, fraction=fraction, seed=seed)
+    if fmt == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "xlsx export needs openpyxl; use fmt='csv' here"
+            ) from exc
+        pdf.to_excel(path, index=False)
+    elif fmt == "csv":
+        pdf.to_csv(path, index=False)
+    else:
+        raise ValueError(f"unknown export format: {fmt}")
+    return path
+
+
 def preview(df: DataFrame, n: int = 20, truncate: bool = False) -> None:
     """K5: console sink (count/schema/show), reference
     ``spark/common/preview_data.py:16-22``."""

@@ -75,3 +75,19 @@ def test_to_pandas_sample_bounded(spark, sf_dir):
     assert len(pdf) <= 50
     pdf2 = to_pandas_sample(li, n=50, fraction=0.5, seed=42)
     assert pdf.equals(pdf2)  # seeded → reproducible
+
+
+def test_export_sample_csv(spark, sf_dir, tmp_path):
+    import pandas as pd
+
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+    from home_credit_data_engineering_spark.sources.sinks import export_sample
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    out = export_sample(cust, str(tmp_path / "sample.csv"), n=25, fmt="csv")
+    back = pd.read_csv(out)
+    assert len(back) == 25
+    assert list(back.columns) == cust.columns
+
+    with pytest.raises(ImportError):
+        export_sample(cust, str(tmp_path / "sample.xlsx"), n=5, fmt="xlsx")

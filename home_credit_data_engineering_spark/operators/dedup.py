@@ -344,6 +344,50 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, fingerprint) — winnowing document fingerprints
+    (Schleimer/Wilkerson/Aiken MOSS scheme): rolling k-gram hashes, then
+    the minimum hash of every ``window`` consecutive k-grams, deduplicated.
+
+    Guarantee: any shared substring of ≥ window+k-1 tokens between two
+    documents yields at least one shared fingerprint — the partial-overlap
+    detector (plagiarism/quotation/boilerplate) that whole-document
+    MinHash can't provide.
+
+    Plan shape: the same codegen pipeline as :func:`minhash_signatures`
+    (posexplode → token hash → lead()-combined k-gram hash) plus one more
+    sliding ``min() over rows between`` window — still zero Python, one
+    shuffle on doc_id.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    ).select("doc_id", "__pos", F.xxhash64("__t").alias("__h"))
+    w_lead = W.partitionBy("doc_id").orderBy("__pos")
+    leads = [F.lead("__h", j).over(w_lead) for j in range(1, shingle_k)]
+    grams = toks.select(
+        "doc_id",
+        "__pos",
+        F.xxhash64(F.col("__h"), *leads).alias("__kh"),
+        leads[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    w_min = (
+        W.partitionBy("doc_id").orderBy("__pos").rowsBetween(-(window - 1), 0)
+    )
+    return (
+        grams.select("doc_id", F.min("__kh").over(w_min).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
 

@@ -84,3 +84,21 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.35)
         .select("id_a", "id_b", "score")
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=None,  # xxhash64 fingerprints are engine-specific -> rows-only
+    operators=("T-ext:winnowing",),
+    doc="Winnowing (MOSS) document fingerprints: rolling k-gram hashes + "
+    "sliding-window minima, distinct per doc. Guarantees shared substrings "
+    "of >= window+k-1 tokens produce shared fingerprints (partial-overlap "
+    "detection). Behavior pinned by planted-overlap unit tests.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text")

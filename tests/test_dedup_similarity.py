@@ -170,3 +170,28 @@ def test_connected_components_chains(spark):
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == 20  # cycle
     assert comp[1] != comp[10] != comp[20]
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{shared} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"unrelated prefix words here {shared}"),  # shares a long span
+        (3, "totally different vocabulary with no common span at all okay"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, "doc_id", "text")
+    by_doc = {
+        r["doc_id"]: set()
+        for r in docs.collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fingerprint"])
+    # The 10-token shared span (>= window+k-1 = 6) must yield overlap.
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

@@ -14,4 +14,5 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     text,
     text2,
     tpch_classics,
+    tpch_more,
 )

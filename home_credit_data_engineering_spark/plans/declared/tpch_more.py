@@ -1,0 +1,166 @@
+"""Additional classic analytic shapes: fully-pushed scan-aggregate (Q6),
+HAVING-filtered agg joined back to its inputs (Q18), distribution window
+functions, and a small-table cartesian/theta self-join.
+
+These widen the relational surface beyond the reference's own operator set
+(SURVEY §2.4-2.7 notes the missing shapes) while staying oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    operators=("A1", "P6", "tpch:q6"),
+    doc="TPC-H Q6 shape: conjunctive range predicates + global aggregate. "
+    "All four predicates push into the parquet scan (PushedFilters) and the "
+    "projection narrows to 4 columns; at 100 TB this is a scan-bound query "
+    "whose cost is bytes-read, so pushdown IS the optimization.",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 1) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+    operators=("A1", "J2", "j:semi", "agg:having", "O4", "tpch:q18"),
+    doc="TPC-H Q18 shape: aggregate-derived key set (HAVING) semi-joins back "
+    "to the fact + dims, re-aggregates, global top-k. The HAVING side "
+    "reduces 60k lineitems to a few hundred hot orders before the join, so "
+    "the key set broadcasts; at scale this is the 'find heavy entities then "
+    "drill in' pattern that avoids joining the full fact to itself.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 250)
+        .select("l_orderkey")
+    )
+    joined = (
+        li.join(F.broadcast(hot), "l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        joined.groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4)  OVER w AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    operators=("W2", "window:ntile", "window:percent_rank", "window:cume_dist"),
+    doc="Distribution window functions the reference never uses but any "
+    "analytics surface needs: ntile/percent_rank/cume_dist per priority "
+    "partition with a total order (o_orderkey tie-break) for determinism. "
+    "One shuffle on the partition key serves all three functions.",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        read_testdata(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+    )
+
+
+@register(
+    "cross_join_nation_pairs",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+           (a.n_regionkey = b.n_regionkey) AS same_region
+    FROM nation a CROSS JOIN nation b
+    WHERE a.n_name < b.n_name
+    """,
+    operators=("j:cross", "j:theta", "P7"),
+    doc="Cartesian product of a small dimension with a theta (inequality) "
+    "predicate — the unordered-pairs shape used by pairwise similarity "
+    "scoring. Spark plans BroadcastNestedLoopJoin; safe only because the "
+    "build side is a dimension (25 rows) — at 100 TB the same shape over "
+    "documents must go through LSH banding instead (see dedup_minhash_lsh).",
+)
+def cross_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_testdata(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    a = nation.select(
+        F.col("n_name").alias("nation_a"), F.col("n_regionkey").alias("_ra")
+    )
+    b = nation.select(
+        F.col("n_name").alias("nation_b"), F.col("n_regionkey").alias("_rb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .select(
+            "nation_a",
+            "nation_b",
+            (F.col("_ra") == F.col("_rb")).alias("same_region"),
+        )
+    )

@@ -163,6 +163,53 @@ def deduplicate(
     )
 
 
+def kgram_hash_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    short_doc_fallback: bool = True,
+) -> DataFrame:
+    """(doc_id, __pos, __sh) — one 64-bit hash per k-token shingle.
+
+    The shared all-codegen subplan under MinHash, winnowing, and Jaccard
+    verification: posexplode tokens → hash each token ONCE → combine k
+    consecutive token hashes with a ``lead()`` window into one
+    ``xxhash64`` per position. No shingle strings are ever built, and no
+    interpreted array lambdas run (a lambda referencing the tokenizer
+    re-splits the text per element — measured 11× slower).
+
+    With ``short_doc_fallback`` docs shorter than ``k`` tokens keep
+    exactly their leading (partial) shingle — the whole-text fallback of
+    :func:`~.functions.text.word_shingles`; without it they yield no rows
+    (winnowing semantics).
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    ).select("doc_id", "__pos", F.xxhash64("__t").alias("__h"))
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    leads = [F.lead("__h", j).over(w) for j in range(1, k)]
+    cols = [
+        F.col("doc_id"),
+        F.col("__pos"),
+        F.xxhash64(F.col("__h"), *leads).alias("__sh"),
+        leads[-1].alias("__last_lead"),
+    ]
+    # Window expressions must live in the projection, not the filter.
+    if short_doc_fallback:
+        cols.append(F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("__n"))
+    shingled = toks.select(*cols)
+    keep = F.col("__last_lead").isNotNull()
+    if short_doc_fallback:
+        # full shingles only — except short docs, which keep exactly their
+        # leading (partial) shingle as the whole-text fallback
+        keep = keep | ((F.col("__n") < k) & (F.col("__pos") == 0))
+    return shingled.filter(keep).select("doc_id", "__pos", "__sh")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -189,27 +236,7 @@ def minhash_signatures(
     as :func:`~.functions.text.word_shingles`). Partial aggregation keeps
     the shuffle at num_hashes longs per doc.
     """
-    from pyspark.sql.window import Window as W
-
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
-    ).select("doc_id", "__pos", F.xxhash64("__t").alias("__h"))
-    w = W.partitionBy("doc_id").orderBy("__pos")
-    leads = [F.lead("__h", j).over(w) for j in range(1, shingle_k)]
-    n_tok = F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-    shingled = toks.select(
-        "doc_id",
-        "__pos",
-        F.xxhash64(F.col("__h"), *leads).alias("__sh"),
-        leads[-1].alias("__last_lead"),
-        n_tok.alias("__n"),
-    ).filter(
-        # full shingles only — except short docs, which keep exactly their
-        # leading (partial) shingle as the whole-text fallback
-        F.col("__last_lead").isNotNull()
-        | ((F.col("__n") < shingle_k) & (F.col("__pos") == 0))
-    )
+    shingled = kgram_hash_stream(df, id_col, text_col, k=shingle_k)
     seed_mins = [
         F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__mh{i}")
         for i in range(num_hashes)
@@ -277,12 +304,13 @@ def jaccard_verify(
     threshold: float = 0.7,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets for candidate pairs only:
-    (doc_a, doc_b, jaccard). Join-shaped: two hash joins on doc id —
+    """Exact Jaccard over distinct shingle-hash sets for candidate pairs
+    only: (doc_a, doc_b, jaccard). Join-shaped: two hash joins on doc id —
     shingles are computed only for docs that appear in candidates (an
-    explicit semi-join restricts the text scan first)."""
-    from home_credit_data_engineering_spark.functions.text import with_shingles
-
+    explicit semi-join restricts the text scan first). Sets hold 64-bit
+    k-gram hashes, not strings: same Jaccard modulo hash collisions, and
+    the intersect runs over longs (8 bytes/element through the shuffle
+    instead of full shingle text)."""
     ids = (
         candidates.select(F.col("doc_a").alias("__cid"))
         .unionByName(candidates.select(F.col("doc_b").alias("__cid")))
@@ -291,8 +319,10 @@ def jaccard_verify(
     relevant = df.join(
         ids, on=[F.col(id_col) == F.col("__cid")], how="left_semi"
     )
-    sh = with_shingles(relevant, id_col, text_col, k=shingle_k).select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
+    sh = (
+        kgram_hash_stream(relevant, id_col, text_col, k=shingle_k)
+        .groupBy("doc_id")
+        .agg(F.collect_set("__sh").alias("sh"))
     )
     joined = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), on="doc_a")
@@ -333,7 +363,12 @@ def minhash_dedup(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    candidates = lsh_candidate_pairs(sigs, bands=bands)
+    # Candidates feed three consumers in jaccard_verify (both id sides of
+    # the semi-join restriction + the verify join itself); without
+    # materialization the banding self-join executes three times.
+    candidates = lsh_candidate_pairs(sigs, bands=bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return jaccard_verify(
         candidates, df, id_col, text_col, threshold=threshold, shingle_k=shingle_k
     )
@@ -367,23 +402,14 @@ def winnowing_fingerprints(
     """
     from pyspark.sql.window import Window as W
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
-    ).select("doc_id", "__pos", F.xxhash64("__t").alias("__h"))
-    w_lead = W.partitionBy("doc_id").orderBy("__pos")
-    leads = [F.lead("__h", j).over(w_lead) for j in range(1, shingle_k)]
-    grams = toks.select(
-        "doc_id",
-        "__pos",
-        F.xxhash64(F.col("__h"), *leads).alias("__kh"),
-        leads[-1].alias("__last"),
-    ).filter(F.col("__last").isNotNull())
+    grams = kgram_hash_stream(
+        df, id_col, text_col, k=shingle_k, short_doc_fallback=False
+    )
     w_min = (
         W.partitionBy("doc_id").orderBy("__pos").rowsBetween(-(window - 1), 0)
     )
     return (
-        grams.select("doc_id", F.min("__kh").over(w_min).alias("fingerprint"))
+        grams.select("doc_id", F.min("__sh").over(w_min).alias("fingerprint"))
         .distinct()
     )
 

@@ -83,6 +83,87 @@ def brute_force_topk(
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
 
 
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy GEMM — the fast path.
+
+    Same results as :func:`brute_force_topk` (same rounding and
+    (score DESC, id ASC) tie-break), different physical strategy:
+
+    - the query matrix is collected driver-side (queries ≪ corpus — the
+      same smallness assumption the broadcast in :func:`brute_force_topk`
+      makes) and shipped to workers inside the UDF closure;
+    - each Arrow batch of corpus vectors scores against ALL queries in one
+      normalized matrix multiply (vectorized, ~100× the throughput of
+      per-pair interpreted array lambdas);
+    - each batch emits only its own top-k per query (partial top-k — the
+      map-side-combine analogue), so the shuffle carries
+      O(batches · queries · k) rows instead of |corpus|·|queries|;
+    - a final window top-k merges the partials exactly.
+
+    Zero-norm vectors score NULL in the pair formulation and sort last;
+    here they are skipped inside the batch kernel (identical top-k as long
+    as ≥ k finite-scoring candidates exist, which any non-degenerate
+    corpus has).
+    """
+    import pandas as pd
+
+    qpdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
+        )
+        .toPandas()
+    )
+    q_ids = qpdf["query_id"].to_numpy()
+    q_mat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    ok = q_norm > 0
+    q_ids, q_mat, q_norm = q_ids[ok], q_mat[ok], q_norm[ok]
+    q_unit = q_mat / q_norm[:, None]
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            c_ids = pdf["neighbor_id"].to_numpy()
+            c_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            keep = c_norm > 0
+            if not keep.any():
+                continue
+            c_ids, c_mat, c_norm = c_ids[keep], c_mat[keep], c_norm[keep]
+            scores = np.round((c_mat / c_norm[:, None]) @ q_unit.T, round_digits)
+            # self-match exclusion: push to -inf so it never enters top-k
+            scores[c_ids[:, None] == q_ids[None, :]] = -np.inf
+            top = min(k, len(c_ids))
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                # exact (score DESC, id ASC) partial top-k: lexsort is
+                # stable, keys are (id asc) then (-score asc)
+                order = np.lexsort((c_ids, -col))[:top]
+                order = order[np.isfinite(col[order])]
+                out_q.extend([qid] * len(order))
+                out_c.extend(c_ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
+            )
+
+    partials = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v")
+    ).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, score double"
+    )
+    return _ranked_topk(partials, "query_id", "neighbor_id", k)
+
+
 def hyperplane_signature(
     vec_col: Column | str, planes: np.ndarray, table: int = 0
 ) -> Column:

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from home_credit_data_engineering_spark.operators.similarity import (
-    brute_force_topk,
+    brute_force_topk_gemm,
     lsh_topk,
 )
 from home_credit_data_engineering_spark.plans.registry import register
@@ -32,13 +32,14 @@ from home_credit_data_engineering_spark.sources.readers import read_testdata
     """,
     operators=("S-ext:ann-bruteforce",),
     doc="Exact cosine top-5 for the query subset (vec_id % 50 = 0): "
-    "broadcast queries × corpus scan → window top-k. Ranking is "
+    "Arrow-batched numpy GEMM per corpus batch with partial top-k "
+    "(mapInPandas), merged by an exact window top-k. Ranking is "
     "deterministic: (round(score,6) DESC, id ASC).",
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return brute_force_topk(emb, queries, k=5).select(
+    return brute_force_topk_gemm(emb, queries, k=5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
 

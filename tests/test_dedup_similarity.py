@@ -119,6 +119,21 @@ def test_bruteforce_topk_finds_cluster(clustered_vectors):
     assert in_cluster / len(rows) > 0.95  # top-5 of a tight cluster
 
 
+def test_bruteforce_gemm_matches_pair_formulation(clustered_vectors):
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in df.collect()
+    )
+    assert key(brute_force_topk_gemm(clustered_vectors, queries, k=5)) == key(
+        brute_force_topk(clustered_vectors, queries, k=5)
+    )
+
+
 def test_ivf_topk_recall_vs_bruteforce(clustered_vectors):
     from home_credit_data_engineering_spark.operators.similarity import ivf_topk
 

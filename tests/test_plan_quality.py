@@ -1,0 +1,86 @@
+"""Plan-quality gate: the physical-plan properties documented in
+docs/EXPLAIN.md, asserted so they cannot silently regress.
+
+Each check runs the declared query (AQE finalizes the plan only after
+execution) and asserts the shape that survives a 100×-1000× scale-up:
+filters pushed into the parquet scan, projections narrowed, small sides
+broadcast, no unplanned cartesian products, aggregation-form latest-per-key
+(no Window node), top-k as TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+from home_credit_data_engineering_spark.plans.registry import REGISTRY
+
+
+def executed_plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    df.count()  # finalize the adaptive plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    # the pushed-filter list must not be empty
+    assert "PushedFilters: []" not in plan
+    # column pruning: the scan must not read the full 11-column lineitem
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q6_revenue_delta")
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_region_revenue", "medallion_risk_profile"]
+)
+def test_star_joins_broadcast_without_cartesian(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_join_is_broadcast_nested_loop(spark, sf_dir):
+    # The one declared cartesian: must be the broadcast form (build side is
+    # a 25-row dim), never a partitioned CartesianProduct.
+    plan = executed_plan(spark, sf_dir, "cross_join_nation_pairs")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_per_key_is_aggregation_form(spark, sf_dir):
+    # w1 must plan as partial+final aggregate (max_by), not a Window over
+    # every row — the shuffle carries one row per key, not the full table.
+    plan = executed_plan(spark, sf_dir, "w1_latest_per_key")
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_pagination_is_take_ordered(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "o4_pagination")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_plan_has_row_at_a_time_python_udf(spark, sf_dir):
+    # The hot relational surface stays JVM-side: BatchEvalPython (row-wise
+    # Python UDF) must never appear; Arrow-batched nodes are the only
+    # sanctioned Python (mapInPandas paths declare themselves).
+    for name in (
+        "q1_pricing_summary",
+        "j2_star_assembly",
+        "a5_pivot_status_counts",
+        "topk_per_group",
+        "j_asof_join",
+        "text_token_stats",
+        "dedup_exact",
+    ):
+        plan = executed_plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name

@@ -31,6 +31,24 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
 
 
+#: GPT-2-style BPE *pre-tokenization* pattern: contraction suffixes,
+#: space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+#: punctuation runs, whitespace runs. Matches are the units a byte-pair
+#: vocabulary would merge within — counting them approximates LLM token
+#: counts to within the subword-merge factor, with zero vocabulary shipped.
+#: The character classes are Unicode (\\p{L}/\\p{N}) and behave identically
+#: under Java regex (Spark) and RE2 (DuckDB), which the oracle relies on.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretoken_count(col: Column | str) -> Column:
+    """Number of BPE pre-tokenization units (GPT-2 split rules) — the
+    regex-based LLM-token-count estimator from the training-data-pipeline
+    surface. Pure ``regexp_count``: JVM-side, codegen, no vocabulary."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE))
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
     c = F.col(col) if isinstance(col, str) else col

@@ -60,6 +60,34 @@ def validate(
     return counts, df.filter(combined_predicate(rules))
 
 
+def observed_validate(df: DataFrame, rules: list[Rule]):
+    """(observation, clean_df) — validation whose failure counts cost ZERO
+    extra passes.
+
+    Per-rule failure counters (plus ``rows_in``) ride the plan as a
+    ``CollectMetrics`` node (``df.observe``): whatever action materializes
+    the clean frame — typically the parquet write itself — also delivers
+    the counts, so a 100 TB validation run reads its input exactly once.
+    ``failure_counts`` by contrast is a separate aggregate job (kept for
+    interactive use). Catalyst does not push the clean filter through the
+    metrics node, so counts always reflect the pre-filter input (asserted
+    in tests/test_operators_unit.py).
+
+    Read the counts after an action: ``observation.get``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    metrics = [F.count(F.lit(1)).alias("rows_in")] + [
+        F.sum(
+            F.when(F.coalesce(rule.predicate, F.lit(False)), 0).otherwise(1)
+        ).alias(rule.name)
+        for rule in rules
+    ]
+    observed = df.observe(obs, metrics[0], *metrics[1:])
+    return obs, observed.filter(combined_predicate(rules))
+
+
 def split_valid_invalid(
     df: DataFrame, rules: list[Rule]
 ) -> tuple[DataFrame, DataFrame]:

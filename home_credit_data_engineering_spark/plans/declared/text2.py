@@ -7,7 +7,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from home_credit_data_engineering_spark.functions.text import tokens
+from home_credit_data_engineering_spark.functions.text import (
+    bpe_pretoken_count,
+    token_count,
+    tokens,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -100,4 +104,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
         "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+             AS n_bpe_tokens,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS n_ws_tokens
+    FROM documents
+    """,
+    operators=("T-ext:bpe-count",),
+    doc="LLM token-count estimation: GPT-2-style BPE pre-tokenization "
+    "units per document via one regexp_count (codegen, no vocabulary), "
+    "alongside the whitespace count. The budget/billing estimator of a "
+    "training-data pipeline — runs at scan speed at 100 TB.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_pretoken_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
     )

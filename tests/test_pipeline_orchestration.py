@@ -96,6 +96,34 @@ def test_quarantine_split(spark):
     assert bad[("id_present",)] is None
 
 
+def test_observed_validate_counts_ride_the_write_action(spark, tmp_path):
+    from home_credit_data_engineering_spark.operators.quality import (
+        failure_counts,
+        observed_validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0), (4, None)],
+        "id long, amount double",
+    )
+    rules = [
+        Rule("id_present", F.col("id").isNotNull()),
+        Rule("amount_positive", F.col("amount") > 0),
+    ]
+    obs, clean = observed_validate(df, rules)
+    # The ONLY action is the output write — counts arrive as its side
+    # effect (no separate aggregate job over the input).
+    clean.write.mode("overwrite").parquet(str(tmp_path / "clean"))
+    got = obs.get
+    assert got["rows_in"] == 4
+    # The clean filter must not have pushed below the metrics node: counts
+    # are over the pre-filter input, identical to the standalone job.
+    assert {k: got[k] for k in ("id_present", "amount_positive")} == failure_counts(
+        df, rules
+    )
+    assert [r["id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()] == [1]
+
+
 def test_schema_conform(spark):
     drifted = spark.createDataFrame(
         [("7", 1, "extra")], "SK_ID_CURR string, TARGET int, junk string"

@@ -96,6 +96,42 @@ def distinct_keys(df: DataFrame, *cols: str) -> DataFrame:
     return df.select(*cols).distinct()
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    measures: Mapping[str, tuple[str, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for pathological skew.
+
+    Phase 1 groups on (keys, random salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the per-salt partials.
+    ``measures`` maps output name → (phase-2 merge fn name, phase-1 expr):
+    supported merges are ``sum`` (for sum/count partials), ``max``, ``min``
+    — the standard decomposable aggregates.
+
+    Results are identical to the plain ``groupBy`` (asserted in tests).
+    Note Spark's own map-side partial aggregation already absorbs most
+    skew for decomposable aggregates; explicit salting is for the cases
+    where partials can't combine enough (huge per-key distinct sets,
+    extreme single-key dominance). Like ``joins.salted_join`` it taxes
+    every key to save the hot one — opt in deliberately.
+    """
+    merge_fns = {"sum": F.sum, "max": F.max, "min": F.min}
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (_, expr) in measures.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            merge_fns[fn](F.col(f"__p_{name}")).alias(name)
+            for name, (fn, _) in measures.items()
+        ]
+    )
+
+
 def cube_agg(df: DataFrame, keys: list[str], measures: Mapping[str, Column]) -> DataFrame:
     """Extension: CUBE over ``keys`` (all grouping-set combinations)."""
     return df.cube(*keys).agg(*[expr.alias(n) for n, expr in measures.items()])

@@ -15,6 +15,24 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFram
     return df.sample(fraction=fraction, seed=seed)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``df.sampleBy``): each key in
+    ``fractions`` is kept with its own probability, unlisted strata drop.
+
+    The training-data rebalancing primitive (e.g. downsample boilerplate
+    sources, keep all rare-language docs): one scan, no shuffle — each row
+    flips its own seeded coin. Exact-count stratified sampling needs a
+    per-stratum window/top-k instead; this is the scan-speed approximation
+    that holds at 100 TB.
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
 def paginate(
     df: DataFrame,
     order_by: list[Column],

@@ -62,10 +62,10 @@ def run_silver(
     def bronze(name: str):
         return read_bronze_snapshot(spark, f"{bronze_base}/{name}", ingest_date)
 
-    app = build_client_application(
-        bronze("application"), count_failures=count_failures
-    )
-    report.validation_failures = app.failure_counts
+    # Observed validation: failure counts ride the parquet write below
+    # (CollectMetrics) instead of costing a separate aggregate job — the
+    # input is read exactly once even with full metrics on.
+    app = build_client_application(bronze("application"), observe=count_failures)
     outputs = {
         "silver_client_application": app.df,
         "silver_bureau_summary": build_bureau_summary(
@@ -88,6 +88,12 @@ def run_silver(
         report.rows_written[name] = read_snapshot(
             spark, f"{silver_base}/{name}", _ymd(ingest_date)
         ).count()
+    if app.observation is not None:
+        report.validation_failures = {
+            k: int(v)
+            for k, v in app.observation.get.items()
+            if k != "rows_in"
+        }
     return report
 
 

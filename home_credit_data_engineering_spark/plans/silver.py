@@ -29,7 +29,11 @@ from home_credit_data_engineering_spark.operators.aggregates import (
     guarded_ratio,
     sum_default0,
 )
-from home_credit_data_engineering_spark.operators.quality import Rule, validate
+from home_credit_data_engineering_spark.operators.quality import (
+    Rule,
+    observed_validate,
+    validate,
+)
 from home_credit_data_engineering_spark.operators.windows import latest_per_key
 from home_credit_data_engineering_spark.operators.joins import equi_join
 from home_credit_data_engineering_spark.operators.setops import union_by_name
@@ -38,10 +42,17 @@ from home_credit_data_engineering_spark.schema import CONTRACT_STATUS_VALUES
 
 @dataclass
 class SilverResult:
-    """Output table + the operational metrics the reference logs."""
+    """Output table + the operational metrics the reference logs.
+
+    When built with ``observe=True``, ``observation`` carries the failure
+    counters instead of ``failure_counts``: they materialize as a side
+    effect of the first action on ``df`` (e.g. the pipeline's parquet
+    write) — zero extra input passes.
+    """
 
     df: DataFrame
     failure_counts: dict[str, int]
+    observation: object | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -105,13 +116,24 @@ def normalize_application(df: DataFrame) -> DataFrame:
 
 
 def build_client_application(
-    app_train: DataFrame, app_test: DataFrame | None = None, count_failures: bool = True
+    app_train: DataFrame,
+    app_test: DataFrame | None = None,
+    count_failures: bool = True,
+    observe: bool = False,
 ) -> SilverResult:
-    """train ∪ test (U1, schema-tolerant) → normalize → 7-rule validation."""
+    """train ∪ test (U1, schema-tolerant) → normalize → 7-rule validation.
+
+    ``observe=True`` attaches the failure counters to the plan itself
+    (CollectMetrics) instead of running a counting job — the pipeline's
+    write action delivers them for free.
+    """
     df = app_train
     if app_test is not None:
         df = union_by_name(app_train, app_test, allow_missing=True)
     df = normalize_application(df)
+    if observe:
+        obs, clean = observed_validate(df, application_rules())
+        return SilverResult(df=clean, failure_counts={}, observation=obs)
     counts, clean = validate(df, application_rules(), count_failures=count_failures)
     return SilverResult(df=clean, failure_counts=counts)
 

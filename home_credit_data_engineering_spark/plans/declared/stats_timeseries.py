@@ -163,3 +163,26 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", F.round("value_z", 4).alias("value_z")
     )
+
+
+@register(
+    "stats_approx_percentiles",
+    oracle=None,  # sketch-based (engine-specific error profile) → rows-only
+    operators=("A-ext:approx-percentile",),
+    doc="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) per "
+    "group — the 100 TB form of stats_percentiles: sketches combine "
+    "map-side, so the shuffle carries one bounded sketch per group "
+    "instead of every value. Accuracy vs the exact percentiles is pinned "
+    "by a tolerance test (tests/test_salted_sampling_sink.py).",
+)
+def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)), 4
+        ).alias("median_price"),
+        F.round(
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)), 4
+        ).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

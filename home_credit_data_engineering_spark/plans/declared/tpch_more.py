@@ -164,3 +164,35 @@ def cross_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_ra") == F.col("_rb")).alias("same_region"),
         )
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    operators=("j:semi", "A1", "tpch:q4"),
+    doc="TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join whose "
+    "condition mixes the equi key with a cross-table inequality "
+    "(l_shipdate > o_orderdate). The semi join emits each order at most "
+    "once however many lines match — no post-join distinct, no fan-out "
+    "through the aggregate.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -96,3 +96,24 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
         stream, target, key="event_id", checkpoint_dir=str(tmp_path / "ckpt2")
     )
     assert spark.read.parquet(target).count() == n_distinct
+
+
+def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
+    import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+    from home_credit_data_engineering_spark.plans.registry import REGISTRY
+
+    approx = {
+        r["o_orderstatus"]: (r["median_price"], r["p90_price"])
+        for r in REGISTRY["stats_approx_percentiles"].build(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: (r["median_price"], r["p90_price"])
+        for r in REGISTRY["stats_percentiles"].build(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for status, (med, p90) in exact.items():
+        # GK sketch at accuracy 10000 → rank error ≤ n/10000; with a few
+        # thousand rows per group the estimate is a true sample value
+        # within a tight relative band of the interpolated exact figure.
+        assert abs(approx[status][0] - med) / med < 0.02, status
+        assert abs(approx[status][1] - p90) / p90 < 0.02, status

@@ -50,6 +50,33 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet write: `repartitionByRange(cluster_by)` +
+    `sortWithinPartitions(cluster_by)` before the write.
+
+    Each output file then covers a disjoint range of the cluster key and
+    every parquet row group carries tight min/max statistics, so a reader
+    filtering on that key skips whole files/row-groups instead of scanning
+    them — the poor-man's Z-ORDER, and the single biggest selective-read
+    lever a plain-parquet 100 TB table has. The range exchange samples the
+    key distribution, so skewed keys still land in balanced files.
+    (One full shuffle at write time buys every future selective read.)
+    """
+    parts = [c for c in cluster_by]
+    clustered = (
+        df.repartitionByRange(num_files, *parts)
+        if num_files is not None
+        else df.repartitionByRange(*parts)
+    )
+    clustered.sortWithinPartitions(*parts).write.mode(mode).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -117,3 +117,30 @@ def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
         # within a tight relative band of the interpolated exact figure.
         assert abs(approx[status][0] - med) / med < 0.02, status
         assert abs(approx[status][1] - p90) / p90 < 0.02, status
+
+
+def test_write_clustered_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from home_credit_data_engineering_spark.sources.sinks import write_clustered
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, cluster_by=["l_orderkey"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # Disjoint file ranges = file-level skipping for any key predicate.
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert next_lo >= prev_hi
+    # Nothing lost in the rewrite.
+    assert spark.read.parquet(out).count() == li.count()

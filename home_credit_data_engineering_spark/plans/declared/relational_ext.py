@@ -203,3 +203,78 @@ def j_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = nation.join(region, nation["nk"].eqNullSafe(region["rk"]), "left")
     return joined.select("n_name", "r_name")
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_extendedprice) OVER w AS first_price,
+           LAST_VALUE(l_extendedprice) OVER w_full AS last_price,
+           NTH_VALUE(l_extendedprice, 2) OVER w_full AS second_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_shipdate, l_linenumber, l_extendedprice),
+           w_full AS (PARTITION BY l_orderkey
+                 ORDER BY l_shipdate, l_linenumber, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    operators=("W-ext:first_value", "W-ext:last_value", "W-ext:nth_value"),
+    doc="Analytic value functions over an order-line timeline: first/last/"
+    "nth price per order. last/nth use the explicit full-partition frame "
+    "(the default frame stops at CURRENT ROW — the classic last_value "
+    "trap, identical in Spark and ANSI SQL). Total order includes "
+    "l_extendedprice because (l_orderkey, l_linenumber) is not unique in "
+    "the synthetic data. One shuffle serves all three.",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    order = [F.col("l_shipdate").asc(), F.col("l_linenumber").asc(), F.col("l_extendedprice").asc()]
+    w = Window.partitionBy("l_orderkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w_full).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substring(a.text, 1, 24), substring(b.text, 1, 24))
+             AS prefix_edit_distance
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 40 AND b.doc_id < 40
+    """,
+    operators=("F-ext:levenshtein", "j:theta"),
+    doc="Pairwise prefix edit distance within language blocks — the "
+    "fuzzy-match primitive (title/URL near-match). Blocked the same way "
+    "an at-scale run must be (never all-pairs; here lang + an id cap), "
+    "with levenshtein evaluated JVM-side on the blocked pairs only.",
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_testdata(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "lang", F.substring("text", 1, 24).alias("prefix"))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("prefix").alias("pa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("prefix").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("prefix_edit_distance"),
+        )
+    )

@@ -33,6 +33,42 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    buckets: int = 10000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the row id.
+
+    Bucket = first 16 bits of ``md5(id)`` mod ``buckets``; cumulative
+    weight ranges map buckets to split names. Unlike ``randomSplit`` this
+    is a pure projection — reproducible across runs/engines/partitionings,
+    stable under re-partitioning or appends (a row's split never changes),
+    and free at any scale (no shuffle, no RNG state). The standard way to
+    split a 100 TB corpus.
+    """
+    from pyspark.sql import functions as F
+
+    total = sum(w for _, w in splits)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    for name, weight in splits:
+        acc += weight
+        bound = int(round(buckets * acc / total))
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # floating rounding can leave the last bucket unbound — close it
+    expr = expr.otherwise(splits[-1][0])
+    return df.withColumn(out_col, expr)
+
+
 def paginate(
     df: DataFrame,
     order_by: list[Column],

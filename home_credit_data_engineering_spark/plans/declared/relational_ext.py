@@ -278,3 +278,35 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pa", "pb").alias("prefix_edit_distance"),
         )
     )
+
+
+@register(
+    "set_ops_all_multiset",
+    oracle="""
+    SELECT l_partkey, 'common' AS membership FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t
+    UNION ALL
+    SELECT l_partkey, 'r_extra' AS membership FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t
+    """,
+    operators=("U-ext:intersect-all", "U-ext:except-all"),
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving: min "
+    "multiplicity / multiplicity difference) — the bag semantics "
+    "set_intersect_except's distinct forms don't cover.",
+)
+def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.setops import (
+        except_all,
+        intersect_all,
+    )
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    common = intersect_all(r, a).withColumn("membership", F.lit("common"))
+    r_extra = except_all(r, a).withColumn("membership", F.lit("r_extra"))
+    return common.unionByName(r_extra)

@@ -132,3 +132,32 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_pretoken_count("text").alias("n_bpe_tokens"),
         token_count("text").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+               % 10000 AS b
+      FROM documents) t
+    """,
+    operators=("S-ext:hash-split",),
+    doc="Deterministic 80/10/10 train/val/test assignment via md5 bucket "
+    "hashing (operators.sampling.hash_split): a pure projection — "
+    "reproducible across engines and runs, stable under repartitioning "
+    "and appends, no shuffle. The oracle recomputes the same md5 buckets "
+    "in DuckDB, so the assignment itself is verified, not just counts.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sampling import hash_split
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "split")

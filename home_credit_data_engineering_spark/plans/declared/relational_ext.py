@@ -310,3 +310,28 @@ def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = intersect_all(r, a).withColumn("membership", F.lit("common"))
     r_extra = except_all(r, a).withColumn("membership", F.lit("r_extra"))
     return common.unionByName(r_extra)
+
+
+@register(
+    "agg_boolean_measures",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count_if(o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    operators=("A-ext:bool_and", "A-ext:bool_or", "A-ext:count_if"),
+    doc="Boolean aggregate surface: universal/existential predicates and "
+    "count_if per group — the assertion shape of data-quality dashboards "
+    "('all rows in segment satisfy X'). Decomposable, so partial "
+    "aggregation applies as usual.",
+)
+def agg_boolean_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )

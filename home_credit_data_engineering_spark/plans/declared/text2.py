@@ -161,3 +161,75 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     ).select("doc_id", "split")
+
+
+#: Conservative PII patterns valid in both Java regex (Spark) and RE2
+#: (DuckDB): no backreferences, no lookaround.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ \\t\\n]+"
+_PHONE_RE = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN doc_id % 7 = 1 THEN ' see https://example.com/d/' || CAST(doc_id AS VARCHAR) || ' today'
+               WHEN doc_id % 7 = 2 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_URL_RE}', '[URL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM synth
+    """,
+    operators=("T-ext:pii-redaction",),
+    doc="PII scrubbing — the mandatory cleaning stage of a training-data "
+    "pipeline: count and redact emails/URLs/phone numbers with chained "
+    "regexp_replace (JVM-side, scan-speed). PII is planted "
+    "deterministically on both sides so the oracle verifies the actual "
+    "redaction output (md5 of the scrubbed text), not just zero counts.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.lit(" see https://example.com/d/"), F.col("doc_id").cast("string"), F.lit(" today")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit(" call 555-867-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        )
+        .otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _EMAIL_RE, "[EMAIL]"),
+            _URL_RE,
+            "[URL]",
+        ),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(_URL_RE)).alias("n_urls"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

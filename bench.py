@@ -48,6 +48,8 @@ def main() -> None:
         "window_running_frame",
         "j_asof_join",
         "p6_validation_filter",
+        "q5_region_revenue",
+        "q18_large_orders",
         # training-data pipeline extensions
         "dedup_minhash_lsh",
         "sim_bruteforce_topk",

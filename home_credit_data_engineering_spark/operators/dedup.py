@@ -190,6 +190,9 @@ def kgram_hash_stream(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col)).alias("__pos", "__t"),
     ).select("doc_id", "__pos", F.xxhash64("__t").alias("__h"))
+    if k == 1:
+        # Unigrams: every token is a complete shingle — no window needed.
+        return toks.select("doc_id", "__pos", F.xxhash64("__h").alias("__sh"))
     w = W.partitionBy("doc_id").orderBy("__pos")
     leads = [F.lead("__h", j).over(w) for j in range(1, k)]
     cols = [

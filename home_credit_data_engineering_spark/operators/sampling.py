@@ -42,19 +42,21 @@ def hash_split(
 ) -> DataFrame:
     """Deterministic train/val/test assignment by hashing the row id.
 
-    Bucket = first 16 bits of ``md5(id)`` mod ``buckets``; cumulative
+    Bucket = first 32 bits of ``md5(id)`` mod ``buckets``; cumulative
     weight ranges map buckets to split names. Unlike ``randomSplit`` this
     is a pure projection — reproducible across runs/engines/partitionings,
     stable under re-partitioning or appends (a row's split never changes),
     and free at any scale (no shuffle, no RNG state). The standard way to
-    split a 100 TB corpus.
+    split a 100 TB corpus. 32 hash bits over ≤2^16 buckets keeps the
+    modulo bias below ~2e-5 (16 bits would skew an 80/10/10 split by
+    almost 2 points).
     """
     from pyspark.sql import functions as F
 
     total = sum(w for _, w in splits)
     bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("int")
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
         % buckets
     )
     expr = None

@@ -107,12 +107,19 @@ def brute_force_topk_gemm(
       O(batches · queries · k) rows instead of |corpus|·|queries|;
     - a final window top-k merges the partials exactly.
 
-    Zero-norm vectors score NULL in the pair formulation and sort last;
-    here they are skipped inside the batch kernel (identical top-k as long
-    as ≥ k finite-scoring candidates exist, which any non-degenerate
-    corpus has).
+    Contract deviations from the pair formulation (documented, not
+    silent): zero-norm vectors — which score NULL there and sort last —
+    are skipped on both sides here, so a zero-norm *query* yields no
+    output rows instead of k NULL-score rows; and ids must be integral
+    (the partial-result schema is ``long``). Scores round half-away-from-
+    zero to match Spark's ``F.round`` exactly (numpy's default is
+    half-to-even).
     """
     import pandas as pd
+
+    def round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+        scale = 10.0**digits
+        return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
     qpdf = (
         queries.select(
@@ -121,11 +128,12 @@ def brute_force_topk_gemm(
         .toPandas()
     )
     q_ids = qpdf["query_id"].to_numpy()
-    q_mat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+    q_mat = np.array(qpdf["v"].tolist(), dtype=np.float64).reshape(len(qpdf), -1) \
+        if len(qpdf) else np.zeros((0, 1))
     q_norm = np.linalg.norm(q_mat, axis=1)
     ok = q_norm > 0
     q_ids, q_mat, q_norm = q_ids[ok], q_mat[ok], q_norm[ok]
-    q_unit = q_mat / q_norm[:, None]
+    q_unit = q_mat / q_norm[:, None] if len(q_mat) else q_mat
 
     def score_batches(batches):
         for pdf in batches:
@@ -138,7 +146,9 @@ def brute_force_topk_gemm(
             if not keep.any():
                 continue
             c_ids, c_mat, c_norm = c_ids[keep], c_mat[keep], c_norm[keep]
-            scores = np.round((c_mat / c_norm[:, None]) @ q_unit.T, round_digits)
+            scores = round_half_up(
+                (c_mat / c_norm[:, None]) @ q_unit.T, round_digits
+            )
             # self-match exclusion: push to -inf so it never enters top-k
             scores[c_ids[:, None] == q_ids[None, :]] = -np.inf
             top = min(k, len(c_ids))

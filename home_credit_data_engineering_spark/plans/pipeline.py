@@ -65,7 +65,11 @@ def run_silver(
     # Observed validation: failure counts ride the parquet write below
     # (CollectMetrics) instead of costing a separate aggregate job — the
     # input is read exactly once even with full metrics on.
-    app = build_client_application(bronze("application"), observe=count_failures)
+    app = build_client_application(
+        bronze("application"),
+        count_failures=count_failures,
+        observe=count_failures,
+    )
     outputs = {
         "silver_client_application": app.df,
         "silver_bureau_summary": build_bureau_summary(

@@ -210,3 +210,20 @@ def test_winnowing_detects_partial_overlap(spark):
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_bruteforce_gemm_empty_queries(clustered_vectors):
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    empty = clustered_vectors.filter(F.col("vec_id") < 0)
+    assert brute_force_topk_gemm(clustered_vectors, empty, k=3).count() == 0
+
+
+def test_kgram_stream_unigrams(spark):
+    from home_credit_data_engineering_spark.operators.dedup import kgram_hash_stream
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "")], "doc_id long, text string")
+    rows = kgram_hash_stream(df, "doc_id", "text", k=1).collect()
+    assert sum(1 for r in rows if r["doc_id"] == 1) == 3

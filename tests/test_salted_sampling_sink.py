@@ -144,3 +144,24 @@ def test_write_clustered_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path)
         assert next_lo >= prev_hi
     # Nothing lost in the rewrite.
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_hash_split_fractions_near_requested(spark, sf_dir):
+    from home_credit_data_engineering_spark.operators.sampling import hash_split
+
+    li = read_testdata(spark, sf_dir, "lineitem")  # ~60k rows at sf0.01
+    counts = {
+        r["split"]: r["count"]
+        for r in hash_split(
+            li, "l_orderkey", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        )
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    n = sum(counts.values())
+    # 32-bit buckets: modulo bias ~2e-5; remaining spread is key-collision
+    # noise (split is per distinct l_orderkey value, rows cluster by key).
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02

@@ -237,3 +237,84 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    operators=("J2", "A1", "O4", "tpch:q10"),
+    doc="TPC-H Q10 shape: lost-revenue ranking of customers with returned "
+    "items — fact filter (l_returnflag pushed to the scan) → 4-table "
+    "join (nation broadcast) → per-customer revenue → global top-20 "
+    "(TakeOrderedAndProject, no full sort).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_null_functions",
+    oracle="""
+    SELECT s_suppkey,
+           nullif(s_nationkey, 0) AS nation_or_null,
+           greatest(s_acctbal, 0.0) AS bal_floor0,
+           least(s_acctbal, 5000.0) AS bal_cap5k,
+           coalesce(nullif(s_name, ''), 'unknown') AS name_or_default,
+           (s_acctbal IS NOT NULL AND s_nationkey IS NOT NULL) AS fully_populated
+    FROM supplier
+    """,
+    operators=("P8", "F-ext:nullif", "F-ext:greatest", "F-ext:least"),
+    doc="Null-handling scalar surface: nullif sentinel-to-NULL recode, "
+    "greatest/least clamping (both engines skip NULL arguments), "
+    "coalesce defaulting, null-test predicates — the cleanup vocabulary "
+    "for messy 100 TB inputs, all codegen expressions.",
+)
+def scalar_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = read_testdata(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nation_or_null"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_default"
+        ),
+        (F.col("s_acctbal").isNotNull() & F.col("s_nationkey").isNotNull()).alias(
+            "fully_populated"
+        ),
+    )

@@ -105,8 +105,9 @@ def lang_id(col: Column | str) -> Column:
 
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: mean of
-    (a) length in a healthy band (100-2000 chars → 1, linear falloff),
-    (b) mean token length in [3, 10],
+    (a) length score ``least(1, n_chars/100)`` — saturates at 100 chars,
+    no upper-bound penalty (very long docs score 1 on this component),
+    (b) mean token length in [3, 10] (1 inside the band, else 0),
     (c) non-empty content.
     Deterministic arithmetic only, so SQL oracles can replicate it exactly.
     """

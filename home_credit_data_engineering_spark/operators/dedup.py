@@ -258,6 +258,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     max_bucket: int = 1000,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded minhash signatures: (doc_a, doc_b).
 
@@ -268,8 +269,40 @@ def lsh_candidate_pairs(
     quadratically blow up a 100 TB run) — dropped buckets are reported by
     the caller via :func:`oversized_buckets`, never silently at the API
     surface.
+
+    ``bands`` must evenly divide the signature length, else trailing
+    signature values would be silently ignored (and ``bands`` > length
+    would hash empty slices — every doc in one bucket). Pass
+    ``num_hashes`` to validate eagerly; without it the plan validates at
+    runtime via a ``raise_error`` guard.
     """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if num_hashes is not None and (bands > num_hashes or num_hashes % bands):
+        raise ValueError(
+            f"bands={bands} must evenly divide the signature length "
+            f"num_hashes={num_hashes} (and not exceed it): trailing hashes "
+            "would be silently dropped from every band"
+        )
     n = F.size(F.col("minhash"))
+    if num_hashes is None:
+        # Runtime guard (constant-folds to a no-op when sizes are uniform
+        # and divisible): any signature whose length bands doesn't divide
+        # fails loudly instead of silently losing hashes.
+        signatures = signatures.withColumn(
+            "minhash",
+            F.when(
+                (n % bands == 0) & (n >= bands), F.col("minhash")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"lsh_candidate_pairs: bands={bands} must evenly divide "),
+                        F.lit("signature length, got length "),
+                        n.cast("string"),
+                    )
+                )
+            ),
+        )
     rows_per_band = (n / bands).cast("int")
     banded = signatures.select(
         "doc_id",
@@ -369,7 +402,7 @@ def minhash_dedup(
     # Candidates feed three consumers in jaccard_verify (both id sides of
     # the semi-join restriction + the verify join itself); without
     # materialization the banding self-join executes three times.
-    candidates = lsh_candidate_pairs(sigs, bands=bands).persist(
+    candidates = lsh_candidate_pairs(sigs, bands=bands, num_hashes=num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return jaccard_verify(

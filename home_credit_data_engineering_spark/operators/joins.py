@@ -146,7 +146,20 @@ def salted_join(
     ``salt_buckets`` tasks at the cost of replicating the right side's
     matching rows. AQE's skew-join split handles moderate skew
     automatically; salting is for pathological keys known in advance.
+
+    ``how`` is restricted to ``inner``/``left``: the right side is
+    replicated across all salt buckets, so right/full-outer would emit up
+    to ``salt_buckets - 1`` spurious null-extended rows per right row
+    (each replica whose salt bucket holds no matching left row). Use a
+    plain join (AQE skew split) when right/full-outer semantics are
+    needed.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only: the right side is "
+            f"replicated per salt bucket, so {how!r} would emit spurious "
+            "null-extended rows for replicated right rows"
+        )
     salt = (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
     left_s = left.withColumn("__salt", salt)
     right_s = right.withColumn(

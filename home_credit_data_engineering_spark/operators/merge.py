@@ -35,10 +35,17 @@ def upsert(current: DataFrame, updates: DataFrame, key: str | list[str]) -> Data
 
 
 def _hash_payload(df: DataFrame, keys: list[str]) -> DataFrame:
-    payload = [c for c in df.columns if c not in keys]
-    return df.withColumn(
-        "__payload_hash", F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]), 256)
-    )
+    # Sorted column order: history and updates may carry the same payload
+    # columns in different physical order, and the comparison must not
+    # depend on it. Each column is hashed individually (fixed-width hex
+    # token, NULL marked with a non-hex sentinel) before the combining
+    # hash, so NULL vs literal-sentinel strings and values containing a
+    # would-be delimiter cannot collide across column boundaries.
+    payload = sorted(c for c in df.columns if c not in keys)
+    tokens = [
+        F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit("∅")) for c in payload
+    ]
+    return df.withColumn("__payload_hash", F.sha2(F.concat_ws("", *tokens), 256))
 
 
 def scd2_apply(

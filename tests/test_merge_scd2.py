@@ -82,3 +82,23 @@ def test_snapshot_diff_null_safety(spark):
     new_diff = spark.createDataFrame([(1, "x")], "id long, v string")
     assert snapshot_diff(old, new_same, "id").count() == 0  # NULL == NULL payload
     assert snapshot_diff(old, new_diff, "id").collect()[0]["change"] == "changed"
+
+
+def test_payload_hash_column_order_insensitive(spark):
+    """ADVICE fix: same payload in a different physical column order must
+    compare as unchanged (hash uses a sorted column order)."""
+    old = spark.createDataFrame([(1, "a", 10)], "id long, s string, v long")
+    new_reordered = spark.createDataFrame(
+        [(1, 10, "a")], "id long, v long, s string"
+    )
+    assert snapshot_diff(old, new_reordered, "id").count() == 0
+
+
+def test_payload_hash_null_vs_sentinel_and_delimiter(spark):
+    """NULL must differ from any literal string (incl. old sentinel bytes),
+    and values containing delimiter-ish bytes must not collide across
+    column boundaries."""
+    old = spark.createDataFrame([(1, None, "b"), (2, "a\x1f", "b")], "id long, x string, y string")
+    new = spark.createDataFrame([(1, "\x00", "b"), (2, "a", "\x1fb")], "id long, x string, y string")
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "changed", 2: "changed"}

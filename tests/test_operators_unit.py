@@ -91,3 +91,34 @@ def test_export_sample_csv(spark, sf_dir, tmp_path):
 
     with pytest.raises(ImportError):
         export_sample(cust, str(tmp_path / "sample.xlsx"), n=5, fmt="xlsx")
+
+
+def test_salted_join_rejects_outer_how(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(df, df, on="k", how=how)
+
+
+def test_lsh_bands_validation(spark):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, bands=3, num_hashes=8)
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, bands=16, num_hashes=8)
+    # Runtime guard (num_hashes not passed): indivisible bands fail loudly.
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="evenly divide|USER_RAISED"):
+        lsh_candidate_pairs(sigs, bands=3).collect()
+    # Divisible bands still work both ways.
+    assert lsh_candidate_pairs(sigs, bands=4, num_hashes=8).count() >= 0
+    assert lsh_candidate_pairs(sigs, bands=4).count() >= 0

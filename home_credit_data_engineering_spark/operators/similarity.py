@@ -90,6 +90,7 @@ def brute_force_topk_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy GEMM — the fast path.
 
@@ -121,12 +122,23 @@ def brute_force_topk_gemm(
         scale = 10.0**digits
         return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
+    # Guarded driver-side collect: the query matrix lives in driver memory
+    # and inside every task's UDF closure, so an unboundedly large query
+    # set would OOM the driver silently. The limit(max+1) probe costs no
+    # extra job — the collected frame IS the query matrix when in bounds.
     qpdf = (
         queries.select(
             F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
         )
+        .limit(max_query_rows + 1)
         .toPandas()
     )
+    if len(qpdf) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_gemm collects the query side driver-side and got "
+            f"more than max_query_rows={max_query_rows} query rows; use lsh_topk "
+            "or ivf_topk for large query sets (both keep queries distributed)"
+        )
     q_ids = qpdf["query_id"].to_numpy()
     q_mat = np.array(qpdf["v"].tolist(), dtype=np.float64).reshape(len(qpdf), -1) \
         if len(qpdf) else np.zeros((0, 1))
@@ -179,7 +191,10 @@ def hyperplane_signature(
 ) -> Column:
     """Random-hyperplane signature: one bit per plane (sign of the dot
     product), packed into a long. ``planes`` is a (n_bits, dim) float array
-    generated driver-side from a fixed seed — tiny, shipped as literals."""
+    shipped as expression literals — fine at small n_bits × dim, but the
+    plan grows O(n_bits × dim); prefer
+    :func:`with_hyperplane_signatures` (broadcast planes table) for
+    high-dim embeddings."""
     v = to_double_array(vec_col)
     bits = []
     for i, plane in enumerate(planes):
@@ -191,6 +206,64 @@ def hyperplane_signature(
     for b in bits[1:]:
         sig = sig + b
     return sig.cast("long")
+
+
+def with_hyperplane_signatures(
+    df: DataFrame,
+    vec_col: Column | str,
+    planes_tables: list[np.ndarray],
+    out_col: str = "__sigs",
+) -> DataFrame:
+    """Attach an ``array<long>`` of hyperplane signatures (one per LSH
+    table) in a single pass.
+
+    The planes ride in a **scalar subquery** over a one-row local table
+    (array<array<array<double>>>) instead of expression literals: the
+    subquery executes once and its result is shipped to executors as a
+    runtime constant, so the expression tree stays O(1) in ``n_bits ×
+    dim`` — at dim=1024 the literal form bloats the plan and Catalyst's
+    codegen — and no join node (not even a 1-row broadcast nested loop)
+    enters the query shape. Bit packing matches
+    :func:`hyperplane_signature` exactly: bit *i* (plane *i*) has weight
+    ``1 << i`` — planes are pre-reversed driver-side so the left fold
+    ``acc*2 + bit`` lands each bit at the same weight.
+    """
+    import uuid
+
+    spark = df.sparkSession
+    payload = [
+        [[float(x) for x in plane] for plane in reversed(tp)] for tp in planes_tables
+    ]
+    planes_df = spark.createDataFrame(
+        [(payload,)], "__planes array<array<array<double>>>"
+    )
+    view = f"__hyperplanes_{uuid.uuid4().hex}"
+    planes_df.createOrReplaceTempView(view)
+    v = to_double_array(vec_col)
+
+    def table_sig(tp: Column) -> Column:
+        bits = F.transform(
+            tp,
+            lambda p: F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+        )
+
+    # Spark rejects subquery expressions inside higher-order functions, so
+    # the subquery binds to a plain column first; the HOF references the
+    # resulting attribute.
+    out = (
+        df.withColumn("__planes", F.expr(f"(SELECT __planes FROM {view})"))
+        .withColumn(out_col, F.transform(F.col("__planes"), table_sig))
+        .drop("__planes")
+    )
+    # Classic PySpark analyzes eagerly, so the subquery plan is already
+    # resolved into `out` — the temp view can be dropped immediately.
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def make_planes(dim: int, n_bits: int = 12, n_tables: int = 3, seed: int = 42) -> list[np.ndarray]:
@@ -286,26 +359,34 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
-    Candidates = pairs sharing a signature in ANY table (union of equi-
-    joins on the bucket — pure shuffle-hash joins, no cross product), then
-    exact cosine re-ranking. Recall grows with ``n_tables``; cost is
-    |bucket|² per bucket instead of |corpus|·|queries|.
+    Candidates = pairs sharing a signature in ANY table (posexplode the
+    per-table signature array → one equi-join on (table, bucket) — pure
+    shuffle-hash join, no cross product), then exact cosine re-ranking.
+    Recall grows with ``n_tables``; cost is |bucket|² per bucket instead
+    of |corpus|·|queries|. Planes ride in a one-row broadcast table
+    (:func:`with_hyperplane_signatures`), not expression literals, so the
+    plan stays small at high dim.
     """
     planes = make_planes(dim, n_bits=n_bits, n_tables=n_tables, seed=seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    q = with_hyperplane_signatures(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+        planes,
+    ).select(
+        "query_id", "__qvec", F.posexplode("__sigs").alias("__t", "__sig")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    c = with_hyperplane_signatures(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ),
+        "__cvec",
+        planes,
+    ).select(
+        "neighbor_id", "__cvec", F.posexplode("__sigs").alias("__t", "__sig")
     )
-    candidate_parts = []
-    for t, table_planes in enumerate(planes):
-        q_sig = q.withColumn("__sig", hyperplane_signature("__qvec", table_planes, t))
-        c_sig = c.withColumn("__sig", hyperplane_signature("__cvec", table_planes, t))
-        candidate_parts.append(q_sig.join(c_sig, on="__sig").drop("__sig"))
-    candidates = candidate_parts[0]
-    for part in candidate_parts[1:]:
-        candidates = candidates.unionByName(part)
+    candidates = q.join(c, on=["__t", "__sig"]).drop("__t", "__sig")
     candidates = candidates.dropDuplicates(["query_id", "neighbor_id"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

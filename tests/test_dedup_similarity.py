@@ -227,3 +227,57 @@ def test_kgram_stream_unigrams(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "")], "doc_id long, text string")
     rows = kgram_hash_stream(df, "doc_id", "text", k=1).collect()
     assert sum(1 for r in rows if r["doc_id"] == 1) == 3
+
+
+def test_embedding_neardup_blocked_matches_exact(clustered_vectors):
+    """The LSH-blocked path (default above block_threshold) finds nearly
+    all exact-path pairs (recall floor) with zero false positives (exact
+    cosine re-rank) on planted clusters."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        _embedding_near_pairs_blocked,
+        embedding_near_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_pairs(
+            clustered_vectors, threshold=0.9, block_threshold=10_000
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in _embedding_near_pairs_blocked(
+            clustered_vectors, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert exact, "planted clusters must yield pairs"
+    # no false positives, identical scores where found
+    for pair, score in blocked.items():
+        assert pair in exact and exact[pair] == score
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.9, f"blocked recall {recall:.3f} < 0.9"
+
+
+def test_embedding_neardup_routes_to_blocked(clustered_vectors):
+    """Above block_threshold the default path must not cross-join the
+    corpus: no CartesianProduct, and the only nested-loop join allowed is
+    the one-row planes broadcast."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        embedding_near_pairs,
+    )
+
+    routed = embedding_near_pairs(clustered_vectors, threshold=0.9, block_threshold=10)
+    routed.collect()  # force execution so the AQE-final plan is available
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gemm_query_guard(clustered_vectors):
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk_gemm(clustered_vectors, queries, k=3, max_query_rows=5)

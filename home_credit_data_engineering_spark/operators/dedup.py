@@ -70,8 +70,9 @@ def connected_components(
     alone under-merges chains A~B~C).
 
     Scale note: each iteration is shuffle-on-node-id; for web-scale graphs
-    swap in large-star/small-star (same DataFrame primitives, fewer
-    rounds). ``max_iter`` bounds the worst case.
+    use :func:`connected_components_star` (large-star/small-star — same
+    DataFrame primitives, provably O(log² n) rounds and far fewer in
+    practice on long chains). ``max_iter`` bounds the worst case.
     """
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -116,6 +117,116 @@ def connected_components(
         return labels
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star — the
+    web-scale connected-components algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Each round is two (groupBy-min + join) passes:
+
+    - **large-star**: every node links its *larger* neighbors to the
+      minimum of its closed neighborhood — emits ``(v, m(u))`` for
+      ``v ∈ Γ(u), v > u`` with ``m(u) = min(Γ(u) ∪ {u})``;
+    - **small-star**: on the now larger→smaller directed edges, every
+      node links itself and all (smaller) neighbors to their minimum.
+
+    Converges when the edge set is a star forest (every edge points at
+    its component's root) in O(log² n) rounds worst-case — a chain of
+    1000 nodes closes in a handful of rounds where plain min-label
+    propagation needs ~500. Per-round cost matches one propagation step
+    (shuffle on node id), so this is the default for deep/chained graphs;
+    results are identical to :func:`connected_components`.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` for
+    observability.
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Isolated self-pairs (a == b) contribute singleton components below.
+    all_nodes = (
+        edges.select(F.col(a_col).alias("node"))
+        .unionByName(edges.select(F.col(b_col).alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.withColumn("m", F.least(F.col("mn"), F.col("u"))).drop("mn")
+        return (
+            sym.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # input edges are directed u > v
+        m = ed.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            ed.join(m, on="u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        self_link = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            linked.unionByName(self_link)
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+        )
+
+    rounds = 0
+    prev_sig = None
+    for _ in range(max_iter):
+        rounds += 1
+        # localCheckpoint (eager) both materializes the round and
+        # TRUNCATES the logical plan: each star round references its
+        # input several times, so without truncation the plan nests
+        # ~4-6x per round — exponential analysis cost that OOMs the
+        # driver long before the executors feel anything. On a real
+        # cluster with executor churn, swap for reliable checkpoint()
+        # on a checkpoint dir; the algorithm is unchanged.
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig_row = nxt.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("hash"),
+        ).first()
+        sig = (sig_row["cnt"], sig_row["hash"])
+        e.unpersist()
+        e = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Star forest: every edge is (member, root). Roots and isolated nodes
+    # label themselves. `e` and `all_nodes` stay persisted — the returned
+    # frame reads them (mirrors connected_components' persisted labels).
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(
+        e.select(F.col("u").alias("node")).distinct(), on="node", how="left_anti"
+    ).withColumn("component", F.col("node"))
+    return members.unionByName(roots)
 
 
 def deduplicate(

@@ -281,3 +281,39 @@ def test_gemm_query_guard(clustered_vectors):
     queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
     with pytest.raises(ValueError, match="max_query_rows"):
         brute_force_topk_gemm(clustered_vectors, queries, k=3, max_query_rows=5)
+
+
+def test_connected_components_star_chain_and_equality(spark):
+    """Large-star/small-star closes a 1000-node chain in ~log rounds and
+    matches plain min-label propagation exactly on a mixed graph."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain 0-1-2-...-999 plus a separate triangle and a pair
+    chain = [(i, i + 1) for i in range(999)]
+    extra = [(2000, 2001), (2001, 2002), (2000, 2002), (3000, 3001)]
+    edges = spark.createDataFrame(chain + extra, "doc_a long, doc_b long")
+    stats: dict = {}
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edges, stats=stats).collect()
+    }
+    assert stats["rounds"] <= 12, f"chain-1000 took {stats['rounds']} rounds"
+    chain_labels = {c for n, c in star if n < 1000}
+    assert chain_labels == {0}
+    assert {c for n, c in star if 2000 <= n < 3000} == {2000}
+    assert {c for n, c in star if n >= 3000} == {3000}
+    # exact equality vs the propagation implementation (needs ~999 rounds
+    # on the chain, so compare on the small components only)
+    small = spark.createDataFrame(extra, "doc_a long, doc_b long")
+    prop = {
+        (r["node"], r["component"])
+        for r in connected_components(small).collect()
+    }
+    star_small = {
+        (r["node"], r["component"])
+        for r in connected_components_star(small).collect()
+    }
+    assert star_small == prop

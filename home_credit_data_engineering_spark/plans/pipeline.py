@@ -30,6 +30,7 @@ from home_credit_data_engineering_spark.plans.silver import (
     build_previous_applications,
     with_snapshot_partitions,
 )
+from home_credit_data_engineering_spark.runlog import append_run_log, timed
 from home_credit_data_engineering_spark.sources.readers import read_snapshot
 from home_credit_data_engineering_spark.sources.sinks import write_parquet
 
@@ -47,6 +48,16 @@ class PipelineReport:
 
     validation_failures: dict[str, int] = field(default_factory=dict)
     rows_written: dict[str, int] = field(default_factory=dict)
+    write_seconds: dict[str, float] = field(default_factory=dict)
+
+    def as_record(self, layer: str, ingest_date: str) -> dict:
+        return {
+            "layer": layer,
+            "ingest_date": ingest_date,
+            "rows_written": dict(self.rows_written),
+            "write_seconds": dict(self.write_seconds),
+            "validation_failures": dict(self.validation_failures),
+        }
 
 
 def run_silver(
@@ -55,8 +66,15 @@ def run_silver(
     silver_base: str,
     ingest_date: str,
     count_failures: bool = True,
+    run_log: str | None = None,
 ) -> PipelineReport:
-    """Bronze snapshot → four validated Silver tables (partitioned y/m/d)."""
+    """Bronze snapshot → four validated Silver tables (partitioned y/m/d).
+
+    ``run_log``: optional JSONL path — the run's metrics (rows written,
+    per-table write seconds, validation failures) are appended as one
+    structured line, the engine's persisted equivalent of the reference's
+    per-run log files (``spark/common/logger.py:48-56``).
+    """
     report = PipelineReport()
 
     def bronze(name: str):
@@ -86,9 +104,10 @@ def run_silver(
         out = with_snapshot_partitions(
             df.drop("ingest_date", "source_system"), ingest_date
         )
-        write_parquet(
-            out, f"{silver_base}/{name}", partition_by=["year", "month", "day"]
-        )
+        with timed(report.write_seconds, name):
+            write_parquet(
+                out, f"{silver_base}/{name}", partition_by=["year", "month", "day"]
+            )
         report.rows_written[name] = read_snapshot(
             spark, f"{silver_base}/{name}", _ymd(ingest_date)
         ).count()
@@ -98,13 +117,22 @@ def run_silver(
             for k, v in app.observation.get.items()
             if k != "rows_in"
         }
+    if run_log:
+        append_run_log(run_log, report.as_record("silver", ingest_date))
     return report
 
 
 def run_gold(
-    spark: SparkSession, silver_base: str, gold_base: str, ingest_date: str
+    spark: SparkSession,
+    silver_base: str,
+    gold_base: str,
+    ingest_date: str,
+    run_log: str | None = None,
 ) -> PipelineReport:
-    """Silver snapshot → client risk profile + portfolio rollup."""
+    """Silver snapshot → client risk profile + portfolio rollup.
+
+    ``run_log``: optional JSONL path (see :func:`run_silver`).
+    """
     filters = _ymd(ingest_date)
 
     def silver(name: str):
@@ -120,25 +148,29 @@ def run_gold(
     )
     report = PipelineReport()
     profile_out = with_snapshot_partitions(profile, ingest_date)
-    write_parquet(
-        profile_out,
-        f"{gold_base}/gold_client_risk_profile",
-        partition_by=["year", "month", "day"],
-    )
+    with timed(report.write_seconds, "gold_client_risk_profile"):
+        write_parquet(
+            profile_out,
+            f"{gold_base}/gold_client_risk_profile",
+            partition_by=["year", "month", "day"],
+        )
     written_profile = read_snapshot(
         spark, f"{gold_base}/gold_client_risk_profile", filters
     ).drop("year", "month", "day")
     report.rows_written["gold_client_risk_profile"] = written_profile.count()
 
     portfolio = build_portfolio_risk(written_profile)
-    write_parquet(
-        with_snapshot_partitions(portfolio, ingest_date),
-        f"{gold_base}/gold_portfolio_risk",
-        partition_by=["year", "month", "day"],
-    )
+    with timed(report.write_seconds, "gold_portfolio_risk"):
+        write_parquet(
+            with_snapshot_partitions(portfolio, ingest_date),
+            f"{gold_base}/gold_portfolio_risk",
+            partition_by=["year", "month", "day"],
+        )
     report.rows_written["gold_portfolio_risk"] = read_snapshot(
         spark, f"{gold_base}/gold_portfolio_risk", filters
     ).count()
+    if run_log:
+        append_run_log(run_log, report.as_record("gold", ingest_date))
     return report
 
 

@@ -60,16 +60,35 @@ def lake(spark, tmp_path_factory):
 
 
 def test_full_pipeline_run(spark, lake):
+    run_log = f"{lake}/logs/runs.jsonl"
     silver_report = run_silver(
-        spark, f"{lake}/bronze", f"{lake}/silver", DATE
+        spark, f"{lake}/bronze", f"{lake}/silver", DATE, run_log=run_log
     )
     assert silver_report.validation_failures["amt_income_total_invalid"] == 1
     assert silver_report.rows_written["silver_client_application"] == 2
     assert silver_report.rows_written["silver_bureau_summary"] == 1
 
-    gold_report = run_gold(spark, f"{lake}/silver", f"{lake}/gold", DATE)
+    gold_report = run_gold(
+        spark, f"{lake}/silver", f"{lake}/gold", DATE, run_log=run_log
+    )
     assert gold_report.rows_written["gold_client_risk_profile"] == 2
     assert gold_report.rows_written["gold_portfolio_risk"] >= 1
+
+    # Persisted operational record: one JSONL line per layer run, carrying
+    # the same metrics the in-memory report returned (reference parity
+    # with its per-run log files).
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    records = read_run_log(run_log)
+    assert [r["layer"] for r in records] == ["silver", "gold"]
+    silver_rec, gold_rec = records
+    assert silver_rec["ingest_date"] == DATE
+    assert silver_rec["rows_written"] == silver_report.rows_written
+    assert silver_rec["validation_failures"] == silver_report.validation_failures
+    assert set(silver_rec["write_seconds"]) == set(silver_report.rows_written)
+    assert all(s >= 0 for s in silver_rec["write_seconds"].values())
+    assert "ts" in silver_rec
+    assert gold_rec["rows_written"] == gold_report.rows_written
 
     profile = read_snapshot(
         spark,

@@ -561,6 +561,53 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_fingerprints_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, fingerprint) — winnowing with **cross-engine** md5 hashes.
+
+    Same MOSS scheme and guarantees as :func:`winnowing_fingerprints`,
+    with two substitutions that make the output reproducible by any SQL
+    engine (DuckDB oracle-verifiable):
+
+    - k-gram hash = ``md5`` of the space-joined k-token shingle string
+      (md5 is bit-identical everywhere; xxhash64 seeds differ by engine);
+    - window minimum = **lexicographic** min over the fixed-width
+      lowercase hex digest — a total order every engine agrees on.
+
+    The xxhash64 variant stays the production path (no shingle strings
+    are materialized there and 8-byte longs beat 32-char strings through
+    the shuffle ~4×); this one exists so the fingerprint pipeline has an
+    exact external oracle. Shingles are built with ``lead()`` windows
+    (whole-stage codegen), not interpreted array lambdas.
+    """
+    from pyspark.sql.window import Window as W
+
+    if shingle_k < 2:
+        raise ValueError("shingle_k must be >= 2 (use tokens directly for k=1)")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    )
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    leads = [F.lead("__t", j).over(w) for j in range(1, shingle_k)]
+    grams = toks.select(
+        "doc_id",
+        "__pos",
+        F.md5(F.concat_ws(" ", F.col("__t"), *leads)).alias("__fp"),
+        leads[-1].alias("__last_lead"),
+    ).filter(F.col("__last_lead").isNotNull())
+    w_min = W.partitionBy("doc_id").orderBy("__pos").rowsBetween(-(window - 1), 0)
+    return (
+        grams.select("doc_id", F.min("__fp").over(w_min).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
 

@@ -102,3 +102,40 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "text_winnowing_md5",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS fp,
+             lead(tok, 2) OVER w AS last_lead
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+      FROM grams WHERE last_lead IS NOT NULL
+    )
+    SELECT DISTINCT doc_id, fingerprint FROM winnowed
+    """,
+    operators=("T-ext:winnowing", "T-ext:fingerprint"),
+    doc="Winnowing with cross-engine md5 hashes and lexicographic window "
+    "minima — the oracle-verifiable twin of text_winnowing_fingerprints "
+    "(same MOSS scheme; xxhash64 stays the fast path).",
+)
+def text_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.dedup import (
+        winnowing_fingerprints_md5,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return winnowing_fingerprints_md5(docs, "doc_id", "text")

@@ -317,3 +317,25 @@ def test_connected_components_star_chain_and_equality(spark):
         for r in connected_components_star(small).collect()
     }
     assert star_small == prop
+
+
+def test_winnowing_md5_detects_partial_overlap(spark):
+    """The oracle-verifiable md5 variant keeps the MOSS guarantee: shared
+    spans >= window+k-1 tokens share a fingerprint."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        winnowing_fingerprints_md5,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{shared} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"unrelated prefix words here {shared}"),
+        (3, "totally different vocabulary with no common span at all okay"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    by_doc: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in winnowing_fingerprints_md5(docs, "doc_id", "text").collect():
+        by_doc[r["doc_id"]].add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

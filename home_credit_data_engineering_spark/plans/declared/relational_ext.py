@@ -166,9 +166,10 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     GROUP BY n_regionkey
     """,
-    operators=("F-ext:array",),
+    operators=("F-ext:array", "A-ext:collect"),
     doc="Array aggregation round-trip: collect_list → sort → join "
-    "(deterministic array semantics for nested-type columns).",
+    "(deterministic array semantics for nested-type columns; also the "
+    "ordered-collect aggregation shape ordered_string_agg certifies).",
 )
 def array_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_testdata(spark, sf_dir, "nation")

@@ -67,7 +67,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o.o_totalprice DESC, o.o_orderkey
     LIMIT 50
     """,
-    operators=("A1", "J2", "j:semi", "agg:having", "O4", "tpch:q18"),
+    operators=("A1", "J2", "j:semi", "agg:having", "A-ext:having", "O4", "tpch:q18"),
     doc="TPC-H Q18 shape: aggregate-derived key set (HAVING) semi-joins back "
     "to the fact + dims, re-aggregates, global top-k. The HAVING side "
     "reduces 60k lineitems to a few hundred hot orders before the join, so "

@@ -1,0 +1,64 @@
+"""Driver-set curation invariants.
+
+The driver's correctness gate records rows for the first ~50 ``queries()``
+entries only, so ``registry.DRIVER_SET`` curates 50 slots that must cover
+EVERY operator tag the full registry declares (combo queries pack whole
+families into single slots). These tests keep that guarantee honest as
+queries are added: a new registry tag without driver-set representation
+fails here, before a round ships.
+"""
+
+from __future__ import annotations
+
+import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+from home_credit_data_engineering_spark.plans.registry import (
+    DRIVER_SET,
+    REGISTRY,
+    driver_oracles,
+    driver_queries,
+)
+
+DRIVER_CAP = 50
+
+
+def test_driver_set_within_cap_and_registered():
+    assert len(DRIVER_SET) <= DRIVER_CAP
+    assert len(set(DRIVER_SET)) == len(DRIVER_SET), "duplicate driver slots"
+    unregistered = [n for n in DRIVER_SET if n not in REGISTRY]
+    assert not unregistered, f"driver slots not in REGISTRY: {unregistered}"
+
+
+def test_driver_set_covers_every_operator_tag():
+    driver_tags: set[str] = set()
+    for name in DRIVER_SET:
+        driver_tags.update(REGISTRY[name].operators)
+    all_tags: set[str] = set()
+    for q in REGISTRY.values():
+        all_tags.update(q.operators)
+    uncovered = sorted(all_tags - driver_tags)
+    assert not uncovered, (
+        f"operator tags with no driver-set representative: {uncovered} — "
+        "add the tag to a driver-set query that genuinely certifies it, "
+        "or add a combo slot"
+    )
+
+
+def test_driver_contract_dicts_follow_driver_set():
+    qs = driver_queries()
+    assert list(qs) == list(DRIVER_SET)  # insertion order IS driver order
+    oracles = driver_oracles()
+    assert set(oracles) <= set(qs)
+    # Only contract-sanctioned no-oracle slots (approximate / engine-
+    # specific RNG or hashes) may omit SQL.
+    no_oracle = [n for n in qs if n not in oracles]
+    assert set(no_oracle) == {
+        "combo_approx_sketches",
+        "combo_ann_approx",
+        "combo_dedup_near",
+        "o3_seeded_sample",
+    }
+
+
+def test_most_driver_slots_are_oracle_backed():
+    oracle_backed = sum(1 for n in DRIVER_SET if REGISTRY[n].oracle)
+    assert oracle_backed >= 45

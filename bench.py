@@ -32,6 +32,10 @@ def main() -> None:
         app_name="hcde-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # local[N] runs every task thread inside the driver JVM; the 1g
+        # default heap starves N=32 sort/agg tasks at the 10x scaled leg.
+        # Must be set before the JVM launches, hence here.
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")},
     )
     prep(spark)
 
@@ -56,6 +60,10 @@ def main() -> None:
         "text_token_stats",
         "sessionize_gap",
         "multimodal_decode_stub",
+        # heavy extension coverage (VERDICT r1 item 4)
+        "dedup_simhash",
+        "text_winnowing_fingerprints",
+        "sim_ivf_topk",
     ]
     headline = [name for name in headline if name in REGISTRY]
 
@@ -75,6 +83,35 @@ def main() -> None:
             REGISTRY[name].build(spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # Several operators persist multi-consumer intermediates for the
+        # duration of their plan (minhash signatures/candidates, CC
+        # frontiers). Dropping them between queries keeps storage memory
+        # from accumulating across the suite — without this, late queries
+        # time their own work PLUS earlier queries' spill pressure (6-25x
+        # inflation observed at 21 queries).
+        spark.catalog.clearCache()
+
+    # Connected components over real near-dup edges (not a declared query:
+    # the label output depends on engine hash order only through edge
+    # content, and edges come from the no-oracle MinHash path) — benched
+    # because it is the clustering step every dedup pipeline ends with.
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+        minhash_dedup,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    # Single timed run: the pipeline is iterative (its cost is per-round
+    # job latency, not data volume at this SF), so a second run would
+    # only re-pay fixed overhead.
+    start = time.perf_counter()
+    docs = read_testdata(spark, sf_dir, "documents")
+    edges = minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+    ).select("doc_a", "doc_b")
+    connected_components_star(edges).count()
+    timings["dedup_cc_star"] = round(time.perf_counter() - start, 3)
+    spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -88,6 +125,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+
+    # Second scale factor (scaling-trend evidence): 10x id-shifted
+    # replicas of the sf0.1 tables approximate sf1. Opt out with
+    # SPARK_GRAFT_SCALED=0.
+    if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0" and isinstance(
+        sf_val, float
+    ):
+        from bench_scaled import run_scaled
+
+        scaled = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
+        result["sf_scaled"] = round(sf_val * 10, 3)
+        result["queries_scaled"] = scaled
+        result["value_scaled"] = round(sum(scaled.values()), 3)
+
     print(json.dumps(result))
     spark.stop()
 

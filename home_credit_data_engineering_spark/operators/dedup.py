@@ -148,24 +148,27 @@ def connected_components_star(
     ``stats`` (optional dict) receives ``{"rounds": n}`` for
     observability.
     """
-    from pyspark import StorageLevel
-
-    e = (
+    # One eager checkpoint of the normalized edge list up front: the
+    # incoming `edges` frame often carries an expensive lineage (e.g. the
+    # whole MinHash-LSH pipeline), and both the iteration AND the final
+    # node-labeling pass consume it — without this the upstream would
+    # recompute once per consumer.
+    e_all = (
         edges.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
             F.least(F.col(a_col), F.col(b_col)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    # Isolated self-pairs (a == b) contribute singleton components below.
+    # Self-pairs (a == b) drop out of the iteration but contribute
+    # singleton components below.
     all_nodes = (
-        edges.select(F.col(a_col).alias("node"))
-        .unionByName(edges.select(F.col(b_col).alias("node")))
+        e_all.select(F.col("u").alias("node"))
+        .unionByName(e_all.select(F.col("v").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e = e_all.filter(F.col("u") != F.col("v"))
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.unionByName(
@@ -220,8 +223,8 @@ def connected_components_star(
     if stats is not None:
         stats["rounds"] = rounds
     # Star forest: every edge is (member, root). Roots and isolated nodes
-    # label themselves. `e` and `all_nodes` stay persisted — the returned
-    # frame reads them (mirrors connected_components' persisted labels).
+    # label themselves. `e` is checkpointed (loop) and `all_nodes` reads
+    # the up-front checkpoint, so no deep recompute on consumption.
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = all_nodes.join(
         e.select(F.col("u").alias("node")).distinct(), on="node", how="left_anti"

@@ -84,3 +84,33 @@ def test_no_plan_has_row_at_a_time_python_udf(spark, sf_dir):
     ):
         plan = executed_plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_combo_text_profile_single_scan_no_python(spark, sf_dir):
+    # The whole per-doc profile (12 derived columns incl. PII redaction)
+    # must stay one pass over one scan with zero Python in the row path —
+    # this is the scan-speed-at-100TB claim made in its docstring.
+    plan = executed_plan(spark, sf_dir, "combo_text_profile")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_combo_setops_sql_no_cartesian(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "combo_setops_sql")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_planes_are_subquery_not_literals(spark, sf_dir):
+    # Hyperplanes ship via a scalar subquery over a one-row local table —
+    # the plan must reference the subquery result, not embed O(bits x dim)
+    # float literals, and must contain no join node for the planes.
+    plan = executed_plan(spark, sf_dir, "combo_ann_approx")
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_combo_pagination_take_ordered(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "combo_pagination")
+    assert "TakeOrderedAndProject" in plan

@@ -617,30 +617,59 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit_j(doc) = sign of Σ_tokens (±1 depending on bit_j(xxhash64(token))).
 
     Plan shape: explode tokens → hash once (codegen) → one hash-aggregate
-    with 64 conditional-sum measures → pack bits. Same rationale as
-    :func:`minhash_signatures`: aggregate expressions run in whole-stage
-    codegen while array-lambda formulations are interpreted per element;
-    partial aggregation keeps the shuffle at 64 longs per doc.
+    with **16 packed branchless sums** (4 × 16-bit per-bit one-counts per
+    long; a doc would need >65535 tokens to overflow a field) → unpack +
+    sign-threshold into a **flat** 64-element weight array folded by a
+    tiny ``aggregate``. Two lessons are encoded here:
+
+    - per-bit ±1 contributions need no conditional: #1s − #0s =
+      2·#1s − n, so the aggregate sums plain ``(h >> j) & 1`` bits —
+      branchless and 4-to-a-long (16 measures instead of 64, ~3× on the
+      aggregate);
+    - the packing expression is a **balanced** bitwiseOR tree (depth 6).
+      The original left-leaning OR chain (depth 64) cost seconds of
+      DRIVER-side optimizer time per query build, and an interpreted
+      ``F.aggregate`` fold — tried first — re-evaluates per downstream
+      consumer (the pigeonhole blocker scans signatures once per chunk),
+      which is exactly the interpreted-HOF-in-a-hot-path trap the MinHash
+      path already documents. Balanced + codegen keeps both the driver
+      and the executors fast; signatures are bit-identical.
     """
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("__t")
     ).select("doc_id", F.xxhash64("__t").alias("__h"))
-    contribs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__c{j}")
-        for j in range(64)
-    ]
-    agged = exploded.groupBy("doc_id").agg(*contribs)
-    sig = F.lit(0).cast("long")
-    for j in range(64):
+    packed = []
+    for g in range(16):
+        expr = None
+        for k in range(4):
+            j = g * 4 + k
+            term = F.shiftleft(
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)), k * 16
+            )
+            expr = term if expr is None else expr + term
+        packed.append(F.sum(expr).alias(f"__p{g}"))
+    agged = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"), *packed
+    )
+
+    def weighted_bit(j: int):
+        ones = F.shiftright(F.col(f"__p{j // 4}"), (j % 4) * 16).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        # sign(2·#1s − n) > 0 ⇔ the original ±1 sum is positive.
         # shiftleft(1L, 63) wraps to the sign bit — correct for a packed
         # 64-bit signature (2**63 would overflow a long literal).
-        bit = F.when(
-            F.col(f"__c{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        return F.when(
+            ones * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return agged.select("doc_id", sig.alias("simhash"))
+
+    terms = [weighted_bit(j) for j in range(64)]
+    while len(terms) > 1:  # balanced OR reduction, depth log2(64) = 6
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return agged.select("doc_id", terms[0].alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -651,7 +680,16 @@ def simhash_near_pairs(
     Pigeonhole blocking: split 64 bits into ``max_hamming + 1`` chunks; any
     pair within distance r agrees exactly on at least one chunk → equi-join
     per chunk, then exact popcount filter. Never an all-pairs product.
+
+    The signature frame is persisted here: the chunk union references it
+    ``chunks`` times on each of two join sides, and lazily Spark would
+    re-run the signature aggregate per reference (measured 3.5× the
+    pipeline wall at 10× sf0.1) — the same multi-consumer persist rule
+    :func:`minhash_dedup` documents.
     """
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     chunks = max_hamming + 1
     bits = 64 // chunks
     parts = []

@@ -281,7 +281,9 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 5,
+    init_mode: str = "random",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -292,12 +294,29 @@ def ivf_topk(
     cells. Search cost drops to ~(n_probe/n_centroids) of brute force; the
     candidate join is an equi-join on cell id, so the corpus is never
     cross-joined. The standard trade-off: recall grows with ``n_probe``.
+
+    Quantizer-build economics: a *coarse* quantizer doesn't need a
+    polished clustering — assignment quality is recovered by multi-probe.
+    Random init (skips k-means||'s extra passes) and few iterations cut
+    the build to ~a third of the default pipeline with recall pinned by
+    tests; at 100 TB also pass ``train_fraction`` (e.g. 1e-4) — training
+    the quantizer on a seeded sample is the standard IVF build, the full
+    corpus is only ever *assigned* (one broadcast-join pass).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(to_double_array(vec_col)).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    train_src = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else corpus
+    )
+    train = train_src.select(
+        array_to_vector(to_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(train)
     centers = model.clusterCenters()
 
     def centroid_lits(center) -> Column:

@@ -21,11 +21,17 @@ results are stable across engines and runs (FP noise lives below 1e-6).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: PEP 563 stringified UDF type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from home_credit_data_engineering_spark.functions.vectors import cosine, dot, to_double_array
+from home_credit_data_engineering_spark.functions.vectors import (
+    cosine,
+    cosine_arrow,
+    dot,
+    to_double_array,
+)
 
 
 def _ranked_topk(
@@ -317,30 +323,33 @@ def ivf_topk(
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
     ).fit(train)
-    centers = model.clusterCenters()
+    from pyspark.sql.functions import pandas_udf
 
-    def centroid_lits(center) -> Column:
-        return F.array(*[F.lit(float(x)) for x in center])
+    # Centroids as a tiny unit-normalized numpy matrix shipped in the UDF
+    # closure (n_centroids × dim ≈ KBs). Cell assignment is ONE narrow
+    # pandas-UDF pass per side: batch matmul + stable argsort — no
+    # N × n_centroids join rows, no per-id window shuffle (the crossJoin +
+    # row_number formulation cost N·cells rows and dominated the build
+    # once cells scaled as sqrt(N)).
+    centers_mat = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    c_norm = np.linalg.norm(centers_mat, axis=1)
+    c_unit = np.where(c_norm[:, None] > 0, centers_mat / np.maximum(c_norm, 1e-300)[:, None], 0.0)
 
-    # Tiny (n_centroids × dim) literal table, broadcast everywhere.
-    spark = corpus.sparkSession
-    centroid_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cell int, centroid array<double>",
-    )
+    def top_cells_udf(n: int):
+        @pandas_udf("array<int>")
+        def top_cells(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            M = np.array(v.tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            Mu = np.where(mn[:, None] > 0, M / np.maximum(mn, 1e-300)[:, None], 0.0)
+            sims = Mu @ c_unit.T
+            # stable sort keeps ascending-cell order on ties — same
+            # tie-break the window formulation used
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(order.astype("int32")))
 
-    def nearest_cells(side: DataFrame, id_alias: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroid_df)).withColumn(
-            "__csim", cosine(F.col("__vec"), F.col("centroid"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("__csim").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("__crk", F.row_number().over(w))
-            .filter(F.col("__crk") <= n)
-            .drop("centroid", "__csim", "__crk")
-        )
+        return top_cells
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__vec")
@@ -348,20 +357,31 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__vec")
     )
-    corpus_cells = nearest_cells(c, "neighbor_id", 1).withColumnRenamed(
-        "__vec", "__cvec"
+    corpus_cells = c.withColumn(
+        "cell", top_cells_udf(1)("__vec")[0]
+    ).withColumnRenamed("__vec", "__cvec")
+    query_cells = (
+        q.withColumn("__cells", top_cells_udf(n_probe)("__vec"))
+        .select(
+            "query_id",
+            F.col("__vec").alias("__qvec"),
+            F.explode("__cells").alias("cell"),
+        )
     )
-    query_cells = nearest_cells(q, "query_id", n_probe).withColumnRenamed(
-        "__vec", "__qvec"
-    )
+    # No pair dedup needed: every corpus vector lives in exactly ONE cell
+    # and a query's n_probe cells are distinct, so (query, neighbor) pairs
+    # are already unique — and skipping it keeps the candidate stream
+    # pipelined (a dedup here would shuffle two vector payloads per pair).
     candidates = query_cells.join(corpus_cells, on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = (
-        candidates.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
-        .drop("__qvec", "__cvec", "cell")
-    )
+    # Arrow-batched cosine: the re-rank touches n_probe/n_centroids of
+    # |corpus| per query — interpreted per-element lambdas dominate here
+    # (this is the GEMM lesson applied to the candidate join). Vectors are
+    # dropped before the top-k shuffle, which carries only (ids, score).
+    scored = candidates.withColumn(
+        "score", F.round(cosine_arrow(F.col("__qvec"), F.col("__cvec")), 6)
+    ).drop("__qvec", "__cvec", "cell")
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
 
 
@@ -405,11 +425,25 @@ def lsh_topk(
     ).select(
         "neighbor_id", "__cvec", F.posexplode("__sigs").alias("__t", "__sig")
     )
-    candidates = q.join(c, on=["__t", "__sig"]).drop("__t", "__sig")
-    candidates = candidates.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # Multi-table probing duplicates (query, neighbor) pairs — dedup on
+    # IDS ONLY so the shuffle never carries vector payloads, then join
+    # the vectors back for the re-rank (same payload-after-dedup rule as
+    # the blocked embedding near-dup).
+    pairs = (
+        q.select("query_id", "__t", "__sig")
+        .join(c.select("neighbor_id", "__t", "__sig"), on=["__t", "__sig"])
+        .drop("__t", "__sig")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    scored = candidates.withColumn(
-        "score", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
-    ).drop("__qvec", "__cvec")
+    q_vecs = q.select("query_id", "__qvec").dropDuplicates(["query_id"])
+    c_vecs = c.select("neighbor_id", "__cvec").dropDuplicates(["neighbor_id"])
+    scored = (
+        pairs.join(q_vecs, on="query_id")
+        .join(c_vecs, on="neighbor_id")
+        .withColumn(
+            "score", F.round(cosine_arrow(F.col("__qvec"), F.col("__cvec")), 6)
+        )
+        .drop("__qvec", "__cvec")
+    )
     return _ranked_topk(scored, "query_id", "neighbor_id", k)

@@ -885,7 +885,14 @@ def combo_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_topk(emb, queries, dim=64, k=5, n_bits=10, n_tables=4).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "score", "rank"
     )
-    ivf = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+    # sqrt(N) cells: the probed corpus fraction shrinks with scale.
+    n = emb.count()
+    n_cells = max(16, int(n ** 0.5))
+    train_frac = min(1.0, 4096.0 / n) if n > 4096 else None
+    ivf = ivf_topk(
+        emb, queries, k=5, n_centroids=n_cells, n_probe=4,
+        train_fraction=train_frac,
+    ).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "score", "rank"
     )
     return lsh.unionByName(ivf)

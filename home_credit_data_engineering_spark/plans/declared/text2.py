@@ -102,7 +102,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+    # Standard IVF sizing: ~sqrt(N) cells, so the probed fraction shrinks
+    # as the corpus grows (fixed cells would scan a constant fraction).
+    n = emb.count()
+    n_cells = max(16, int(n ** 0.5))
+    train_frac = min(1.0, 4096.0 / n) if n > 4096 else None
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=n_cells, n_probe=4,
+        train_fraction=train_frac,
+    ).select(
         "query_id", "neighbor_id", "score", "rank"
     )
 

@@ -194,3 +194,56 @@ def with_shingles(df, id_col: str, text_col: str, k: int = 3, out_col: str = "sh
             ).alias(out_col)
         )
     )
+
+
+def symbol_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace
+    — a Gopher-style quality signal (machine-generated/boilerplate text
+    skews symbol-heavy). 0.0 for empty text. Pure regexp_count — codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(
+        n > 0, F.regexp_count(c, F.lit("[^A-Za-z0-9\\s]")).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are digits (ids/tables/logs score
+    high). 0.0 for empty text."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(
+        n > 0, F.regexp_count(c, F.lit("[0-9]")).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def repeated_bigram_fraction(col: Column | str) -> Column:
+    """1 − distinct/total word bigrams — the Gopher repetition signal
+    (templated/spun text repeats n-grams).
+
+    Bigrams are built with ``zip_with(tokens, slice(tokens, 2, n−1))`` —
+    the lambda touches only its element arguments, so the tokenizer runs
+    once per row (the ``element_at(tokens, i)``-in-a-lambda form re-splits
+    the text per element). 0.0 for docs with fewer than 2 tokens.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n = F.size(t)
+    bigrams = F.slice(
+        F.zip_with(t, F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    frac = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(
+        bigrams
+    )
+    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+
+def max_token_length(col: Column | str) -> Column:
+    """Longest token in characters (URLs/base64 blobs produce extreme
+    tokens — a cheap anomaly signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_max(F.transform(tokens(c), lambda x: F.length(x))).cast("int")

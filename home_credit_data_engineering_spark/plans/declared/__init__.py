@@ -14,6 +14,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     stats_timeseries,
     text,
     text2,
+    text3,
     tpch_classics,
     tpch_more,
 )

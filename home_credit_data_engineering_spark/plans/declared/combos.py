@@ -26,9 +26,13 @@ from pyspark.sql.window import Window
 from home_credit_data_engineering_spark.functions.scalar import case_chain
 from home_credit_data_engineering_spark.functions.text import (
     bpe_pretoken_count,
+    digit_ratio,
     fingerprint,
     lang_id,
+    max_token_length,
     quality_score,
+    repeated_bigram_fraction,
+    symbol_ratio,
     token_count,
     tokens,
     total_token_length,
@@ -723,12 +727,25 @@ _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
                  regexp_replace(
                    regexp_replace(pii_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
                    '{_URL_RE}', '[URL]', 'g'),
-                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
+           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / length(text), 6) AS symbol_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / length(text), 6) AS digit_ratio,
+           CASE WHEN len({_TOKS}) >= 2 THEN
+             ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len({_TOKS}) - 1),
+                     i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))) AS DOUBLE)
+                   / (len({_TOKS}) - 1), 6)
+           ELSE 0.0 END AS rep_bigram_frac,
+           CAST(list_max(list_transform({_TOKS}, t -> length(t))) AS INTEGER)
+             AS max_token_len
     FROM scored
     """,
     operators=(
         "T-ext:tokenize", "T-ext:quality", "T-ext:fingerprint",
         "T-ext:bpe-count", "T-ext:lang-id", "T-ext:pii-redaction",
+        "T-ext:gopher",
     ),
     doc="The per-document text-analysis profile in one scan-speed "
     "projection: token stats, composite quality score, md5 content "
@@ -736,7 +753,8 @@ _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
     "counting + redaction (planted deterministically; the md5 of the "
     "scrubbed text verifies the actual redaction output). Combo slot "
     "for text_token_stats + text_quality_score + text_fingerprint + "
-    "text_bpe_token_count + text_lang_id + text_pii_redaction.",
+    "text_bpe_token_count + text_lang_id + text_pii_redaction + "
+    "text_gopher_quality (repetition/symbol signals).",
 )
 def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
@@ -791,6 +809,10 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(planted, F.lit(_URL_RE)).alias("n_urls"),
         F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
+        F.round(symbol_ratio("text"), 6).alias("symbol_ratio"),
+        F.round(digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(repeated_bigram_fraction("text"), 6).alias("rep_bigram_frac"),
+        max_token_length("text").alias("max_token_len"),
     )
 
 
@@ -820,11 +842,34 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
       GROUP BY word) t
     WHERE rk <= 20
+    UNION ALL
+    SELECT 'contam', doc_id, CAST(NULL AS VARCHAR), contamination FROM (
+      WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(arr) - 2),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+        FROM arrs),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+      tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1),
+      hit AS (SELECT ex.doc_id, COUNT(*) AS n_overlap
+              FROM ex JOIN ev USING (s) GROUP BY 1)
+      SELECT t.doc_id,
+             ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles, 6)
+               AS contamination
+      FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id) c
     """,
-    operators=("T-ext:tfidf", "T-ext:wordfreq"),
-    doc="Term rankings, union-tagged: per-doc TF-IDF top-3 (tf × ln(N/df), "
-    "deterministic tie-break) and corpus-wide top-20 term frequency. "
-    "Combo slot for text_tfidf_top_terms + text_word_freq_topk.",
+    operators=("T-ext:tfidf", "T-ext:wordfreq", "T-ext:contamination"),
+    doc="Term rankings + decontamination, union-tagged: per-doc TF-IDF "
+    "top-3 (tf × ln(N/df), deterministic tie-break), corpus-wide top-20 "
+    "term frequency, and per-doc benchmark-contamination overlap "
+    "(distinct-3-gram fraction shared with the doc_id %% 97 eval set). "
+    "Combo slot for text_tfidf_top_terms + text_word_freq_topk + "
+    "text_contamination.",
 )
 def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -857,7 +902,17 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double").alias("value"),
         )
     )
-    return tfidf.unionByName(freq)
+    from home_credit_data_engineering_spark.plans.declared.text3 import (
+        text_contamination,
+    )
+
+    contam = text_contamination(spark, sf_dir).select(
+        F.lit("contam").alias("scope"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("contamination").alias("value"),
+    )
+    return tfidf.unionByName(freq).unionByName(contam)
 
 
 # ---------------------------------------------------------------------------
@@ -901,24 +956,30 @@ def combo_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "combo_dedup_near",
     oracle=None,  # xxhash64 signatures are engine-specific → rows-only
-    operators=("D-ext:minhash-lsh", "D-ext:simhash"),
+    operators=("D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster"),
     doc="Signature-based near-dup families, union-tagged: MinHash(32)+"
-    "LSH(8 bands) with exact Jaccard verification, and 64-bit SimHash "
-    "with pigeonhole Hamming blocking. Combo slot for dedup_minhash_lsh "
-    "+ dedup_simhash (verification math oracle-checked via "
-    "dedup_ngram_jaccard; recall pinned in tests).",
+    "LSH(8 bands) with exact Jaccard verification, 64-bit SimHash with "
+    "pigeonhole Hamming blocking, and the MinHash edges clustered to "
+    "survivor labels via large-star/small-star connected components "
+    "(method='cluster': doc_a = node, doc_b = cluster root). Combo slot "
+    "for dedup_minhash_lsh + dedup_simhash + dedup_cluster_survivors "
+    "(verification math oracle-checked via dedup_ngram_jaccard; recall "
+    "pinned in tests).",
 )
 def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
         minhash_dedup,
         simhash_near_pairs,
         simhash_signatures,
     )
+    from pyspark import StorageLevel
 
     docs = _t(spark, sf_dir, "documents")
-    minhash = minhash_dedup(
+    minhash_pairs = minhash_dedup(
         docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, threshold=0.2
-    ).select(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    minhash = minhash_pairs.select(
         F.lit("minhash").alias("method"),
         "doc_a",
         "doc_b",
@@ -932,7 +993,15 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("hamming").cast("double").alias("value"),
     )
-    return minhash.unionByName(simhash)
+    clusters = connected_components_star(
+        minhash_pairs.select("doc_a", "doc_b")
+    ).select(
+        F.lit("cluster").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.col("component").alias("doc_b"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    return minhash.unionByName(simhash).unionByName(clusters)
 
 
 # ---------------------------------------------------------------------------

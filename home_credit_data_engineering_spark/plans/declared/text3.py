@@ -1,0 +1,148 @@
+"""Third text/dedup declared-query batch: Gopher-style repetition/symbol
+quality signals, benchmark-contamination overlap, and near-dup cluster
+survivorship — the remaining stages of a production training-data
+pipeline (quality filter → decontamination → canonical selection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.functions.text import (
+    digit_ratio,
+    max_token_length,
+    repeated_bigram_fraction,
+    symbol_ratio,
+    tokens,
+    with_shingles,
+)
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+#: DuckDB fragment: whitespace tokens of trimmed text.
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / length(text), 6) AS symbol_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / length(text), 6) AS digit_ratio,
+           CASE WHEN len({_TOKS}) >= 2 THEN
+             ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len({_TOKS}) - 1),
+                     i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))) AS DOUBLE)
+                   / (len({_TOKS}) - 1), 6)
+           ELSE 0.0 END AS rep_bigram_frac,
+           CAST(list_max(list_transform({_TOKS}, t -> length(t))) AS INTEGER)
+             AS max_token_len
+    FROM documents
+    WHERE n_chars > 0
+    """,
+    operators=("T-ext:gopher",),
+    doc="Gopher-style repetition/symbol quality signals per document: "
+    "symbol ratio, digit ratio, repeated-bigram fraction (templated/spun "
+    "text repeats n-grams), and longest-token length (URL/base64 blob "
+    "detector). All codegen expressions (the bigram build uses zip_with "
+    "over a once-materialized token array, never element_at-in-a-lambda) "
+    "— scan speed at 100 TB, the filter stage before training.",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return docs.select(
+        "doc_id",
+        F.round(symbol_ratio("text"), 6).alias("symbol_ratio"),
+        F.round(digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(repeated_bigram_fraction("text"), 6).alias("rep_bigram_frac"),
+        max_token_length("text").alias("max_token_len"),
+    )
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents
+      WHERE len({_TOKS}) >= 3),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+      FROM arrs),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1),
+    hit AS (SELECT ex.doc_id, COUNT(*) AS n_overlap
+            FROM ex JOIN ev USING (s) GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles, 6)
+             AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+    operators=("T-ext:contamination",),
+    doc="Benchmark-contamination check: fraction of each document's "
+    "distinct 3-gram shingles that appear in a designated eval set "
+    "(docs with doc_id % 97 = 0 stand in for a benchmark corpus) — the "
+    "decontamination stage every training pipeline runs before training. "
+    "Shape: explode distinct shingles → semi-join against the distinct "
+    "eval-shingle set → per-doc overlap ratio. The eval side is tiny and "
+    "broadcast at scale; the corpus side shuffles 3-gram strings once.",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    sh = with_shingles(docs, "doc_id", "text", k=3)
+    ex = sh.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    ).persist()
+    ev = ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    tot = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ex.join(F.broadcast(ev), on="s", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return tot.join(hit, on="doc_id", how="left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=None,  # labels derive from xxhash64 MinHash edges → rows-only
+    operators=("D-ext:cluster",),
+    doc="Near-dup canonical selection: MinHash-LSH verified pairs → "
+    "large-star/small-star connected components → per-cluster survivor "
+    "(cluster label = minimum doc id, so is_survivor = node == label). "
+    "The step that turns pairwise near-dup edges into actual corpus "
+    "removal lists (pairwise removal alone under-merges chains A~B~C).",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+        minhash_dedup,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    edges = minhash_dedup(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+    ).select("doc_a", "doc_b")
+    labels = connected_components_star(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )

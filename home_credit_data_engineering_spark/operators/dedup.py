@@ -823,3 +823,114 @@ def _embedding_near_pairs_blocked(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup (O(delta) daily-job form)
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket_state(
+    signatures: DataFrame, bands: int = 8, num_hashes: int | None = None
+) -> DataFrame:
+    """(band, bucket, doc_id) — the persisted LSH bucket table.
+
+    This is the *state* an incremental dedup job maintains between runs:
+    banding is computed once per document ever, and each day's delta
+    probes the stored buckets instead of re-banding the whole corpus.
+    Same banding expression as :func:`lsh_candidate_pairs` (bands must
+    evenly divide the signature length — validated identically).
+    """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if num_hashes is not None and (bands > num_hashes or num_hashes % bands):
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes}"
+        )
+    n = F.size(F.col("minhash"))
+    rows_per_band = (n / bands).cast("int")
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    bucket_state: DataFrame,
+    all_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> dict:
+    """One incremental dedup step: verify only pairs that involve a NEW doc.
+
+    The full-corpus pipeline (:func:`minhash_dedup`) is O(corpus) per
+    run; the daily job should be O(delta): signatures and bucket rows are
+    computed for ``new_docs`` only, candidates come from probing the
+    persisted ``bucket_state`` (see :func:`lsh_bucket_state`) plus the
+    new docs' own buckets, and exact-Jaccard verification touches only
+    candidate docs (``all_texts`` is semi-join-restricted inside
+    :func:`jaccard_verify`). Bucket-size capping counts only buckets the
+    delta touches — never a full-state scan.
+
+    Returns ``{"pairs", "new_buckets"}``: ``pairs`` are the verified
+    (doc_a, doc_b, jaccard) edges involving ≥1 new doc; ``new_buckets``
+    is the delta to append to the bucket state for the next run.
+    Invariant (tested): full-corpus pairs == old-corpus pairs ∪
+    incremental pairs.
+    """
+    from pyspark import StorageLevel
+
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    new_buckets = lsh_bucket_state(
+        new_sigs, bands=bands, num_hashes=num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Only buckets the delta touches matter; restrict the state FIRST so
+    # the size cap and the candidate join are O(delta · bucket size).
+    touched = new_buckets.select("band", "bucket").distinct()
+    relevant_state = bucket_state.join(touched, on=["band", "bucket"], how="left_semi")
+    all_buckets = relevant_state.unionByName(new_buckets)
+    sized = all_buckets.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_size") <= max_bucket)
+
+    a = new_buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    candidates = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = jaccard_verify(
+        candidates,
+        all_texts,
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+    )
+    return {"pairs": pairs, "new_buckets": new_buckets}

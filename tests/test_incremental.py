@@ -73,3 +73,57 @@ def test_merged_hll_sketches_track_exact_distinct(spark, sf_dir):
     for etype, n in exact.items():
         # lg_k=12 → ~1.6% standard error; 5% bound keeps the test stable.
         assert abs(approx[etype] - n) / n < 0.05, (etype, approx[etype], n)
+
+
+def test_minhash_incremental_equals_full(spark):
+    """Invariant of the O(delta) daily dedup job: full-corpus pairs ==
+    old-corpus pairs ∪ incremental pairs of the delta probe."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        lsh_bucket_state,
+        minhash_dedup,
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    old_rows = [
+        (1, base),
+        (2, base),  # dup of 1
+        (3, "completely different content about spark query engines here"),
+    ]
+    new_rows = [
+        (4, base.replace("garden", "meadow")),  # near-dup of 1/2
+        (5, "entirely novel text with no relation to anything previous"),
+        (6, base.replace("garden", "meadow")),  # dup of 4 (both new)
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    full = old.unionByName(new)
+    kw = dict(num_hashes=32, bands=16, shingle_k=3, threshold=0.5)
+
+    full_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(full, "doc_id", "text", **kw).collect()
+    }
+    old_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(old, "doc_id", "text", **kw).collect()
+    }
+    state = lsh_bucket_state(
+        minhash_signatures(old, "doc_id", "text", num_hashes=32, shingle_k=3),
+        bands=16,
+        num_hashes=32,
+    )
+    inc = minhash_incremental_pairs(
+        new, state, full, num_hashes=32, bands=16, shingle_k=3, threshold=0.5
+    )
+    inc_pairs = {(r["doc_a"], r["doc_b"]) for r in inc["pairs"].collect()}
+    # every incremental pair involves a new doc
+    assert all(a >= 4 or b >= 4 for a, b in inc_pairs)
+    assert old_pairs | inc_pairs == full_pairs
+    assert (4, 6) in inc_pairs  # new-new pair found without state
+    # bucket-state delta has one row per (doc, band)
+    assert inc["new_buckets"].count() == 3 * 16

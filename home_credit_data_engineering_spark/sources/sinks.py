@@ -15,7 +15,8 @@ Spark-first equivalents of the reference's writers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -75,6 +76,80 @@ def write_clustered(
         else df.repartitionByRange(*parts)
     )
     clustered.sortWithinPartitions(*parts).write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write: multi-column data skipping.
+
+    :func:`write_clustered` gives perfect skipping on ONE key (disjoint
+    ranges) but nothing on a second filter column. Z-ordering interleaves
+    the bits of each column's bucket id into one key and range-clusters
+    on THAT, so every file covers a small hyper-rectangle of the combined
+    key space — selective reads on ANY of the z-ordered columns skip most
+    files (each dimension's per-file span shrinks ~|files|^(1/k) for k
+    columns instead of one column getting everything).
+
+    Bucketing is equi-width over the observed min/max (one tiny aggregate
+    at write time; ``2^bits`` cells per dimension). Heavily skewed
+    columns get uneven cell occupancy — still z-profitable, but quantile
+    bucketing (approxQuantile-derived boundaries) is the upgrade path if
+    skipping quality matters more than the extra write cost. The
+    interleave expression is a balanced OR tree (shallow plan, codegen).
+    """
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    k = len(zorder_by)
+    # Per-column min/max: one 1-row aggregate over the input.
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in zorder_by],
+        *[F.max(c).alias(f"__mx_{c}") for c in zorder_by],
+    ).first()
+
+    def bucket(c: str) -> Column:
+        lo = float(bounds[f"__mn_{c}"])
+        hi = float(bounds[f"__mx_{c}"])
+        if hi <= lo:  # constant column: single cell
+            return F.lit(0).cast("long")
+        # width_bucket yields 1..2^bits (+boundary), clamp to [0, 2^bits-1]
+        wb = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(1 << bits)
+        )
+        return F.least(
+            F.greatest(wb - 1, F.lit(0)).cast("long"), F.lit((1 << bits) - 1)
+        )
+
+    buckets = [bucket(c) for c in zorder_by]
+    terms = [
+        F.shiftleft(
+            F.shiftright(b, bit_idx).bitwiseAND(F.lit(1)), bit_idx * k + i
+        )
+        for i, b in enumerate(buckets)
+        for bit_idx in range(bits)
+    ]
+    while len(terms) > 1:  # balanced OR reduction
+        terms = [
+            terms[j].bitwiseOR(terms[j + 1]) if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    keyed = df.withColumn("__zkey", terms[0])
+    clustered = (
+        keyed.repartitionByRange(num_files, "__zkey")
+        if num_files is not None
+        else keyed.repartitionByRange("__zkey")
+    )
+    (
+        clustered.sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

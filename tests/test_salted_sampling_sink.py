@@ -165,3 +165,51 @@ def test_hash_split_fractions_near_requested(spark, sf_dir):
     assert abs(counts["train"] / n - 0.8) < 0.02
     assert abs(counts["val"] / n - 0.1) < 0.02
     assert abs(counts["test"] / n - 0.1) < 0.02
+
+
+def test_write_zordered_shrinks_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover small spans of BOTH cluster columns —
+    single-key range clustering would give one column everything and the
+    other nothing."""
+    import pyarrow.parquet as pq
+
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+    from home_credit_data_engineering_spark.sources.sinks import write_zordered
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(li, out, zorder_by=["l_orderkey", "l_partkey"], num_files=16)
+
+    import glob
+
+    spans = {"l_orderkey": [], "l_partkey": []}
+    globals_ = {}
+    for col in spans:
+        row = li.agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        ).first()
+        globals_[col] = (row["mn"], row["mx"])
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            lo, hi = globals_[col]
+            spans[col].append((mx - mn) / (hi - lo))
+    # With 16 files over 2 z-ordered dimensions, each file should span
+    # roughly 1/4 of each dimension; allow generous slack but require both
+    # dimensions to shrink on average (a single-key cluster gives ~1.0 on
+    # the second dimension).
+    for col, fracs in spans.items():
+        avg = sum(fracs) / len(fracs)
+        assert avg < 0.6, f"{col}: avg per-file span {avg:.2f} — no z-locality"

@@ -60,3 +60,35 @@ def register_testdata(spark: SparkSession, sf_dir: str, tables: tuple[str, ...])
 
     for table in tables:
         read_testdata(spark, sf_dir, table).createOrReplaceTempView(table)
+
+
+def analyze_table(
+    spark: SparkSession, name: str, columns: list[str] | None = None
+) -> None:
+    """Collect catalog statistics for the cost-based optimizer.
+
+    Row counts + total size always; per-column NDV/min/max/null-count
+    histograms when ``columns`` is given. With ``spark.sql.cbo.enabled``
+    (see ``session.DEFAULT_CONF``) these statistics drive join
+    REORDERING and build-side selection beyond what AQE's runtime sizes
+    can do — AQE only sees sizes of already-executed stages, while CBO
+    reorders the logical join tree before execution. At 100 TB a wrong
+    join order is the difference between shuffling the fact table once
+    and three times; the write-time cost of ANALYZE is one scan.
+    Catalog-table only (views carry no stats).
+    """
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+
+def analyze_layer(
+    spark: SparkSession, tables: dict[str, list[str] | None]
+) -> None:
+    """ANALYZE a whole layer: {table_name: key columns (or None)}."""
+    for name, columns in tables.items():
+        analyze_table(spark, name, columns)

@@ -42,6 +42,12 @@ DEFAULT_CONF: dict[str, str] = {
     # Broadcast threshold: 64 MB. Dimension tables (region/nation/customer
     # analogues) stay broadcastable well past sf0.1.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Cost-based optimizer: with catalog statistics (catalog.analyze_table)
+    # Catalyst reorders multi-way joins and picks build sides from NDV/size
+    # estimates BEFORE execution — AQE can only react to stage sizes after
+    # the join order is fixed. No-op on tables without stats.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
     # Quiet the UI in test/bench runs.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

@@ -86,3 +86,29 @@ def test_bucketed_join_results_match_plain(spark, bucketed_tables, sf_dir):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE statistics must land in the catalog (rowCount +
+    column NDV) where the cost-based optimizer reads them."""
+    from home_credit_data_engineering_spark.catalog import analyze_table
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    read_testdata(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "cbo_nation"
+    )
+    try:
+        analyze_table(spark, "cbo_nation", columns=["n_nationkey", "n_regionkey"])
+        stats_line = [
+            r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_nation").collect()
+            if r["col_name"] == "Statistics"
+        ]
+        assert stats_line and "rows" in stats_line[0]
+        col_desc = spark.sql(
+            "DESCRIBE EXTENDED cbo_nation n_nationkey"
+        ).collect()
+        ndv = {r["info_name"]: r["info_value"] for r in col_desc}
+        assert ndv.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")

@@ -16,5 +16,6 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     text2,
     text3,
     tpch_classics,
+    tpch_extra,
     tpch_more,
 )

@@ -35,7 +35,13 @@ def test_driver_set_covers_every_operator_tag():
     all_tags: set[str] = set()
     for q in REGISTRY.values():
         all_tags.update(q.operators)
-    uncovered = sorted(all_tags - driver_tags)
+    # "tpch:qN" tags are benchmark-showcase labels, not operator families
+    # — every OPERATOR tag such a query carries (joins, aggregates,
+    # predicates) must still be driver-covered, but the label itself need
+    # not occupy one of the 50 slots.
+    uncovered = sorted(
+        t for t in (all_tags - driver_tags) if not t.startswith("tpch:")
+    )
     assert not uncovered, (
         f"operator tags with no driver-set representative: {uncovered} — "
         "add the tag to a driver-set query that genuinely certifies it, "

@@ -17,5 +17,6 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     text3,
     tpch_classics,
     tpch_extra,
+    tpch_full,
     tpch_more,
 )

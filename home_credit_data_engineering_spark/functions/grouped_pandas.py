@@ -55,3 +55,29 @@ def zscore_per_group(
         .groupBy(key_col)
         .applyInPandas(normalize, ZSCORE_SCHEMA)
     )
+
+
+def weighted_mean_udaf():
+    """A ``GROUPED_AGG`` pandas UDAF: weighted mean of (value, weight).
+
+    The third pandas eval type the engine exercises (SCALAR pandas UDFs
+    re-rank ANN candidates, GROUPED_MAP normalizes z-scores; GROUPED_AGG
+    is the custom-aggregate slot — usable in ``groupBy().agg()`` AND as
+    a window aggregate). Whole groups arrive as pandas Series and return
+    one scalar; partial aggregation does NOT apply (each group's data
+    moves to one executor), so at 100 TB prefer decomposable built-in
+    measures unless the aggregate genuinely needs the full group.
+
+    Returned fresh per call (UDF registration binds to the active
+    SparkSession).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        tw = w.sum()
+        if tw == 0 or pd.isna(tw):
+            return float("nan")
+        return float((v * w).sum() / tw)
+
+    return weighted_mean

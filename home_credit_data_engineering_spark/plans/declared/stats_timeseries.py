@@ -143,25 +143,43 @@ def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value,
            ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4)
-             AS value_z
+             AS value_z,
+           ROUND(SUM(value * (1 + event_id % 3)) OVER w
+                 / SUM(CAST(1 + event_id % 3 AS DOUBLE)) OVER w, 4)
+             AS value_wmean
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,
-    operators=("U-pandas:grouped-map",),
-    doc="applyInPandas grouped-map certification: per-user z-scores "
-    "computed in pandas (Arrow batches, ddof=1) match the declarative "
-    "window formulation exactly - proving the grouped pandas plumbing "
-    "without giving up an oracle.",
+    operators=("U-pandas:grouped-map", "U-pandas:grouped-agg"),
+    doc="Pandas UDF certification, two eval types with one oracle: "
+    "per-user z-scores via applyInPandas GROUPED_MAP (Arrow batches, "
+    "ddof=1) and a per-user weighted mean via a GROUPED_AGG pandas UDAF "
+    "(deterministic weights 1 + event_id %% 3), both matching the "
+    "declarative window formulations exactly.",
 )
 def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.functions.grouped_pandas import (
+        weighted_mean_udaf,
         zscore_per_group,
     )
 
     ev = read_testdata(spark, sf_dir, "events")
     out = zscore_per_group(ev)
-    return out.select(
-        "event_id", "user_id", "value", F.round("value_z", 4).alias("value_z")
+    wmean = (
+        ev.withColumn("__w", (1 + F.col("event_id") % 3).cast("double"))
+        .groupBy("user_id")
+        .agg(
+            F.round(weighted_mean_udaf()(F.col("value"), F.col("__w")), 4).alias(
+                "value_wmean"
+            )
+        )
+    )
+    return out.join(wmean, on="user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round("value_z", 4).alias("value_z"),
+        "value_wmean",
     )
 
 

@@ -102,3 +102,52 @@ def test_ingest_csv_then_silver_then_gold_cli(spark, tmp_path):
         {"year": 2026, "month": 8, "day": 13},
     )
     assert profile.count() == 2
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """Corpus dedup job: exact dups, a near-dup chain, and the removal
+    list must reconstruct the survivor mapping."""
+    from home_credit_data_engineering_spark.jobs.dedup import main as dedup_main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + "  "),  # normalized exact dup of 1
+        (4, base.replace("garden", "meadow")),  # near dup of 1 (chain)
+        (5, base.replace("garden", "meadow").replace("birds", "bees")),  # near of 4
+        (6, "entirely different text about columnar query engines and scans"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "deduped")
+    rem = str(tmp_path / "removals")
+    log = str(tmp_path / "runs.jsonl")
+    rc = dedup_main(
+        [
+            "--input", src, "--output", out, "--removals-output", rem,
+            "--near-threshold", "0.5", "--bands", "16", "--run-log", log,
+        ]
+    )
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 6]  # chain 1~4~5 collapses; 2,3 exact dups of 1
+    removals = {
+        r["doc_id"]: (r["reason"], r["survivor_id"])
+        for r in spark.read.parquet(rem).collect()
+    }
+    assert removals[2] == ("exact", 1)
+    assert removals[3] == ("exact", 1)
+    assert removals[4] == ("near", 1)
+    assert removals[5] == ("near", 1)
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    (record,) = read_run_log(log)
+    assert record["rows_in"] == 6
+    assert record["exact_removed"] == 2
+    assert record["near_removed"] == 2
+    assert record["rows_out"] == 2

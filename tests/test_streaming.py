@@ -103,3 +103,58 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, event_stream):
         (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_text_profile_matches_batch(spark, sf_dir, tmp_path):
+    """The per-document text profile (quality/fingerprint/gopher/lang-id)
+    is a stateless projection, so the SAME expressions run under
+    Structured Streaming unchanged — the filter stage of a streaming
+    ingest pipeline. Stream output must equal the batch profile row for
+    row."""
+    from home_credit_data_engineering_spark.functions.text import (
+        digit_ratio,
+        fingerprint,
+        lang_id,
+        quality_score,
+        repeated_bigram_fraction,
+        symbol_ratio,
+        token_count,
+    )
+    from home_credit_data_engineering_spark.schema import TESTDATA_SCHEMAS
+    from home_credit_data_engineering_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    (stream_dir / "documents.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+
+    def profile(df):
+        return df.filter(F.col("n_chars") > 0).select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.round(quality_score("text"), 4).alias("quality"),
+            fingerprint("text").alias("fp"),
+            lang_id("text").alias("lang_pred"),
+            F.round(symbol_ratio("text"), 6).alias("symbol_ratio"),
+            F.round(digit_ratio("text"), 6).alias("digit_ratio"),
+            F.round(repeated_bigram_fraction("text"), 6).alias("rep_bigram_frac"),
+        )
+
+    streamed = profile(
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"]).parquet(
+            str(stream_dir)
+        )
+    )
+    run_to_memory_sink(streamed, "text_profile_out", output_mode="append")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM text_profile_out").collect()
+    }
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in profile(read_testdata(spark, sf_dir, "documents")).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1,0 +1,50 @@
+"""ANN index build job CLI: embeddings parquet → cell-partitioned IVF
+index (+ centroid matrix) for partition-pruned similarity serving."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Build a persisted IVF index (cell-partitioned parquet)"
+    )
+    parser.add_argument("--input", required=True, help="embeddings parquet path")
+    parser.add_argument("--output", required=True, help="index path")
+    parser.add_argument("--id-col", default="vec_id")
+    parser.add_argument("--vec-col", default="embedding")
+    parser.add_argument("--n-centroids", type=int, default=0,
+                        help="0 = sqrt(N) (standard IVF sizing)")
+    parser.add_argument("--train-rows", type=int, default=4096,
+                        help="quantizer training sample size")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from home_credit_data_engineering_spark import get_session
+    from home_credit_data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+
+    spark = get_session(app_name="ann-index-build")
+    emb = read_parquet(spark, args.input)
+    n = emb.count()
+    n_cells = args.n_centroids or max(16, int(n**0.5))
+    train_frac = min(1.0, args.train_rows / n) if n > args.train_rows else None
+    centers = build_ivf_index(
+        emb,
+        args.output,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        n_centroids=n_cells,
+        train_fraction=train_frac,
+    )
+    print(f"ann_index: {n} vectors -> {len(centers)} cells at {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -447,3 +447,133 @@ def lsh_topk(
         .drop("__qvec", "__cvec")
     )
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (partition-pruned ANN serving)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    train_fraction: float | None = None,
+) -> np.ndarray:
+    """Persist an IVF index: corpus parquet PARTITIONED BY cell id, plus
+    the centroid matrix (numpy, saved beside the data).
+
+    This is the serving-time form of :func:`ivf_topk`: the one-time
+    build pays a single shuffle on cell id, and every later query batch
+    reads ONLY its probed cells through parquet partition pruning — at
+    100 TB a 4-of-256-cell probe scans ~1.6% of the index instead of
+    everything, with zero services beyond the object store.
+    Returns the centroid matrix (also written to ``path/_centroids.npy``).
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    train_src = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else corpus
+    )
+    train = train_src.select(
+        array_to_vector(to_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="random"
+    ).fit(train)
+    centers_mat = np.array(
+        [list(c) for c in model.clusterCenters()], dtype=np.float64
+    )
+    c_norm = np.linalg.norm(centers_mat, axis=1)
+    c_unit = np.where(
+        c_norm[:, None] > 0, centers_mat / np.maximum(c_norm, 1e-300)[:, None], 0.0
+    )
+
+    @pandas_udf("int")
+    def best_cell(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        Mu = np.where(mn[:, None] > 0, M / np.maximum(mn, 1e-300)[:, None], 0.0)
+        sims = Mu @ c_unit.T
+        return pd.Series(np.argsort(-sims, axis=1, kind="stable")[:, 0].astype("int32"))
+
+    corpus.select(
+        F.col(id_col), F.col(vec_col), best_cell(to_double_array(vec_col)).alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "_centroids.npy"), centers_mat)
+    return centers_mat
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index with parquet partition pruning.
+
+    The probed cell set is computed driver-side from the query batch
+    (queries ≪ corpus — same smallness assumption every broadcast here
+    makes), and the index scan filters ``cell IN (probed)`` — a
+    partition-pruning predicate, so unprobed cells are never read.
+    Results match :func:`ivf_topk` given the same centroids.
+    """
+    import os
+
+    centers_mat = np.load(os.path.join(path, "_centroids.npy"))
+    c_norm = np.linalg.norm(centers_mat, axis=1)
+    c_unit = np.where(
+        c_norm[:, None] > 0, centers_mat / np.maximum(c_norm, 1e-300)[:, None], 0.0
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def top_cells(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        Mu = np.where(mn[:, None] > 0, M / np.maximum(mn, 1e-300)[:, None], 0.0)
+        sims = Mu @ c_unit.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qvec")
+    ).withColumn("__cells", top_cells("__qvec"))
+    q_cells = q.select(
+        "query_id", "__qvec", F.explode("__cells").alias("cell")
+    )
+    probed = sorted(
+        {c for row in q_cells.select("cell").distinct().collect() for c in [row["cell"]]}
+    )
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))  # partition-pruned scan
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(vec_col).alias("__cvec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    )
+    candidates = q_cells.join(index, on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = candidates.withColumn(
+        "score", F.round(cosine_arrow(F.col("__qvec"), F.col("__cvec")), round_digits)
+    ).drop("__qvec", "__cvec", "cell")
+    return _ranked_topk(scored, "query_id", "neighbor_id", k)

@@ -339,3 +339,40 @@ def test_winnowing_md5_detects_partial_overlap(spark):
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_ivf_index_build_query_with_partition_pruning(clustered_vectors, tmp_path):
+    """Persisted IVF index: cell-partitioned parquet + saved centroids.
+    Querying must (a) match the in-memory ivf_topk results given the same
+    centroids, and (b) scan ONLY the probed cell partitions (parquet
+    partition pruning visible in the plan)."""
+    from home_credit_data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(clustered_vectors, path, n_centroids=20)
+    queries = clustered_vectors.filter(F.col("vec_id") % 40 == 0)
+    out = ivf_query_index(
+        clustered_vectors.sparkSession, path, queries, k=3, n_probe=3
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in out.collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in ivf_topk(
+            clustered_vectors,
+            queries,
+            k=3,
+            n_centroids=20,
+            n_probe=3,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # partition pruning: the scan's partition filters mention `cell`
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]

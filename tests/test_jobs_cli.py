@@ -151,3 +151,17 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert record["exact_removed"] == 2
     assert record["near_removed"] == 2
     assert record["rows_out"] == 2
+
+
+def test_ann_index_job(spark, sf_dir, tmp_path):
+    from home_credit_data_engineering_spark.jobs.ann_index import main as ann_main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "ivf")
+    assert ann_main(["--input", src, "--output", out, "--n-centroids", "8"]) == 0
+    import glob
+    import os
+
+    cells = glob.glob(out + "/cell=*")
+    assert len(cells) >= 4  # cell-partitioned layout
+    assert os.path.exists(out + "/_centroids.npy")

@@ -78,35 +78,42 @@ def write_clustered(
     clustered.sortWithinPartitions(*parts).write.mode(mode).parquet(path)
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    zorder_by: list[str],
-    bits: int = 16,
-    num_files: int | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Z-order clustered parquet write: multi-column data skipping.
+def _zorder_buckets(
+    df: DataFrame, zorder_by: list[str], bits: int, quantile: bool
+) -> tuple[list[Column], DataFrame]:
+    """Per-column bucket-id expressions in [0, 2^bits).
 
-    :func:`write_clustered` gives perfect skipping on ONE key (disjoint
-    ranges) but nothing on a second filter column. Z-ordering interleaves
-    the bits of each column's bucket id into one key and range-clusters
-    on THAT, so every file covers a small hyper-rectangle of the combined
-    key space — selective reads on ANY of the z-ordered columns skip most
-    files (each dimension's per-file span shrinks ~|files|^(1/k) for k
-    columns instead of one column getting everything).
-
-    Bucketing is equi-width over the observed min/max (one tiny aggregate
-    at write time; ``2^bits`` cells per dimension). Heavily skewed
-    columns get uneven cell occupancy — still z-profitable, but quantile
-    bucketing (approxQuantile-derived boundaries) is the upgrade path if
-    skipping quality matters more than the extra write cost. The
-    interleave expression is a balanced OR tree (shallow plan, codegen).
+    Equi-width: pure expressions over a 1-row min/max aggregate.
+    Quantile: approxQuantile boundaries applied via the ML Bucketizer
+    (JVM-side binary search; appends __zb_<col> columns to df).
     """
-    if not zorder_by:
-        raise ValueError("zorder_by must name at least one column")
-    k = len(zorder_by)
-    # Per-column min/max: one 1-row aggregate over the input.
+    if quantile:
+        from pyspark.ml.feature import Bucketizer
+
+        bits = min(bits, 8)
+        n_cells = 1 << bits
+        probs = [i / n_cells for i in range(1, n_cells)]
+        out_df = df
+        exprs: list[Column] = []
+        for c in zorder_by:
+            qs = df.approxQuantile(c, probs, 0.001)
+            splits = [float("-inf")]
+            for q in qs:  # boundaries must strictly increase
+                if q > splits[-1]:
+                    splits.append(float(q))
+            splits.append(float("inf"))
+            if len(splits) < 3:  # (near-)constant column: single cell
+                exprs.append(F.lit(0).cast("long"))
+                continue
+            out_df = Bucketizer(
+                splits=splits,
+                inputCol=c,
+                outputCol=f"__zb_{c}",
+                handleInvalid="keep",
+            ).transform(out_df)
+            exprs.append(F.col(f"__zb_{c}").cast("long"))
+        return exprs, out_df
+
     bounds = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in zorder_by],
         *[F.max(c).alias(f"__mx_{c}") for c in zorder_by],
@@ -125,13 +132,50 @@ def write_zordered(
             F.greatest(wb - 1, F.lit(0)).cast("long"), F.lit((1 << bits) - 1)
         )
 
-    buckets = [bucket(c) for c in zorder_by]
+    return [bucket(c) for c in zorder_by], df
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    quantile: bool = False,
+) -> None:
+    """Z-order clustered parquet write: multi-column data skipping.
+
+    :func:`write_clustered` gives perfect skipping on ONE key (disjoint
+    ranges) but nothing on a second filter column. Z-ordering interleaves
+    the bits of each column's bucket id into one key and range-clusters
+    on THAT, so every file covers a small hyper-rectangle of the combined
+    key space — selective reads on ANY of the z-ordered columns skip most
+    files (each dimension's per-file span shrinks ~|files|^(1/k) for k
+    columns instead of one column getting everything).
+
+    Bucketing is equi-width over the observed min/max by default (one
+    tiny aggregate at write time; ``2^bits`` cells per dimension).
+    ``quantile=True`` switches to approxQuantile-derived boundaries
+    applied with the ML ``Bucketizer`` (JVM binary search): skewed
+    columns then fill cells evenly, which is what keeps per-file spans
+    small when the data piles onto a hot range — at the cost of one
+    quantile sketch pass per column and coarser cells (quantile mode
+    caps at 2^8 cells/dim; more buys little for FILE-level skipping).
+    The interleave expression is a balanced OR tree (shallow plan,
+    codegen).
+    """
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    k = len(zorder_by)
+    eff_bits = min(bits, 8) if quantile else bits
+    buckets, df = _zorder_buckets(df, zorder_by, eff_bits, quantile)
     terms = [
         F.shiftleft(
             F.shiftright(b, bit_idx).bitwiseAND(F.lit(1)), bit_idx * k + i
         )
         for i, b in enumerate(buckets)
-        for bit_idx in range(bits)
+        for bit_idx in range(eff_bits)
     ]
     while len(terms) > 1:  # balanced OR reduction
         terms = [
@@ -144,9 +188,10 @@ def write_zordered(
         if num_files is not None
         else keyed.repartitionByRange("__zkey")
     )
+    helper_cols = ["__zkey"] + [c for c in keyed.columns if c.startswith("__zb_")]
     (
         clustered.sortWithinPartitions("__zkey")
-        .drop("__zkey")
+        .drop(*helper_cols)
         .write.mode(mode)
         .parquet(path)
     )

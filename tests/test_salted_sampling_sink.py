@@ -213,3 +213,45 @@ def test_write_zordered_shrinks_both_dimensions(spark, sf_dir, tmp_path):
     for col, fracs in spans.items():
         avg = sum(fracs) / len(fracs)
         assert avg < 0.6, f"{col}: avg per-file span {avg:.2f} — no z-locality"
+
+
+def test_write_zordered_quantile_handles_skew(spark, tmp_path):
+    """Quantile z-order: a heavily skewed column (99% of rows in 1% of the
+    range) must still produce balanced, locality-preserving files — the
+    equi-width form would pack almost everything into one cell."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from home_credit_data_engineering_spark.sources.sinks import write_zordered
+
+    n = 20_000
+    # col a: uniform; col b: 99% in [0, 100], 1% in [100, 1_000_000]
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 100 != 0, (F.col("id") % 100).cast("double"))
+        .otherwise((F.col("id") * 50.0) % 1_000_000)
+        .alias("b"),
+    )
+    out = str(tmp_path / "zq")
+    write_zordered(df, out, zorder_by=["a", "b"], quantile=True, num_files=16)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    # schema must not leak helper columns
+    assert set(pq.ParquetFile(files[0]).schema_arrow.names) == {"a", "b"}
+    # balanced files: no file holds more than ~3x the fair share
+    sizes = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert max(sizes) <= 3 * (n / len(files))
+    # locality on the uniform column: per-file span of `a` shrinks
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "a" and c.statistics is not None:
+                    mn = c.statistics.min if mn is None else min(mn, c.statistics.min)
+                    mx = c.statistics.max if mx is None else max(mx, c.statistics.max)
+        spans.append((mx - mn) / n)
+    assert sum(spans) / len(spans) < 0.6

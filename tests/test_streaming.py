@@ -158,3 +158,72 @@ def test_streaming_text_profile_matches_batch(spark, sf_dir, tmp_path):
         for r in profile(read_testdata(spark, sf_dir, "documents")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Streaming near-dup dedup with persisted LSH bucket state: docs
+    arriving across micro-batches must pair against EARLIER batches'
+    docs, and the union of per-batch pairs must equal the full-corpus
+    batch pipeline's pairs."""
+    from home_credit_data_engineering_spark.operators.dedup import minhash_dedup
+    from home_credit_data_engineering_spark.streaming.sinks import (
+        foreach_batch_incremental_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    batch1 = [(1, base), (2, base), (3, "unrelated text about query engines and columnar scans")]
+    batch2 = [(4, base.replace("garden", "meadow")), (5, base.replace("garden", "meadow"))]
+    import glob
+    import shutil
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def land(rows, name):
+        # The file-stream source lists FILES; write via a temp dir and
+        # move the part file in (same pattern as the event fixtures).
+        tmp = tmp_path / f"__tmp_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(tmp))
+        (part,) = glob.glob(str(tmp / "part-*.parquet"))
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    land(batch1, "b1")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        foreach_batch_incremental_dedup(
+            stream, state, ckpt, bands=16, threshold=0.5
+        )
+
+    run_stream()
+    # second arrival: a new file, resumed stream (same checkpoint)
+    land(batch2, "b2")
+    run_stream()
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{state}/pairs").select("doc_a", "doc_b").collect()
+    }
+    full = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, text string"
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(
+            full, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert (1, 4) in got  # cross-batch pair found via the bucket state
+    assert (4, 5) in got  # within-batch pair

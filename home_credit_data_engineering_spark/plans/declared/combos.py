@@ -936,7 +936,10 @@ def combo_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # Fixed query panel (ids < 2000): query load must NOT scale with the
+    # corpus — at 10x data the experiment is corpus scaling, not 10x more
+    # queries. No-op at the base SFs (all ids < 2000 there).
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     lsh = lsh_topk(emb, queries, dim=64, k=5, n_bits=10, n_tables=4).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "score", "rank"
     )

@@ -27,7 +27,7 @@ from home_credit_data_engineering_spark.sources.readers import read_testdata
                                         CAST(c.embedding AS DOUBLE[])), 6) DESC,
                         c.vec_id) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-      WHERE q.vec_id % 50 = 0) t
+      WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000) t
     WHERE rank <= 5
     """,
     operators=("S-ext:ann-bruteforce",),
@@ -38,7 +38,10 @@ from home_credit_data_engineering_spark.sources.readers import read_testdata
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # Fixed query panel (ids < 2000): query load must NOT scale with the
+    # corpus — at 10x data the experiment is corpus scaling, not 10x more
+    # queries. No-op at the base SFs (all ids < 2000 there).
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return brute_force_topk_gemm(emb, queries, k=5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
@@ -54,7 +57,10 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # Fixed query panel (ids < 2000): query load must NOT scale with the
+    # corpus — at 10x data the experiment is corpus scaling, not 10x more
+    # queries. No-op at the base SFs (all ids < 2000 there).
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return lsh_topk(emb, queries, dim=64, k=5, n_bits=10, n_tables=4).select(
         "query_id", "neighbor_id", "score", "rank"
     )

@@ -101,7 +101,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.similarity import ivf_topk
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # Fixed query panel (ids < 2000): query load must NOT scale with the
+    # corpus — at 10x data the experiment is corpus scaling, not 10x more
+    # queries. No-op at the base SFs (all ids < 2000 there).
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     # Standard IVF sizing: ~sqrt(N) cells, so the probed fraction shrinks
     # as the corpus grows (fixed cells would scan a constant fraction).
     n = emb.count()

@@ -1,0 +1,73 @@
+"""Storage maintenance tests: compaction preserves data and restores
+clustering; retention removes exactly the non-kept snapshot partitions."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.sources.maintenance import (
+    compact_parquet,
+    expire_snapshots,
+)
+
+
+def test_compact_parquet_preserves_rows_and_bounds_files(spark, tmp_path):
+    path = str(tmp_path / "many_small")
+    # 40 small files (the streaming-sink shape)
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) >= 30
+
+    stats = compact_parquet(spark, path, target_files=4)
+    assert stats["rows"] == 10_000
+    assert stats["files_after"] <= 4 < stats["files_before"]
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__old")
+
+
+def test_compact_parquet_recluster_restores_locality(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "declustered")
+    spark.range(20_000).withColumn("k", F.col("id")).repartition(16).write.parquet(
+        path
+    )
+    compact_parquet(spark, path, target_files=8, cluster_by=["k"])
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "k" and c.statistics is not None:
+                    mn = c.statistics.min if mn is None else min(mn, c.statistics.min)
+                    mx = c.statistics.max if mx is None else max(mx, c.statistics.max)
+        spans.append((mn, mx))
+    spans.sort()
+    # re-clustered files cover disjoint key ranges
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def test_expire_snapshots_allowlist(spark, tmp_path):
+    base = str(tmp_path / "snapshots")
+    df = spark.range(10)
+    for y, m, d in [(2026, 8, 11), (2026, 8, 12), (2026, 8, 13)]:
+        df.write.parquet(f"{base}/year={y}/month={m}/day={d}")
+    removed = expire_snapshots(base, keep_dates={(2026, 8, 12), (2026, 8, 13)})
+    assert len(removed) == 1 and removed[0].endswith("day=11")
+    kept = spark.read.parquet(base)
+    # partition values stay strings (type inference disabled by design)
+    assert sorted(r["day"] for r in kept.select("day").distinct().collect()) == ["12", "13"]
+    # empty allowlist removes nothing? no — allowlist semantics: keeps only
+    # listed dates; an EMPTY set would drop all. The safety property is
+    # that the caller passes keeps, so a buggy cutoff yields keeps=all.
+    assert expire_snapshots(base, keep_dates={(2026, 8, 12), (2026, 8, 13)}) == []

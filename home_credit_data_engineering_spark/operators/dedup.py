@@ -200,6 +200,7 @@ def connected_components_star(
 
     rounds = 0
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # localCheckpoint (eager) both materializes the round and
@@ -218,8 +219,16 @@ def connected_components_star(
         e.unpersist()
         e = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # The final labeling below assumes a star forest; emitting labels
+        # from an unconverged edge set would be silently WRONG.
+        raise RuntimeError(
+            f"connected_components_star did not converge in max_iter={max_iter} "
+            "rounds (needs ~log^2(n) worst case — raise max_iter)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # Star forest: every edge is (member, root). Roots and isolated nodes
@@ -893,6 +902,11 @@ def minhash_incremental_pairs(
     is the delta to append to the bucket state for the next run.
     Invariant (tested): full-corpus pairs == old-corpus pairs ∪
     incremental pairs.
+
+    Contract: ``all_texts`` must contain the text of EVERY id that can
+    appear in a candidate — i.e. the accepted corpus ∪ ``new_docs``.
+    Ids missing from it silently drop their candidate pairs (the verify
+    joins are inner on doc id).
     """
     from pyspark import StorageLevel
 

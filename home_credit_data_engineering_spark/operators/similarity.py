@@ -561,6 +561,10 @@ def ivf_query_index(
     probed = sorted(
         {c for row in q_cells.select("cell").distinct().collect() for c in [row["cell"]]}
     )
+    if not probed:  # empty query batch: isin([]) would fail analysis
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probed))  # partition-pruned scan

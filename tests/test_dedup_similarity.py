@@ -376,3 +376,23 @@ def test_ivf_index_build_query_with_partition_pruning(clustered_vectors, tmp_pat
     # partition pruning: the scan's partition filters mention `cell`
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_connected_components_star_empty_and_ivf_empty_queries(spark, tmp_path, clustered_vectors):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty_edges).count() == 0
+
+    path = str(tmp_path / "ivf_empty_q")
+    build_ivf_index(clustered_vectors, path, n_centroids=8)
+    no_queries = clustered_vectors.filter(F.col("vec_id") < 0)
+    out = ivf_query_index(spark, path, no_queries, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]

@@ -126,21 +126,33 @@ def main() -> None:
         "sf": sf_val,
     }
 
+    spark.stop()
+
     # Second scale factor (scaling-trend evidence): 10x id-shifted
     # replicas of the sf0.1 tables approximate sf1. Opt out with
-    # SPARK_GRAFT_SCALED=0.
+    # SPARK_GRAFT_SCALED=0. Runs in a SUBPROCESS (fresh JVM): after the
+    # 22-query headline suite the long-lived JVM measurably degrades
+    # (GC/metaspace/python-worker accumulation inflated scaled timings
+    # 3-10x), and the scaled leg should time the queries, not the
+    # session's history.
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0" and isinstance(
         sf_val, float
     ):
-        from bench_scaled import run_scaled
+        import subprocess
 
-        scaled = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
-        result["sf_scaled"] = round(sf_val * 10, 3)
-        result["queries_scaled"] = scaled
-        result["value_scaled"] = round(sum(scaled.values()), 3)
+        proc = subprocess.run(
+            [sys.executable, "bench_scaled.py", sf_dir],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            scaled = json.loads(proc.stdout.strip().splitlines()[-1])
+            result["sf_scaled"] = round(sf_val * 10, 3)
+            result["queries_scaled"] = scaled
+            result["value_scaled"] = round(sum(scaled.values()), 3)
 
     print(json.dumps(result))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -84,12 +84,11 @@ def build_scaled_cache(
 def run_scaled(
     spark: SparkSession, registry, sf_dir: str, replicas: int = 10
 ) -> dict[str, float]:
-    """Time SCALED_QUERIES against the replica cache.
+    """Time SCALED_QUERIES against the replica cache (min of 2 runs).
 
-    Single run per query (not best-of-2): at 10× data each run is tens of
-    seconds, the JVM/file caches are already warm from the headline
-    suite, and keeping the whole bench well inside any driver time
-    budget beats shaving run-to-run noise.
+    The leg runs in its own fresh JVM (bench.py spawns it as a
+    subprocess), so the first execution of each query pays JVM/codegen/
+    python-worker cold start — min-of-2 measures the query.
 
     Scaled-number caveat: replicas duplicate CONTENT (ids are shifted,
     text/vectors are identical), so dedup/similarity queries face 10×
@@ -102,8 +101,43 @@ def run_scaled(
     for name in SCALED_QUERIES:
         if name not in registry:
             continue
-        start = time.perf_counter()
-        registry[name].build(spark, scaled_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()  # same hygiene as the headline loop
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            registry[name].build(spark, scaled_dir).count()
+            best = min(best, time.perf_counter() - start)
+            spark.catalog.clearCache()  # same hygiene as the headline loop
+        timings[name] = round(best, 3)
     return timings
+
+
+def _main() -> int:
+    """Standalone entry: fresh JVM for the scaled leg (see bench.py)."""
+    import json
+    import sys
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from home_credit_data_engineering_spark.session import get_session
+
+    import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+    from home_credit_data_engineering_spark.plans.registry import REGISTRY, prep
+
+    spark = get_session(
+        app_name="hcde-spark-bench-scaled",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        },
+    )
+    prep(spark)
+    timings = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
+    print(json.dumps(timings))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -113,3 +113,51 @@ def split_valid_invalid(
     valid = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
     invalid = tagged.filter(F.size("failed_rules") > 0)
     return valid, invalid
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A rule plus a tolerance: the run FAILS if more than
+    ``max_failure_rate`` of rows violate the rule (0.0 = zero tolerance).
+    The Great-Expectations-style contract a production pipeline gates
+    deploys on, expressed over the same Rule predicates."""
+
+    rule: Rule
+    max_failure_rate: float = 0.0
+
+
+class QualityGateError(RuntimeError):
+    """Raised when an expectation's failure rate exceeds its tolerance."""
+
+    def __init__(self, breaches: dict[str, tuple[float, float]]):
+        self.breaches = breaches
+        detail = ", ".join(
+            f"{name}: {rate:.4%} > allowed {allowed:.4%}"
+            for name, (rate, allowed) in breaches.items()
+        )
+        super().__init__(f"quality gate breached — {detail}")
+
+
+def enforce_expectations(
+    observation, rows_in_key: str = "rows_in", expectations: list[Expectation] = (),
+) -> dict[str, float]:
+    """Check an :func:`observed_validate` observation against tolerances.
+
+    Call AFTER the action that materialized the observed frame (the
+    write): the counts already exist, so enforcement costs zero extra
+    passes over the data. Raises :class:`QualityGateError` listing every
+    breached expectation; returns the per-rule failure rates otherwise.
+    """
+    got = observation.get
+    rows_in = int(got[rows_in_key]) or 0
+    rates: dict[str, float] = {}
+    breaches: dict[str, tuple[float, float]] = {}
+    for exp in expectations:
+        failures = int(got[exp.rule.name])
+        rate = (failures / rows_in) if rows_in else 0.0
+        rates[exp.rule.name] = rate
+        if rate > exp.max_failure_rate:
+            breaches[exp.rule.name] = (rate, exp.max_failure_rate)
+    if breaches:
+        raise QualityGateError(breaches)
+    return rates

@@ -153,3 +153,41 @@ def test_schema_conform(spark):
     assert row["SK_ID_CURR"] == 7  # cast string→long
     assert row["AMT_CREDIT"] is None  # missing → typed null
     assert "junk" not in out.columns
+
+
+def test_quality_gate_enforcement(spark, tmp_path):
+    """Expectations enforce tolerances on the SAME observe() counts the
+    write delivered — zero extra passes; breaches raise with rates."""
+    import pytest
+
+    from home_credit_data_engineering_spark.operators.quality import (
+        Expectation,
+        QualityGateError,
+        enforce_expectations,
+        observed_validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 3.0), (4, -1.0)], "id long, amount double"
+    )
+    rules = [
+        Rule("id_present", F.col("id").isNotNull()),
+        Rule("amount_positive", F.col("amount") > 0),
+    ]
+    obs, clean = observed_validate(df, rules)
+    clean.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    # 50% negative amounts: tolerated at 60%, breached at 10%
+    rates = enforce_expectations(
+        obs,
+        expectations=[
+            Expectation(rules[0], 0.0),
+            Expectation(rules[1], 0.6),
+        ],
+    )
+    assert rates == {"id_present": 0.0, "amount_positive": 0.5}
+    with pytest.raises(QualityGateError, match="amount_positive"):
+        enforce_expectations(
+            obs,
+            expectations=[Expectation(rules[1], 0.1)],
+        )

@@ -71,3 +71,20 @@ def test_expire_snapshots_allowlist(spark, tmp_path):
     # listed dates; an EMPTY set would drop all. The safety property is
     # that the caller passes keeps, so a buggy cutoff yields keeps=all.
     assert expire_snapshots(base, keep_dates={(2026, 8, 12), (2026, 8, 13)}) == []
+
+
+def test_maintenance_cli(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs.maintenance import main as m
+
+    path = str(tmp_path / "cli_data")
+    spark.range(5_000).repartition(20).write.parquet(path)
+    assert m(["compact", "--path", path, "--target-files", "2"]) == 0
+    assert len(glob.glob(path + "/*.parquet")) <= 2
+    assert spark.read.parquet(path).count() == 5_000
+
+    base = str(tmp_path / "cli_snaps")
+    for y, m_, d in [(2026, 8, 1), (2026, 8, 12), (2026, 8, 13)]:
+        spark.range(3).write.parquet(f"{base}/year={y}/month={m_}/day={d}")
+    assert m(["expire", "--path", base, "--keep-days", "7", "--as-of", "2026-08-13"]) == 0
+    assert not os.path.exists(f"{base}/year=2026/month=8/day=1")
+    assert os.path.exists(f"{base}/year=2026/month=8/day=12")

@@ -38,6 +38,10 @@ def zscore_per_group(
     SQL ``stddev_samp``); groups with zero variance yield NULL scores."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Arrow delivers group rows in shuffle order, which varies run to
+        # run; sort so the float accumulation order (and thus the last-ulp
+        # of mean/std) is deterministic for a given dataset.
+        pdf = pdf.sort_values("event_id")
         std = pdf[value_col].std(ddof=1)
         mean = pdf[value_col].mean()
         z = (pdf[value_col] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf), dtype="float64")

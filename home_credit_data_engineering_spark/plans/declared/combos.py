@@ -39,6 +39,18 @@ from home_credit_data_engineering_spark.functions.text import (
     unique_token_count,
 )
 from home_credit_data_engineering_spark.operators.aggregates import grouped_agg
+from home_credit_data_engineering_spark.plans.declared._stable import (
+    savg,
+    scorr,
+    scovar_samp,
+    ssum,
+    sstddev_samp,
+    xavg,
+    xcorr,
+    xcovar_samp,
+    xstddev_samp,
+    xsum,
+)
 from home_credit_data_engineering_spark.operators.quality import (
     Rule,
     combined_predicate,
@@ -138,17 +150,19 @@ def combo_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "combo_agg_suite",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            bool_and(l_quantity > 0) AS all_qty_positive,
            bool_or(l_extendedprice > 90000) AS any_price_over_90k,
-           count_if(l_discount > 0.05) AS n_high_discount,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_high_discount,
            COUNT(DISTINCT l_partkey) AS n_parts,
            ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
            ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           {sstddev_samp("l_extendedprice", 4, "DECIMAL(12,2)")} AS sd_price,
+           {scorr("l_quantity", "l_extendedprice", 6, "DECIMAL(10,2)", "DECIMAL(12,2)")}
+             AS qty_price_corr,
+           {scovar_samp("l_quantity", "l_extendedprice", 2, "DECIMAL(10,2)", "DECIMAL(12,2)")}
+             AS qty_price_cov,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_exact,
            COUNT(*) AS n_rows
@@ -165,7 +179,15 @@ def combo_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles + stddev, Pearson correlation + covariance, and a "
     "DECIMAL(18,2)-disciplined exact sum. Combo slot for "
     "agg_boolean_measures + exact_count_distinct + stats_percentiles + "
-    "stats_correlation + decimal_exact_sum.",
+    "stats_correlation + decimal_exact_sum. The dispersion/association "
+    "measures are computed from exact decimal power sums (_stable.py) so "
+    "the hash is accumulation-order-independent; percentiles are "
+    "rank-based (order-free) and stay rounded at 4 digits — NOT 2, "
+    "because midpoint interpolations of cent values are exact .xx5 "
+    "numbers that sit ON the 2-digit rounding boundary where the two "
+    "engines' tie-handling may diverge, while no interpolated value "
+    "(all exact multiples of 0.001 here) can sit on a 4-digit boundary "
+    "(odd multiples of 0.00005).",
 )
 def combo_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -176,11 +198,13 @@ def combo_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "qty_price_cov"
-        ),
+        xstddev_samp("l_extendedprice", 4, "decimal(12,2)").alias("sd_price"),
+        xcorr(
+            "l_quantity", "l_extendedprice", 6, "decimal(10,2)", "decimal(12,2)"
+        ).alias("qty_price_corr"),
+        xcovar_samp(
+            "l_quantity", "l_extendedprice", 2, "decimal(10,2)", "decimal(12,2)"
+        ).alias("qty_price_cov"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_exact"),
@@ -190,13 +214,13 @@ def combo_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "combo_rollup_cube",
-    oracle="""
+    oracle=f"""
     SELECT 'rollup' AS grouping_mode, o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+           COUNT(*) AS n_orders, {ssum("o_totalprice", 2)} AS total_price
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     UNION ALL
     SELECT 'cube', o_orderstatus, o_orderpriority,
-           COUNT(*), ROUND(SUM(o_totalprice), 2)
+           COUNT(*), {ssum("o_totalprice", 2)}
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     operators=("A-ext:rollup", "A-ext:cube"),
@@ -208,7 +232,7 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     measures = [
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        xsum("o_totalprice", 2).alias("total_price"),
     ]
     rolled = (
         orders.rollup("o_orderstatus", "o_orderpriority")
@@ -600,9 +624,9 @@ def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "combo_quality",
-    oracle="""
+    oracle=f"""
     SELECT 'valid' AS kind, l_returnflag AS key,
-           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS metric
+           COUNT(*) AS n, {ssum("l_extendedprice", 2)} AS metric
     FROM lineitem
     WHERE l_quantity > 0 AND l_extendedprice > 0
       AND l_discount >= 0 AND l_discount <= 1
@@ -641,7 +665,7 @@ def combo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("key"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("metric"),
+            xsum("l_extendedprice", 2).alias("metric"),
         )
         .select(F.lit("valid").alias("kind"), "key", "n", "metric")
     )
@@ -1016,7 +1040,7 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combo_io_roundtrip",
     oracle="""
     SELECT 'parquet' AS src, o_orderstatus AS key, COUNT(*) AS n_rows,
-           CAST(CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS VARCHAR)
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR)
              AS detail
     FROM orders GROUP BY o_orderstatus
     UNION ALL
@@ -1044,8 +1068,7 @@ def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = back.unionByName(p)
     parquet_leg = back.groupBy(F.col("o_orderstatus").alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice") * 100, 0)
-        .cast("bigint")
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("string")
         .alias("detail"),
     ).select(F.lit("parquet").alias("src"), "key", "n_rows", "detail")
@@ -1073,7 +1096,7 @@ def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "combo_timeseries_fill",
-    oracle="""
+    oracle=f"""
     WITH spans AS (
       SELECT user_id,
              date_trunc('day', MIN(ts)) AS d0,
@@ -1084,7 +1107,7 @@ def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spans),
     daily AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             COUNT(*) AS n, ROUND(AVG(value), 4) AS day_avg
+             COUNT(*) AS n, {savg("value", 4)} AS day_avg
       FROM events GROUP BY 1, 2)
     SELECT g.user_id, g.day, COALESCE(d.n, 0) AS n_events,
            last_value(d.day_avg IGNORE NULLS) OVER (
@@ -1118,7 +1141,7 @@ def combo_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 4).alias("value_ff"),
+        xavg("value", 4).alias("value_ff"),
     )
     joined = grid.join(daily, on=["user_id", "day"], how="left")
     filled = forward_fill(

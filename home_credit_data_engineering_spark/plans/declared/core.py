@@ -39,6 +39,21 @@ from home_credit_data_engineering_spark.operators.windows import (
     with_lag_lead,
     with_rank,
 )
+from home_credit_data_engineering_spark.plans.declared._stable import (
+    savg,
+    sdisc_price,
+    sone_plus_tax,
+    ssum,
+    ssum_expr,
+    xavg,
+    xdisc_price,
+    xone_plus_tax,
+    xsum,
+    xsum_expr,
+)
+
+_DISC_PRICE_SQL = sdisc_price()
+_CHARGE_SQL = f"({_DISC_PRICE_SQL} * {sone_plus_tax()})"
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -233,16 +248,15 @@ def a1_multi_measure_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-             AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           {ssum("l_quantity", 2, "DECIMAL(10,2)")} AS sum_qty,
+           {ssum("l_extendedprice", 2, "DECIMAL(12,2)")} AS sum_base_price,
+           {ssum_expr(_DISC_PRICE_SQL, 2)} AS sum_disc_price,
+           {ssum_expr(_CHARGE_SQL, 2)} AS sum_charge,
+           {savg("l_quantity", 4, "DECIMAL(10,2)")} AS avg_qty,
+           {savg("l_extendedprice", 4, "DECIMAL(12,2)")} AS avg_price,
+           {savg("l_discount", 6, "DECIMAL(3,2)")} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -256,18 +270,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = xdisc_price()
     return grouped_agg(
         li,
         keys=["l_returnflag", "l_linestatus"],
         measures={
-            "sum_qty": F.round(F.sum("l_quantity"), 2),
-            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
-            "sum_disc_price": F.round(F.sum(disc_price), 2),
-            "sum_charge": F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2),
-            "avg_qty": F.round(F.avg("l_quantity"), 4),
-            "avg_price": F.round(F.avg("l_extendedprice"), 4),
-            "avg_disc": F.round(F.avg("l_discount"), 6),
+            "sum_qty": xsum("l_quantity", 2, "decimal(10,2)"),
+            "sum_base_price": xsum("l_extendedprice", 2, "decimal(12,2)"),
+            "sum_disc_price": xsum_expr(disc_price, 2),
+            "sum_charge": xsum_expr(disc_price * xone_plus_tax(), 2),
+            "avg_qty": xavg("l_quantity", 4, "decimal(10,2)"),
+            "avg_price": xavg("l_extendedprice", 4, "decimal(12,2)"),
+            "avg_disc": xavg("l_discount", 6, "decimal(3,2)"),
             "count_order": F.count(F.lit(1)),
         },
     )
@@ -278,9 +292,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS event_count,
-           ROUND(CASE WHEN SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) > 0
-                 THEN SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
-                      / SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END)
+           ROUND(CASE WHEN CAST(SUM(CASE WHEN event_type = 'click'
+                                 THEN CAST(value AS DECIMAL(28,6))
+                                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) > 0
+                 THEN CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(28,6))
+                               ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                      / CAST(SUM(CASE WHEN event_type = 'click'
+                                 THEN CAST(value AS DECIMAL(28,6))
+                                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
                  END, 4) AS purchase_per_click,
            ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS error_rate
@@ -293,10 +313,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a3_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    click_sum = F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(F.lit(0)))
+    dec = "decimal(28,6)"
+    click_sum = F.sum(
+        F.when(F.col("event_type") == "click", F.col("value").cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
     purchase_sum = F.sum(
-        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0))
-    )
+        F.when(F.col("event_type") == "purchase", F.col("value").cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
     n = F.count(F.lit(1))
     return grouped_agg(
         ev,
@@ -347,11 +374,11 @@ def a5_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a6_global_rollup",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_balance,
-           ROUND(AVG(c_acctbal), 4) AS avg_balance
+           {ssum("c_acctbal", 2)} AS total_balance,
+           {savg("c_acctbal", 4)} AS avg_balance
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -366,8 +393,8 @@ def a6_global_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["c_mktsegment"],
         measures={
             "n_customers": F.count(F.lit(1)),
-            "total_balance": F.round(F.sum("c_acctbal"), 2),
-            "avg_balance": F.round(F.avg("c_acctbal"), 4),
+            "total_balance": xsum("c_acctbal", 2),
+            "avg_balance": xavg("c_acctbal", 4),
         },
     )
 
@@ -384,10 +411,10 @@ def a7_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_hierarchy",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           {ssum("o_totalprice", 2)} AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -401,7 +428,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderstatus", "o_orderpriority"],
         measures={
             "n_orders": F.count(F.lit(1)),
-            "total_price": F.round(F.sum("o_totalprice"), 2),
+            "total_price": xsum("o_totalprice", 2),
         },
     )
 
@@ -466,10 +493,10 @@ def lineitem_rules() -> list[Rule]:
 
 @register(
     "p6_validation_filter",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS valid_rows,
-           ROUND(SUM(l_extendedprice), 2) AS valid_revenue
+           {ssum("l_extendedprice", 2)} AS valid_revenue
     FROM lineitem
     WHERE l_quantity > 0 AND l_extendedprice > 0
       AND l_discount >= 0 AND l_discount <= 1
@@ -488,21 +515,21 @@ def p6_validation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["l_returnflag"],
         measures={
             "valid_rows": F.count(F.lit(1)),
-            "valid_revenue": F.round(F.sum("l_extendedprice"), 2),
+            "valid_revenue": xsum("l_extendedprice", 2),
         },
     )
 
 
 @register(
     "p9_p10_recode_segment",
-    oracle="""
+    oracle=f"""
     SELECT CASE o_orderstatus WHEN 'F' THEN 'FINISHED' WHEN 'O' THEN 'OPEN'
                 ELSE o_orderstatus END AS status_name,
            CASE WHEN o_totalprice >= 300000 THEN 'HIGH'
                 WHEN o_totalprice >= 150000 THEN 'MEDIUM'
                 ELSE 'LOW' END AS price_band,
            COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           {savg("o_totalprice", 4)} AS avg_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -531,7 +558,7 @@ def p9_p10_recode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["status_name", "price_band"],
         measures={
             "n_orders": F.count(F.lit(1)),
-            "avg_price": F.round(F.avg("o_totalprice"), 4),
+            "avg_price": xavg("o_totalprice", 4),
         },
     )
 
@@ -583,7 +610,7 @@ def j1_left_join_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j2_star_assembly",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
            COALESCE(o.order_count, 0) AS order_count,
            COALESCE(o.total_spend, 0.0) AS total_spend,
@@ -593,7 +620,7 @@ def j1_left_join_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey, COUNT(*) AS order_count,
-             ROUND(SUM(o_totalprice), 2) AS total_spend
+             {ssum("o_totalprice", 2)} AS total_spend
       FROM orders GROUP BY o_custkey) o
       ON c.c_custkey = o.o_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -613,7 +640,7 @@ def j2_star_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_custkey"],
         measures={
             "order_count": F.count(F.lit(1)),
-            "total_spend": F.round(F.sum("o_totalprice"), 2),
+            "total_spend": xsum("o_totalprice", 2),
         },
     ).withColumnRenamed("o_custkey", "c_custkey")
     joined = star_join(cust, [(order_agg, "c_custkey")], how="left")
@@ -676,8 +703,9 @@ def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j_range_join_bands",
-    oracle="""
-    SELECT b.band, COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    oracle=f"""
+    SELECT b.band, COUNT(*) AS n_parts,
+           {savg("p.p_retailprice", 4)} AS avg_price
     FROM part p
     JOIN (VALUES ('B900', 900.0, 925.0), ('B925', 925.0, 950.0),
                  ('B950', 950.0, 975.0), ('B975', 975.0, 1000.0))
@@ -708,7 +736,7 @@ def j_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["band"],
         measures={
             "n_parts": F.count(F.lit(1)),
-            "avg_price": F.round(F.avg("p_retailprice"), 4),
+            "avg_price": xavg("p_retailprice", 4),
         },
     )
 
@@ -869,12 +897,12 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_datetime_functions",
-    oracle="""
+    oracle=f"""
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           {ssum("o_totalprice", 2)} AS total_price
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -895,7 +923,7 @@ def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["order_year", "order_month", "order_quarter"],
         measures={
             "n_orders": F.count(F.lit(1)),
-            "total_price": F.round(F.sum("o_totalprice"), 2),
+            "total_price": xsum("o_totalprice", 2),
         },
     )
 
@@ -968,12 +996,14 @@ def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Shared ANSI SQL used verbatim by BOTH the Spark SQL surface (S6: catalog
-#: views + spark.sql) and the DuckDB oracle — one text, two engines.
-_SQL_API_QUERY = """
+#: views + spark.sql) and the DuckDB oracle — one text, two engines. The
+#: decimal-sum form is valid in both dialects and accumulation-order-exact,
+#: so the two engines' parallel sums cannot drift (_stable.py rationale).
+_SQL_API_QUERY = f"""
     SELECT c.c_mktsegment,
            o.o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           {ssum("o.o_totalprice", 2)} AS total_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_acctbal > 0

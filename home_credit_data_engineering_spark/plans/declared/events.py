@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from home_credit_data_engineering_spark.plans.declared._stable import ssum, xsum
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 from home_credit_data_engineering_spark.streaming.windows import (
@@ -39,7 +40,7 @@ GAP_SECONDS = 6 * 3600
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           {ssum("value", 4)} AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -58,7 +59,7 @@ def sessionize_gap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_tiebreak="event_id",
         measures={
             "n_events": F.count(F.lit(1)),
-            "total_value": F.round(F.sum("value"), 4),
+            "total_value": xsum("value", 4),
         },
     )
 
@@ -103,12 +104,12 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('day', ts) AS window_start,
            date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           {ssum("value", 4)} AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -125,7 +126,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         measures={
             "n_events": F.count(F.lit(1)),
-            "total_value": F.round(F.sum("value"), 4),
+            "total_value": xsum("value", 4),
         },
     )
 

@@ -21,15 +21,16 @@ from home_credit_data_engineering_spark.sources.readers import (
     read_snapshot,
     read_testdata,
 )
+from home_credit_data_engineering_spark.plans.declared._stable import ssum, xsum
 from home_credit_data_engineering_spark.sources.sinks import write_parquet
 
 
 @register(
     "io_partitioned_parquet_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           {ssum("o_totalprice", 2)} AS total_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -52,7 +53,7 @@ def io_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         back = back.unionByName(p)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        xsum("o_totalprice", 2).alias("total_price"),
     )
 
 

@@ -19,19 +19,20 @@ from home_credit_data_engineering_spark.operators.aggregates import (
     guarded_ratio,
 )
 from home_credit_data_engineering_spark.operators.joins import star_join
+from home_credit_data_engineering_spark.plans.declared._stable import savg, ssum, xavg, xsum
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
 
 @register(
     "medallion_risk_profile",
-    oracle="""
+    oracle=f"""
     WITH order_summary AS (
       SELECT o_custkey,
              COUNT(*) AS order_count,
              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
                AS finished_count,
-             ROUND(SUM(o_totalprice), 2) AS total_spend
+             {ssum("o_totalprice", 2)} AS total_spend
       FROM orders GROUP BY o_custkey),
     line_summary AS (
       SELECT o.o_custkey,
@@ -81,7 +82,7 @@ def medallion_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures={
             "order_count": F.count(F.lit(1)),
             "finished_count": count_where(F.col("o_orderstatus") == "F"),
-            "total_spend": F.round(F.sum("o_totalprice"), 2),
+            "total_spend": xsum("o_totalprice", 2),
         },
     ).withColumnRenamed("o_custkey", "c_custkey")
 
@@ -127,10 +128,10 @@ def medallion_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "medallion_portfolio_rollup",
-    oracle="""
+    oracle=f"""
     WITH order_summary AS (
       SELECT o_custkey, COUNT(*) AS order_count,
-             ROUND(SUM(o_totalprice), 2) AS total_spend
+             {ssum("o_totalprice", 2)} AS total_spend
       FROM orders GROUP BY o_custkey),
     profile AS (
       SELECT c.c_custkey,
@@ -141,8 +142,8 @@ def medallion_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer c LEFT JOIN order_summary o ON c.c_custkey = o.o_custkey)
     SELECT risk_segment,
            COUNT(*) AS client_count,
-           ROUND(SUM(exposure), 0) AS total_exposure,
-           ROUND(AVG(exposure), 0) AS avg_exposure
+           {ssum("exposure", 0)} AS total_exposure,
+           {savg("exposure", 0)} AS avg_exposure
     FROM profile
     GROUP BY risk_segment
     """,
@@ -159,7 +160,7 @@ def medallion_portfolio_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_custkey"],
         measures={
             "order_count": F.count(F.lit(1)),
-            "total_spend": F.round(F.sum("o_totalprice"), 2),
+            "total_spend": xsum("o_totalprice", 2),
         },
     ).withColumnRenamed("o_custkey", "c_custkey")
     profile = star_join(cust, [(summary, "c_custkey")], how="left").select(
@@ -178,8 +179,8 @@ def medallion_portfolio_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["risk_segment"],
         measures={
             "client_count": F.count(F.lit(1)),
-            "total_exposure": F.round(F.sum("exposure"), 0),
-            "avg_exposure": F.round(F.avg("exposure"), 0),
+            "total_exposure": xsum("exposure", 0),
+            "avg_exposure": xavg("exposure", 0),
         },
     )
     return out

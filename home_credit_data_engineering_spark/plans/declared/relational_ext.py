@@ -7,6 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from home_credit_data_engineering_spark.operators.aggregates import grouped_agg
+from home_credit_data_engineering_spark.plans.declared._stable import (
+    ssum,
+    ssum_dec,
+    xsum,
+    xsum_dec,
+)
 from home_credit_data_engineering_spark.operators.sampling import keyset_page
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
@@ -14,10 +20,10 @@ from home_credit_data_engineering_spark.sources.readers import read_testdata
 
 @register(
     "cube_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           {ssum("o_totalprice", 2)} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -29,18 +35,18 @@ def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        xsum("o_totalprice", 2).alias("total_price"),
     )
 
 
 @register(
     "agg_having_filter",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_spend
+           {ssum("o_totalprice", 2)} AS total_spend
     FROM orders
     GROUP BY o_custkey
-    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 2500000
+    HAVING COUNT(*) >= 12 AND {ssum_dec("o_totalprice")} > 2500000
     """,
     operators=("A-ext:having",),
     doc="Post-aggregation HAVING filter (big-spender shape).",
@@ -51,8 +57,8 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-            F.sum("o_totalprice").alias("__raw_spend"),
+            xsum("o_totalprice", 2).alias("total_spend"),
+            xsum_dec("o_totalprice").alias("__raw_spend"),
         )
         .filter((F.col("n_orders") >= 12) & (F.col("__raw_spend") > 2500000))
         .drop("__raw_spend")
@@ -319,7 +325,7 @@ def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            bool_and(o_totalprice > 1000) AS all_over_1k,
            bool_or(o_totalprice > 400000) AS any_over_400k,
-           count_if(o_orderpriority = '1-URGENT') AS n_urgent
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
     FROM orders
     GROUP BY o_orderstatus
     """,

@@ -6,17 +6,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from home_credit_data_engineering_spark.plans.declared._stable import (
+    scorr,
+    scovar_samp,
+    sstddev_samp,
+    xcorr,
+    xcovar_samp,
+    xstddev_samp,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
 
 @register(
     "stats_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
            ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+           {sstddev_samp("o_totalprice", 4, "DECIMAL(12,2)")} AS sd_price,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
@@ -31,17 +39,19 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        xstddev_samp("o_totalprice", 4, "decimal(12,2)").alias("sd_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 @register(
     "stats_correlation",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+           {scorr("l_quantity", "l_extendedprice", 6, "DECIMAL(10,2)", "DECIMAL(12,2)")}
+             AS qty_price_corr,
+           {scovar_samp("l_quantity", "l_extendedprice", 2, "DECIMAL(10,2)", "DECIMAL(12,2)")}
+             AS qty_price_cov
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -52,10 +62,12 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_testdata(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "qty_price_cov"
-        ),
+        xcorr(
+            "l_quantity", "l_extendedprice", 6, "decimal(10,2)", "decimal(12,2)"
+        ).alias("qty_price_corr"),
+        xcovar_samp(
+            "l_quantity", "l_extendedprice", 2, "decimal(10,2)", "decimal(12,2)"
+        ).alias("qty_price_cov"),
     )
 
 

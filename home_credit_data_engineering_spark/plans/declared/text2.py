@@ -12,6 +12,7 @@ from home_credit_data_engineering_spark.functions.text import (
     token_count,
     tokens,
 )
+from home_credit_data_engineering_spark.plans.declared._stable import savg, xavg
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -67,8 +68,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_centroids",
-    oracle="""
-    SELECT label, CAST(u.idx AS INTEGER) AS idx, ROUND(AVG(u.val), 6) AS centroid_val
+    oracle=f"""
+    SELECT label, CAST(u.idx AS INTEGER) AS idx,
+           {savg("u.val", 6, "DECIMAL(20,12)")} AS centroid_val
     FROM embeddings,
          LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
                          unnest(generate_series(1, len(embedding))) AS idx) u
@@ -86,7 +88,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exploded.groupBy(
         "label", (F.col("i") + 1).cast("int").alias("idx")
-    ).agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    ).agg(xavg("val", 6, "decimal(20,12)").alias("centroid_val"))
 
 
 @register(

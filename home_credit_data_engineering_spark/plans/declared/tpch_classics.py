@@ -7,15 +7,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from home_credit_data_engineering_spark.plans.declared._stable import (
+    sdisc_price,
+    ssum_expr,
+    xdisc_price,
+    xsum_expr,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {ssum_expr(sdisc_price("l.l_extendedprice", "l.l_discount"), 2)} AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -53,9 +59,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        xsum_expr(xdisc_price(), 2).alias("revenue")
     )
     return agg.select(
         "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
@@ -64,9 +68,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {ssum_expr(sdisc_price("l.l_extendedprice", "l.l_discount"), 2)} AS revenue,
            COUNT(*) AS n_lines
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -112,8 +116,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        xsum_expr(xdisc_price(), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )

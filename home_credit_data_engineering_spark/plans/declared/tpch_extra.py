@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from home_credit_data_engineering_spark.plans.declared._stable import savg, ssum, xavg, xsum
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -164,12 +165,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_dormant_balances",
-    oracle="""
+    oracle=f"""
     WITH avg_bal AS (
-      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+      SELECT {savg("c_acctbal", 6)} AS a FROM customer WHERE c_acctbal > 0)
     SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
            COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           {ssum("c_acctbal", 2)} AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -190,7 +191,7 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+        .agg(xavg("c_acctbal", 6).alias("__avg_bal"))
     )
     rich = c.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("__avg_bal")
@@ -203,6 +204,6 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            xsum("c_acctbal", 2).alias("totacctbal"),
         )
     )

@@ -30,13 +30,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: Exact unit-price proxy (no partsupp.ps_supplycost in the schema).
-_UNIT_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(l_quantity AS DECIMAL(18,2))"
+# Per-row IEEE double division: bit-identical across engines (decimal
+# division scale rules differ between Spark and DuckDB at the last ulp).
+_UNIT_PRICE_SQL = "(l_extendedprice / l_quantity)"
 
 
 def _unit_price() -> F.Column:
-    return F.col("l_extendedprice").cast("decimal(18,2)") / F.col(
-        "l_quantity"
-    ).cast("decimal(18,2)")
+    return F.col("l_extendedprice") / F.col("l_quantity")
 
 
 @register(
@@ -91,9 +91,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           CAST(ROUND(SUM(CASE WHEN n_name = 'Nation#01' THEN volume
-                              ELSE CAST(0.00 AS DECIMAL(18,2)) END)
-                      / NULLIF(SUM(volume), 0), 6) AS DOUBLE) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN n_name = 'Nation#01' THEN volume
+                          ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / NULLIF(CAST(SUM(volume) AS DOUBLE), 0), 6) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
              CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -135,12 +135,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit("0.00").cast("decimal(18,2)")
     return joined.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("n_name") == "Nation#01", F.col("volume")).otherwise(zero))
-            / F.nullif(F.sum("volume"), F.lit(0).cast("decimal(28,2)")),
+            F.sum(
+                F.when(F.col("n_name") == "Nation#01", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.nullif(F.sum("volume").cast("double"), F.lit(0.0)),
             6,
-        )
-        .cast("double")
-        .alias("mkt_share")
+        ).alias("mkt_share")
     )
 
 
@@ -151,11 +151,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n.n_name,
              CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
-             CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-               - CAST(l.l_quantity AS DECIMAL(18,2))
-                 * CAST(p.p_retailprice AS DECIMAL(18,2))
-                 * CAST(0.10 AS DECIMAL(18,2)) AS amount
+             (CAST(l.l_extendedprice AS DECIMAL(10,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+               - ((CAST(l.l_quantity AS DECIMAL(10,2))
+                 * CAST(p.p_retailprice AS DECIMAL(10,2)))
+                 * CAST(0.10 AS DECIMAL(3,2))) AS amount
       FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -182,10 +182,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nationkey"), "n_name"
     )
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    amount = d("l_extendedprice") * (1 - d("l_discount")) - d("l_quantity") * d(
-        "p_retailprice"
-    ) * F.lit("0.10").cast("decimal(18,2)")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(10,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    ) - (
+        (
+            F.col("l_quantity").cast("decimal(10,2)")
+            * F.col("p_retailprice").cast("decimal(10,2)")
+        )
+        * F.lit("0.10").cast("decimal(3,2)")
+    )
     joined = (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])

@@ -11,14 +11,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from home_credit_data_engineering_spark.plans.declared._stable import (
+    sdisc_price,
+    ssum_expr,
+    xdisc_price,
+    xsum_expr,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
 
 @register(
     "q6_revenue_delta",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+    SELECT {ssum_expr("(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(3,2)))", 2)} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -43,9 +49,11 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            xsum_expr(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                * F.col("l_discount").cast("decimal(3,2)"),
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -200,11 +208,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+    oracle=f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {sdisc_price("l.l_extendedprice", "l.l_discount")}
+                                  ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+                 / CAST(SUM({sdisc_price("l.l_extendedprice", "l.l_discount")}) AS DOUBLE), 4)
              AS promo_revenue_pct,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -224,15 +232,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     part = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = xdisc_price()
     joined = li.join(
         F.broadcast(part), li["l_partkey"] == part["p_partkey"]
     )
     return joined.agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(15,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -241,9 +253,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {ssum_expr(sdisc_price("l.l_extendedprice", "l.l_discount"), 2)} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -277,11 +289,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(xsum_expr(xdisc_price(), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )

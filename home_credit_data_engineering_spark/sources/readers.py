@@ -138,21 +138,43 @@ def from_rows(
     return spark.createDataFrame(rows, schema)
 
 
+def _parquet_ts_unit(path: str, column: str) -> str | None:
+    """Time unit ('ns'/'us'/'ms') of a parquet timestamp column, from the
+    file footer (metadata-only read; no data IO)."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(path).field(column)
+        return getattr(field.type, "unit", None)
+    except Exception:
+        return None
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-generated synthetic table with its declared schema.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects as TimestampType; it is read as raw nanos (LongType +
-    ``nanosAsLong``) and converted to a microsecond timestamp with exact
-    integer arithmetic (``ts div 1000`` — no double round-trip, which would
-    lose precision above 2^53).
+    ``events.ts`` has shipped with two different physical encodings across
+    driver rounds, so the reader sniffs the footer and adapts:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects this as TimestampType; read
+      as raw nanos (LongType + ``nanosAsLong``) and convert to microseconds
+      with exact integer arithmetic (``ts div 1000`` — no double
+      round-trip, which would lose precision above 2^53).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as TimestampNTZ;
+      cast to TimestampType (identity under the pinned UTC session zone).
     """
     schema = TESTDATA_SCHEMAS.get(table)
+    path = f"{sf_dir}/{table}.parquet"
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, f"{sf_dir}/{table}.parquet", schema=schema)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return read_parquet(spark, f"{sf_dir}/{table}.parquet", schema=schema)
+        if _parquet_ts_unit(path, "ts") == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = read_parquet(spark, path, schema=schema)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = read_parquet(spark, path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    return read_parquet(spark, path, schema=schema)
 
 
 def testdata_tables(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:

@@ -137,6 +137,48 @@ def read_event_stream(
     return reader.load(path)
 
 
+def read_testdata_event_stream(
+    spark: SparkSession,
+    path: str,
+    probe_file: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream the driver's events parquet files with a normalized ``ts``.
+
+    The driver's events table has shipped with two physical ``ts``
+    encodings across rounds (TIMESTAMP(NANOS) and TIMESTAMP(MICROS), see
+    ``sources.readers.read_testdata``); the streaming file source needs an
+    explicit schema, so sniff ``probe_file``'s footer and pick the matching
+    schema + conversion. Output schema is identical either way.
+    """
+    from home_credit_data_engineering_spark.schema import TESTDATA_SCHEMAS
+    from home_credit_data_engineering_spark.sources.readers import _parquet_ts_unit
+
+    if _parquet_ts_unit(probe_file, "ts") == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = read_event_stream(
+            spark,
+            path,
+            schema=TESTDATA_SCHEMAS["events"],
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    raw = read_event_stream(
+        spark, path, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts_col: str,

@@ -2,14 +2,20 @@
 
 Runs a declared query's Spark build and its oracle SQL on the same parquet
 tables, then compares row count, column names, and values (order-
-insensitive). Stricter than the driver is likely to be: values must match
-exactly after a 9-decimal round, so any engine drift the driver could flag
-shows up here first.
+insensitive). As strict as the driver's value-hash: floats are compared
+**bit-exactly** (IEEE-754 pattern equality, so +0.0 != -0.0 and any 1-ulp
+engine drift fails here first). The stable-aggregate discipline in
+``plans/declared/_stable.py`` is what makes bit-exactness achievable:
+order-dependent double accumulation is replaced by exact decimal sums plus
+one fixed double formula written identically on both sides.
+
+``FLOAT_ATOL_EXCEPTIONS`` is the escape hatch for queries whose semantics
+make bit-exactness impossible (document why when adding one).
 """
 
 from __future__ import annotations
 
-import math
+import struct
 
 import duckdb
 import numpy as np
@@ -17,7 +23,15 @@ import pandas as pd
 
 from home_credit_data_engineering_spark.schema import TESTDATA_TABLES
 
-ROUND_DECIMALS = 9
+#: Queries allowed tolerance-based float compare instead of bit-exact,
+#: mapped to their atol. Add entries ONLY with a written justification:
+#: - pandas_grouped_zscore: numpy pairwise-summation mean/std vs DuckDB's
+#:   streaming window aggregate — two different (each internally
+#:   deterministic) accumulation algorithms; outputs rounded at 4, so
+#:   1e-9 slack only forgives sub-rounding drift on the raw window stats.
+FLOAT_ATOL_EXCEPTIONS: dict[str, float] = {
+    "pandas_grouped_zscore": 1e-9,
+}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -33,7 +47,13 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
-def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+def _float_bits(v) -> str:
+    if pd.isna(v):
+        return "nan"
+    return struct.pack(">d", float(v)).hex()
+
+
+def _normalize(pdf: pd.DataFrame, exact: bool) -> pd.DataFrame:
     out = pdf.copy()
     # Align column order by name (the driver sorts columns before hashing).
     out = out.reindex(sorted(out.columns), axis=1)
@@ -43,10 +63,12 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             out[col] = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) else s
             out[col] = out[col].astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(s):
-            out[col] = s.round(ROUND_DECIMALS)
+            # Bit-pattern strings compare exactly and sort consistently on
+            # both sides (sort key only needs to agree between frames).
+            out[col] = s.map(_float_bits) if exact else s.round(9)
         elif s.dtype == object:
             out[col] = s.map(
-                lambda v: round(v, ROUND_DECIMALS)
+                lambda v: (_float_bits(v) if exact else round(v, 9))
                 if isinstance(v, float)
                 else (tuple(v) if isinstance(v, (list, np.ndarray)) else v)
             )
@@ -57,23 +79,29 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+def assert_frames_match(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    name: str,
+    atol: float | None = None,
+):
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} (spark) != {len(oracle_pdf)} (oracle)"
     )
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
     )
-    left = _normalize(spark_pdf)
-    right = _normalize(oracle_pdf)
+    exact = atol is None
+    left = _normalize(spark_pdf, exact)
+    right = _normalize(oracle_pdf, exact)
     for col in left.columns:
         lv, rv = left[col].values, right[col].values
-        if pd.api.types.is_float_dtype(left[col]) and pd.api.types.is_float_dtype(
-            right[col]
-        ):
+        if not exact and pd.api.types.is_float_dtype(
+            left[col]
+        ) and pd.api.types.is_float_dtype(right[col]):
             both_nan = pd.isna(lv) & pd.isna(rv)
             close = np.isclose(
-                lv.astype(float), rv.astype(float), rtol=0, atol=10**-ROUND_DECIMALS,
+                lv.astype(float), rv.astype(float), rtol=0, atol=atol,
                 equal_nan=True,
             )
             ok = both_nan | close
@@ -102,5 +130,7 @@ def check_query(spark, name: str, sf_dir: str):
         assert len(spark_pdf) >= 0
         return spark_pdf
     oracle_pdf = run_oracle(q.oracle, sf_dir)
-    assert_frames_match(spark_pdf, oracle_pdf, name)
+    assert_frames_match(
+        spark_pdf, oracle_pdf, name, atol=FLOAT_ATOL_EXCEPTIONS.get(name)
+    )
     return spark_pdf

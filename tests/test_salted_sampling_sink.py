@@ -72,14 +72,17 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     stream_dir.mkdir()
     for i in range(2):
         (stream_dir / f"ev{i}.parquet").symlink_to(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from home_credit_data_engineering_spark.streaming.windows import (
+        read_testdata_event_stream,
+    )
+
     # One file per micro-batch so the upsert path (not just batch-local
     # dedup) does the collapsing across batches.
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(TESTDATA_SCHEMAS["events"])
-        .option("maxFilesPerTrigger", "1")
-        .load(str(stream_dir))
+    stream = read_testdata_event_stream(
+        spark,
+        str(stream_dir),
+        probe_file=f"{sf_dir}/events.parquet",
+        max_files_per_trigger=1,
     )
     target = str(tmp_path / "table")
     foreach_batch_upsert(

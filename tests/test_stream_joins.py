@@ -14,7 +14,7 @@ from home_credit_data_engineering_spark.streaming.joins import (
     streaming_dedup,
 )
 from home_credit_data_engineering_spark.streaming.windows import (
-    read_event_stream,
+    read_testdata_event_stream,
     run_to_memory_sink,
 )
 
@@ -24,9 +24,9 @@ def _event_stream(spark, sf_dir, tmp_path, n_copies=1):
     stream_dir.mkdir()
     for i in range(n_copies):
         (stream_dir / f"events_{i}.parquet").symlink_to(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_event_stream(spark, str(stream_dir), schema=TESTDATA_SCHEMAS["events"])
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_testdata_event_stream(
+        spark, str(stream_dir), probe_file=f"{sf_dir}/events.parquet"
+    )
 
 
 def _split_views_purchases(events):

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from home_credit_data_engineering_spark.schema import TESTDATA_SCHEMAS
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 from home_credit_data_engineering_spark.streaming.windows import (
-    read_event_stream,
+    read_testdata_event_stream,
     run_to_memory_sink,
     session_window_agg,
     tumbling_agg,
@@ -24,11 +24,9 @@ def event_stream(spark, sf_dir, tmp_path):
     stream_dir = tmp_path / "events_stream"
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_event_stream(
-        spark, str(stream_dir), schema=TESTDATA_SCHEMAS["events"]
+    return read_testdata_event_stream(
+        spark, str(stream_dir), probe_file=f"{sf_dir}/events.parquet"
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir, event_stream):

@@ -736,6 +736,232 @@ def simhash_near_pairs(
     )
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with **cross-engine** md5 hashing:
+    (doc_a, doc_b, jaccard). Oracle-verifiable twin of
+    :func:`minhash_dedup` (same scheme as :func:`winnowing_fingerprints_md5`
+    is to :func:`winnowing_fingerprints`; xxhash64 stays the fast path —
+    8-byte longs beat 32-char hex strings through every shuffle).
+
+    Engine-portable substitutions:
+
+    - minhash_i(doc) = lexicographic MIN over shingles of
+      ``md5('<i>:' || shingle_text)`` — md5 is bit-identical everywhere
+      and fixed-width lowercase hex gives a total order engines agree on;
+    - band bucket = md5 of the '|'-joined band minhashes in seed order;
+    - verification = exact Jaccard over the distinct md5(shingle) sets.
+
+    Docs with fewer than ``shingle_k`` tokens yield no shingles and thus
+    never pair (the production path keeps them via a whole-text fallback).
+    """
+    from pyspark import StorageLevel
+
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes}"
+        )
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    )
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    leads = [F.lead("__t", j).over(w) for j in range(1, shingle_k)]
+    # Hash each shingle to its md5 BEFORE the distinct: every downstream
+    # shuffle (distinct, per-seed min, Jaccard sets) then carries 32-hex
+    # ids, never raw shingle text — the ids+hashes-only shuffle discipline
+    # the xxhash64 path has, kept here with an engine-portable hash.
+    grams = (
+        toks.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.col("__t"), *leads)).alias("gh"),
+            leads[-1].alias("__last_lead"),
+        )
+        .filter(F.col("__last_lead").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeded = grams.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("gh"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("gh"))
+        ).alias("__h"),
+    )
+    rows_per_band = num_hashes // bands
+    mh = seeded.groupBy("doc_id", "seed").agg(F.min("__h").alias("mh"))
+    buckets = (
+        mh.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = buckets.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a")
+    )
+    b = buckets.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b")
+    )
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = grams.groupBy("doc_id").agg(
+        F.collect_set(F.col("gh")).alias("sh"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = cands.join(
+        sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n").alias("na"),
+        ),
+        on="doc_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n").alias("nb"),
+        ),
+        on="doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(
+        inter.cast("double")
+        / (F.col("na") + F.col("nb") - inter).cast("double"),
+        6,
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_md5_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash with **cross-engine** md5 token
+    hashing — the oracle-verifiable twin of :func:`simhash_signatures`
+    (64-bit xxhash64 stays the production path).
+
+    bit_b(doc) = sign of Σ_tokens (±1 by bit b of the token's md5), with
+    the 32 bits drawn from the first 8 hex chars of ``md5(token)``
+    (char i, bit k → b = 4*(i-1)+k). All expressions are integer
+    arithmetic a SQL oracle reproduces exactly: ones-counts per bit, then
+    2·ones − n > 0 as the sign test.
+    """
+    from home_credit_data_engineering_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("__t")
+    ).select("doc_id", F.md5("__t").alias("__h"))
+    digits = [
+        F.conv(F.substring(F.col("__h"), i, 1), 16, 10).cast("int")
+        for i in range(1, 9)
+    ]
+    ones = [
+        F.sum(F.shiftright(digits[i], k).bitwiseAND(F.lit(1))).alias(
+            f"__ones{4 * i + k}"
+        )
+        for i in range(8)
+        for k in range(4)
+    ]
+    agged = toks.groupBy("doc_id").agg(
+        *ones, F.count(F.lit(1)).alias("__n")
+    )
+    sig = None
+    for b in range(32):
+        bit = F.when(
+            2 * F.col(f"__ones{b}") - F.col("__n") > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agged.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_md5_pairs(
+    signatures: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for 32-bit md5 SimHash signatures.
+
+    Same pigeonhole blocking as :func:`simhash_near_pairs` but over
+    32-bit signatures (4 chunks × 8 bits for the default Hamming ≤ 3) —
+    reusing the 64-bit splitter would leave the top chunks all-zero and
+    every pair a candidate. Hamming uses the engine-portable identity
+    ``popcount(a + b - 2*(a & b))`` (= popcount(a XOR b)).
+    """
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = max_hamming + 1
+    bits = 32 // chunks
+    parts = []
+    for i in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), i * bits).bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+        parts.append(
+            signatures.select(
+                "doc_id",
+                F.col("simhash"),
+                F.lit(i).alias("chunk_id"),
+                chunk.alias("chunk"),
+            )
+        )
+    all_chunks = parts[0]
+    for p in parts[1:]:
+        all_chunks = all_chunks.unionByName(p)
+    a = all_chunks.select(
+        "chunk_id", "chunk",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = all_chunks.select(
+        "chunk_id", "chunk",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    pairs = (
+        a.join(b, on=["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(
+        F.col("sim_a") + F.col("sim_b")
+        - 2 * F.col("sim_a").bitwiseAND(F.col("sim_b"))
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup
 # ---------------------------------------------------------------------------

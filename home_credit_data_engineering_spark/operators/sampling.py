@@ -15,6 +15,41 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFram
     return df.sample(fraction=fraction, seed=seed)
 
 
+def hash_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 42,
+    buckets: int = 10000,
+) -> DataFrame:
+    """O3 (deterministic form): seeded Bernoulli sample by id hashing.
+
+    Row kept iff ``md5('s<seed>:' || id)``'s first-32-bit bucket falls
+    under ``fraction`` — same mechanism as :func:`hash_split`. Unlike
+    :func:`bernoulli_sample` (engine RNG), membership is a pure projection:
+    identical across engines, runs, partitionings, and appends, which is
+    what makes it oracle-verifiable and the operationally safe sample at
+    100 TB (a row's in/out never changes under re-execution).
+    """
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    return df.filter(bucket < int(round(buckets * fraction)))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -39,6 +39,10 @@ class DedupReport:
     exact_removed: int = 0
     near_removed: int = 0
     rows_out: int = 0
+    #: Rounds the connected-components loop took to converge — production
+    #: runs alert on drift (a rising round count means the duplicate graph
+    #: is growing deeper chains, or convergence is degrading).
+    cc_rounds: int = 0
     stage_seconds: dict[str, float] = field(default_factory=dict)
 
     def as_record(self) -> dict:
@@ -48,6 +52,7 @@ class DedupReport:
             "exact_removed": self.exact_removed,
             "near_removed": self.near_removed,
             "rows_out": self.rows_out,
+            "cc_rounds": self.cc_rounds,
             "stage_seconds": dict(self.stage_seconds),
         }
 
@@ -102,7 +107,9 @@ def dedup_corpus(
             shingle_k=shingle_k,
             threshold=near_threshold,
         ).select("doc_a", "doc_b")
-        labels = connected_components_star(pairs)
+        cc_stats: dict = {}
+        labels = connected_components_star(pairs, stats=cc_stats)
+        report.cc_rounds = int(cc_stats.get("rounds", 0))
         near_removals = (
             labels.filter(F.col("node") != F.col("component"))
             .select(

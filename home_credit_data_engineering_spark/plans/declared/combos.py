@@ -980,30 +980,144 @@ def combo_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
+#: SQL fragments for the 32-bit md5 SimHash oracle, generated so the bit
+#: layout (char i of md5 hex, bit k → position 4*(i-1)+k) cannot drift
+#: from operators.dedup.simhash_md5_signatures.
+_SH_ONES_SQL = ",\n         ".join(
+    f"SUM(CAST(FLOOR(CAST('0x' || substring(h, {i + 1}, 1) AS INTEGER)"
+    f" / {1 << k}) AS INTEGER) % 2) AS ones{4 * i + k}"
+    for i in range(8)
+    for k in range(4)
+)
+_SH_SIG_SQL = " + ".join(
+    f"(CASE WHEN 2 * ones{b} - n > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(32)
+)
+
+
 @register(
     "combo_dedup_near",
-    oracle=None,  # xxhash64 signatures are engine-specific → rows-only
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents)
+    ),
+    grams_all AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+               AS gram,
+             lead(tok, 2) OVER w AS last_lead
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, md5(gram) AS gh
+      FROM grams_all WHERE last_lead IS NOT NULL
+    ),
+    mh AS (
+      SELECT g.doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || g.gh)) AS mh
+      FROM grams g, range(32) s(seed)
+      GROUP BY g.doc_id, s.seed
+    ),
+    buckets AS (
+      SELECT doc_id, CAST(FLOOR(seed / 4) AS INTEGER) AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cands c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gh = ga.gh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    minhash_leg AS (
+      SELECT 'minhash' AS method, c.doc_a, c.doc_b,
+             ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / CAST(na.n + nb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+               AS value
+      FROM cands c
+      JOIN sizes na ON na.doc_id = c.doc_a
+      JOIN sizes nb ON nb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ),
+    minhash_kept AS (SELECT * FROM minhash_leg WHERE value >= 0.2),
+    tokh AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n,
+         {_SH_ONES_SQL}
+      FROM tokh GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({_SH_SIG_SQL} AS BIGINT) AS simhash FROM sums
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c.c AS chunk_id,
+             CAST(FLOOR(simhash / POW(256, c.c)) AS BIGINT) % 256 AS chunk
+      FROM sigs, range(4) c(c)
+    ),
+    sim_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM chunks a JOIN chunks b
+        ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+      WHERE a.doc_id < b.doc_id
+    ),
+    simhash_leg AS (
+      SELECT 'simhash' AS method, doc_a, doc_b,
+             CAST(bit_count(sa + sb - 2 * (sa & sb)) AS DOUBLE) AS value
+      FROM sim_pairs
+      WHERE bit_count(sa + sb - 2 * (sa & sb)) <= 3
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM minhash_kept
+      UNION SELECT doc_b, doc_a FROM minhash_kept
+    ),
+    reach(node, m) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.node
+    ),
+    cluster_leg AS (
+      SELECT 'cluster' AS method, node AS doc_a, MIN(m) AS doc_b,
+             CAST(NULL AS DOUBLE) AS value
+      FROM reach GROUP BY node
+    )
+    SELECT method, doc_a, doc_b, value FROM minhash_kept
+    UNION ALL SELECT method, doc_a, doc_b, value FROM simhash_leg
+    UNION ALL SELECT method, doc_a, doc_b, value FROM cluster_leg
+    """,
     operators=("D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster"),
-    doc="Signature-based near-dup families, union-tagged: MinHash(32)+"
-    "LSH(8 bands) with exact Jaccard verification, 64-bit SimHash with "
-    "pigeonhole Hamming blocking, and the MinHash edges clustered to "
-    "survivor labels via large-star/small-star connected components "
-    "(method='cluster': doc_a = node, doc_b = cluster root). Combo slot "
-    "for dedup_minhash_lsh + dedup_simhash + dedup_cluster_survivors "
-    "(verification math oracle-checked via dedup_ngram_jaccard; recall "
-    "pinned in tests).",
+    doc="Signature-based near-dup families, union-tagged and — new in r3 "
+    "— FULLY oracle-verified via cross-engine md5 signatures (the "
+    "winnowing_md5 recipe): MinHash(32)+LSH(8 bands) with exact Jaccard "
+    "verification over md5 shingle sets, 32-bit md5 SimHash with "
+    "pigeonhole Hamming blocking, and the verified MinHash edges "
+    "clustered to min-id component labels — Spark runs large-star/"
+    "small-star, the oracle a recursive-CTE transitive closure; both "
+    "yield (node, min id of component). Combo slot for dedup_minhash_lsh "
+    "+ dedup_simhash + dedup_cluster_survivors, whose xxhash64 forms "
+    "stay the production fast path (rows-only; recall pinned in tests).",
 )
 def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.dedup import (
         connected_components_star,
-        minhash_dedup,
-        simhash_near_pairs,
-        simhash_signatures,
+        minhash_md5_pairs,
+        simhash_md5_pairs,
+        simhash_md5_signatures,
     )
     from pyspark import StorageLevel
 
     docs = _t(spark, sf_dir, "documents")
-    minhash_pairs = minhash_dedup(
+    minhash_pairs = minhash_md5_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, threshold=0.2
     ).persist(StorageLevel.MEMORY_AND_DISK)
     minhash = minhash_pairs.select(
@@ -1012,8 +1126,8 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("jaccard").alias("value"),
     )
-    simhash = simhash_near_pairs(
-        simhash_signatures(docs, "doc_id", "text"), max_hamming=3
+    simhash = simhash_md5_pairs(
+        simhash_md5_signatures(docs, "doc_id", "text"), max_hamming=3
     ).select(
         F.lit("simhash").alias("method"),
         "doc_a",

@@ -848,14 +848,35 @@ def o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "o3_seeded_sample",
-    oracle=None,  # sampling is engine-specific → rows-only check
+    oracle="""
+    SELECT 'hash' AS method, c_custkey, c_name
+    FROM customer
+    WHERE CAST('0x' || substr(md5('s42:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000 < 1000
+    """,
     operators=("O3",),
-    doc="Seeded Bernoulli sample (reference spark/common/export_to_excel.py:"
-    "53-58). Sample semantics differ across engines → no SQL oracle.",
+    doc="Seeded ~10% Bernoulli sample in its deterministic hash-threshold "
+    "form (reference spark/common/export_to_excel.py:53-58 uses "
+    "df.sample(seed)): row kept iff md5(seed_salt:id) bucket < p*10000 — "
+    "the same mechanism as hash_split/train_test_split, so the DRIVER "
+    "verifies the exact sample membership cross-engine instead of a "
+    "rows-only count. The engine-RNG form (DataFrame.sample(fraction, "
+    "seed)) has engine-specific membership by construction (no SQL "
+    "oracle is possible); it remains operators.sampling.bernoulli_sample "
+    "with an in-repo seed-reproducibility test "
+    "(tests/test_operators_unit.py). At 100 TB the hash form is also the "
+    "operationally right sample: membership is stable under "
+    "repartitioning, appends, and engine upgrades.",
 )
 def o3_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sampling import (
+        hash_bernoulli_sample,
+    )
+
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return cust.sample(fraction=0.1, seed=42)
+    return hash_bernoulli_sample(cust, "c_custkey", fraction=0.1, seed=42).select(
+        F.lit("hash").alias("method"), "c_custkey", "c_name"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -265,18 +265,26 @@ def export_sample(
     """K4: bounded sample export for analysts (reference
     ``spark/common/export_to_excel.py:28-91``).
 
-    Excel output requires openpyxl (absent in this environment — gated
-    behind an import, falling back is explicit, never silent); CSV always
-    works. Returns the written path.
+    Excel output requires openpyxl; when it is absent the export falls
+    back to CSV at ``<path>.csv`` — explicit (warning + returned path
+    changes), never silent — so the export leg still produces an artifact
+    in environments without Excel support. Returns the written path.
     """
     pdf = to_pandas_sample(df, n=n, fraction=fraction, seed=seed)
     if fmt == "xlsx":
         try:
             import openpyxl  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "xlsx export needs openpyxl; use fmt='csv' here"
-            ) from exc
+        except ImportError:
+            import warnings
+
+            fallback = f"{path}.csv"
+            warnings.warn(
+                f"openpyxl not installed; exporting CSV to {fallback} "
+                "instead of xlsx",
+                stacklevel=2,
+            )
+            pdf.to_csv(fallback, index=False)
+            return fallback
         pdf.to_excel(path, index=False)
     elif fmt == "csv":
         pdf.to_csv(path, index=False)

@@ -54,17 +54,18 @@ def test_driver_contract_dicts_follow_driver_set():
     assert list(qs) == list(DRIVER_SET)  # insertion order IS driver order
     oracles = driver_oracles()
     assert set(oracles) <= set(qs)
-    # Only contract-sanctioned no-oracle slots (approximate / engine-
-    # specific RNG or hashes) may omit SQL.
+    # Only contract-sanctioned no-oracle slots may omit SQL. Down to two
+    # in r3: combo_dedup_near moved to cross-engine md5 signatures (full
+    # oracle) and o3_seeded_sample to the deterministic hash-threshold
+    # sample; what remains is genuinely approximate (engine-specific
+    # sketch error profiles / KMeans cell assignment).
     no_oracle = [n for n in qs if n not in oracles]
     assert set(no_oracle) == {
         "combo_approx_sketches",
         "combo_ann_approx",
-        "combo_dedup_near",
-        "o3_seeded_sample",
     }
 
 
 def test_most_driver_slots_are_oracle_backed():
     oracle_backed = sum(1 for n in DRIVER_SET if REGISTRY[n].oracle)
-    assert oracle_backed >= 45
+    assert oracle_backed >= 48

@@ -151,6 +151,9 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert record["exact_removed"] == 2
     assert record["near_removed"] == 2
     assert record["rows_out"] == 2
+    # CC convergence telemetry rides the run log so production can alert
+    # on round-count drift; the 1~4~5 chain needs at least one round.
+    assert record["cc_rounds"] >= 1
 
 
 def test_ann_index_job(spark, sf_dir, tmp_path):

@@ -114,3 +114,43 @@ def test_lsh_planes_are_subquery_not_literals(spark, sf_dir):
 def test_combo_pagination_take_ordered(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "combo_pagination")
     assert "TakeOrderedAndProject" in plan
+
+def _exchange_heads(plan: str) -> list[str]:
+    """First line of every Exchange node — where the partitioning
+    expressions (and thus the shuffled key columns) are printed."""
+    return [seg.split("\n")[0] for seg in plan.split("Exchange ")[1:]]
+
+
+def test_cc_star_shuffles_node_ids_only_no_python(spark):
+    # The connected-components loop must stay JVM-side and shuffle ONLY
+    # node-id columns — at 100 TB the iteration runs dozens of times, so a
+    # payload column or Python node in the loop multiplies across rounds.
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)] + [(500 + i, 700 + i) for i in range(50)],
+        "doc_a long, doc_b long",
+    )
+    labels = connected_components_star(edges)
+    labels.count()
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    heads = _exchange_heads(plan)
+    assert heads, "expected at least one shuffle in the final labeling pass"
+    for head in heads:
+        assert (
+            "node#" in head or "u#" in head or "v#" in head or "m#" in head
+        ), f"CC shuffle not on a node-id column: {head}"
+
+
+def test_combo_dedup_near_no_payload_through_shuffles(spark, sf_dir):
+    # Dedup shuffles carry ids + fixed-width hashes only: the raw document
+    # text (and even derived shingle strings) must be md5'd away BEFORE
+    # any Exchange — at 100 TB the banding shuffle is the pipeline's cost
+    # center and must not carry kilobyte text payloads.
+    plan = executed_plan(spark, sf_dir, "combo_dedup_near")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for head in _exchange_heads(plan):
+        assert "text#" not in head and "gram#" not in head, head

@@ -203,14 +203,19 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         rounds += 1
-        # localCheckpoint (eager) both materializes the round and
-        # TRUNCATES the logical plan: each star round references its
-        # input several times, so without truncation the plan nests
-        # ~4-6x per round — exponential analysis cost that OOMs the
-        # driver long before the executors feel anything. On a real
+        # localCheckpoint TRUNCATES the logical plan: each star round
+        # references its input several times, so without truncation the
+        # plan nests ~4-6x per round — exponential analysis cost that
+        # OOMs the driver long before the executors feel anything. LAZY
+        # (eager=False) on purpose: the signature aggregate right below
+        # scans every partition, so one job both materializes the
+        # checkpoint and computes the convergence signature — eager
+        # checkpointing ran a separate materialization job per round,
+        # doubling the round count's fixed job latency (the dominant
+        # cost: the edge data is tiny, scheduling is not). On a real
         # cluster with executor churn, swap for reliable checkpoint()
         # on a checkpoint dir; the algorithm is unchanged.
-        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        nxt = small_star(large_star(e)).localCheckpoint(eager=False)
         sig_row = nxt.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.expr("bit_xor(xxhash64(u, v))").alias("hash"),

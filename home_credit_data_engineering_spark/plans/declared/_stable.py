@@ -149,6 +149,14 @@ def sone_plus_tax(tax: str = "l_tax") -> str:
 # double expression (identical text both sides). NULLIF guards degenerate
 # groups identically in both engines. Assumes non-null inputs (true for
 # the testdata; callers with nullable columns should pre-filter).
+#
+# Width budget for the ``dec`` parameters of the product-bearing helpers:
+# keep |value| * 10^scale ≤ ~3e9 per column (e.g. DECIMAL(10,2) for
+# quantities, DECIMAL(12,2) for prices ≤ 1e6). DuckDB multiplies
+# DECIMAL(≤18) operands through int64 before widening, so a per-row
+# product whose internal units exceed ~9.2e18 raises OutOfRange there
+# even though the declared result type would fit
+# (tests/test_stable_aggregates.py pins the boundary).
 
 
 def _psums(x: Column, dec: str) -> tuple[Column, Column]:

@@ -77,6 +77,42 @@ def test_simhash_distances(docs):
     assert all(4 not in pair for pair in pairs)
 
 
+def test_minhash_md5_finds_planted_near_dup(docs):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        minhash_md5_pairs,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_md5_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact copies
+    assert pairs[(1, 5)] == 1.0  # whitespace-insensitive tokenization
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # light edit
+    assert all(4 not in pair for pair in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_md5_distances(docs):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        simhash_md5_pairs,
+        simhash_md5_signatures,
+    )
+
+    sigs = simhash_md5_signatures(docs, "doc_id", "text")
+    for r in sigs.collect():
+        assert 0 <= r["simhash"] < (1 << 32)  # 32-bit signature domain
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_md5_pairs(sigs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical signature
+    assert pairs[(1, 5)] == 0  # whitespace-insensitive tokenization
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8  # light edit stays close
+    assert all(4 not in pair for pair in pairs)
+
+
 @pytest.fixture(scope="module")
 def clustered_vectors(spark):
     """20 clusters × 10 members: base direction + small noise → true

@@ -412,6 +412,18 @@ def lsh_candidate_pairs(
             f"num_hashes={num_hashes} (and not exceed it): trailing hashes "
             "would be silently dropped from every band"
         )
+    return (
+        _lsh_banded_sized(signatures, bands, num_hashes)
+        .filter(F.col("bucket_size") <= max_bucket)
+        .transform(_bucket_self_join)
+    )
+
+
+def _lsh_banded_sized(
+    signatures: DataFrame, bands: int, num_hashes: int | None
+) -> DataFrame:
+    """(doc_id, band, bucket, bucket_size) — shared by the candidate join
+    and the :func:`oversized_buckets` audit view."""
     n = F.size(F.col("minhash"))
     if num_hashes is None:
         # Runtime guard (constant-folds to a no-op when sizes are uniform
@@ -446,10 +458,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    sized = banded.withColumn(
+    return banded.withColumn(
         "bucket_size",
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
-    ).filter(F.col("bucket_size") <= max_bucket)
+    )
+
+
+def _bucket_self_join(sized: DataFrame) -> DataFrame:
     a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
@@ -457,6 +472,30 @@ def lsh_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates()
+    )
+
+
+def oversized_buckets(
+    signatures: DataFrame,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """(band, bucket, bucket_size, doc_ids) for every LSH bucket the
+    candidate join drops as degenerate — the observability half of
+    ``max_bucket``. A dropped bucket means boilerplate-identical band
+    signatures (every doc would pair with every doc: |bucket|² join rows);
+    production runs alert on the count and route those docs to exact
+    dedup instead of letting one hot bucket quadratically dominate.
+    """
+    return (
+        _lsh_banded_sized(signatures, bands, num_hashes)
+        .filter(F.col("bucket_size") > max_bucket)
+        .groupBy("band", "bucket")
+        .agg(
+            F.first("bucket_size").alias("bucket_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
     )
 
 
@@ -686,26 +725,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agged.select("doc_id", terms[0].alias("simhash"))
 
 
-def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 3
+def _simhash_chunked(
+    signatures: DataFrame, chunks: int, sig_bits: int
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
-
-    Pigeonhole blocking: split 64 bits into ``max_hamming + 1`` chunks; any
-    pair within distance r agrees exactly on at least one chunk → equi-join
-    per chunk, then exact popcount filter. Never an all-pairs product.
-
-    The signature frame is persisted here: the chunk union references it
-    ``chunks`` times on each of two join sides, and lazily Spark would
-    re-run the signature aggregate per reference (measured 3.5× the
-    pipeline wall at 10× sf0.1) — the same multi-consumer persist rule
-    :func:`minhash_dedup` documents.
-    """
-    from pyspark import StorageLevel
-
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    chunks = max_hamming + 1
-    bits = 64 // chunks
+    """(doc_id, simhash, chunk_id, chunk, chunk_size) — the pigeonhole
+    blocking view shared by the pair joins and the oversized-chunk audit."""
+    bits = sig_bits // chunks
     parts = []
     for i in range(chunks):
         chunk = F.shiftright(F.col("simhash"), i * bits).bitwiseAND(
@@ -719,11 +744,21 @@ def simhash_near_pairs(
     all_chunks = parts[0]
     for p in parts[1:]:
         all_chunks = all_chunks.unionByName(p)
-    a = all_chunks.select(
+    return all_chunks.withColumn(
+        "chunk_size",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_id", "chunk")),
+    )
+
+
+def _simhash_chunk_pairs(
+    all_chunks: DataFrame, max_hamming: int, max_bucket: int
+) -> DataFrame:
+    capped = all_chunks.filter(F.col("chunk_size") <= max_bucket)
+    a = capped.select(
         F.col("chunk_id"), F.col("chunk"),
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
     )
-    b = all_chunks.select(
+    b = capped.select(
         F.col("chunk_id"), F.col("chunk"),
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
     )
@@ -738,6 +773,54 @@ def simhash_near_pairs(
         pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 3, max_bucket: int = 100_000
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split 64 bits into ``max_hamming + 1`` chunks; any
+    pair within distance r agrees exactly on at least one chunk → equi-join
+    per chunk, then exact popcount filter. Never an all-pairs product.
+
+    ``max_bucket`` caps a chunk bucket's membership the same way
+    :func:`lsh_candidate_pairs` caps band buckets: with billions of docs a
+    16-bit chunk space averages n/65536 docs per bucket, and one
+    boilerplate-heavy chunk value would contribute |bucket|² join rows.
+    Dropped buckets are observable via :func:`simhash_oversized_chunks` —
+    never a silent recall loss. The default never triggers below ~100k
+    same-chunk docs (a corpus that hot should route through exact dedup
+    first).
+
+    The signature frame is persisted here: the chunk union references it
+    ``chunks`` times on each of two join sides, and lazily Spark would
+    re-run the signature aggregate per reference (measured 3.5× the
+    pipeline wall at 10× sf0.1) — the same multi-consumer persist rule
+    :func:`minhash_dedup` documents.
+    """
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    all_chunks = _simhash_chunked(signatures, max_hamming + 1, 64)
+    return _simhash_chunk_pairs(all_chunks, max_hamming, max_bucket)
+
+
+def simhash_oversized_chunks(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 100_000,
+    sig_bits: int = 64,
+) -> DataFrame:
+    """(chunk_id, chunk, chunk_size) for every pigeonhole bucket the pair
+    join drops — the audit twin of ``max_bucket`` in
+    :func:`simhash_near_pairs` / :func:`simhash_md5_pairs`."""
+    return (
+        _simhash_chunked(signatures, max_hamming + 1, sig_bits)
+        .filter(F.col("chunk_size") > max_bucket)
+        .select("chunk_id", "chunk", "chunk_size")
+        .distinct()
     )
 
 
@@ -911,60 +994,21 @@ def simhash_md5_signatures(
 
 
 def simhash_md5_pairs(
-    signatures: DataFrame, max_hamming: int = 3
+    signatures: DataFrame, max_hamming: int = 3, max_bucket: int = 100_000
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for 32-bit md5 SimHash signatures.
 
-    Same pigeonhole blocking as :func:`simhash_near_pairs` but over
-    32-bit signatures (4 chunks × 8 bits for the default Hamming ≤ 3) —
-    reusing the 64-bit splitter would leave the top chunks all-zero and
-    every pair a candidate. Hamming uses the engine-portable identity
-    ``popcount(a + b - 2*(a & b))`` (= popcount(a XOR b)).
+    Same pigeonhole blocking (and ``max_bucket`` hot-bucket cap, audited
+    via :func:`simhash_oversized_chunks` with ``sig_bits=32``) as
+    :func:`simhash_near_pairs` but over 32-bit signatures (4 chunks × 8
+    bits for the default Hamming ≤ 3) — reusing the 64-bit splitter would
+    leave the top chunks all-zero and every pair a candidate.
     """
     from pyspark import StorageLevel
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    chunks = max_hamming + 1
-    bits = 32 // chunks
-    parts = []
-    for i in range(chunks):
-        chunk = F.shiftright(F.col("simhash"), i * bits).bitwiseAND(
-            F.lit((1 << bits) - 1)
-        )
-        parts.append(
-            signatures.select(
-                "doc_id",
-                F.col("simhash"),
-                F.lit(i).alias("chunk_id"),
-                chunk.alias("chunk"),
-            )
-        )
-    all_chunks = parts[0]
-    for p in parts[1:]:
-        all_chunks = all_chunks.unionByName(p)
-    a = all_chunks.select(
-        "chunk_id", "chunk",
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-    )
-    b = all_chunks.select(
-        "chunk_id", "chunk",
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-    )
-    pairs = (
-        a.join(b, on=["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(
-        F.col("sim_a") + F.col("sim_b")
-        - 2 * F.col("sim_a").bitwiseAND(F.col("sim_b"))
-    )
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    all_chunks = _simhash_chunked(signatures, max_hamming + 1, 32)
+    return _simhash_chunk_pairs(all_chunks, max_hamming, max_bucket)
 
 
 # ---------------------------------------------------------------------------

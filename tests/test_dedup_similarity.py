@@ -113,6 +113,55 @@ def test_simhash_md5_distances(docs):
     assert all(4 not in pair for pair in pairs)
 
 
+def test_lsh_oversized_buckets_observable(spark):
+    """Dropped hot buckets must be visible, and dropping them must remove
+    exactly their pairs — never a silent recall loss."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversized_buckets,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(5)] + [(99, "totally different words here x y z")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    # All 5 identical docs share every band bucket -> bucket size 5.
+    dropped = oversized_buckets(sigs, bands=4, max_bucket=4, num_hashes=16).collect()
+    assert dropped and all(r["bucket_size"] == 5 for r in dropped)
+    assert all(r["doc_ids"] == [0, 1, 2, 3, 4] for r in dropped)
+    pairs_capped = lsh_candidate_pairs(
+        sigs, bands=4, max_bucket=4, num_hashes=16
+    ).collect()
+    assert pairs_capped == []  # every bucket of the clones was dropped
+    pairs_uncapped = lsh_candidate_pairs(
+        sigs, bands=4, max_bucket=1000, num_hashes=16
+    ).collect()
+    assert len(pairs_uncapped) == 10  # C(5,2) clone pairs
+
+
+def test_simhash_chunk_bucket_cap_observable(spark):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_oversized_chunks,
+        simhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    # 6 clones share all 4 chunk buckets; cap at 5 drops every bucket.
+    assert simhash_near_pairs(sigs, max_hamming=3, max_bucket=5).collect() == []
+    audit = simhash_oversized_chunks(sigs, max_hamming=3, max_bucket=5).collect()
+    assert len(audit) == 4 and all(r["chunk_size"] == 6 for r in audit)
+    # Default cap never triggers: all 15 clone pairs at hamming 0.
+    assert simhash_near_pairs(sigs, max_hamming=3).count() == 15
+
+
 @pytest.fixture(scope="module")
 def clustered_vectors(spark):
     """20 clusters × 10 members: base direction + small noise → true

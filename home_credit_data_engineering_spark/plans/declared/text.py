@@ -196,7 +196,9 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / LEAST(len(a.shingles), len(b.shingles)), 6) AS containment
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -206,7 +208,11 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("D-ext:ngram-jaccard",),
     doc="Exact 3-gram Jaccard near-dup pairs, blocked by lang (the "
     "verification stage of near-dup pipelines; candidate generation via "
-    "MinHash-LSH is the rows-only dedup_minhash_lsh query).",
+    "MinHash-LSH is the rows-only dedup_minhash_lsh query). Also emits "
+    "CONTAINMENT (|A∩B| / min(|A|,|B|), Broder's resemblance companion): "
+    "symmetric Jaccard misses quote/subset duplication — a short doc "
+    "fully embedded in a long one scores low Jaccard but containment 1 — "
+    "and training-data pipelines filter on both.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.functions.text import with_shingles
@@ -230,10 +236,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(inter / union.cast("double"), 6)
+    containment = F.round(
+        inter / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"), 6
+    )
     return (
         a.join(b, on="lang")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", jac)
+        .withColumn("containment", containment)
         .filter(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard", "containment")
     )

@@ -41,13 +41,21 @@ def test_folded_aggregate_state_equals_full_recompute(spark, sf_dir):
     key = lambda df: {  # noqa: E731
         r["user_id"]: (
             r["n_events"],
-            round(r["total_value"], 6),
+            r["total_value"],
             r["first_ts"],
             r["last_ts"],
         )
         for r in df.collect()
     }
-    assert key(state) == key(full)
+    got, want = key(state), key(full)
+    assert set(got) == set(want)
+    for uid, (n, total, t0, t1) in want.items():
+        gn, gtotal, gt0, gt1 = got[uid]
+        assert (gn, gt0, gt1) == (n, t0, t1)
+        # Fold and full recompute accumulate the double sum in different
+        # orders; exact equality would be a latent ulp flake (the same
+        # class _stable.py removes from the oracle-facing queries).
+        assert abs(gtotal - total) < 1e-9
 
 
 def test_merged_hll_sketches_track_exact_distinct(spark, sf_dir):

@@ -67,15 +67,21 @@ def test_running_totals_accumulate_across_batches(spark, sf_dir, two_batch_strea
           FROM running_totals) WHERE rk = 1
         """
     ).collect()
-    got = {r["user_id"]: (r["event_count"], round(r["value_sum"], 4)) for r in rows}
+    got = {r["user_id"]: (r["event_count"], r["value_sum"]) for r in rows}
 
     batch = (
         read_testdata(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("s"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s"),
         )
     )
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
-    assert got == want
+    assert set(got) == set(want)
+    for uid, (n, s) in want.items():
+        assert got[uid][0] == n
+        # The stateful stream folds per micro-batch, the batch aggregate
+        # in shuffle order — exact double equality (even rounded) would
+        # be a latent ulp flake; the counts pin correctness exactly.
+        assert abs(got[uid][1] - s) < 1e-9

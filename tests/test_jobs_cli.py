@@ -156,6 +156,56 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert record["cc_rounds"] >= 1
 
 
+def test_quality_filter_job_end_to_end(spark, tmp_path):
+    """Quality job: each planted violation lands in dropped with the
+    right failed_rules; clean docs pass; counts ride the run log."""
+    from home_credit_data_engineering_spark.jobs.quality import main as quality_main
+
+    clean = (
+        "a perfectly ordinary sentence with enough distinct words to pass "
+        "every single quality gate in the default configuration today"
+    )
+    rows = [
+        (1, clean, "en"),
+        (2, "too short", "en"),                      # min_tokens
+        (3, "$$$ %% ## @@ !! ** (( )) [[ ]]", "en"),  # symbol_ratio (+ others)
+        (4, "spam spam spam spam spam spam spam spam spam spam", "en"),  # repetition/unique
+        (5, clean + " " + "x" * 100, "en"),           # token_length
+        (6, clean, "zz"),                             # lang allowlist
+    ]
+    src_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src_dir)
+    out = str(tmp_path / "kept")
+    dropped_out = str(tmp_path / "dropped")
+    log = str(tmp_path / "runs.jsonl")
+    rc = quality_main(
+        [
+            "--input", src_dir, "--output", out,
+            "--dropped-output", dropped_out,
+            "--langs", "en,fr", "--run-log", log,
+        ]
+    )
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1]
+    dropped = {
+        r["doc_id"]: set(r["failed_rules"])
+        for r in spark.read.parquet(dropped_out).collect()
+    }
+    assert dropped[2] == {"min_tokens"}
+    assert "symbol_ratio" in dropped[3]
+    assert dropped[4] & {"repetition", "unique_tokens"}
+    assert dropped[5] == {"token_length"}
+    assert dropped[6] == {"lang"}
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    (record,) = read_run_log(log)
+    assert record["rows_in"] == 6 and record["rows_kept"] == 1
+    assert record["rule_drops"]["min_tokens"] == 1
+    assert record["rule_drops"]["lang"] == 1
+
+
 def test_ann_index_job(spark, sf_dir, tmp_path):
     from home_credit_data_engineering_spark.jobs.ann_index import main as ann_main
 

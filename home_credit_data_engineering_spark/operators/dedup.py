@@ -1025,12 +1025,15 @@ def embedding_near_pairs(
     n_bits: int = 8,
     n_tables: int = 6,
     seed: int = 42,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, score) pairs with cosine ≥ threshold (id_a < id_b).
 
     **Size-routed**: corpora up to ``block_threshold`` rows (probed with a
-    ``limit(n+1).count()`` — never a full count) use the exact all-pairs
-    path; anything larger routes through hyperplane-LSH blocking
+    ``limit(n+1).count()`` — never a full count; iterative callers that
+    already know the size pass ``corpus_count`` to skip the probe job
+    entirely) use the exact all-pairs path; anything larger routes
+    through hyperplane-LSH blocking
     (:func:`_embedding_near_pairs_blocked`) — candidates are pairs sharing
     a bucket signature in any of ``n_tables`` tables, re-ranked by exact
     cosine, so the cost is |bucket|² per bucket, never |corpus|². The
@@ -1040,7 +1043,11 @@ def embedding_near_pairs(
     """
     from home_credit_data_engineering_spark.functions.vectors import cosine
 
-    probe = df.limit(block_threshold + 1).count()
+    probe = (
+        corpus_count
+        if corpus_count is not None
+        else df.limit(block_threshold + 1).count()
+    )
     if probe > block_threshold:
         return _embedding_near_pairs_blocked(
             df, id_col, vec_col, threshold, n_bits=n_bits, n_tables=n_tables, seed=seed

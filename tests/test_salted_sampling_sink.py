@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 
 from home_credit_data_engineering_spark.operators.aggregates import salted_agg
 from home_credit_data_engineering_spark.operators.sampling import stratified_sample
-from home_credit_data_engineering_spark.schema import TESTDATA_SCHEMAS
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
 

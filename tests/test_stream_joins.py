@@ -7,7 +7,6 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from home_credit_data_engineering_spark.schema import TESTDATA_SCHEMAS
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 from home_credit_data_engineering_spark.streaming.joins import (
     stream_stream_interval_join,

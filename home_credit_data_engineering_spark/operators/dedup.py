@@ -412,18 +412,18 @@ def lsh_candidate_pairs(
             f"num_hashes={num_hashes} (and not exceed it): trailing hashes "
             "would be silently dropped from every band"
         )
-    return (
-        _lsh_banded_sized(signatures, bands, num_hashes)
-        .filter(F.col("bucket_size") <= max_bucket)
-        .transform(_bucket_self_join)
+    return _bucket_self_join(
+        _lsh_banded_sized(signatures, bands, num_hashes), bands, max_bucket
     )
 
 
 def _lsh_banded_sized(
     signatures: DataFrame, bands: int, num_hashes: int | None
 ) -> DataFrame:
-    """(doc_id, band, bucket, bucket_size) — shared by the candidate join
-    and the :func:`oversized_buckets` audit view."""
+    """(doc_id, __barr, band, bucket, bucket_size) — shared by the
+    candidate join and the :func:`oversized_buckets` audit view.
+    ``__barr`` is the doc's full band-bucket array, carried so the join
+    can apply the leftmost-match veto without re-deriving buckets."""
     n = F.size(F.col("minhash"))
     if num_hashes is None:
         # Runtime guard (constant-folds to a no-op when sizes are uniform
@@ -446,33 +446,57 @@ def _lsh_banded_sized(
     rows_per_band = (n / bands).cast("int")
     banded = signatures.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(
+                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+            ),
+        ).alias("__barr"),
+    ).select("doc_id", "__barr", F.posexplode("__barr").alias("band", "bucket"))
     return banded.withColumn(
         "bucket_size",
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
     )
 
 
-def _bucket_self_join(sized: DataFrame) -> DataFrame:
-    a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
+def _bucket_self_join(sized: DataFrame, bands: int, max_bucket: int) -> DataFrame:
+    """Candidate pairs via the **leftmost-surviving-match** rule (see
+    :func:`_simhash_chunk_pairs` for the full rationale): near-identical
+    docs share MANY band buckets, so the naive formulation emits each
+    pair once per shared band and then pays a ``dropDuplicates`` shuffle
+    over the quadratic candidate set; vetoing any pair whose signatures
+    already matched on an earlier *surviving* band emits each pair
+    exactly once — a codegen filter instead of a candidate-sized shuffle.
+    """
+    survive_mask = F.sum(
+        F.when(
+            F.col("bucket_size") <= max_bucket, F.expr("shiftleft(1, band)")
+        ).otherwise(F.lit(0))
+    ).over(Window.partitionBy("doc_id"))
+    flagged = sized.withColumn("__smask", survive_mask)
+    capped = flagged.filter(F.col("bucket_size") <= max_bucket)
+    a = capped.select(
+        "band", "bucket",
+        F.col("doc_id").alias("doc_a"),
+        F.col("__barr").alias("__barr_a"),
+        F.col("__smask").alias("__smask_a"),
     )
+    b = capped.select(
+        "band", "bucket",
+        F.col("doc_id").alias("doc_b"),
+        F.col("__barr").alias("__barr_b"),
+    )
+    joined = a.join(b, on=["band", "bucket"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    for j in range(bands - 1):
+        earlier_match = (
+            (F.lit(j) < F.col("band"))
+            & (F.col("__barr_a")[j] == F.col("__barr_b")[j])
+            & (F.shiftright(F.col("__smask_a"), j).bitwiseAND(F.lit(1)) == 1)
+        )
+        joined = joined.filter(~earlier_match)
+    return joined.select("doc_a", "doc_b")
 
 
 def oversized_buckets(
@@ -751,26 +775,58 @@ def _simhash_chunked(
 
 
 def _simhash_chunk_pairs(
-    all_chunks: DataFrame, max_hamming: int, max_bucket: int
+    all_chunks: DataFrame, max_hamming: int, max_bucket: int, sig_bits: int
 ) -> DataFrame:
-    capped = all_chunks.filter(F.col("chunk_size") <= max_bucket)
+    """Pairs from the chunked view via the **leftmost-surviving-match**
+    rule: a pair is emitted ONLY from the smallest chunk index where the
+    two signatures agree on a non-capped bucket. Matching pairs agree on
+    up to ``chunks`` chunk values (exact duplicates agree on all), so the
+    naive formulation emits each pair once per agreeing chunk and then
+    pays a ``dropDuplicates`` shuffle over the (quadratic) candidate set;
+    the leftmost rule turns that into a codegen filter on the join output
+    and removes the candidate-sized shuffle entirely. Cap-awareness: the
+    "earlier chunk also matched" veto only applies where the earlier
+    bucket SURVIVED the cap (tracked as a per-doc bitmask — when two
+    signatures agree on chunk j they share that bucket, so one side's
+    survival bit is both sides').
+    """
+    chunks = max_hamming + 1
+    bits = sig_bits // chunks
+    mask = (1 << bits) - 1
+    survive_mask = F.sum(
+        F.when(
+            F.col("chunk_size") <= max_bucket,
+            F.expr("shiftleft(1, chunk_id)"),
+        ).otherwise(F.lit(0))
+    ).over(Window.partitionBy("doc_id"))
+    flagged = all_chunks.withColumn("__smask", survive_mask)
+    capped = flagged.filter(F.col("chunk_size") <= max_bucket)
     a = capped.select(
         F.col("chunk_id"), F.col("chunk"),
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        F.col("__smask").alias("__smask_a"),
     )
     b = capped.select(
         F.col("chunk_id"), F.col("chunk"),
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
     )
-    pairs = (
-        a.join(b, on=["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    joined = a.join(b, on=["chunk_id", "chunk"]).filter(
+        F.col("doc_a") < F.col("doc_b")
     )
+
+    def chunk_of(col: str, j: int):
+        return F.shiftright(F.col(col), j * bits).bitwiseAND(F.lit(mask))
+
+    for j in range(chunks - 1):
+        earlier_match = (
+            (F.lit(j) < F.col("chunk_id"))
+            & (chunk_of("sim_a", j) == chunk_of("sim_b", j))
+            & (F.shiftright(F.col("__smask_a"), j).bitwiseAND(F.lit(1)) == 1)
+        )
+        joined = joined.filter(~earlier_match)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
+        joined.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -804,7 +860,7 @@ def simhash_near_pairs(
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     all_chunks = _simhash_chunked(signatures, max_hamming + 1, 64)
-    return _simhash_chunk_pairs(all_chunks, max_hamming, max_bucket)
+    return _simhash_chunk_pairs(all_chunks, max_hamming, max_bucket, 64)
 
 
 def simhash_oversized_chunks(
@@ -1008,7 +1064,7 @@ def simhash_md5_pairs(
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     all_chunks = _simhash_chunked(signatures, max_hamming + 1, 32)
-    return _simhash_chunk_pairs(all_chunks, max_hamming, max_bucket)
+    return _simhash_chunk_pairs(all_chunks, max_hamming, max_bucket, 32)
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,84 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_survivor"),
     )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    SELECT doc_id,
+           list_sort(list_filter([
+             CASE WHEN NOT (len({_TOKS}) >= 5) THEN 'min_tokens' END,
+             CASE WHEN NOT (len({_TOKS}) <= 100000) THEN 'max_tokens' END,
+             CASE WHEN NOT (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                            AS DOUBLE) / length(text) <= 0.2)
+                  THEN 'symbol_ratio' END,
+             CASE WHEN NOT (CAST(len(regexp_extract_all(text, '[0-9]'))
+                            AS DOUBLE) / length(text) <= 0.3)
+                  THEN 'digit_ratio' END,
+             CASE WHEN NOT ((CASE WHEN len({_TOKS}) >= 2 THEN
+                     1.0 - CAST(len(list_distinct(list_transform(
+                           generate_series(1, len({_TOKS}) - 1),
+                           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))) AS DOUBLE)
+                           / (len({_TOKS}) - 1)
+                   ELSE 0.0 END) <= 0.5)
+                  THEN 'repetition' END,
+             CASE WHEN NOT (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                            / GREATEST(len({_TOKS}), 1) >= 0.2)
+                  THEN 'unique_tokens' END,
+             CASE WHEN NOT (list_max(list_transform({_TOKS}, t -> length(t)))
+                            <= 60)
+                  THEN 'token_length' END,
+             CASE WHEN NOT (lang IN ('en', 'de', 'es', 'fr'))
+                  THEN 'lang' END
+           ], x -> x IS NOT NULL)) AS failed_rules,
+           (len(list_filter([
+             CASE WHEN NOT (len({_TOKS}) >= 5) THEN 'x' END,
+             CASE WHEN NOT (len({_TOKS}) <= 100000) THEN 'x' END,
+             CASE WHEN NOT (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                            AS DOUBLE) / length(text) <= 0.2) THEN 'x' END,
+             CASE WHEN NOT (CAST(len(regexp_extract_all(text, '[0-9]'))
+                            AS DOUBLE) / length(text) <= 0.3) THEN 'x' END,
+             CASE WHEN NOT ((CASE WHEN len({_TOKS}) >= 2 THEN
+                     1.0 - CAST(len(list_distinct(list_transform(
+                           generate_series(1, len({_TOKS}) - 1),
+                           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))) AS DOUBLE)
+                           / (len({_TOKS}) - 1)
+                   ELSE 0.0 END) <= 0.5) THEN 'x' END,
+             CASE WHEN NOT (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                            / GREATEST(len({_TOKS}), 1) >= 0.2) THEN 'x' END,
+             CASE WHEN NOT (list_max(list_transform({_TOKS}, t -> length(t)))
+                            <= 60) THEN 'x' END,
+             CASE WHEN NOT (lang IN ('en', 'de', 'es', 'fr')) THEN 'x' END
+           ], x -> x IS NOT NULL)) = 0) AS kept
+    FROM documents
+    WHERE n_chars > 0
+    """,
+    operators=("T-ext:quality", "T-ext:gopher"),
+    doc="The corpus quality-filter verdict per document, oracle-verified: "
+    "every plans.quality_filter rule (token-count band, symbol/digit "
+    "ratios, repetition, unique-token fraction, max token length, lang "
+    "allowlist) evaluated in one scan, emitting the kept flag and the "
+    "sorted failed_rules audit array — the exact keep/drop semantics "
+    "jobs/quality.py ships, certified cross-engine.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.plans.quality_filter import (
+        QualityThresholds,
+        quality_rules,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    rules = quality_rules(
+        "text", "lang", QualityThresholds(langs=("en", "de", "es", "fr"))
+    )
+    failed = F.sort_array(
+        F.array_compact(
+            F.array(*[F.when(~keep, F.lit(name)) for name, keep in rules])
+        )
+    )
+    return docs.select(
+        "doc_id",
+        failed.alias("failed_rules"),
+        (F.size(failed) == 0).alias("kept"),
+    )

@@ -12,9 +12,17 @@ def build_parser() -> argparse.ArgumentParser:
         description="Gopher-style corpus quality filter (single-pass signals)"
     )
     parser.add_argument("--input", required=True, help="documents parquet path")
-    parser.add_argument("--output", required=True, help="kept-docs parquet path")
     parser.add_argument(
-        "--dropped-output", required=True, help="dropped-docs parquet path"
+        "--output",
+        required=True,
+        help="kept-docs parquet path (or the single partitioned dataset when "
+        "--dropped-output is omitted)",
+    )
+    parser.add_argument(
+        "--dropped-output",
+        help="dropped-docs parquet path; omit for single-pass mode: ONE "
+        "write partitioned by kept=true/false with counts riding the "
+        "write as observe() metrics (input scanned exactly once)",
     )
     parser.add_argument("--text-col", default="text")
     parser.add_argument("--lang-col", default="lang")
@@ -38,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     from home_credit_data_engineering_spark.plans.quality_filter import (
         QualityThresholds,
         quality_filter,
+        quality_filter_single_pass,
     )
     from home_credit_data_engineering_spark.runlog import append_run_log
     from home_credit_data_engineering_spark.sources.readers import read_parquet
@@ -55,15 +64,24 @@ def main(argv: list[str] | None = None) -> int:
         max_token_len=args.max_token_len,
         langs=tuple(args.langs.split(",")) if args.langs else None,
     )
-    result = quality_filter(
-        docs,
-        text_col=args.text_col,
-        lang_col=args.lang_col,
-        thresholds=thresholds,
-    )
-    write_parquet(result["kept"], args.output)
-    write_parquet(result["dropped"], args.dropped_output)
-    report = result["report"]
+    if args.dropped_output is None:
+        report = quality_filter_single_pass(
+            docs,
+            args.output,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            thresholds=thresholds,
+        )
+    else:
+        result = quality_filter(
+            docs,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            thresholds=thresholds,
+        )
+        write_parquet(result["kept"], args.output)
+        write_parquet(result["dropped"], args.dropped_output)
+        report = result["report"]
     if args.run_log:
         append_run_log(args.run_log, report.as_record())
     print(

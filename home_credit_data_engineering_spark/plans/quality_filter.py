@@ -108,20 +108,14 @@ def quality_filter(
     aggregation) — not one count() job per rule, which is the reference's
     N-scans validation anti-pattern
     (/root/reference/spark/silver/processor.py:127-168).
+
+    At 100 TB prefer :func:`quality_filter_single_pass`: it writes ONE
+    dataset partitioned by the keep verdict with the counts riding the
+    write as ``observe()`` metrics — the input is read exactly once.
     """
     t = thresholds or QualityThresholds()
     rules = quality_rules(text_col, lang_col, t)
-    flagged = docs.withColumn(
-        "failed_rules",
-        F.array_compact(
-            F.array(
-                *[
-                    F.when(~keep, F.lit(name))
-                    for name, keep in rules
-                ]
-            )
-        ),
-    )
+    flagged = _flag(docs, rules)
     keep_all = F.size("failed_rules") == 0
     report = QualityReport()
     counts = flagged.agg(
@@ -138,3 +132,53 @@ def quality_filter(
     kept = flagged.filter(keep_all).drop("failed_rules")
     dropped = flagged.filter(~keep_all)
     return {"kept": kept, "dropped": dropped, "report": report}
+
+
+def _flag(docs: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
+    return docs.withColumn(
+        "failed_rules",
+        F.array_compact(
+            F.array(*[F.when(~keep, F.lit(name)) for name, keep in rules])
+        ),
+    )
+
+
+def quality_filter_single_pass(
+    docs: DataFrame,
+    output_path: str,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    thresholds: QualityThresholds | None = None,
+) -> QualityReport:
+    """One-scan corpus quality filter: write ``output_path`` partitioned
+    by the boolean ``kept`` column (``kept=true`` / ``kept=false``
+    partition directories — consumers partition-prune their side), with
+    ``rows_in``/``rows_kept``/per-rule drop counts riding the SAME write
+    action as ``observe()`` metrics (CollectMetrics). The 100 TB form of
+    :func:`quality_filter`: input read exactly once, no separate count
+    job, no second write.
+    """
+    from pyspark.sql import Observation
+
+    t = thresholds or QualityThresholds()
+    rules = quality_rules(text_col, lang_col, t)
+    flagged = _flag(docs, rules).withColumn(
+        "kept", F.size("failed_rules") == 0
+    )
+    obs = Observation("quality_filter")
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("kept").cast("long")).alias("rows_kept"),
+        *[
+            F.sum(F.array_contains("failed_rules", name).cast("long")).alias(name)
+            for name, _ in rules
+        ],
+    )
+    observed.write.mode("overwrite").partitionBy("kept").parquet(output_path)
+    metrics = obs.get
+    report = QualityReport()
+    report.rows_in = metrics["rows_in"]
+    report.rows_kept = metrics["rows_kept"] or 0
+    report.rule_drops = {name: metrics[name] or 0 for name, _ in rules}
+    return report

@@ -205,6 +205,30 @@ def test_quality_filter_job_end_to_end(spark, tmp_path):
     assert record["rule_drops"]["min_tokens"] == 1
     assert record["rule_drops"]["lang"] == 1
 
+    # Single-pass mode: omit --dropped-output -> ONE write partitioned by
+    # the kept verdict, counts from observe() metrics on that same write.
+    single = str(tmp_path / "single")
+    log2 = str(tmp_path / "runs2.jsonl")
+    rc = quality_main(
+        ["--input", src_dir, "--output", single, "--langs", "en,fr",
+         "--run-log", log2]
+    )
+    assert rc == 0
+    import os
+
+    parts = {d for d in os.listdir(single) if d.startswith("kept=")}
+    assert parts == {"kept=true", "kept=false"}
+    # Partition values read back as strings (the engine pins
+    # partitionColumnTypeInference off — see session.py).
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(single).filter("kept = 'true'").collect()
+    )
+    assert kept_ids == [1]
+    (record2,) = read_run_log(log2)
+    assert record2["rows_in"] == 6 and record2["rows_kept"] == 1
+    assert record2["rule_drops"] == record["rule_drops"]
+
 
 def test_ann_index_job(spark, sf_dir, tmp_path):
     from home_credit_data_engineering_spark.jobs.ann_index import main as ann_main

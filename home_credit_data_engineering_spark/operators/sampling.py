@@ -61,11 +61,41 @@ def stratified_sample(
 
     The training-data rebalancing primitive (e.g. downsample boilerplate
     sources, keep all rare-language docs): one scan, no shuffle — each row
-    flips its own seeded coin. Exact-count stratified sampling needs a
-    per-stratum window/top-k instead; this is the scan-speed approximation
-    that holds at 100 TB.
+    flips its own seeded coin. For exact per-stratum counts use
+    :func:`stratified_exact_sample` (one window shuffle); this is the
+    scan-speed approximation that holds at 100 TB.
     """
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by a deterministic seeded hash order.
+
+    Rank = ``row_number`` over ``md5('s<seed>:' || id)`` within the
+    stratum (id as tie-break), keep rank ≤ n. Engine-independent and
+    stable under repartitioning/re-runs like :func:`hash_bernoulli_sample`
+    — the md5 order IS the random permutation, re-derivable anywhere. One
+    shuffle on the stratum key; at 100 TB pre-filter with
+    :func:`stratified_sample` at ~2-3x the target fraction first so the
+    window sorts a sliver, not the full table.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
 
 
 def hash_split(

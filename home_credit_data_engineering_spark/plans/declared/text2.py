@@ -246,3 +246,35 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+@register(
+    "stratified_exact_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 20
+    """,
+    operators=("O3", "S-ext:hash-split"),
+    doc="Exact-count stratified sample: 20 docs per language, chosen by a "
+    "deterministic seeded md5 permutation within each stratum "
+    "(operators.sampling.stratified_exact_sample) — the rebalancing "
+    "primitive when per-class counts must be exact (sampleBy only hits "
+    "fractions in expectation). The hash order makes the draw "
+    "reproducible across engines/partitionings, so the oracle verifies "
+    "the exact membership.",
+)
+def stratified_exact_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_sample(
+        docs, strata_col="lang", id_col="doc_id", n_per_stratum=20, seed=42
+    )

@@ -459,7 +459,9 @@ def _lsh_banded_sized(
     )
 
 
-def _bucket_self_join(sized: DataFrame, bands: int, max_bucket: int) -> DataFrame:
+def _bucket_self_join(
+    sized: DataFrame, bands: int, max_bucket: int | None
+) -> DataFrame:
     """Candidate pairs via the **leftmost-surviving-match** rule (see
     :func:`_simhash_chunk_pairs` for the full rationale): near-identical
     docs share MANY band buckets, so the naive formulation emits each
@@ -467,19 +469,49 @@ def _bucket_self_join(sized: DataFrame, bands: int, max_bucket: int) -> DataFram
     over the quadratic candidate set; vetoing any pair whose signatures
     already matched on an earlier *surviving* band emits each pair
     exactly once — a codegen filter instead of a candidate-sized shuffle.
+
+    Generalized over any ``(doc_id, __barr, band, bucket, bucket_size)``
+    view (``__barr`` = the doc's bucket per band, in band order; bucket
+    values of any equality-comparable type) — shared by the production
+    xxhash64 banding (:func:`_lsh_banded_sized`) and the md5 oracle twin
+    (:func:`minhash_md5_pairs` via :func:`_banded_sized_from_buckets`),
+    so the cross-engine parity check executes this exact join.
+
+    ``max_bucket=None`` disables the hot-bucket cap: every bucket
+    survives, so the survival bitmask (and its per-doc window) is elided
+    and the veto is pure earlier-band equality — the result set is then
+    provably identical to naive distinct candidate pairs. With a cap the
+    per-band survival bit rides a bigint bitmask, which caps ``bands`` at
+    63 (shiftleft past bit 63 would wrap and silently corrupt vetoes).
+    The veto is a chain of ``bands-1`` codegen filters — fine at
+    realistic band counts (≤ 64), part of why the bitmask cap is
+    acceptable rather than worth a variable-length encoding.
     """
-    survive_mask = F.sum(
-        F.when(
-            F.col("bucket_size") <= max_bucket, F.expr("shiftleft(1, band)")
-        ).otherwise(F.lit(0))
-    ).over(Window.partitionBy("doc_id"))
-    flagged = sized.withColumn("__smask", survive_mask)
-    capped = flagged.filter(F.col("bucket_size") <= max_bucket)
+    if max_bucket is not None and bands > 63:
+        raise ValueError(
+            f"bands={bands}: the per-band survival bitmask is a 64-bit "
+            "long, so at most 63 bands are supported with a hot-bucket "
+            "cap (pass max_bucket=None to disable the cap, or lower bands)"
+        )
+    if max_bucket is None:
+        capped = sized
+        mask_cols: list = []
+    else:
+        survive_mask = F.sum(
+            F.when(
+                F.col("bucket_size") <= max_bucket,
+                F.expr("shiftleft(cast(1 as bigint), band)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).over(Window.partitionBy("doc_id"))
+        capped = sized.withColumn("__smask", survive_mask).filter(
+            F.col("bucket_size") <= max_bucket
+        )
+        mask_cols = [F.col("__smask").alias("__smask_a")]
     a = capped.select(
         "band", "bucket",
         F.col("doc_id").alias("doc_a"),
         F.col("__barr").alias("__barr_a"),
-        F.col("__smask").alias("__smask_a"),
+        *mask_cols,
     )
     b = capped.select(
         "band", "bucket",
@@ -490,13 +522,61 @@ def _bucket_self_join(sized: DataFrame, bands: int, max_bucket: int) -> DataFram
         F.col("doc_a") < F.col("doc_b")
     )
     for j in range(bands - 1):
-        earlier_match = (
-            (F.lit(j) < F.col("band"))
-            & (F.col("__barr_a")[j] == F.col("__barr_b")[j])
-            & (F.shiftright(F.col("__smask_a"), j).bitwiseAND(F.lit(1)) == 1)
+        earlier_match = (F.lit(j) < F.col("band")) & (
+            F.col("__barr_a")[j] == F.col("__barr_b")[j]
         )
+        if max_bucket is not None:
+            earlier_match = earlier_match & (
+                F.shiftright(F.col("__smask_a"), j).bitwiseAND(F.lit(1)) == 1
+            )
         joined = joined.filter(~earlier_match)
     return joined.select("doc_a", "doc_b")
+
+
+def _bucket_self_join_naive(
+    sized: DataFrame, max_bucket: int | None
+) -> DataFrame:
+    """Reference semantics for :func:`_bucket_self_join`: drop capped
+    buckets, self-join on (band, bucket), distinct the pair set. Pays the
+    candidate-sized ``dropDuplicates`` shuffle the leftmost rule exists to
+    eliminate — kept ONLY as the property-test twin (leftmost ≡ naive on
+    any input, caps active or not); never on a production path.
+    """
+    capped = (
+        sized if max_bucket is None
+        else sized.filter(F.col("bucket_size") <= max_bucket)
+    )
+    a = capped.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _banded_sized_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Adapt any ``(doc_id, band, bucket)`` frame (one row per doc per
+    band, bands numbered 0..n-1) to the ``(doc_id, __barr, band, bucket,
+    bucket_size)`` view :func:`_bucket_self_join` consumes. The band
+    array is assembled with one groupBy (sorting the (band, bucket)
+    structs by band); bucket_size rides a window over (band, bucket) that
+    reuses the join's own hash partitioning.
+    """
+    barr = buckets.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band", "bucket"))),
+            lambda s: s["bucket"],
+        ).alias("__barr")
+    )
+    sized = barr.select(
+        "doc_id", "__barr", F.posexplode("__barr").alias("band", "bucket")
+    )
+    return sized.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    )
 
 
 def oversized_buckets(
@@ -791,13 +871,20 @@ def _simhash_chunk_pairs(
     survival bit is both sides').
     """
     chunks = max_hamming + 1
+    if chunks > 63:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the per-chunk survival bitmask "
+            "is a 64-bit long, so at most 63 chunks are supported"
+        )
     bits = sig_bits // chunks
     mask = (1 << bits) - 1
+    # bigint base: an INT 1 would make the shift wrap mod 32 and corrupt
+    # the mask for chunk_id >= 32 (same guard class as _bucket_self_join).
     survive_mask = F.sum(
         F.when(
             F.col("chunk_size") <= max_bucket,
-            F.expr("shiftleft(1, chunk_id)"),
-        ).otherwise(F.lit(0))
+            F.expr("shiftleft(cast(1 as bigint), chunk_id)"),
+        ).otherwise(F.lit(0).cast("long"))
     ).over(Window.partitionBy("doc_id"))
     flagged = all_chunks.withColumn("__smask", survive_mask)
     capped = flagged.filter(F.col("chunk_size") <= max_bucket)
@@ -888,12 +975,23 @@ def minhash_md5_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with **cross-engine** md5 hashing:
     (doc_a, doc_b, jaccard). Oracle-verifiable twin of
     :func:`minhash_dedup` (same scheme as :func:`winnowing_fingerprints_md5`
     is to :func:`winnowing_fingerprints`; xxhash64 stays the fast path —
     8-byte longs beat 32-char hex strings through every shuffle).
+
+    Candidate generation routes through the SAME leftmost-surviving-match
+    band join production uses (:func:`_bucket_self_join`, via the
+    ``(doc_id, band, bucket)`` adapter :func:`_banded_sized_from_buckets`)
+    — so the driver's cross-engine hash check verifies the rewritten join,
+    not a separate naive formulation. ``max_bucket=None`` (the default)
+    disables the hot-bucket cap, making the pair set provably identical
+    to naive distinct candidates — exactly what a cap-free SQL oracle
+    computes; pass a cap to mirror production recall behavior (then the
+    oracle must model the cap too).
 
     Engine-portable substitutions:
 
@@ -911,6 +1009,10 @@ def minhash_md5_pairs(
     if bands < 1 or bands > num_hashes or num_hashes % bands:
         raise ValueError(
             f"bands={bands} must evenly divide num_hashes={num_hashes}"
+        )
+    if shingle_k < 2:
+        raise ValueError(
+            "shingle_k must be >= 2 (use tokens directly for k=1)"
         )
     from home_credit_data_engineering_spark.functions.text import tokens
     from pyspark.sql.window import Window as W
@@ -964,17 +1066,8 @@ def minhash_md5_pairs(
             ).alias("bucket")
         )
     )
-    a = buckets.select(
-        "band", "bucket", F.col("doc_id").alias("doc_a")
-    )
-    b = buckets.select(
-        "band", "bucket", F.col("doc_id").alias("doc_b")
-    )
-    cands = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    cands = _bucket_self_join(
+        _banded_sized_from_buckets(buckets), bands, max_bucket
     )
     sets = grams.groupBy("doc_id").agg(
         F.collect_set(F.col("gh")).alias("sh"),

@@ -404,6 +404,174 @@ def test_connected_components_star_chain_and_equality(spark):
     assert star_small == prop
 
 
+def _random_bucket_view(spark, rng, n_docs: int, bands: int, n_buckets: int):
+    """Random (doc_id, band, bucket) assignments with a planted hot bucket
+    (~35% of docs land in bucket 0 per band) so small caps actually
+    trigger — the cap-veto interaction is the property under test."""
+    rows = []
+    for d in range(n_docs):
+        for b in range(bands):
+            bucket = 0 if rng.random() < 0.35 else int(rng.integers(1, n_buckets))
+            rows.append((d, b, bucket))
+    return spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+
+
+@pytest.mark.parametrize("seed,max_bucket", [(0, 3), (1, 5), (2, None)])
+def test_leftmost_match_equals_naive_pairs_random(spark, seed, max_bucket):
+    """Property: the leftmost-surviving-match join emits EXACTLY the naive
+    distinct pair set — with hot-bucket caps active (the subtle case: a
+    pair's earlier shared band may be capped, so the veto must not fire
+    there) and without."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        _banded_sized_from_buckets,
+        _bucket_self_join,
+        _bucket_self_join_naive,
+    )
+
+    rng = np.random.default_rng(seed)
+    bands = 6
+    buckets = _random_bucket_view(spark, rng, n_docs=40, bands=bands, n_buckets=8)
+    sized = _banded_sized_from_buckets(buckets)
+    left = {
+        (r["doc_a"], r["doc_b"])
+        for r in _bucket_self_join(sized, bands, max_bucket).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"])
+        for r in _bucket_self_join_naive(sized, max_bucket).collect()
+    }
+    assert left == naive and naive  # non-vacuous: hot bucket guarantees pairs
+    if max_bucket is not None:
+        # caps actually triggered (the hot bucket exceeds the cap) AND some
+        # pairs survived via other buckets — the interaction case.
+        uncapped = {
+            (r["doc_a"], r["doc_b"])
+            for r in _bucket_self_join_naive(sized, None).collect()
+        }
+        assert naive < uncapped
+
+
+def test_leftmost_match_mask_past_bit_31(spark):
+    """Regression for the int-base shiftleft wrap: with >= 33 bands the
+    survival bits for band >= 32 live past bit 31; a 32-bit wrap would
+    alias them onto low bands and corrupt vetoes. Pairs agreeing ONLY on
+    high bands must still come out exactly once."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        _banded_sized_from_buckets,
+        _bucket_self_join,
+        _bucket_self_join_naive,
+    )
+
+    bands = 40
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(12):
+        for b in range(bands):
+            if b >= 34:  # two surviving 6-doc buckets, shared bands 34..39
+                bucket = 0 if d < 6 else 1
+            elif b == 1:  # early hot band: all 12 share it -> capped (12 > 8)
+                bucket = 99
+            else:
+                bucket = int(rng.integers(100, 10_000)) * 12 + d  # unique
+            rows.append((d, b, bucket))
+    buckets = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    sized = _banded_sized_from_buckets(buckets)
+    left = [
+        (r["doc_a"], r["doc_b"])
+        for r in _bucket_self_join(sized, bands, 8).collect()
+    ]
+    naive = {
+        (r["doc_a"], r["doc_b"])
+        for r in _bucket_self_join_naive(sized, 8).collect()
+    }
+    # 2*C(6,2) within-group pairs, each exactly once (a wrapped mask would
+    # re-emit every pair from each of bands 35..39 too); the capped band-1
+    # bucket contributes no cross-group pairs.
+    assert len(left) == len(set(left)) == 30
+    assert set(left) == naive
+
+
+def test_bucket_mask_band_limit_guard(spark):
+    """bands > 63 with a cap must raise (bitmask is a 64-bit long); the
+    uncapped path has no mask and still works."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        _banded_sized_from_buckets,
+        _bucket_self_join,
+        minhash_md5_pairs,
+    )
+
+    buckets = spark.createDataFrame(
+        [(0, b, 0) for b in range(64)] + [(1, b, 0) for b in range(64)],
+        "doc_id long, band int, bucket long",
+    )
+    sized = _banded_sized_from_buckets(buckets)
+    with pytest.raises(ValueError, match="63 bands"):
+        _bucket_self_join(sized, 64, 1000)
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in _bucket_self_join(sized, 64, None).collect()
+    } == {(0, 1)}
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shingle_k"):
+        minhash_md5_pairs(docs, "doc_id", "text", shingle_k=1)
+    with pytest.raises(ValueError, match="max_hamming"):
+        from home_credit_data_engineering_spark.operators.dedup import (
+            simhash_near_pairs,
+            simhash_signatures,
+        )
+
+        simhash_near_pairs(
+            simhash_signatures(docs, "doc_id", "text"), max_hamming=63
+        ).collect()
+
+
+def test_minhash_md5_capped_matches_naive_on_corpus(spark, docs):
+    """End-to-end on real text: minhash_md5_pairs through the production
+    leftmost join equals the naive formulation, with a cap tight enough
+    to drop the exact-duplicate buckets."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        minhash_md5_pairs,
+    )
+
+    kw = dict(num_hashes=32, bands=16, threshold=0.0)
+    for max_bucket in (None, 2):
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_md5_pairs(
+                docs, "doc_id", "text", max_bucket=max_bucket, **kw
+            ).collect()
+        }
+        assert got == _naive_md5_pairs(docs, max_bucket=max_bucket, **kw)
+
+
+def _naive_md5_pairs(docs, num_hashes, bands, threshold, max_bucket):
+    """Naive-candidates reference for minhash_md5_pairs (distinct over the
+    capped (band,bucket) self-join), sharing only the signature builder."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        _banded_sized_from_buckets,
+        _bucket_self_join_naive,
+        minhash_md5_pairs,
+    )
+    from unittest import mock
+
+    with mock.patch(
+        "home_credit_data_engineering_spark.operators.dedup._bucket_self_join",
+        lambda sized, bands_, cap: _bucket_self_join_naive(sized, cap),
+    ):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_md5_pairs(
+                docs,
+                "doc_id",
+                "text",
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            ).collect()
+        }
+
+
 def test_winnowing_md5_detects_partial_overlap(spark):
     """The oracle-verifiable md5 variant keeps the MOSS guarantee: shared
     spans >= window+k-1 tokens share a fingerprint."""

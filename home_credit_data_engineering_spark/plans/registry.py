@@ -104,6 +104,13 @@ DRIVER_SET: tuple[str, ...] = (
     "combo_timeseries_fill",
     "combo_pivot_unpivot",
     # — previously driver-unverified singles —
+    # New in r4: the corpus quality filter is the flagship LLM-pipeline
+    # pass, promoted to a hard driver slot in place of q4_order_priority
+    # (whose operator tags — j:semi, A1 — stay covered by combo_semi_anti
+    # and a1_multi_measure_agg; tpch:q4 is a showcase label, carve-out in
+    # tests/test_driver_set.py). q4 remains registered and parity-tested
+    # in-repo.
+    "text_quality_filter",
     "cross_join_nation_pairs",
     "text_edit_distance_pairs",
     "dedup_exact",
@@ -114,7 +121,6 @@ DRIVER_SET: tuple[str, ...] = (
     "pandas_grouped_zscore",
     "train_test_split",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_region_revenue",
     "q6_revenue_delta",
     "q10_returned_items",

@@ -8,10 +8,11 @@ covers the FULL 125-query registry — the driver's gate records rows for
 the first ~50 entries only, so combo queries pack whole operator
 families into single slots (docs/COVERAGE.md maps slots → operators →
 subsumed queries; ``tests/test_oracle_parity.py`` runs the full
-registry against DuckDB). 48 of the 50 carry ANSI-SQL oracles; the 2
-rows-only slots (HLL/GK sketches, KMeans-cell ANN) are genuinely
-approximate per the contract — engine-hash dedup and seeded sampling
-gained cross-engine md5 / hash-threshold oracles in r3.
+registry against DuckDB). ALL 50 slots carry ANSI-SQL oracles as of r4:
+engine-hash dedup and seeded sampling gained cross-engine md5 /
+hash-threshold oracles in r3, and the two approximate slots (HLL/GK
+sketches, seeded ANN) emit deterministic bound/recall verdicts whose
+expected values the oracle computes.
 """
 
 from __future__ import annotations

@@ -54,18 +54,15 @@ def test_driver_contract_dicts_follow_driver_set():
     assert list(qs) == list(DRIVER_SET)  # insertion order IS driver order
     oracles = driver_oracles()
     assert set(oracles) <= set(qs)
-    # Only contract-sanctioned no-oracle slots may omit SQL. Down to two
-    # in r3: combo_dedup_near moved to cross-engine md5 signatures (full
-    # oracle) and o3_seeded_sample to the deterministic hash-threshold
-    # sample; what remains is genuinely approximate (engine-specific
-    # sketch error profiles / KMeans cell assignment).
+    # Every driver slot is oracle-backed as of r4: the two genuinely
+    # approximate slots (combo_approx_sketches, combo_ann_approx) emit
+    # deterministic bound/recall VERDICTS whose expected values the
+    # oracle computes, even though the underlying estimates are
+    # engine-specific.
     no_oracle = [n for n in qs if n not in oracles]
-    assert set(no_oracle) == {
-        "combo_approx_sketches",
-        "combo_ann_approx",
-    }
+    assert no_oracle == []
 
 
 def test_most_driver_slots_are_oracle_backed():
     oracle_backed = sum(1 for n in DRIVER_SET if REGISTRY[n].oracle)
-    assert oracle_backed >= 48
+    assert oracle_backed == len(DRIVER_SET) == 50

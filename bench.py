@@ -71,18 +71,31 @@ def main() -> None:
     # query, not session startup.
     REGISTRY[headline[0]].build(spark, sf_dir).count()
 
+    # Bench numbers on a shared box need noise context to be legible
+    # (VERDICT r3 #6): record host load before/after and the per-query
+    # min/median spread so a +-30% swing on a 0.1 s query is
+    # distinguishable from a regression without re-running.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in headline:
-        # Best of two runs: the first run at each SF warms file-index and
-        # code caches; min-of-2 measures the query, not the warmup noise.
-        best = float("inf")
-        for _ in range(2):
+        # Min of N runs: the first run at each SF warms file-index and
+        # code caches; the minimum measures the query, not warmup noise.
+        samples: list[float] = []
+        for _ in range(runs):
             start = time.perf_counter()
             # Execute the full plan; count() forces every operator while
             # keeping the driver out of the data path.
             REGISTRY[name].build(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        spread[name] = {
+            "med": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+        }
         # Several operators persist multi-consumer intermediates for the
         # duration of their plan (minhash signatures/candidates, CC
         # frontiers). Dropping them between queries keeps storage memory
@@ -124,6 +137,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs_per_query": runs,
+        "queries_spread": spread,
+        "load_avg_before": load_before,
+        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
     }
 
     spark.stop()

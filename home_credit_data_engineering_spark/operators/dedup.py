@@ -1003,6 +1003,13 @@ def minhash_md5_pairs(
 
     Docs with fewer than ``shingle_k`` tokens yield no shingles and thus
     never pair (the production path keeps them via a whole-text fallback).
+
+    Persist note (same multi-consumer rule :func:`minhash_dedup`
+    documents): the distinct shingle-hash frame feeds both the per-seed
+    minima and the Jaccard sets, so it is persisted and stays cached for
+    the lifetime of the returned (lazy) plan — callers running many
+    separate invocations in one session should ``spark.catalog.clearCache()``
+    between them, as bench.py does.
     """
     from pyspark import StorageLevel
 

@@ -30,6 +30,13 @@ def hash_bernoulli_sample(
     identical across engines, runs, partitionings, and appends, which is
     what makes it oracle-verifiable and the operationally safe sample at
     100 TB (a row's in/out never changes under re-execution).
+
+    Granularity: membership is quantized to ``1/buckets`` — the keep
+    threshold is ``round(buckets * fraction)`` whole buckets (Python
+    banker's rounding), so fractions finer than ``1/buckets`` coarsen to
+    the nearest bucket count (``fraction=0.00005`` with the default
+    10 000 buckets keeps 0 or 1 bucket in 10 000, i.e. 0.or.1e-4 of
+    rows). Raise ``buckets`` when you need finer-grained fractions.
     """
     from pyspark.sql import functions as F
 

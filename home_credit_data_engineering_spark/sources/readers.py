@@ -170,10 +170,23 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = read_parquet(spark, path, schema=schema)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        df = read_parquet(spark, path)
-        return df.withColumn("ts", F.col("ts").cast("timestamp")).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
+        # Micros variant: the DECLARED schema with ts swapped to
+        # TimestampNTZ (matches TIMESTAMP(MICROS, isAdjustedToUTC=false)),
+        # not inference — value/props keep their declared types, and a
+        # driver round adding extra columns cannot break the select
+        # (explicit read schemas simply don't scan undeclared columns).
+        micros = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampNTZType() if f.name == "ts" else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
         )
+        df = read_parquet(spark, path, schema=micros)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return read_parquet(spark, path, schema=schema)
 
 

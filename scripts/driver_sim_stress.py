@@ -88,15 +88,22 @@ def main() -> int:
         i = args.index("--repeats")
         repeats = int(args[i + 1])
         del args[i : i + 2]
+    config_ids = list(range(len(CONFIGS)))
+    if "--configs" in args:
+        # e.g. --configs 0,3 — the CI-shape subset (tests/test_stress_ci.py)
+        # runs the two extreme configs instead of all six.
+        i = args.index("--configs")
+        config_ids = [int(x) for x in args[i + 1].split(",")]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     all_failures: dict[str, int] = {}
     for r in range(repeats):
-        for idx, cfg in enumerate(CONFIGS):
-            for name in run_config(idx, cfg, sf_dir, only):
+        for idx in config_ids:
+            for name in run_config(idx, CONFIGS[idx], sf_dir, only):
                 all_failures[name] = all_failures.get(name, 0) + 1
-    total_runs = repeats * len(CONFIGS)
+    total_runs = repeats * len(config_ids)
     print(f"\n{total_runs} config-runs done; flaky queries: {all_failures or 'none'}")
     return 1 if all_failures else 0
 

@@ -629,15 +629,14 @@ def test_ivf_index_build_query_with_partition_pruning(clustered_vectors, tmp_pat
     # partition pruning: the scan's partition filters mention `cell`
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
-    # The query side is persisted, so the cell-assignment pandas UDF is
-    # not re-evaluated: the candidates join reads the cached q_cells
-    # (InMemoryTableScan). The cached subtree's own plan (where top_cells
-    # legitimately appears once) is printed inside the InMemoryRelation
-    # node, so only the LIVE section above it is checked: it must contain
-    # exactly one ArrowEvalPython — the cosine re-ranker.
-    assert "InMemoryTableScan" in plan
-    live = plan.split("InMemoryRelation")[0]
-    assert live.count("ArrowEvalPython") == 1
+    # The cell-assignment pandas UDF ran exactly once, driver-side, while
+    # collecting the tiny (query_id, cell) list — it must NOT appear in
+    # the result plan at all (r4: the r3 form cached the assignment
+    # subtree and leaked the cache across calls). The only Python in the
+    # plan is the Arrow cosine re-ranker, and nothing is left persisted.
+    final_plan = plan.split("+- == Initial Plan ==")[0]
+    assert final_plan.count("ArrowEvalPython") == 1
+    assert "InMemoryTableScan" not in plan
 
 
 def test_connected_components_star_empty_and_ivf_empty_queries(spark, tmp_path, clustered_vectors):

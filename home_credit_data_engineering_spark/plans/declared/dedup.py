@@ -87,6 +87,38 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle="""
+    SELECT a.vec_id, a.label AS cluster,
+           NOT EXISTS (
+             SELECT 1 FROM embeddings b
+             WHERE b.label = a.label AND b.vec_id < a.vec_id
+               AND ROUND(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+           ) AS kept
+    FROM embeddings a
+    """,
+    operators=("D-ext:embedding",),
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): within each "
+    "cluster, drop every vector with a smaller-id neighbor at cosine >= "
+    "0.35 (min-id survivor per epsilon-neighborhood — deterministic and "
+    "order-free, unlike the paper's centroid-distance heuristic). "
+    "Blocked by the label column here so the verdict is fully "
+    "oracle-verifiable; the production form swaps in the seeded-KMeans "
+    "coarse quantizer (engine-specific assignment), pinned by planted-"
+    "cluster unit tests.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.dedup import semantic_dedup
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, cluster_col="label"
+    )
+
+
+@register(
     "text_winnowing_fingerprints",
     oracle=None,  # xxhash64 fingerprints are engine-specific -> rows-only
     operators=("T-ext:winnowing",),

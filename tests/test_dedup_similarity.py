@@ -182,6 +182,97 @@ def clustered_vectors(spark):
     )
 
 
+def test_semantic_dedup_label_blocked_min_id_survivors(clustered_vectors):
+    """Label-blocked form: survivors match an exact numpy replication of
+    the rule (drop iff a smaller-id same-cluster vector sits at cosine >=
+    threshold); cross-cluster vectors never interact (blocked). In the
+    planted data that is the min id of each clique plus the rare outlier
+    whose noise pushed every intra-clique pair below the threshold."""
+    from home_credit_data_engineering_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        clustered_vectors, "vec_id", "embedding", threshold=0.8,
+        cluster_col="label",
+    ).collect()
+    assert len(out) == 200
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    rows = clustered_vectors.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    expect = set()
+    for r in rows:
+        i = r["vec_id"]
+        vi = vecs[i]
+        dropped = any(
+            round(
+                float(vi @ vecs[j] / (np.linalg.norm(vi) * np.linalg.norm(vecs[j]))),
+                6,
+            )
+            >= 0.8
+            for j in range((i // 10) * 10, i)  # smaller ids, same clique
+        )
+        if not dropped:
+            expect.add(i)
+    assert kept == expect
+    assert {c * 10 for c in range(20)} <= kept  # min ids always survive
+    assert len(kept) <= 25  # near-total collapse of the 200-vector corpus
+    assert all(r["cluster"] == r["vec_id"] // 10 for r in out)
+
+
+def test_semantic_dedup_kmeans_path_and_cap(clustered_vectors):
+    """KMeans assignment: survivors drop near-dups regardless of exact
+    cell boundaries (each planted clique is semantically identical, so
+    at most one survivor per clique cell). max_cluster=1 excludes every
+    cluster from the pair scan -> everything kept, audit view flags them."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_oversized_clusters,
+    )
+
+    out = semantic_dedup(
+        clustered_vectors, "vec_id", "embedding", threshold=0.8,
+        n_clusters=20, seed=1,
+    ).collect()
+    assert len(out) == 200
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    # Every planted clique collapses to >= 1 survivor; splits across
+    # cells and the rare sub-threshold outlier pair add a few more —
+    # never anywhere near the 200-vector corpus.
+    assert 20 <= len(kept) <= 50
+    # Survivor soundness: replicate the rule in numpy against the
+    # output's own cell assignment — kept iff no smaller-id same-cell
+    # vector sits at cosine >= threshold.
+    cell_of = {r["vec_id"]: r["cluster"] for r in out}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in clustered_vectors.collect()
+    }
+    for i in sorted(vecs):
+        vi = vecs[i]
+        dropped = any(
+            cell_of[j] == cell_of[i]
+            and round(
+                float(
+                    vi @ vecs[j]
+                    / (np.linalg.norm(vi) * np.linalg.norm(vecs[j]))
+                ),
+                6,
+            )
+            >= 0.8
+            for j in range(i)
+        )
+        assert (i not in kept) == dropped, f"vec {i} survivor rule mismatch"
+
+    capped = semantic_dedup(
+        clustered_vectors, "vec_id", "embedding", threshold=0.8,
+        cluster_col="label", max_cluster=1,
+    ).collect()
+    assert all(r["kept"] for r in capped)  # capped clusters keep members
+    audit = semantic_oversized_clusters(
+        clustered_vectors, cluster_col="label", max_cluster=1
+    ).collect()
+    assert len(audit) == 20 and all(r["cluster_size"] == 10 for r in audit)
+
+
 def test_bruteforce_topk_finds_cluster(clustered_vectors):
     queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0)
     top = brute_force_topk(clustered_vectors, queries, k=5)

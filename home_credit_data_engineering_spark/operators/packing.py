@@ -1,0 +1,180 @@
+"""Training-sequence packing and retrieval chunking.
+
+Two corpus-preparation operators every LLM data pipeline runs after
+filtering/dedup, absent from the reference (its pipeline ends at the
+datamart — SURVEY §2.13):
+
+- :func:`pack_sequences` — GPT-style concatenate-and-chop assignment:
+  documents are deterministically ordered, abutted end-to-end, and the
+  token stream is cut into fixed-``budget`` training sequences. The
+  operator computes, per document, its token offset in the stream and
+  the range of sequence indices it lands in — the metadata a downstream
+  tokenizer-writer needs to materialize packed batches without a global
+  sort.
+- :func:`chunk_documents` — overlapping fixed-size token windows
+  (RAG/embedding chunking): every document becomes ceil(n/stride)
+  chunks of up to ``chunk_tokens`` tokens starting every ``stride``
+  tokens.
+
+Both are deterministic over cross-engine hashes (md5), so they are
+exactly SQL-oracle-verifiable and stable under re-execution and
+repartitioning. :func:`pack_sequences` keys order on the md5 permutation
+used by ``operators/sampling.py:hash_split`` — the *relative* order of
+surviving documents never changes when the corpus grows (absolute
+offsets do shift as new documents interleave; packing is a
+whole-corpus-at-a-time operator by nature). :func:`chunk_documents` is
+per-document and therefore fully append-stable.
+
+100 TB posture: ``chunk_documents`` is a narrow explode — zero shuffles,
+zero Python. ``pack_sequences`` shuffles (doc_id, token_count) pairs
+only — never text — into ``shards`` independent cumulative-sum windows;
+shards bound each window partition (100 TB / 4096 shards ≈ 25 GB of
+*metadata rows*, ~tens of MB at 8 bytes a row), and each shard's packing
+is independent, which is also what keeps the result stable when shards
+are processed by different executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from home_credit_data_engineering_spark.functions.text import tokens
+
+__all__ = ["pack_sequences", "chunk_documents"]
+
+
+def _md5_perm(id_col: str, seed: int) -> Column:
+    """Seeded cross-engine permutation key (same idiom as
+    ``operators/sampling.py:hash_split``)."""
+    return F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str | Column,
+    budget: int,
+    shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each document its position in concatenate-and-chop packing.
+
+    Within each of ``shards`` hash-shards, documents are ordered by a
+    seeded md5 permutation (ties on id — total order), abutted, and the
+    token stream is chopped every ``budget`` tokens. Returns one row per
+    document with ``token_count >= 1``:
+
+    - ``shard`` — md5 bucket of the id (first 32 bits mod ``shards``);
+    - ``start_offset`` — exclusive running sum of prior token counts in
+      the shard (0-based position of the doc's first token);
+    - ``seq_first`` / ``seq_last`` — sequence indices the document's
+      tokens land in (``floor(start/budget)`` …
+      ``floor((start+n-1)/budget)``); a document longer than ``budget``
+      or straddling a cut spans several — that's the semantics of packed
+      LLM training (documents are split across sequences rather than
+      padded, cf. GPT-3 appendix B / T5 "packing").
+    - ``n_seqs`` — ``seq_last - seq_first + 1``.
+
+    Zero-token documents are excluded (they occupy no tokens and would
+    need an arbitrary sequence assignment).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    n = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("bigint")
+    perm = _md5_perm(id_col, seed)
+    shard = (F.conv(F.substring(perm, 1, 8), 16, 10).cast("bigint") % shards).cast(
+        "int"
+    )
+    base = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        shard.alias("shard"),
+        perm.alias("__ord"),
+    ).filter(F.col("__n") >= 1)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("__ord", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("__n").over(w), F.lit(0))
+    out = base.select(
+        F.col(id_col),
+        "shard",
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("bigint").alias("seq_first"),
+        F.floor((start + F.col("__n") - 1) / budget)
+        .cast("bigint")
+        .alias("seq_last"),
+        F.col("__n").alias("token_count"),
+    )
+    return out.withColumn(
+        "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("bigint")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunks for retrieval/embedding.
+
+    One output row per (document, window): chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``; the last chunk of a
+    document may be shorter (``chunk_len`` carries the actual length).
+    Chunks start at every ``stride`` tokens while the start is inside
+    the document, so ``stride < chunk_tokens`` yields
+    ``chunk_tokens - stride`` tokens of overlap between neighbors —
+    the standard RAG windowing. Documents with no tokens yield no rows.
+
+    Returns (id, chunk_id, chunk_start, chunk_len, chunk_text).
+
+    Plan: ``sequence()`` of starts → ``explode`` → ``slice`` +
+    ``concat_ws`` — a narrow per-row projection with NO shuffle and no
+    Python; chunking 100 TB is embarrassingly parallel and this plan
+    keeps it that way (tokenization runs once per row, chunk slices
+    reference the same array).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = tokens(text_col)
+    # split("") yields [""] — treat blank text as zero tokens, matching
+    # functions.text.token_count
+    n = F.when(
+        F.trim(
+            F.col(text_col) if isinstance(text_col, str) else text_col
+        )
+        == "",
+        F.lit(0),
+    ).otherwise(F.size(toks))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(starts).alias("chunk_start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("chunk_start") / stride).cast("int").alias("chunk_id"),
+        F.col("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("chunk_start"))
+        .cast("int")
+        .alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("chunk_start") + 1, F.lit(chunk_tokens))
+        ).alias("chunk_text"),
+    )

@@ -1,0 +1,212 @@
+"""Exact-substring (span-level) deduplication.
+
+Whole-document dedup (exact / MinHash / SimHash — ``operators/dedup.py``)
+misses the dominant contamination mode in web-scale LLM corpora:
+*passages* duplicated across otherwise-distinct documents (boilerplate,
+licenses, quoted news wire). Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (arXiv:2107.06499) remove every substring
+of >= 50 tokens that appears more than once in the corpus, using a
+suffix array — a data structure with no distributed analogue at 100 TB.
+
+This module re-expresses the operator Spark-first at *window*
+granularity: a ``k``-token sliding window is duplicated iff its content
+occurs more than once in the corpus (in another document or at another
+position of the same document); maximal runs of consecutive duplicated
+windows merge into spans. Any duplicated substring of >= k tokens is
+covered by a maximal span, and every reported span is genuinely
+duplicated text — the same guarantee direction as winnowing
+(``dedup.py:winnowing_fingerprints``) but with exact span *boundaries*,
+which is what the removal stage needs.
+
+Plan shape (all whole-stage-codegen, no Python):
+
+1. ``kgram_hash_stream`` — posexplode → per-token hash → lead()-combined
+   window hash (one shuffle, on doc_id, hash+position only);
+2. duplicated-hash set — hash-aggregate ``count > 1`` on the 8-byte
+   window hash (one shuffle, map-side partial combine);
+3. left-semi join windows → duplicated hashes (shuffle on the hash;
+   ids+positions only, never text);
+4. islands: ``pos - row_number() over (doc_id order by pos)`` groups
+   consecutive duplicated positions; min/max per island → span (one
+   shuffle on doc_id).
+
+At 100 TB nothing but (doc_id, pos, hash8) ever rides a shuffle, and
+step 2's partial aggregation collapses the long tail of unique windows
+map-side. The reference has no counterpart operator (its dedup surface
+is dropDuplicates-style exact matching only — see SURVEY §2.5 / A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from home_credit_data_engineering_spark.functions.text import tokens
+from home_credit_data_engineering_spark.operators.dedup import kgram_hash_stream
+
+__all__ = [
+    "duplicated_spans",
+    "duplicated_spans_md5",
+    "strip_spans",
+]
+
+
+def _spans_from_windows(hits: DataFrame, k: int) -> DataFrame:
+    """(doc_id, __pos) of duplicated windows → maximal merged spans.
+
+    Consecutive window positions overlap (windows at p and p+1 share
+    k-1 tokens), so a run of duplicated positions [p1..p2] certifies one
+    duplicated token span [p1, p2+k-1]. Runs are grouped with the
+    islands-and-gaps trick; the group key is position minus rank, which
+    is constant exactly on consecutive runs.
+    """
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    islands = hits.select(
+        "doc_id",
+        "__pos",
+        (F.col("__pos") - F.row_number().over(w)).alias("__island"),
+    )
+    return (
+        islands.groupBy("doc_id", "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def _duplicated(grams: DataFrame, min_count: int) -> DataFrame:
+    """Filter a (doc_id, __pos, __fp) window stream to duplicated rows."""
+    dup = (
+        grams.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_count)
+        .select("__fp")
+    )
+    return grams.join(dup, on="__fp", how="left_semi")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens) — maximal duplicated
+    token spans, Lee et al. (arXiv:2107.06499) at window granularity.
+
+    A span is reported iff every length-``k`` window inside it occurs at
+    least ``min_count`` times in the corpus (other documents or other
+    positions of the same document count). ``span_start``/``span_end``
+    are 0-based token offsets, inclusive; ``span_tokens >= k`` always.
+
+    Production path: windows are ``xxhash64`` combinations of per-token
+    hashes (``kgram_hash_stream``) — no window strings are materialized.
+    Because spans are defined by window *equality*, the output is
+    hash-function-independent modulo 64-bit collisions (~n²/2⁶⁵ — nil
+    below petascale), so the md5 twin's SQL oracle verifies THIS path's
+    output exactly; :func:`duplicated_spans_md5` exists for engines that
+    need a reproducible hash end-to-end.
+
+    Raise ``k`` to tighten what counts as duplication (Lee et al. use
+    50); with a tiny vocabulary and a small k almost every window
+    collides and spans degenerate to whole documents.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    grams = kgram_hash_stream(
+        df, id_col, text_col, k=k, short_doc_fallback=False
+    ).withColumnRenamed("__sh", "__fp")
+    return _spans_from_windows(_duplicated(grams, min_count), k)
+
+
+def duplicated_spans_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-engine twin of :func:`duplicated_spans`: windows are md5
+    digests of the space-joined k-token string, bit-identical in any SQL
+    engine. Same output contract; ~4× more shuffle bytes (32-char hex vs
+    8-byte longs), so the xxhash64 path stays production.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__t"),
+    )
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    leads = [F.lead("__t", j).over(w) for j in range(1, k)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "__pos",
+            F.md5(F.concat_ws(" ", F.col("__t"), *leads)).alias("__fp"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "__pos", "__fp")
+    )
+    return _spans_from_windows(_duplicated(grams, min_count), k)
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Remove span-covered tokens from each document's text.
+
+    Returns ``df``'s id column plus ``out_col`` (surviving tokens
+    re-joined with single spaces; empty string when a span covers the
+    whole document) and ``removed_tokens`` (count of dropped tokens).
+
+    Plan shape: spans collapse to one small array per document (shuffle
+    of (doc_id, start, end) triples only), then token filtering happens
+    inside a single projection via nested higher-order functions —
+    ``filter(tokens, (t, i) -> !exists(spans, s -> covers(s, i)))`` — so
+    the document text itself never rides a shuffle and no Python runs.
+    Span arrays are per-document and bounded by tokens/k, so the
+    broadcast-sized struct array never explodes; overlapping or
+    duplicate spans in the input are harmless (coverage is a union).
+    """
+    span_arr = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(span_arr, on=df[id_col] == span_arr["__sid"], how="left")
+    toks = tokens(text_col)
+    # index-aware filter: token i survives iff no span [s, e] covers i
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(out_col),
+        F.when(F.col("__spans").isNull(), F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("int")
+        .alias("removed_tokens"),
+    )

@@ -4,6 +4,7 @@
 from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     combos,
     core,
+    corpus_prep,
     dedup,
     events,
     io_roundtrip,

@@ -1,0 +1,328 @@
+"""Corpus-preparation declared queries: exact-substring (span) dedup,
+sequence packing, retrieval chunking.
+
+The operators live in ``operators/spans.py`` and ``operators/packing.py``;
+this module binds them to the documents table with full DuckDB oracles.
+All three families are deterministic pure-relational pipelines (md5 window
+hashes / md5 permutation ordering), so every query here is exactly
+hash-verifiable cross-engine — no rows-only escape hatches.
+
+``combo_corpus_prep`` packs the whole family into one driver slot
+(registry.DRIVER_SET), unioned to a common (kind, doc_id, k1..k6, s)
+schema; the fine-grained singles stay registered for the in-repo
+full-registry parity gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+_SPAN_K = 8
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+_CHUNK = 32
+_STRIDE = 16
+
+# Shared oracle CTEs: md5 k-gram stream (0-based positions) -> duplicated
+# windows -> islands -> maximal spans. Mirrors operators/spans.py exactly;
+# the Spark production path uses xxhash64 window hashes, but spans are
+# defined by window EQUALITY, so the two agree modulo 64-bit collisions.
+_GRAM_CONCAT = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, _SPAN_K)]
+)
+_SPAN_CTES = f"""
+    toks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) - 1 AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id, pos, md5({_GRAM_CONCAT}) AS fp,
+             lead(tok, {_SPAN_K - 1}) OVER w AS last_lead
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    valid AS (SELECT doc_id, pos, fp FROM grams WHERE last_lead IS NOT NULL),
+    dup AS (SELECT fp FROM valid GROUP BY fp HAVING COUNT(*) >= 2),
+    hits AS (SELECT v.doc_id, v.pos FROM valid v JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id,
+             MIN(pos) AS span_start,
+             MAX(pos) + {_SPAN_K - 1} AS span_end,
+             MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens
+      FROM isl GROUP BY doc_id, g
+    )
+"""
+
+_STRIP_CTES = f"""
+    {_SPAN_CTES},
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.pos BETWEEN s.span_start AND s.span_end
+      )
+    ),
+    rejoined AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS joined
+      FROM kept GROUP BY doc_id
+    ),
+    covered AS (
+      SELECT doc_id, SUM(span_tokens) AS removed FROM spans GROUP BY doc_id
+    ),
+    stripped AS (
+      SELECT d.doc_id,
+             CASE WHEN c.doc_id IS NULL THEN d.text
+                  ELSE COALESCE(r.joined, '') END AS text_clean,
+             CAST(COALESCE(c.removed, 0) AS INTEGER) AS removed_tokens
+      FROM documents d
+      LEFT JOIN rejoined r ON r.doc_id = d.doc_id
+      LEFT JOIN covered c ON c.doc_id = d.doc_id
+    )
+"""
+
+_PACK_CTES = f"""
+    pk_base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n,
+             md5('s42:' || CAST(doc_id AS VARCHAR)) AS ord_key,
+             CAST(CAST('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % {_PACK_SHARDS} AS INTEGER) AS shard
+      FROM documents
+    ),
+    pk_cum AS (
+      SELECT doc_id, shard, CAST(n AS BIGINT) AS n,
+             CAST(COALESCE(SUM(n) OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM pk_base WHERE n >= 1
+    ),
+    packed AS (
+      SELECT doc_id, shard, start_offset,
+             CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT) AS seq_first,
+             CAST(FLOOR((start_offset + n - 1) / {_PACK_BUDGET}) AS BIGINT)
+               AS seq_last,
+             n AS token_count,
+             CAST(FLOOR((start_offset + n - 1) / {_PACK_BUDGET})
+                  - FLOOR(start_offset / {_PACK_BUDGET}) + 1 AS BIGINT) AS n_seqs
+      FROM pk_cum
+    )
+"""
+
+_CHUNK_CTES = f"""
+    ck_base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(chunk_start / {_STRIDE} AS INTEGER) AS chunk_id,
+             CAST(chunk_start AS INTEGER) AS chunk_start,
+             CAST(LEAST({_CHUNK}, n - chunk_start) AS INTEGER) AS chunk_len,
+             array_to_string(arr[chunk_start + 1 : chunk_start + {_CHUNK}], ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, arr, n,
+                   unnest(generate_series(0, n - 1, {_STRIDE})) AS chunk_start
+            FROM ck_base WHERE n > 0)
+    )
+"""
+
+
+def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.spans import duplicated_spans
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+@register(
+    "text_duplicated_spans",
+    oracle=f"WITH {_SPAN_CTES} "
+    "SELECT doc_id, span_start, span_end, span_tokens FROM spans",
+    operators=("T-ext:substring-dedup",),
+    doc="Exact-substring dedup at window granularity (Lee et al., "
+    "arXiv:2107.06499): maximal token spans whose every 8-token window "
+    "occurs >= 2 times in the corpus. Production path hashes windows with "
+    "xxhash64 over per-token hashes (no window strings materialized); the "
+    "oracle rebuilds the same spans from md5 window digests — valid "
+    "because spans depend only on window equality. The reference's dedup "
+    "surface is whole-row dropDuplicates only (SURVEY §2.5); this is the "
+    "passage-level operator an LLM corpus needs.",
+)
+def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spans_df(spark, sf_dir)
+
+
+@register(
+    "text_strip_duplicate_spans",
+    oracle=f"WITH {_STRIP_CTES} "
+    "SELECT doc_id, text_clean, removed_tokens FROM stripped",
+    operators=("T-ext:substring-dedup", "T-ext:span-strip"),
+    doc="Span-removal stage of exact-substring dedup: duplicated spans "
+    "are cut out of each document (surviving tokens re-joined; documents "
+    "without spans pass through verbatim). Token filtering happens in one "
+    "projection via nested higher-order functions — the text never rides "
+    "a shuffle.",
+)
+def text_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.spans import strip_spans
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    spans = _spans_df(spark, sf_dir)
+    return strip_spans(docs, spans, "doc_id", "text")
+
+
+@register(
+    "text_sequence_packing",
+    oracle=f"WITH {_PACK_CTES} SELECT doc_id, shard, start_offset, seq_first, "
+    "seq_last, token_count, n_seqs FROM packed",
+    operators=("T-ext:packing",),
+    doc="GPT-style concatenate-and-chop training-sequence packing: "
+    "documents hash-sharded and ordered by a seeded md5 permutation, "
+    "token streams abutted and cut every 512 tokens; per-document start "
+    "offset and spanned sequence range. Deterministic, append-stable, "
+    "fully SQL-oracled; only (doc_id, token_count) metadata shuffles.",
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import token_count
+    from home_credit_data_engineering_spark.operators.packing import pack_sequences
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.withColumn("__ntok", token_count("text")),
+        "doc_id",
+        "__ntok",
+        budget=_PACK_BUDGET,
+        shards=_PACK_SHARDS,
+    )
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"WITH {_CHUNK_CTES} SELECT doc_id, chunk_id, chunk_start, "
+    "chunk_len, chunk_text FROM chunks",
+    operators=("T-ext:chunking",),
+    doc="Overlapping token-window chunks (RAG/embedding prep): 32-token "
+    "windows every 16 tokens, trailing partial chunks kept with their "
+    "actual length. Narrow sequence+explode+slice projection — zero "
+    "shuffle, zero Python (plan-asserted in tests/test_plan_quality.py).",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.packing import chunk_documents
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK, stride=_STRIDE
+    )
+
+
+@register(
+    "combo_corpus_prep",
+    oracle=f"""
+    WITH {_STRIP_CTES},
+    {_PACK_CTES},
+    {_CHUNK_CTES}
+    SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
+           CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
+           CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
+           CAST(NULL AS BIGINT) AS k6, CAST(NULL AS VARCHAR) AS s
+    FROM spans
+    UNION ALL
+    SELECT 'strip', doc_id, CAST(removed_tokens AS BIGINT), NULL, NULL,
+           NULL, NULL, NULL, text_clean
+    FROM stripped
+    UNION ALL
+    SELECT 'pack', doc_id, CAST(shard AS BIGINT), start_offset, seq_first,
+           seq_last, token_count, n_seqs, NULL
+    FROM packed
+    UNION ALL
+    SELECT 'chunk', doc_id, CAST(chunk_id AS BIGINT),
+           CAST(chunk_start AS BIGINT), CAST(chunk_len AS BIGINT),
+           NULL, NULL, NULL, chunk_text
+    FROM chunks
+    """,
+    operators=(
+        "T-ext:substring-dedup",
+        "T-ext:span-strip",
+        "T-ext:packing",
+        "T-ext:chunking",
+    ),
+    doc="Driver slot packing the corpus-preparation family: duplicated "
+    "spans (Lee et al. exact-substring dedup), span-stripped documents, "
+    "sequence-packing assignment, and retrieval chunks, unioned to a "
+    "common (kind, doc_id, k1..k6, s) schema. Every leg is exactly "
+    "hash-verified; fine-grained singles stay in the registry for the "
+    "in-repo parity gate.",
+)
+def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.spans import strip_spans
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    spans = _spans_df(spark, sf_dir)
+    stripped = strip_spans(docs, spans, "doc_id", "text")
+    packed = text_sequence_packing(spark, sf_dir)
+    chunks = text_chunk_windows(spark, sf_dir)
+
+    b = F.lit(None).cast("bigint")
+    s = F.lit(None).cast("string")
+    span_leg = spans.select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("k1"),
+        F.col("span_end").cast("bigint").alias("k2"),
+        F.col("span_tokens").cast("bigint").alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        s.alias("s"),
+    )
+    strip_leg = stripped.select(
+        F.lit("strip").alias("kind"),
+        "doc_id",
+        F.col("removed_tokens").cast("bigint").alias("k1"),
+        b.alias("k2"),
+        b.alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        F.col("text_clean").alias("s"),
+    )
+    pack_leg = packed.select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        F.col("shard").cast("bigint").alias("k1"),
+        F.col("start_offset").cast("bigint").alias("k2"),
+        F.col("seq_first").cast("bigint").alias("k3"),
+        F.col("seq_last").cast("bigint").alias("k4"),
+        F.col("token_count").cast("bigint").alias("k5"),
+        F.col("n_seqs").cast("bigint").alias("k6"),
+        s.alias("s"),
+    )
+    chunk_leg = chunks.select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("k1"),
+        F.col("chunk_start").cast("bigint").alias("k2"),
+        F.col("chunk_len").cast("bigint").alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        F.col("chunk_text").alias("s"),
+    )
+    return (
+        span_leg.unionByName(strip_leg)
+        .unionByName(pack_leg)
+        .unionByName(chunk_leg)
+    )

@@ -100,6 +100,7 @@ DRIVER_SET: tuple[str, ...] = (
     "combo_text_terms",
     "combo_ann_approx",
     "combo_dedup_near",
+    "combo_corpus_prep",
     "combo_io_roundtrip",
     "combo_timeseries_fill",
     "combo_pivot_unpivot",
@@ -121,7 +122,11 @@ DRIVER_SET: tuple[str, ...] = (
     "pandas_grouped_zscore",
     "train_test_split",
     "q3_shipping_priority",
-    "q5_region_revenue",
+    # q5_region_revenue yielded its slot to combo_corpus_prep in r4 (its
+    # operator tags — J2, A1 — stay multiply covered by j2_star_assembly,
+    # q3/q10, a1_multi_measure_agg, q1; tpch:q5 is a showcase label,
+    # carve-out in tests/test_driver_set.py). q5 remains registered and
+    # parity-tested in-repo.
     "q6_revenue_delta",
     "q10_returned_items",
     "q14_promo_revenue",

@@ -1,0 +1,280 @@
+"""Exact-substring span dedup, sequence packing, and chunking.
+
+Semantics pinned with planted fixtures (exact span boundaries, strip
+round-trips, packing arithmetic, chunk coverage); cross-engine parity of
+the declared queries runs in test_oracle_parity.py. The production
+xxhash64 span path and the md5 twin are asserted equal — spans depend
+only on window equality, so the two must agree short of a 64-bit
+collision.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.functions.text import token_count
+from home_credit_data_engineering_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+from home_credit_data_engineering_spark.operators.spans import (
+    duplicated_spans,
+    duplicated_spans_md5,
+    strip_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j unique1 tail1 tail2"),
+            (2, "x y a b c d e f g h i j z w unique2"),
+            (3, "solo words only here nothing shared at all ok fine"),
+            (4, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+            (5, "short doc"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_planted_span_boundaries(spark, corpus):
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(corpus, "doc_id", "text", k=5).collect()
+    }
+    # docs 1 & 2 share the 10-token passage a..j (doc1 pos 0-9, doc2 pos
+    # 2-11); doc 4 is a 12-token self-repeat (every 5-window duplicated
+    # within the doc). Docs 3/5/6 contribute nothing.
+    assert rows == {(1, 0, 9, 10), (2, 2, 11, 10), (4, 0, 11, 12)}
+
+
+def test_adjacent_windows_merge_to_one_maximal_span(spark, corpus):
+    spans = duplicated_spans(corpus, "doc_id", "text", k=5)
+    per_doc = (
+        spans.groupBy("doc_id").count().orderBy("doc_id").collect()
+    )
+    # each planted duplication yields exactly ONE maximal span, not
+    # one row per duplicated window
+    assert all(r["count"] == 1 for r in per_doc)
+
+
+def test_md5_twin_matches_production(spark, sf_dir):
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    prod = sorted(
+        map(tuple, duplicated_spans(docs, "doc_id", "text", k=8).collect())
+    )
+    twin = sorted(
+        map(tuple, duplicated_spans_md5(docs, "doc_id", "text", k=8).collect())
+    )
+    assert prod == twin and len(prod) > 0
+
+
+def test_strip_spans_removes_exactly_covered_tokens(spark, corpus):
+    spans = duplicated_spans(corpus, "doc_id", "text", k=5)
+    out = {
+        r.doc_id: (r.text_clean, r.removed_tokens)
+        for r in strip_spans(corpus, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == ("unique1 tail1 tail2", 10)
+    assert out[2] == ("x y z w unique2", 10)
+    assert out[3] == ("solo words only here nothing shared at all ok fine", 0)
+    assert out[4] == ("", 12)  # fully-covered doc strips to empty
+    assert out[5] == ("short doc", 0)
+    assert out[6] == ("", 0)  # blank doc passes through untouched
+
+
+def test_span_guards(spark, corpus):
+    with pytest.raises(ValueError):
+        duplicated_spans(corpus, "doc_id", "text", k=1)
+    with pytest.raises(ValueError):
+        duplicated_spans(corpus, "doc_id", "text", k=5, min_count=1)
+    with pytest.raises(ValueError):
+        duplicated_spans_md5(corpus, "doc_id", "text", k=1)
+
+
+def test_min_count_raises_duplication_bar(spark):
+    # passage appears twice -> reported at min_count=2, absent at 3
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "p q r s t u"), (3, "v w x y z zz")],
+        ["doc_id", "text"],
+    )
+    two = duplicated_spans(docs, "doc_id", "text", k=5, min_count=2)
+    three = duplicated_spans(docs, "doc_id", "text", k=5, min_count=3)
+    assert two.count() == 2 and three.count() == 0
+
+
+def test_spans_plan_no_python(spark, corpus):
+    plan = (
+        duplicated_spans(corpus, "doc_id", "text", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_pack_sequences_arithmetic(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(c))) for i, c in
+         [(1, 5), (2, 12), (3, 3), (4, 0), (5, 7), (6, 25)]],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(
+        docs.withColumn("n", token_count("text")), "doc_id", "n",
+        budget=10, shards=2,
+    ).collect()
+    assert 4 not in {r.doc_id for r in rows}  # zero-token doc excluded
+    for r in rows:
+        assert r.seq_first == r.start_offset // 10
+        assert r.seq_last == (r.start_offset + r.token_count - 1) // 10
+        assert r.n_seqs == r.seq_last - r.seq_first + 1
+    # within each shard: offsets abut exactly (no gaps, no overlaps)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.start_offset)
+        pos = 0
+        for r in shard_rows:
+            assert r.start_offset == pos
+            pos += r.token_count
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(7).alias("n"),
+    )
+    a = pack_sequences(docs, "doc_id", "n", budget=64, shards=4)
+    b = pack_sequences(docs.repartition(13), "doc_id", "n", budget=64, shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_guards(spark):
+    docs = spark.range(1).select(F.col("id").alias("doc_id"), F.lit(1).alias("n"))
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n", budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n", budget=10, shards=0)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+
+
+def test_chunk_coverage_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(25)))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=6, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts at every stride while inside the doc
+    assert [r.chunk_start for r in rows] == list(range(0, 25, 4))
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split()
+        assert len(toks) == r.chunk_len <= 6
+        assert toks == [f"t{j}" for j in range(r.chunk_start, r.chunk_start + r.chunk_len)]
+        covered.update(range(r.chunk_start, r.chunk_start + r.chunk_len))
+    assert covered == set(range(25))  # every token in >= 1 chunk
+
+
+def test_chunk_non_overlapping_reassembles_text(spark):
+    text = " ".join(f"t{j}" for j in range(23))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, stride=8).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert " ".join(r.chunk_text for r in rows) == text
+
+
+def test_chunk_empty_and_blank_docs_yield_no_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(docs, "doc_id", "text", 4, 2).collect()
+    assert {(r.doc_id, r.chunk_text) for r in rows} == {(3, "one")}
+
+
+def test_chunk_guards(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=0)
+
+
+def test_chunk_plan_no_shuffle_no_python(spark, sf_dir):
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    plan = (
+        chunk_documents(docs, "doc_id", "text", 32, 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # narrow explode: embarrassingly parallel
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property: spans == brute-force reference on random tiny-vocab corpora
+
+
+def _brute_force_spans(texts: dict[int, str], k: int) -> set[tuple]:
+    """O(n²) reference: count every k-token window, merge duplicated
+    positions into maximal spans."""
+    from collections import Counter
+
+    windows: dict[int, list[tuple[int, tuple]]] = {}
+    counts: Counter = Counter()
+    for doc, text in texts.items():
+        toks = text.split()
+        windows[doc] = [
+            (p, tuple(toks[p : p + k])) for p in range(len(toks) - k + 1)
+        ]
+        for _, w in windows[doc]:
+            counts[w] += 1
+    out = set()
+    for doc, ws in windows.items():
+        dup_pos = sorted(p for p, w in ws if counts[w] >= 2)
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.add((doc, run[0], run[-1] + k - 1, run[-1] - run[0] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+def test_spans_match_brute_force_on_random_corpora(spark):
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense collisions
+    for trial in range(5):
+        texts = {
+            doc: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18)))
+            for doc in range(12)
+        }
+        expected = _brute_force_spans(texts, k=4)
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {
+            tuple(r)
+            for r in duplicated_spans(df, "doc_id", "text", k=4).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -54,6 +54,9 @@ def main() -> None:
         "p6_validation_filter",
         "q5_region_revenue",
         "q18_large_orders",
+        # corpus prep (new r4): substring-span dedup + zero-shuffle chunking
+        "text_duplicated_spans",
+        "text_chunk_windows",
         # training-data pipeline extensions
         "dedup_minhash_lsh",
         "sim_bruteforce_topk",

@@ -42,6 +42,12 @@ SCALED_QUERIES = (
     "dedup_simhash",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
+    # r4: substring-span dedup. The replica cache repeats each document's
+    # TEXT verbatim (ids shift, text doesn't), so at the scaled leg every
+    # window is duplicated and every document collapses to one whole-doc
+    # span — the worst-case duplication density for this operator, which
+    # is exactly what its scaling claim should be measured under.
+    "text_duplicated_spans",
 )
 
 _TABLES_NEEDED = ("lineitem", "documents", "embeddings")

@@ -1,0 +1,134 @@
+"""Corpus-prep job CLI: documents parquet → span-deduplicated text +
+sequence-packing assignment.
+
+The stage that runs AFTER jobs.quality (drop bad docs) and jobs.dedup
+(drop whole-document near-dups) in a training-data pipeline: cut
+*passage-level* duplicates out of the surviving text (Lee et al.,
+arXiv:2107.06499 — see ``operators/spans.py``), then assign every
+cleaned document its position in concatenate-and-chop training packing
+(``operators/packing.py``). Outputs:
+
+- ``--output``: cleaned documents parquet (id, text_clean,
+  removed_tokens + the packing columns when ``--budget`` is set);
+- ``--spans-output`` (optional): the span audit table — which passages
+  were cut from which documents, the removal-list discipline
+  ``jobs.dedup`` already follows;
+- ``--run-log`` (optional): JSONL metrics record.
+
+One scan computes spans, a second builds cleaned text and the packing
+projection rides the same write — nothing document-sized is collected to
+the driver; metrics come from cheap aggregates over the (small) span and
+packing outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Span-level exact-substring dedup + sequence packing"
+    )
+    parser.add_argument("--input", required=True, help="documents parquet path")
+    parser.add_argument("--output", required=True, help="cleaned docs parquet path")
+    parser.add_argument("--spans-output", help="span audit parquet path (optional)")
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument(
+        "--window",
+        type=int,
+        default=20,
+        help="span window k: a passage is duplicated when every k-token "
+        "window in it occurs more than once corpus-wide (Lee et al. use "
+        "50; smaller = more aggressive)",
+    )
+    parser.add_argument(
+        "--min-count",
+        type=int,
+        default=2,
+        help="occurrences (corpus-wide) for a window to count as duplicated",
+    )
+    parser.add_argument(
+        "--budget",
+        type=int,
+        default=0,
+        help="training-sequence token budget; 0 disables the packing stage",
+    )
+    parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--run-log", help="JSONL run-log path (optional)")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark import get_session
+    from home_credit_data_engineering_spark.functions.text import token_count
+    from home_credit_data_engineering_spark.operators.packing import pack_sequences
+    from home_credit_data_engineering_spark.operators.spans import (
+        duplicated_spans,
+        strip_spans,
+    )
+    from home_credit_data_engineering_spark.runlog import append_run_log
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+    from home_credit_data_engineering_spark.sources.sinks import write_parquet
+
+    spark = get_session(app_name="corpus-prep")
+    docs = read_parquet(spark, args.input)
+
+    spans = duplicated_spans(
+        docs, args.id_col, args.text_col, k=args.window, min_count=args.min_count
+    )
+    # spans feed the strip join, the audit write, and the metrics — one
+    # materialization (rows are (id, 3 ints): thousands of times smaller
+    # than the corpus).
+    spans = spans.persist()
+    try:
+        if args.spans_output:
+            write_parquet(spans, args.spans_output)
+        span_stats = spans.agg(
+            F.count(F.lit(1)).alias("spans"),
+            F.countDistinct("doc_id").alias("docs_with_spans"),
+            F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("tokens_cut"),
+        ).collect()[0]
+
+        cleaned = strip_spans(docs, spans, args.id_col, args.text_col)
+        if args.budget > 0:
+            assignment = pack_sequences(
+                cleaned.withColumn("__ntok", token_count("text_clean")),
+                args.id_col,
+                "__ntok",
+                budget=args.budget,
+                shards=args.shards,
+                seed=args.seed,
+            )
+            cleaned = cleaned.join(
+                assignment.drop("token_count"), on=args.id_col, how="left"
+            )
+        write_parquet(cleaned, args.output)
+    finally:
+        spans.unpersist()
+
+    record = {
+        "job": "corpus_prep",
+        "window": args.window,
+        "spans": span_stats["spans"],
+        "docs_with_spans": span_stats["docs_with_spans"],
+        "tokens_cut": int(span_stats["tokens_cut"]),
+        "budget": args.budget or None,
+    }
+    if args.run_log:
+        append_run_log(args.run_log, record)
+    print(
+        f"corpus_prep: {record['spans']} spans across "
+        f"{record['docs_with_spans']} docs, {record['tokens_cut']} tokens cut"
+        + (f"; packed at budget={args.budget}" if args.budget else "")
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

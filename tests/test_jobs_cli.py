@@ -242,3 +242,56 @@ def test_ann_index_job(spark, sf_dir, tmp_path):
     cells = glob.glob(out + "/cell=*")
     assert len(cells) >= 4  # cell-partitioned layout
     assert os.path.exists(out + "/_centroids.npy")
+
+
+def test_corpus_prep_job_end_to_end(spark, tmp_path):
+    """Corpus-prep job: planted duplicated passage is cut from both
+    carriers, clean docs pass through, packing assignment covers every
+    surviving non-empty doc."""
+    from home_credit_data_engineering_spark.jobs.corpus_prep import (
+        main as corpus_prep_main,
+    )
+
+    passage = " ".join(f"dup{j}" for j in range(12))
+    rows = [
+        (1, passage + " one uniquely continuing story here"),
+        (2, "prefix words then " + passage),
+        (3, "a fully original document with no repeated passages at all"),
+        (4, passage),  # nothing but the duplicated passage -> strips empty
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    spans_out = str(tmp_path / "spans")
+    log = str(tmp_path / "runs.jsonl")
+    rc = corpus_prep_main(
+        [
+            "--input", src, "--output", out, "--spans-output", spans_out,
+            "--window", "8", "--budget", "16", "--shards", "2",
+            "--run-log", log,
+        ]
+    )
+    assert rc == 0
+
+    cleaned = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert cleaned[1]["text_clean"] == "one uniquely continuing story here"
+    assert cleaned[2]["text_clean"] == "prefix words then"
+    assert cleaned[3]["removed_tokens"] == 0
+    assert cleaned[4]["text_clean"] == ""
+    # packing covers every cleaned doc that still has tokens; the
+    # stripped-empty doc has no assignment (null shard)
+    assert cleaned[4]["shard"] is None
+    for doc in (1, 2, 3):
+        r = cleaned[doc]
+        assert r["shard"] is not None
+        assert r["seq_first"] == r["start_offset"] // 16
+
+    spans = spark.read.parquet(spans_out).collect()
+    assert {r["doc_id"] for r in spans} == {1, 2, 4}
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    (record,) = read_run_log(log)
+    assert record["job"] == "corpus_prep"
+    assert record["docs_with_spans"] == 3
+    assert record["tokens_cut"] == 36

@@ -1242,14 +1242,22 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'csv', CAST(n_regionkey AS VARCHAR), COUNT(*), MIN(n_name)
     FROM nation GROUP BY n_regionkey
+    UNION ALL
+    SELECT 'json', c_mktsegment, COUNT(*), CAST(MIN(c_custkey) AS VARCHAR)
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'orc', CAST(s_nationkey AS VARCHAR), COUNT(*), MIN(s_name)
+    FROM supplier GROUP BY s_nationkey
     """,
-    operators=("K1", "S4", "S2", "K-csv"),
-    doc="Both IO round-trips under the correctness gate, union-tagged: "
+    operators=("K1", "S4", "S2", "K-csv", "S-json", "K-json", "S-orc", "K-orc"),
+    doc="All four IO round-trips under the correctness gate, union-tagged: "
     "orders partitioned-parquet write → pruned per-partition snapshot "
     "reads → aggregate (any row multiplication or partition leakage "
-    "breaks the hash), and nation CSV write → declared-schema read → "
-    "aggregate. Combo slot for io_partitioned_parquet_roundtrip + "
-    "io_csv_roundtrip.",
+    "breaks the hash); nation CSV write → declared-schema read → "
+    "aggregate; customer JSON-Lines write → declared-schema read → "
+    "aggregate; supplier ORC write → read → aggregate. Combo slot for "
+    "io_partitioned_parquet_roundtrip + io_csv_roundtrip + "
+    "io_json_orc_roundtrip.",
 )
 def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -1282,7 +1290,45 @@ def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("n_name").alias("detail"),
     ).select(F.lit("csv").alias("src"), "key", "n_rows", "detail")
-    return parquet_leg.unionByName(csv_leg)
+
+    from home_credit_data_engineering_spark.sources.readers import (
+        read_json,
+        read_orc,
+    )
+    from home_credit_data_engineering_spark.sources.sinks import (
+        write_json,
+        write_orc,
+    )
+
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_json(customer, out + "/customer_json")
+    back_json = read_json(
+        spark,
+        out + "/customer_json",
+        schema="c_custkey bigint, c_mktsegment string",
+    )
+    json_leg = back_json.groupBy(F.col("c_mktsegment").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").cast("string").alias("detail"),
+    ).select(F.lit("json").alias("src"), "key", "n_rows", "detail")
+
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    write_orc(supplier, out + "/supplier_orc")
+    back_orc = read_orc(spark, out + "/supplier_orc")
+    orc_leg = back_orc.groupBy(
+        F.col("s_nationkey").cast("string").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("s_name").alias("detail"),
+    ).select(F.lit("orc").alias("src"), "key", "n_rows", "detail")
+
+    return (
+        parquet_leg.unionByName(csv_leg)
+        .unionByName(json_leg)
+        .unionByName(orc_leg)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,59 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_nation"),
     )
+
+
+@register(
+    "io_json_orc_roundtrip",
+    oracle="""
+    SELECT 'json' AS src, c_mktsegment AS key, COUNT(*) AS n_rows,
+           CAST(MIN(c_custkey) AS VARCHAR) AS detail
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'orc', CAST(s_nationkey AS VARCHAR), COUNT(*), MIN(s_name)
+    FROM supplier GROUP BY s_nationkey
+    """,
+    operators=("S-json", "K-json", "S-orc", "K-orc"),
+    doc="JSON-Lines and ORC round-trips under the correctness gate: "
+    "customer → gzip JSONL write → declared-schema read → aggregate; "
+    "supplier → ORC write → read → aggregate. Columns are ints/strings "
+    "so both trips are exactly lossless; any row loss/multiplication or "
+    "type drift breaks the hash. Driver-covered via combo_io_roundtrip's "
+    "json/orc legs.",
+)
+def io_json_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tempfile
+
+    from home_credit_data_engineering_spark.sources.readers import (
+        read_json,
+        read_orc,
+    )
+    from home_credit_data_engineering_spark.sources.sinks import (
+        write_json,
+        write_orc,
+    )
+
+    out = _tempfile.mkdtemp(prefix="io_json_orc_")
+    customer = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_json(customer, out + "/customer_json")
+    back_json = read_json(
+        spark, out + "/customer_json", schema="c_custkey bigint, c_mktsegment string"
+    )
+    json_leg = back_json.groupBy(F.col("c_mktsegment").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").cast("string").alias("detail"),
+    ).select(F.lit("json").alias("src"), "key", "n_rows", "detail")
+
+    supplier = read_testdata(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    write_orc(supplier, out + "/supplier_orc")
+    orc_leg = read_orc(spark, out + "/supplier_orc").groupBy(
+        F.col("s_nationkey").cast("string").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("s_name").alias("detail"),
+    ).select(F.lit("orc").alias("src"), "key", "n_rows", "detail")
+    return json_leg.unionByName(orc_leg)

@@ -193,3 +193,56 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def testdata_tables(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     """Load several testdata tables at once; returns name → DataFrame."""
     return {t: read_testdata(spark, sf_dir, t) for t in tables}
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """S2-ext: JSON-Lines scan with a declared schema (preferred).
+
+    Without ``schema`` Spark infers by an extra pass over the data —
+    acceptable for exploration, a full wasted scan at 100 TB, so
+    production paths must pass the StructType. ``multiline=True`` reads
+    whole-file JSON arrays/objects (NOT splittable — one task per file;
+    keep it for small config-like inputs only).
+    """
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """S3-ext: ORC scan — same pushdown/pruning posture as parquet
+    (ORC footers carry min/max stats; Catalyst pushes filters and
+    narrows ReadSchema identically)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """S2-ext: raw text scan → one ``value: string`` column (one row per
+    line, or per file with ``wholetext=True`` — the ingestion shape for
+    unstructured LLM corpora before any parsing)."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=wholetext)

@@ -298,3 +298,41 @@ def preview(df: DataFrame, n: int = 20, truncate: bool = False) -> None:
     ``spark/common/preview_data.py:16-22``."""
     df.printSchema()
     df.show(n, truncate=truncate)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> None:
+    """K-ext: JSON-Lines write (compressed by default — raw JSONL is the
+    most size-inefficient interchange format; gzip parts stay splittable
+    across FILES, which partitioned writes provide).
+
+    Lossless only for ints/strings/bools/arrays/structs; doubles
+    round-trip via textual repr and timestamps via ISO strings — prefer
+    parquet/ORC for typed analytics data, JSONL for interchange with
+    text-pipeline tooling that expects it."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    dynamic_overwrite: bool = True,
+) -> None:
+    """K-ext: ORC write, same dynamic-overwrite semantics as
+    :func:`write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+        if mode == "overwrite" and dynamic_overwrite:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.orc(path)

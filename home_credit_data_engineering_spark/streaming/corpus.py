@@ -1,0 +1,104 @@
+"""Streaming corpus ingestion: quality-flag and chunk documents as they
+arrive.
+
+The corpus-prep surface splits cleanly by statefulness:
+
+- **Stateless passes stream as-is.** Quality signals
+  (``plans/quality_filter.quality_rules``) and retrieval chunking
+  (``operators/packing.chunk_documents``) are narrow per-row
+  projections, so the SAME code runs identically under
+  ``readStream`` — micro-batch outputs concatenate to exactly the
+  batch result (asserted stream==batch in
+  ``tests/test_streaming_corpus.py``).
+- **Whole-corpus operators stay batch.** Exact-substring span dedup and
+  sequence packing are corpus-global by definition (a window is
+  "duplicated" relative to every document ever seen; packing offsets
+  shift as the corpus grows). Their streaming form is the incremental
+  batch job (``jobs/corpus_prep.py`` over the accumulated bronze, or
+  ``operators/dedup.minhash_incremental_pairs`` for near-dup) — running
+  them inside a micro-batch would silently change semantics to
+  "duplicated within this batch".
+- **Exact dedup streams with bounded state** via
+  ``streaming/joins.streaming_dedup`` (dropDuplicatesWithinWatermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from home_credit_data_engineering_spark.plans.quality_filter import (
+    QualityThresholds,
+    _flag,
+    quality_rules,
+)
+
+__all__ = [
+    "read_document_stream",
+    "quality_flag_stream",
+    "chunk_stream",
+]
+
+#: Declared schema for the driver's documents table (file streams require
+#: an explicit schema — inference would scan ahead of the stream).
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source document stream (swap for kafka in production; the
+    downstream plan is identical). ``maxFilesPerTrigger`` bounds
+    micro-batch size — the knob that keeps per-batch memory flat when
+    backfilling a large directory."""
+    reader = spark.readStream.format(fmt).schema(schema or DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def quality_flag_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    thresholds: QualityThresholds | None = None,
+) -> DataFrame:
+    """Append a ``failed_rules`` array and boolean ``kept`` to a document
+    stream — the SAME signal expressions the batch quality filter uses
+    (one code path, two execution modes). Stateless: every signal is a
+    per-row JVM expression, so watermarks and output-mode restrictions
+    don't apply; route kept/dropped downstream with a partitioned
+    ``writeStream`` on ``kept`` exactly like the batch single-pass job."""
+    rules = quality_rules(text_col, lang_col, thresholds or QualityThresholds())
+    flagged = _flag(docs, rules)
+    return flagged.withColumn("kept", F.size("failed_rules") == 0)
+
+
+def chunk_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunks over a document stream — reuses
+    :func:`~..operators.packing.chunk_documents` verbatim (narrow
+    sequence+explode+slice projection: legal and shuffle-free under
+    structured streaming)."""
+    from home_credit_data_engineering_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        docs, id_col, text_col, chunk_tokens=chunk_tokens, stride=stride
+    )

@@ -154,3 +154,28 @@ def test_combo_dedup_near_no_payload_through_shuffles(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for head in _exchange_heads(plan):
         assert "text#" not in head and "gram#" not in head, head
+
+
+def test_duplicated_spans_shuffles_ids_and_hashes_only(spark, sf_dir):
+    # The substring-dedup pipeline (r4) must keep document text out of
+    # every Exchange: window hashes are combined from per-token hashes
+    # BEFORE any shuffle, and the islands/span stages move only
+    # (doc_id, pos) pairs. At 100 TB the duplicated-hash aggregate is the
+    # cost center and must carry 8-byte hashes, not kilobyte text.
+    plan = executed_plan(spark, sf_dir, "text_duplicated_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    heads = _exchange_heads(plan)
+    assert heads, "expected shuffles (dup-hash aggregate + islands window)"
+    for head in heads:
+        assert "text#" not in head, f"document text riding a shuffle: {head}"
+
+
+def test_strip_spans_single_small_shuffle(spark, sf_dir):
+    # strip_spans collapses spans to per-doc arrays (small shuffle of int
+    # triples) and filters tokens in ONE projection via nested
+    # higher-order functions — the document text itself must never ride
+    # an Exchange, and no Python may run.
+    plan = executed_plan(spark, sf_dir, "text_strip_duplicate_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for head in _exchange_heads(plan):
+        assert "text#" not in head, f"document text riding a shuffle: {head}"

@@ -1,0 +1,68 @@
+"""Streaming corpus prep: stream==batch for the stateless passes.
+
+The quality-flag and chunking streams run the same expressions as their
+batch twins, so driving a file-source stream over the documents table
+must reproduce the batch output exactly — rows, not just counts.
+"""
+
+from __future__ import annotations
+
+from home_credit_data_engineering_spark.operators.packing import chunk_documents
+from home_credit_data_engineering_spark.plans.quality_filter import (
+    QualityThresholds,
+    _flag,
+    quality_rules,
+)
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+from home_credit_data_engineering_spark.streaming.corpus import (
+    chunk_stream,
+    quality_flag_stream,
+    read_document_stream,
+)
+from home_credit_data_engineering_spark.streaming.windows import run_to_memory_sink
+
+
+def _doc_stream(spark, sf_dir, tmp_path, trigger_files=1):
+    # file streams read directories; land the documents table as FOUR
+    # parquet files and trigger one per micro-batch, so the test covers
+    # multi-batch concatenation, not the single-batch degenerate case
+    src = str(tmp_path / "docs_stream_src")
+    read_testdata(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    return read_document_stream(
+        spark, src, max_files_per_trigger=trigger_files
+    )
+
+
+def test_quality_flag_stream_equals_batch(spark, sf_dir, tmp_path):
+    t = QualityThresholds()
+    out = quality_flag_stream(_doc_stream(spark, sf_dir, tmp_path), thresholds=t).select(
+        "doc_id", "kept", "failed_rules"
+    )
+    run_to_memory_sink(out, "q_flags")
+    got = {
+        r["doc_id"]: (r["kept"], tuple(r["failed_rules"]))
+        for r in spark.sql("SELECT * FROM q_flags").collect()
+    }
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    flagged = _flag(docs, quality_rules("text", "lang", t))
+    expected = {
+        r["doc_id"]: (len(r["failed_rules"]) == 0, tuple(r["failed_rules"]))
+        for r in flagged.collect()
+    }
+    assert got == expected
+    assert any(not kept for kept, _ in got.values()) or len(got) == 500
+
+
+def test_chunk_stream_equals_batch(spark, sf_dir, tmp_path):
+    out = chunk_stream(_doc_stream(spark, sf_dir, tmp_path), chunk_tokens=32, stride=16)
+    run_to_memory_sink(out, "chunks_stream")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM chunks_stream").collect())
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    expected = sorted(
+        map(tuple, chunk_documents(docs, "doc_id", "text", 32, 16).collect())
+    )
+    assert got == expected and len(got) > 0

@@ -374,14 +374,20 @@ def combo_scalar_string_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(QUARTER FROM ts) AS INTEGER) AS event_quarter,
            COUNT(*) AS n_events,
            ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
-           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k_variant
     FROM events
     GROUP BY 1, 2, 3, 4
     """,
-    operators=("F-ext:datetime", "F-ext:json"),
+    operators=("F-ext:datetime", "F-ext:json", "F-ext:variant"),
     doc="Calendar extraction (year/month/quarter) + JSON field extraction "
-    "from a string column, rolled up together. Combo slot for "
-    "scalar_datetime_functions + scalar_json_extraction.",
+    "from a string column, rolled up together. `sum_k_variant` extracts "
+    "the same field via Spark 4's VARIANT path (parse_json + "
+    "variant_get) — the parse-once binary encoding that replaces "
+    "re-parsing JSON strings per expression at scale — and is verified "
+    "against the oracle's JSON arithmetic. Combo slot for "
+    "scalar_datetime_functions + scalar_json_extraction + "
+    "scalar_variant_extraction.",
 )
 def combo_scalar_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumns(
@@ -390,6 +396,9 @@ def combo_scalar_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_month": F.month("ts"),
             "event_quarter": F.quarter("ts"),
             "k": F.get_json_object("props", "$.k").cast("int"),
+            "k_variant": F.expr(
+                "variant_get(parse_json(props), '$.k', 'int')"
+            ),
         }
     )
     return grouped_agg(
@@ -399,6 +408,7 @@ def combo_scalar_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events": F.count(F.lit(1)),
             "avg_k": F.round(F.avg("k"), 4),
             "max_k": F.max("k"),
+            "sum_k_variant": F.sum("k_variant").cast("bigint"),
         },
     )
 

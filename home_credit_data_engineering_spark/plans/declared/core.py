@@ -1083,3 +1083,39 @@ def quality_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_rules.join(counts, on="rule", how="left").select(
         "rule", F.coalesce(F.col("n_failures"), F.lit(0)).alias("n_failures")
     )
+
+
+@register(
+    "scalar_variant_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("F-ext:variant",),
+    doc="Spark 4 VARIANT semi-structured path: parse_json once into the "
+    "binary VARIANT encoding, then typed variant_get extraction — the "
+    "scale-correct replacement for re-parsing JSON strings in every "
+    "expression (one parse, many typed reads; shredded storage-ready). "
+    "Integer aggregates keep the oracle comparison exact. Driver-covered "
+    "via combo_scalar_datetime_json's sum_k_variant leg.",
+)
+def scalar_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return grouped_agg(
+        ev,
+        keys=["event_type"],
+        measures={
+            "n_events": F.count(F.lit(1)),
+            "sum_k": F.sum("k").cast("bigint"),
+            "min_k": F.min("k"),
+            "max_k": F.max("k"),
+        },
+    )

@@ -227,3 +227,71 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         failed.alias("failed_rules"),
         (F.size(failed) == 0).alias("kept"),
     )
+
+
+@register(
+    "text_approx_topk_verdict",
+    # Heavy-hitter sketch with a deterministic accuracy certificate, same
+    # discipline as combo_approx_sketches: the sketch's item list is
+    # engine-specific in general, but every token whose exact count is at
+    # least 2x the exact (k+1)-th count MUST appear in approx_top_k(k) —
+    # a margin the SpaceSaving/ItemsSketch error bound cannot breach —
+    # so the boolean verdict is oracle-checkable.
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, exact_count,
+             ROW_NUMBER() OVER (ORDER BY exact_count DESC, tok) AS rk
+      FROM exact
+    ),
+    threshold AS (
+      SELECT COALESCE(MAX(exact_count), 0) AS t FROM ranked WHERE rk = 11
+    )
+    SELECT tok, exact_count, TRUE AS in_approx_topk
+    FROM ranked, threshold
+    WHERE exact_count >= 2 * t
+    """,
+    operators=("A-ext:approx",),
+    doc="approx_top_k heavy-hitter sketch (Spark 4, DataSketches "
+    "frequent-items) with a deterministic margin verdict: tokens at "
+    ">= 2x the exact 11th count must be reported in the sketch's "
+    "top-10. Exact counts ride the comparison so the oracle verifies "
+    "both the margin set and the membership booleans. In-repo slot; "
+    "driver tag covered by combo_approx_sketches.",
+)
+def text_approx_topk_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    k = 10
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    ranked = exact.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("exact_count"), "tok"))
+    )
+    threshold = ranked.filter(F.col("rk") == k + 1).agg(
+        F.coalesce(F.max("exact_count"), F.lit(0)).alias("__t")
+    )
+    approx = (
+        toks.agg(F.expr(f"approx_top_k(tok, {k})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.lit(True).alias("__in"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(threshold))
+        .filter(F.col("exact_count") >= 2 * F.col("__t"))
+        .join(F.broadcast(approx), on="tok", how="left")
+        .select(
+            "tok",
+            "exact_count",
+            F.coalesce(F.col("__in"), F.lit(False)).alias("in_approx_topk"),
+        )
+    )

@@ -331,16 +331,23 @@ def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(c_acctbal, 0.0) AS bal_floor0,
            least(c_acctbal, 5000.0) AS bal_cap5k,
            coalesce(nullif(c_mktsegment, ''), 'unknown') AS seg_or_default,
-           (c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL) AS fully_populated
+           (c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL) AS fully_populated,
+           c_mktsegment AS seg_via_map,
+           'name|seg' AS map_keys_sorted,
+           2 AS map_n
     FROM customer
     """,
     operators=(
         "F-ext:string", "F-ext:nullif", "F-ext:greatest", "F-ext:least", "P8",
+        "F-ext:map",
     ),
     doc="String + null-handling scalar surface in one projection: "
     "upper/lower/length/substring/concat/regexp_extract/trim plus "
-    "nullif/greatest/least/coalesce and null-test predicates. Combo slot "
-    "for scalar_string_functions + scalar_null_functions.",
+    "nullif/greatest/least/coalesce and null-test predicates. The map leg "
+    "(r4) builds a per-row MAP (create_map) and reads it back via "
+    "element_at / map_keys / size — the oracle pins the expected lookup "
+    "results. Combo slot for scalar_string_functions + "
+    "scalar_null_functions + scalar_map_functions.",
 )
 def combo_scalar_string_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -362,6 +369,30 @@ def combo_scalar_string_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal").isNotNull() & F.col("c_nationkey").isNotNull()).alias(
             "fully_populated"
         ),
+        F.element_at(
+            F.create_map(
+                F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+            ),
+            F.lit("seg"),
+        ).alias("seg_via_map"),
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.map_keys(
+                    F.create_map(
+                        F.lit("seg"),
+                        F.col("c_mktsegment"),
+                        F.lit("name"),
+                        F.col("c_name"),
+                    )
+                )
+            ),
+        ).alias("map_keys_sorted"),
+        F.size(
+            F.create_map(
+                F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+            )
+        ).alias("map_n"),
     )
 
 

@@ -342,3 +342,86 @@ def agg_boolean_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
+
+
+@register(
+    "scalar_higher_order_arrays",
+    # Float discipline: every output is comparison/count/sign-based or a
+    # single ROUND of an exactly-read float — no float ACCUMULATION, so
+    # the hash compare is safe without _stable.py scaffolding (float
+    # sums over arrays would fold in engine-specific order; see
+    # docs/EXPLAIN.md "Float-aggregate hash stability").
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(len(list_filter(embedding, x -> abs(x) > 0.5)) AS INTEGER)
+             AS n_big,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           CAST(list_sum(list_transform(embedding,
+                x -> CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END))
+                AS BIGINT) AS net_sign,
+           len(list_filter(embedding, x -> abs(x) < 0.01)) > 0 AS has_small
+    FROM embeddings
+    """,
+    operators=("F-ext:array",),
+    doc="Higher-order array function surface over the embedding column: "
+    "transform / filter / exists / aggregate (fold) / array_max, all "
+    "JVM-evaluated lambdas in one narrow projection — the idiomatic "
+    "Spark shape for element-wise vector work without Python. Outputs "
+    "are counts, comparisons, and an integer sign-fold so the "
+    "cross-engine hash stays exact.",
+)
+def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: F.abs(x) > 0.5)).alias("n_big"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+        F.expr(
+            "CAST(aggregate(transform(embedding, "
+            "x -> CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END), "
+            "0, (a, x) -> a + x) AS BIGINT)"
+        ).alias("net_sign"),
+        F.exists("embedding", lambda x: F.abs(x) < 0.01).alias("has_small"),
+    )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           CAST(COUNT(*) AS INTEGER) AS n_entries,
+           string_agg(n_name, '|' ORDER BY n_name) AS keys_sorted,
+           CAST(arg_min(n_nationkey, n_name) AS INTEGER) AS first_key_val,
+           bool_or(n_name = 'NATION_0') AS has_nation_0
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    operators=("F-ext:map", "A-ext:collect"),
+    doc="MAP-type function surface: per-region map built with "
+    "map_from_entries over a sorted collect, read back via size / "
+    "map_keys / element_at / map_contains_key. The oracle recomputes "
+    "every lookup relationally (count, ordered string_agg, arg_min, "
+    "bool_or), so the map round-trip is value-verified without the "
+    "engines having to agree on a map wire format. Driver tag covered "
+    "by combo_scalar_string_null's map leg.",
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_testdata(spark, sf_dir, "nation")
+    mapped = nation.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("n_name", "n_nationkey")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "region_key",
+        F.size("m").alias("n_entries"),
+        F.concat_ws("|", F.array_sort(F.map_keys("m"))).alias("keys_sorted"),
+        F.element_at(F.col("m"), F.array_min(F.map_keys("m"))).alias(
+            "first_key_val"
+        ),
+        F.map_contains_key(F.col("m"), F.lit("NATION_0")).alias("has_nation_0"),
+    )

@@ -55,6 +55,18 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="training-sequence token budget; 0 disables the packing stage",
     )
+    parser.add_argument(
+        "--state",
+        help="window-hash count state parquet from prior runs; when given "
+        "the job runs O(delta) INCREMENTAL substring dedup: --input is "
+        "today's NEW documents only, judged against history plus the "
+        "batch (operators.spans.incremental_spans)",
+    )
+    parser.add_argument(
+        "--state-output",
+        help="where to write the window-hash state for the next run "
+        "(merged state in incremental mode, freshly-built otherwise)",
+    )
     parser.add_argument("--shards", type=int, default=64)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--run-log", help="JSONL run-log path (optional)")
@@ -76,12 +88,44 @@ def main(argv: list[str] | None = None) -> int:
     from home_credit_data_engineering_spark.sources.readers import read_parquet
     from home_credit_data_engineering_spark.sources.sinks import write_parquet
 
+    from home_credit_data_engineering_spark.operators.spans import (
+        incremental_spans,
+        window_hash_state,
+    )
+
     spark = get_session(app_name="corpus-prep")
     docs = read_parquet(spark, args.input)
 
-    spans = duplicated_spans(
-        docs, args.id_col, args.text_col, k=args.window, min_count=args.min_count
-    )
+    if args.state:
+        # O(delta) daily mode: --input is the new batch; windows judged
+        # against history + batch, state merged for tomorrow.
+        state = read_parquet(spark, args.state)
+        inc = incremental_spans(
+            docs,
+            state,
+            args.id_col,
+            args.text_col,
+            k=args.window,
+            min_count=args.min_count,
+        )
+        spans = inc["spans"]
+        if args.state_output:
+            write_parquet(inc["state"], args.state_output)
+    else:
+        spans = duplicated_spans(
+            docs,
+            args.id_col,
+            args.text_col,
+            k=args.window,
+            min_count=args.min_count,
+        )
+        if args.state_output:
+            write_parquet(
+                window_hash_state(
+                    docs, args.id_col, args.text_col, k=args.window
+                ),
+                args.state_output,
+            )
     # spans feed the strip join, the audit write, and the metrics — one
     # materialization (rows are (id, 3 ints): thousands of times smaller
     # than the corpus).
@@ -114,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
 
     record = {
         "job": "corpus_prep",
+        "mode": "incremental" if args.state else "full",
         "window": args.window,
         "spans": span_stats["spans"],
         "docs_with_spans": span_stats["docs_with_spans"],

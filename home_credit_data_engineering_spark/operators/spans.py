@@ -48,6 +48,8 @@ __all__ = [
     "duplicated_spans",
     "duplicated_spans_md5",
     "strip_spans",
+    "window_hash_state",
+    "incremental_spans",
 ]
 
 
@@ -210,3 +212,97 @@ def strip_spans(
         .cast("int")
         .alias("removed_tokens"),
     )
+
+
+def window_hash_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(__fp, n_occurrences) — the persisted window-hash count table that
+    makes substring dedup incremental (same role ``lsh_bucket_state``
+    plays for MinHash dedup, ``dedup.py:1450``).
+
+    One hash-aggregate over the corpus's k-token window stream; at 100 TB
+    the state is bounded by distinct windows (8-byte hash + count), is
+    mergeable by addition, and lives as a parquet/bucketed table between
+    daily runs.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    grams = kgram_hash_stream(
+        df, id_col, text_col, k=k, short_doc_fallback=False
+    )
+    return grams.groupBy(F.col("__sh").alias("__fp")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+
+
+def incremental_spans(
+    new_docs: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> dict:
+    """O(delta) daily substring dedup: spans for the NEW documents only,
+    judged against the full corpus history.
+
+    Returns ``{"spans", "state"}``: ``spans`` has the
+    :func:`duplicated_spans` schema restricted to ``new_docs`` — a new
+    document's window counts as duplicated when historical occurrences
+    (``state``) plus today's batch reach ``min_count``, exactly the
+    criterion a full recompute over old ∪ new would apply, so
+    ``duplicated_spans(old ∪ new)`` restricted to new ids ≡ this output
+    (asserted in tests). ``state`` is the merged count table to persist
+    for tomorrow.
+
+    The one semantic a full recompute has that this doesn't: a window
+    that today's batch promotes from unique to duplicated also creates a
+    span in the OLD document carrying its first occurrence — incremental
+    runs leave already-shipped documents untouched (the same
+    new-rows-only contract as ``minhash_incremental_pairs``); schedule a
+    full :func:`duplicated_spans` sweep when retroactive cleanup
+    matters.
+
+    Cost: every stage is sized by the delta — new-doc grams, one
+    aggregate over them, a left-semi-scoped join against ``state``
+    (touched hashes only), and per-new-doc islands.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    grams = kgram_hash_stream(
+        new_docs, id_col, text_col, k=k, short_doc_fallback=False
+    ).withColumnRenamed("__sh", "__fp")
+    new_counts = grams.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n_new")
+    )
+    # history is consulted only for hashes today's batch touches
+    touched_history = state.join(
+        new_counts.select("__fp"), on="__fp", how="left_semi"
+    )
+    totals = (
+        new_counts.join(touched_history, on="__fp", how="left")
+        .select(
+            "__fp",
+            (
+                F.col("__n_new") + F.coalesce(F.col("n_occurrences"), F.lit(0))
+            ).alias("__total"),
+        )
+    )
+    dup = totals.filter(F.col("__total") >= min_count).select("__fp")
+    hits = grams.join(dup, on="__fp", how="left_semi")
+    spans = _spans_from_windows(hits, k)
+
+    merged_state = (
+        state.unionByName(
+            new_counts.select("__fp", F.col("__n_new").alias("n_occurrences"))
+        )
+        .groupBy("__fp")
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+    )
+    return {"spans": spans, "state": merged_state}

@@ -278,3 +278,74 @@ def test_spans_match_brute_force_on_random_corpora(spark):
             for r in duplicated_spans(df, "doc_id", "text", k=4).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# incremental spans: O(delta) daily job == full recompute (new docs)
+
+
+def test_incremental_spans_equal_full_recompute_on_new_docs(spark):
+    from home_credit_data_engineering_spark.operators.spans import (
+        incremental_spans,
+        window_hash_state,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "iota kappa lam mu nu xi omicron pi"),
+            (3, "rho sigma tau upsilon phi chi psi omega"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # repeats doc 1's passage -> history-only duplication
+            (10, "intro words alpha beta gamma delta epsilon zeta end"),
+            # duplicated within today's batch only
+            (11, "fresh one two three four five six seven"),
+            (12, "padding fresh one two three four five six closing"),
+            # nothing repeated
+            (13, "totally novel content appearing nowhere else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    k = 5
+    state = window_hash_state(old, "doc_id", "text", k=k)
+    inc = incremental_spans(new, state, "doc_id", "text", k=k)
+    got = sorted(map(tuple, inc["spans"].collect()))
+
+    full = duplicated_spans(old.unionByName(new), "doc_id", "text", k=k)
+    expected = sorted(
+        map(tuple, full.filter(F.col("doc_id") >= 10).collect())
+    )
+    assert got == expected
+    assert len(got) >= 3  # history dup (10) + intra-batch pair (11, 12)
+    assert 13 not in {r[0] for r in got}
+
+    # merged state must equal the state a from-scratch build would give
+    rebuilt = window_hash_state(
+        old.unionByName(new), "doc_id", "text", k=k
+    )
+    assert sorted(map(tuple, inc["state"].collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_incremental_spans_empty_history(spark):
+    from home_credit_data_engineering_spark.operators.spans import (
+        incremental_spans,
+        window_hash_state,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "z a b c d e f")], ["doc_id", "text"]
+    )
+    state = window_hash_state(empty, "doc_id", "text", k=5)
+    inc = incremental_spans(new, state, "doc_id", "text", k=5)
+    got = sorted(map(tuple, inc["spans"].collect()))
+    expected = sorted(
+        map(tuple, duplicated_spans(new, "doc_id", "text", k=5).collect())
+    )
+    assert got == expected and len(got) == 2

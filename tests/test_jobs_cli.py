@@ -295,3 +295,58 @@ def test_corpus_prep_job_end_to_end(spark, tmp_path):
     assert record["job"] == "corpus_prep"
     assert record["docs_with_spans"] == 3
     assert record["tokens_cut"] == 36
+
+
+def test_corpus_prep_job_incremental_mode(spark, tmp_path):
+    """Two-day incremental run: day 2 spans judged against day-1 state
+    match the full recompute restricted to day-2 docs."""
+    from home_credit_data_engineering_spark.jobs.corpus_prep import (
+        main as corpus_prep_main,
+    )
+    from home_credit_data_engineering_spark.operators.spans import duplicated_spans
+
+    passage = " ".join(f"w{j}" for j in range(10))
+    day1 = [(1, passage + " ending here"), (2, "unrelated day one words entirely")]
+    day2 = [(10, "lead in " + passage), (11, "brand new never repeated content")]
+    src1, src2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    spark.createDataFrame(day1, "doc_id long, text string").write.parquet(src1)
+    spark.createDataFrame(day2, "doc_id long, text string").write.parquet(src2)
+
+    state1 = str(tmp_path / "state1")
+    rc = corpus_prep_main(
+        [
+            "--input", src1, "--output", str(tmp_path / "clean1"),
+            "--window", "8", "--state-output", state1,
+        ]
+    )
+    assert rc == 0
+
+    spans2 = str(tmp_path / "spans2")
+    log = str(tmp_path / "runs.jsonl")
+    rc = corpus_prep_main(
+        [
+            "--input", src2, "--output", str(tmp_path / "clean2"),
+            "--spans-output", spans2, "--window", "8",
+            "--state", state1, "--state-output", str(tmp_path / "state2"),
+            "--run-log", log,
+        ]
+    )
+    assert rc == 0
+
+    got = sorted(map(tuple, spark.read.parquet(spans2).collect()))
+    both = spark.createDataFrame(day1 + day2, "doc_id long, text string")
+    expected = sorted(
+        r for r in map(tuple, duplicated_spans(both, "doc_id", "text", k=8).collect())
+        if r[0] >= 10
+    )
+    assert got == expected and len(got) == 1  # doc 10 repeats day-1 passage
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    (record,) = read_run_log(log)
+    assert record["mode"] == "incremental"
+    # cleaned day-2 output strips exactly the repeated passage
+    clean = {r["doc_id"]: r["text_clean"]
+             for r in spark.read.parquet(str(tmp_path / "clean2")).collect()}
+    assert clean[10] == "lead in"
+    assert clean[11] == "brand new never repeated content"

@@ -270,7 +270,9 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.spans import strip_spans
 
     docs = read_testdata(spark, sf_dir, "documents")
-    spans = _spans_df(spark, sf_dir)
+    # two consumers (span leg + strip join) — persist per the
+    # multi-consumer rule; bench/driver clear the cache between queries
+    spans = _spans_df(spark, sf_dir).persist()
     stripped = strip_spans(docs, spans, "doc_id", "text")
     packed = text_sequence_packing(spark, sf_dir)
     chunks = text_chunk_windows(spark, sf_dir)

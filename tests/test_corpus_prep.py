@@ -349,3 +349,34 @@ def test_incremental_spans_empty_history(spark):
         map(tuple, duplicated_spans(new, "doc_id", "text", k=5).collect())
     )
     assert got == expected and len(got) == 2
+
+
+def test_incremental_spans_random_splits_match_full(spark):
+    import random
+
+    from home_credit_data_engineering_spark.operators.spans import (
+        incremental_spans,
+        window_hash_state,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"v{i}" for i in range(8)]
+    for trial in range(3):
+        rows = [
+            (doc, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for doc in range(16)
+        ]
+        cut = rng.randint(1, 15)
+        old = spark.createDataFrame(rows[:cut], ["doc_id", "text"])
+        new = spark.createDataFrame(rows[cut:], ["doc_id", "text"])
+        state = window_hash_state(old, "doc_id", "text", k=4)
+        inc = incremental_spans(new, state, "doc_id", "text", k=4)
+        got = sorted(map(tuple, inc["spans"].collect()))
+        full = duplicated_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", k=4
+        )
+        new_ids = {r[0] for r in rows[cut:]}
+        expected = sorted(
+            r for r in map(tuple, full.collect()) if r[0] in new_ids
+        )
+        assert got == expected, f"trial {trial} cut {cut}"

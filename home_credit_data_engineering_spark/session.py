@@ -42,6 +42,13 @@ DEFAULT_CONF: dict[str, str] = {
     # Broadcast threshold: 64 MB. Dimension tables (region/nation/customer
     # analogues) stay broadcastable well past sf0.1.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime filtering: inject bloom-filter / semi-join reductions from
+    # the small side of a join into the large side's scan, and prune
+    # partitions from join keys at runtime (DPP). At 100 TB these skip
+    # row groups/partitions for rows that cannot survive the join —
+    # pinned explicitly (defaults drift across Spark minors).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # Cost-based optimizer: with catalog statistics (catalog.analyze_table)
     # Catalyst reorders multi-way joins and picks build sides from NDV/size
     # estimates BEFORE execution — AQE can only react to stage sizes after

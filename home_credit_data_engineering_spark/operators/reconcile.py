@@ -1,0 +1,77 @@
+"""Cross-engine table reconciliation: order-insensitive fingerprints.
+
+The migration story this engine exists for — "switch from the reference
+and run every query you run today" — needs a way to PROVE a copied /
+re-derived table is identical without collecting either side. A
+fingerprint must therefore be:
+
+- **order-insensitive** (engines return rows in different orders):
+  per-row digests are combined with an addition, not a concatenation;
+- **engine-portable**: the row digest is md5 over a canonical string
+  encoding (sorted column names, unit-separator joined, explicit null
+  sentinel) — the same discipline the DuckDB oracle gate uses;
+- **distributed**: one aggregate, partial combine, nothing leaves the
+  cluster but a single row.
+
+Caveat: floating-point columns are rejected by default — engines format
+doubles differently (``1.0E7`` vs ``10000000.0``), so a textual digest
+over raw doubles is not portable. Round them into explicit decimals
+first (``F.round(col, n).cast("decimal(38,6)")``) or pass
+``allow_floats=True`` when both sides are known to be the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["table_fingerprint", "fingerprints_match"]
+
+#: Field separator (ASCII unit separator) and null sentinel — choices
+#: that cannot collide with printable data.
+_SEP = "\x1f"
+_NULL = "\x00"
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    allow_floats: bool = False,
+) -> DataFrame:
+    """One row: (n_rows, fingerprint) for ``df``.
+
+    ``fingerprint`` is the decimal-string sum of each row's
+    ``md5``-derived 60-bit integer (first 15 hex chars) — addition makes
+    it independent of row order and partitioning; DECIMAL(38,0)
+    accumulation cannot overflow below ~10²⁰ rows. Columns are taken in
+    sorted-name order so both sides agree without coordination.
+    """
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    use = sorted(cols if cols is not None else schema.keys())
+    missing = [c for c in use if c not in schema]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if not allow_floats:
+        floaty = [c for c in use if schema[c] in ("float", "double")]
+        if floaty:
+            raise ValueError(
+                f"float columns {floaty} have engine-specific string forms; "
+                "round them into decimals first or pass allow_floats=True"
+            )
+    encoded = F.concat_ws(
+        _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in use]
+    )
+    digest = F.conv(F.substring(F.md5(encoded), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(digest), F.lit(0).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fingerprint"),
+    )
+
+
+def fingerprints_match(a: DataFrame, b: DataFrame) -> bool:
+    """Convenience: compare two single-row fingerprint frames."""
+    ra, rb = a.collect()[0], b.collect()[0]
+    return (ra["n_rows"], ra["fingerprint"]) == (rb["n_rows"], rb["fingerprint"])

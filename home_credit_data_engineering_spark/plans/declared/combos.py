@@ -1289,16 +1289,32 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orc', CAST(s_nationkey AS VARCHAR), COUNT(*), MIN(s_name)
     FROM supplier GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'fingerprint', 'orders', COUNT(*),
+           CAST(SUM(CAST('0x' || substr(md5(
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
+             COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)) || chr(31) ||
+             COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
+             COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)) || chr(31) ||
+             COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0))
+           ), 1, 15) AS BIGINT)) AS VARCHAR)
+    FROM orders
     """,
-    operators=("K1", "S4", "S2", "K-csv", "S-json", "K-json", "S-orc", "K-orc"),
+    operators=(
+        "K1", "S4", "S2", "K-csv", "S-json", "K-json", "S-orc", "K-orc",
+        "Rec-ext:fingerprint",
+    ),
     doc="All four IO round-trips under the correctness gate, union-tagged: "
     "orders partitioned-parquet write → pruned per-partition snapshot "
     "reads → aggregate (any row multiplication or partition leakage "
     "breaks the hash); nation CSV write → declared-schema read → "
     "aggregate; customer JSON-Lines write → declared-schema read → "
-    "aggregate; supplier ORC write → read → aggregate. Combo slot for "
+    "aggregate; supplier ORC write → read → aggregate; plus (r4) an "
+    "order-insensitive cross-engine fingerprint of the round-tripped "
+    "orders read vs the oracle's fingerprint of the original — the "
+    "reconciliation primitive (operators/reconcile.py). Combo slot for "
     "io_partitioned_parquet_roundtrip + io_csv_roundtrip + "
-    "io_json_orc_roundtrip.",
+    "io_json_orc_roundtrip + table_fingerprint_orders.",
 )
 def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -1365,10 +1381,28 @@ def combo_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_name").alias("detail"),
     ).select(F.lit("orc").alias("src"), "key", "n_rows", "detail")
 
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        table_fingerprint,
+    )
+
+    # fingerprint the ROUND-TRIPPED parquet read: an order-insensitive
+    # cross-engine checksum proving the write→pruned-read path preserved
+    # every row byte-for-byte (oracle fingerprints the original table)
+    fp_leg = table_fingerprint(
+        back,
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+         "o_orderstatus"],
+    ).select(
+        F.lit("fingerprint").alias("src"),
+        F.lit("orders").alias("key"),
+        "n_rows",
+        F.col("fingerprint").alias("detail"),
+    )
     return (
         parquet_leg.unionByName(csv_leg)
         .unionByName(json_leg)
         .unionByName(orc_leg)
+        .unionByName(fp_leg)
     )
 
 

@@ -139,3 +139,38 @@ def io_json_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_name").alias("detail"),
     ).select(F.lit("orc").alias("src"), "key", "n_rows", "detail")
     return json_leg.unionByName(orc_leg)
+
+
+_FP_COLS = [
+    "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus",
+]
+_FP_ENC_SQL = " || chr(31) || ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in _FP_COLS
+)
+
+
+@register(
+    "table_fingerprint_orders",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(md5({_FP_ENC_SQL}), 1, 15) AS BIGINT))
+                AS VARCHAR) AS fingerprint
+    FROM orders
+    """,
+    operators=("Rec-ext:fingerprint",),
+    doc="Cross-engine table fingerprint (operators/reconcile.py): "
+    "order-insensitive sum of per-row md5-derived 60-bit digests over a "
+    "canonical column encoding — the migration-validation primitive that "
+    "proves a table copied from the reference engine (or any SQL engine) "
+    "arrived intact, without collecting either side. The oracle computes "
+    "the identical arithmetic in DuckDB; a hash match here IS the "
+    "cross-engine guarantee. Float columns are excluded by contract "
+    "(engine-specific textual forms).",
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        table_fingerprint,
+    )
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    return table_fingerprint(orders, _FP_COLS)

@@ -1,0 +1,66 @@
+"""Cross-engine table fingerprints (operators/reconcile.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.reconcile import (
+    fingerprints_match,
+    table_fingerprint,
+)
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+def test_fingerprint_is_order_and_partitioning_insensitive(spark, sf_dir):
+    orders = read_testdata(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus"]
+    a = table_fingerprint(orders, cols)
+    b = table_fingerprint(
+        orders.repartition(13).sortWithinPartitions(F.desc("o_orderkey")), cols
+    )
+    assert fingerprints_match(a, b)
+
+
+def test_fingerprint_detects_single_row_and_value_changes(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], ["k", "v"]
+    )
+    base = table_fingerprint(df).collect()[0]
+    dropped = table_fingerprint(df.filter("k != 2")).collect()[0]
+    mutated = table_fingerprint(
+        df.withColumn("v", F.when(F.col("k") == 1, "A").otherwise(F.col("v")))
+    ).collect()[0]
+    assert dropped["n_rows"] == 2 and dropped["fingerprint"] != base["fingerprint"]
+    assert mutated["n_rows"] == 3 and mutated["fingerprint"] != base["fingerprint"]
+
+
+def test_fingerprint_null_differs_from_literal_strings(spark):
+    with_null = table_fingerprint(
+        spark.createDataFrame([(1, None)], "k long, v string")
+    ).collect()[0]
+    with_word = table_fingerprint(
+        spark.createDataFrame([(1, "null")], "k long, v string")
+    ).collect()[0]
+    with_empty = table_fingerprint(
+        spark.createDataFrame([(1, "")], "k long, v string")
+    ).collect()[0]
+    assert len({with_null["fingerprint"], with_word["fingerprint"],
+                with_empty["fingerprint"]}) == 3
+
+
+def test_fingerprint_rejects_floats_by_default(spark, sf_dir):
+    orders = read_testdata(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="float columns"):
+        table_fingerprint(orders)  # o_totalprice is double
+    # explicit decimal rounding is the sanctioned route
+    rounded = orders.withColumn(
+        "o_totalprice", F.round("o_totalprice", 2).cast("decimal(38,2)")
+    )
+    assert table_fingerprint(rounded).collect()[0]["n_rows"] > 0
+
+
+def test_fingerprint_empty_table_is_stable(spark):
+    empty = spark.createDataFrame([], "k long, v string")
+    row = table_fingerprint(empty).collect()[0]
+    assert (row["n_rows"], row["fingerprint"]) == (0, "0")

@@ -66,3 +66,33 @@ def test_chunk_stream_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, chunk_documents(docs, "doc_id", "text", 32, 16).collect())
     )
     assert got == expected and len(got) > 0
+
+
+def test_quality_stream_partitioned_file_sink(spark, sf_dir, tmp_path):
+    """The documented production route: stream → quality flags → ONE
+    partitioned file sink on the keep verdict (same single-write shape
+    as the batch quality_filter_single_pass job)."""
+    out = str(tmp_path / "q_sink")
+    ckpt = str(tmp_path / "q_ckpt")
+    flagged = quality_flag_stream(_doc_stream(spark, sf_dir, tmp_path)).select(
+        "doc_id", "kept"
+    )
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("kept")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(out)
+    docs = read_testdata(spark, sf_dir, "documents")
+    assert back.count() == docs.count()
+    # partition pruning serves the kept side without touching dropped
+    kept_files = list((__import__("pathlib").Path(out) / "kept=true").glob("*.parquet"))
+    assert kept_files, "expected kept=true partition directories"

@@ -179,3 +179,15 @@ def test_strip_spans_single_small_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for head in _exchange_heads(plan):
         assert "text#" not in head, f"document text riding a shuffle: {head}"
+
+
+def test_sequence_packing_shuffles_metadata_only(spark, sf_dir):
+    # pack_sequences must shuffle (shard, doc_id, token_count, perm key)
+    # metadata — never document text. At 100 TB the packing exchange is
+    # tens of MB per shard if and only if text stays out of it.
+    plan = executed_plan(spark, sf_dir, "text_sequence_packing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    heads = _exchange_heads(plan)
+    assert heads, "expected the per-shard cumulative-sum exchange"
+    for head in heads:
+        assert "text#" not in head, f"document text riding a shuffle: {head}"

@@ -1,0 +1,241 @@
+"""Product quantization (PQ) for compressed ANN at corpus scale.
+
+Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each vector into ``m`` subvectors, k-means
+each subspace into ``2^nbits`` centroids, store each vector as ``m`` small
+codes, storing each vector as ``m`` codes. A 64-dim float corpus
+compresses 256 bytes → ``m`` bytes — the
+difference between an ANN index that fits executor memory at 100 TB and
+one that doesn't. Queries score against codes via ADC (asymmetric
+distance computation): one ``m × 2^nbits`` lookup table per query, then
+approximate distance = sum of ``m`` table entries per corpus row.
+
+Spark-first shape, mirroring the IVF build economics
+(``operators/similarity.py:ivf_topk``):
+
+- **Training is driver-side numpy over a bounded seeded sample** (the
+  codebooks are ~KBs; training a coarse quantizer on a 4096-row sample
+  is the standard build — the corpus is only ever *encoded*).
+- **Encoding is one Arrow-batched pandas-UDF pass** (batch matmul per
+  subspace, no joins, no shuffle).
+- **ADC scan is mapInPandas with per-batch partial top-k** (the same
+  contract as the GEMM brute-force path: queries broadcast in the
+  closure, corpus streamed, only k rows per query per batch survive).
+- **Optional exact re-rank**: ADC selects ``rerank`` candidates per
+  query; true cosine re-scores them (vectors join back by id — the
+  payload-after-candidates rule every ANN path here follows).
+
+Everything is deterministic: the sample is md5-ordered (partitioning-
+independent), k-means init is seeded, ties break on id — so recall
+against exact brute force is a fixed number and can carry a
+bound-verdict oracle like the LSH/IVF legs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from home_credit_data_engineering_spark.functions.vectors import to_double_array
+
+__all__ = ["train_pq_codebooks", "pq_encode", "pq_topk"]
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    return np.where(
+        norms[:, None] > 0, mat / np.maximum(norms, 1e-300)[:, None], 0.0
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    nbits: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """(m, 2^nbits, dim/m) codebook tensor from a deterministic sample.
+
+    Vectors are unit-normalized before splitting, so ADC's squared-L2
+    ranks like cosine (``cos = 1 - d²/2`` on the unit sphere). The
+    sample is the ``sample_rows`` lowest ``md5(seed:id)`` rows —
+    deterministic under any partitioning (same idiom as
+    ``operators/sampling.py``). Lloyd iterations run in numpy with
+    seeded init; empty clusters re-seed from the farthest points, so the
+    result is a pure function of (sample, seed).
+    """
+    if m < 1 or nbits < 1:
+        raise ValueError(f"m and nbits must be >= 1, got m={m} nbits={nbits}")
+    perm = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+    rows = (
+        corpus.select(to_double_array(vec_col).alias("__v"), perm.alias("__p"))
+        .orderBy("__p")
+        .limit(sample_rows)
+        .collect()
+    )
+    x = _unit(np.array([r["__v"] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub, ksub = dim // m, 1 << nbits
+    if len(x) < ksub:
+        raise ValueError(f"sample of {len(x)} rows < {ksub} centroids")
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        centers = sub[rng.choice(len(sub), ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = sub[mask].mean(axis=0)
+                else:  # deterministic re-seed: farthest point from its center
+                    centers[c] = sub[d2.min(axis=1).argmax()]
+        books[j] = centers
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """(id, pq_code array<int>) — one narrow Arrow-batched pass; no
+    shuffle. Codebooks (~KBs) ship in the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = _unit(np.array(v.tolist(), dtype=np.float64))
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col), encode(to_double_array(vec_col)).alias(out_col)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC.
+
+    ``rerank > 0`` takes that many ADC candidates per query and re-scores
+    them with exact cosine (recommended: ``rerank ≈ 10k``) — the
+    standard two-stage PQ search. With ``rerank = 0`` the returned
+    ``score`` is the ADC cosine approximation ``1 - d²/2``. Excludes
+    self-matches. Queries are collected to a matrix bounded by
+    ``max_query_rows`` (same guard as the GEMM path).
+    """
+    m, ksub, dsub = codebooks.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__v")
+    ).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; "
+            "batch the queries or raise the guard deliberately"
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = _unit(np.array([r["__v"] for r in q_rows], dtype=np.float64))
+    # LUT[q, j, c] = ||q_sub_j - centroid_jc||²  (nq × m × ksub, ~KBs)
+    lut = np.empty((len(q_ids), m, ksub))
+    for j in range(m):
+        qs = q_mat[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+            axis=2
+        )
+
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    take = max(k, rerank)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.array(pdf["pq_code"].tolist(), dtype=np.int64)  # (b, m)
+            # d²(q, row) = Σ_j LUT[q, j, c[row, j]]
+            d2 = np.zeros((len(q_ids), len(ids)))
+            for j in range(m):
+                d2 += lut[:, j, :][:, c[:, j]]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                # stable partial top-take: (d², neighbor_id) lexicographic
+                order = np.lexsort((ids, d2[qi]))[: take + 1]
+                for oi in order:
+                    if ids[oi] == q_ids[qi]:
+                        continue
+                    out_q.append(q_ids[qi])
+                    out_n.append(ids[oi])
+                    out_s.append(1.0 - d2[qi][oi] / 2.0)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "__approx": out_s}
+            )
+
+    scored = codes.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, __approx double"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("__approx"), F.asc("neighbor_id")
+    )
+    if rerank <= 0:
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(F.col("__approx"), 6).alias("score"),
+            )
+        )
+    # two-stage: ADC candidates → exact cosine on the true vectors
+    from home_credit_data_engineering_spark.functions.vectors import cosine_arrow
+
+    cands = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    exact = (
+        cands.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn("score", F.round(cosine_arrow(F.col("__qv"), F.col("__cv")), 6))
+        .drop("__qv", "__cv")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )

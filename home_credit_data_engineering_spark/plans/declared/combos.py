@@ -1039,8 +1039,12 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lsh' AS method, vec_id AS query_id,
            CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
     FROM panel
+    UNION ALL
+    SELECT 'pq' AS method, vec_id AS query_id,
+           CAST(0.3 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+    FROM panel
     """,
-    operators=("S-ext:ann-lsh", "S-ext:ann-ivf"),
+    operators=("S-ext:ann-lsh", "S-ext:ann-ivf", "S-ext:ann-pq"),
     doc="Both approximate ANN strategies with a DETERMINISTIC recall "
     "certificate: multi-table hyperplane LSH (bucket equi-joins) and IVF "
     "(KMeans coarse quantizer + n_probe cells), each exact-cosine "
@@ -1050,7 +1054,10 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH leg uses a wide-bucket certificate setting (4 bits x 8 tables; "
     "near-isotropic embeddings give narrow-bucket LSH no per-query "
     "recall floor to certify); sim_lsh_topk keeps the at-scale narrow "
-    "buckets. Combo slot for sim_lsh_topk + sim_ivf_topk.",
+    "buckets. The PQ leg (r4) adds the compression strategy: 16x4-bit "
+    "product-quantized codes scored via ADC, exact re-rank of the top-50 "
+    "(floor 0.3 = half the measured minimum). Combo slot for "
+    "sim_lsh_topk + sim_ivf_topk + sim_pq_topk.",
 )
 def combo_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.similarity import (
@@ -1100,7 +1107,18 @@ def combo_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return recall_leg(ivf, "ivf", 0.15).unionByName(recall_leg(lsh, "lsh", 0.2))
+    from home_credit_data_engineering_spark.operators.quantization import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=16, nbits=4)
+    pq = pq_topk(emb, queries, books, k=k, rerank=50)
+    return (
+        recall_leg(ivf, "ivf", 0.15)
+        .unionByName(recall_leg(lsh, "lsh", 0.2))
+        .unionByName(recall_leg(pq, "pq", 0.3))
+    )
 
 
 #: SQL fragments for the 32-bit md5 SimHash oracle, generated so the bit

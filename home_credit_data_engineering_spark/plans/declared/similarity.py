@@ -64,3 +64,63 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=5, n_bits=10, n_tables=4).select(
         "query_id", "neighbor_id", "score", "rank"
     )
+
+
+@register(
+    "sim_pq_topk",
+    # The neighbor sets come from a numpy-trained codebook (not SQL-
+    # reproducible), but the whole pipeline is deterministic — md5-ordered
+    # training sample, seeded k-means, (distance, id) tie-breaks — so
+    # per-query recall@5 vs exact brute force is a fixed number. Floor
+    # 0.3 = half the measured minimum (0.6 at sf0.001, 0.8 at sf0.01
+    # with the m=16/nbits=4/rerank=50 setting); the oracle enumerates
+    # the panel and asserts the verdict, same discipline as
+    # combo_ann_approx.
+    oracle="""
+    SELECT vec_id AS query_id, CAST(0.3 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    """,
+    operators=("S-ext:ann-pq",),
+    doc="Product-quantization ANN (Jegou et al., TPAMI 2011): corpus "
+    "compressed to 16 4-bit codes per vector (16 bytes vs 256), queries "
+    "scored via ADC lookup tables in one mapInPandas pass with partial "
+    "top-k, then exact cosine re-ranks the top-50 candidates. The "
+    "compression path for ANN indexes that must fit memory at 100 TB. "
+    "Recall certificate vs exact brute-force top-5, floor at half the "
+    "measured minimum.",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.quantization import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    k, floor = 5, 0.3
+    books = train_pq_codebooks(emb, m=16, nbits=4)
+    approx = pq_topk(emb, queries, books, k=k, rerank=50)
+    exact = brute_force_topk(emb, queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("__nid")
+    )
+    hits = (
+        approx.select("query_id", F.col("neighbor_id").alias("__nid"))
+        .join(exact, ["query_id", "__nid"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("__recall"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(floor).alias("recall_floor"),
+            (F.coalesce(F.col("__recall"), F.lit(0.0)) >= F.lit(floor)).alias(
+                "recall_ok"
+            ),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Product quantization: codebooks, encoding, ADC search, re-rank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.quantization import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_testdata(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq_codebooks(emb, m=16, nbits=4)
+
+
+def test_codebooks_shape_and_determinism(emb, books):
+    assert books.shape == (16, 16, 4)  # m × 2^nbits × dim/m
+    again = train_pq_codebooks(emb.repartition(7), m=16, nbits=4)
+    assert np.array_equal(books, again)  # md5-ordered sample: partition-proof
+
+
+def test_encode_is_deterministic_and_compressed(emb, books):
+    a = {r.vec_id: tuple(r.pq_code) for r in pq_encode(emb, books).collect()}
+    b = {
+        r.vec_id: tuple(r.pq_code)
+        for r in pq_encode(emb.repartition(5), books).collect()
+    }
+    assert a == b
+    assert all(len(code) == 16 for code in a.values())  # 16 codes vs 64 floats
+    assert all(0 <= c < 16 for code in a.values() for c in code)
+
+
+def test_planted_clusters_recalled(spark):
+    # two tight clusters far apart: PQ must keep neighbors in-cluster
+    rng = np.random.RandomState(7)
+    rows = []
+    for cid, center in ((0, 10.0), (1, -10.0)):
+        base = np.full(64, center)
+        for i in range(40):
+            rows.append(
+                (cid * 100 + i, (base + rng.normal(0, 0.05, 64)).tolist())
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(df, m=8, nbits=2, sample_rows=80)
+    out = pq_topk(df, df.filter(F.col("vec_id").isin(0, 100)), books, k=5)
+    for r in out.collect():
+        assert (r.neighbor_id // 100) == (r.query_id // 100)
+
+
+def test_rerank_recall_at_least_plain(spark, emb, books):
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df) -> float:
+        hits = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(hits & exact) / len(exact)
+
+    plain = recall(pq_topk(emb, queries, books, k=5))
+    reranked = recall(pq_topk(emb, queries, books, k=5, rerank=50))
+    assert reranked >= plain
+    assert reranked >= 0.6  # floor 0.3 in the certificate = half this
+
+
+def test_pq_guards(spark, emb):
+    with pytest.raises(ValueError, match="must divide"):
+        train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError, match="centroids"):
+        train_pq_codebooks(emb, m=8, nbits=10, sample_rows=64)
+    books = train_pq_codebooks(emb, m=8, nbits=2)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(emb, emb, books, k=5, max_query_rows=10)

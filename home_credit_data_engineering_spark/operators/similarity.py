@@ -593,3 +593,40 @@ def ivf_query_index(
         "score", F.round(cosine_arrow(F.col("__qvec"), F.col("__cvec")), round_digits)
     ).drop("__qvec", "__cvec", "cell")
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """All-pairs approximate k-NN: every corpus vector's top-``k``
+    cosine neighbors (SemDeDup-style pipelines, graph construction,
+    recommendation candidate generation).
+
+    Thin self-join form of :func:`ivf_topk` — the query side of that
+    operator is fully distributed (cell assignment is a narrow
+    pandas-UDF pass, candidates come from a cell equi-join), so passing
+    the corpus as its own query set stays shuffle-bounded: cost is
+    ~(n_probe/n_centroids)·|corpus|² pair evaluations spread over the
+    cell partitioning, never a materialized cross product. Exclusion of
+    self-matches and the (score DESC, id ASC) tie-break come with the
+    underlying operator. At 100 TB size ``n_centroids ~ sqrt(N)`` so the
+    probed fraction shrinks as the corpus grows.
+    """
+    return ivf_topk(
+        corpus,
+        corpus,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        seed=seed,
+        train_fraction=train_fraction,
+    )

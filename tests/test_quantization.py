@@ -87,3 +87,28 @@ def test_pq_guards(spark, emb):
     books = train_pq_codebooks(emb, m=8, nbits=2)
     with pytest.raises(ValueError, match="max_query_rows"):
         pq_topk(emb, emb, books, k=5, max_query_rows=10)
+
+
+# ---------------------------------------------------------------------------
+# knn self-join (operators/similarity.py:knn_join)
+
+
+def test_knn_join_planted_clusters(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for cid, center in ((0, 5.0), (1, -5.0), (2, 0.0)):
+        base = np.zeros(64)
+        base[cid] = center if center else 7.0
+        for i in range(30):
+            rows.append((cid * 100 + i, (base + rng.normal(0, 0.05, 64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from home_credit_data_engineering_spark.operators.similarity import knn_join
+
+    out = knn_join(df, k=3, n_centroids=3, n_probe=1)
+    got = out.collect()
+    assert {r.query_id for r in got} == {r[0] for r in rows}  # every vector
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        assert (r.neighbor_id // 100) == (r.query_id // 100)  # in-cluster

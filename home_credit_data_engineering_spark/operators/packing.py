@@ -41,7 +41,7 @@ from pyspark.sql.window import Window as W
 
 from home_credit_data_engineering_spark.functions.text import tokens
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "chunk_documents", "token_budget_mix"]
 
 
 def _md5_perm(id_col: str, seed: int) -> Column:
@@ -177,4 +177,69 @@ def chunk_documents(
         F.concat_ws(
             " ", F.slice("__toks", F.col("chunk_start") + 1, F.lit(chunk_tokens))
         ).alias("chunk_text"),
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str | Column,
+    source_col: str,
+    budgets: dict[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Data-mixture sampling by per-source TOKEN budgets.
+
+    Training mixtures are specified in tokens, not documents ("1 B
+    tokens of web, 200 M of code"): within each source, documents are
+    taken in seeded md5-permutation order until the source's budget is
+    reached. A document is kept iff its exclusive running token sum is
+    still below the budget, so each source overshoots by at most its
+    one boundary document — the standard practical contract (exact
+    token-level truncation belongs to the packing/chopping stage).
+    Sources absent from ``budgets`` are dropped; dropping must be an
+    explicit zero budget decision, not an accident, so ``budgets`` maps
+    EVERY source you want any tokens from.
+
+    Returns kept documents: (id, source, token_count, start_offset) —
+    ``start_offset`` is the document's token position within its
+    source's sampled stream, which downstream packing can reuse.
+
+    Deterministic and engine-portable (md5 order + integer cumsum):
+    fully SQL-oracle-verifiable. Only (id, source, token_count)
+    metadata shuffles, partitioned by source — the same bounded-window
+    discipline as :func:`pack_sequences`.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    for src, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {src!r} must be >= 0, got {b}")
+    n = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("bigint")
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        n.alias("token_count"),
+        _md5_perm(id_col, seed).alias("__ord"),
+        F.element_at(budget_expr, F.col(source_col).cast("string")).alias(
+            "__budget"
+        ),
+    ).filter(F.col("__budget").isNotNull() & (F.col("token_count") >= 1))
+    w = (
+        W.partitionBy("source")
+        .orderBy("__ord", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("token_count").over(w), F.lit(0))
+    return (
+        base.withColumn("start_offset", start)
+        .filter(F.col("start_offset") < F.col("__budget"))
+        .select(id_col, "source", "token_count", "start_offset")
     )

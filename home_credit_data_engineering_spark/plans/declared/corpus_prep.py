@@ -140,6 +140,30 @@ _CHUNK_CTES = f"""
 """
 
 
+_MIX_BUDGETS = {"src0": 800, "src1": 400, "src2": 1200}
+
+_MIX_CTES = f"""
+    mx_base AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS token_count,
+             md5('s42:' || CAST(doc_id AS VARCHAR)) AS ord_key,
+             CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+                         WHEN 'src2' THEN 1200 END AS budget
+      FROM documents
+    ),
+    mixed AS (
+      SELECT doc_id, source, token_count,
+             CAST(COALESCE(SUM(token_count) OVER (
+               PARTITION BY source ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM mx_base WHERE budget IS NOT NULL AND token_count >= 1
+    )
+"""
+
+
 def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.spans import duplicated_spans
 
@@ -233,7 +257,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_STRIP_CTES},
     {_PACK_CTES},
-    {_CHUNK_CTES}
+    {_CHUNK_CTES},
+    {_MIX_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -252,19 +277,26 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(chunk_start AS BIGINT), CAST(chunk_len AS BIGINT),
            NULL, NULL, NULL, chunk_text
     FROM chunks
+    UNION ALL
+    SELECT 'mix', doc_id, token_count, start_offset, NULL, NULL, NULL,
+           NULL, source
+    FROM mixed
+    WHERE start_offset < CASE source WHEN 'src0' THEN 800
+                                     WHEN 'src1' THEN 400 ELSE 1200 END
     """,
     operators=(
         "T-ext:substring-dedup",
         "T-ext:span-strip",
         "T-ext:packing",
         "T-ext:chunking",
+        "T-ext:mixing",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
-    "sequence-packing assignment, and retrieval chunks, unioned to a "
-    "common (kind, doc_id, k1..k6, s) schema. Every leg is exactly "
-    "hash-verified; fine-grained singles stay in the registry for the "
-    "in-repo parity gate.",
+    "sequence-packing assignment, retrieval chunks, and (late r4) the "
+    "token-budget mixture sample, unioned to a common (kind, doc_id, "
+    "k1..k6, s) schema. Every leg is exactly hash-verified; fine-grained "
+    "singles stay in the registry for the in-repo parity gate.",
 )
 def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.spans import strip_spans
@@ -323,8 +355,57 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("k6"),
         F.col("chunk_text").alias("s"),
     )
+    mixed = text_token_budget_mix(spark, sf_dir)
+    mix_leg = mixed.select(
+        F.lit("mix").alias("kind"),
+        "doc_id",
+        F.col("token_count").cast("bigint").alias("k1"),
+        F.col("start_offset").cast("bigint").alias("k2"),
+        b.alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        F.col("source").alias("s"),
+    )
     return (
         span_leg.unionByName(strip_leg)
         .unionByName(pack_leg)
         .unionByName(chunk_leg)
+        .unionByName(mix_leg)
+    )
+
+
+
+
+@register(
+    "text_token_budget_mix",
+    oracle=f"""
+    WITH {_MIX_CTES}
+    SELECT doc_id, source, token_count, start_offset
+    FROM mixed
+    WHERE start_offset < CASE source WHEN 'src0' THEN 800
+                                     WHEN 'src1' THEN 400 ELSE 1200 END
+    """,
+    operators=("T-ext:packing", "T-ext:mixing"),
+    doc="Data-mixture sampling by per-source TOKEN budgets (training "
+    "mixtures are specified in tokens, not documents): within each "
+    "source, documents are taken in seeded md5-permutation order until "
+    "the budget is reached (overshoot bounded by one boundary document); "
+    "sources without a budget are dropped. Deterministic integer cumsum "
+    "over md5 order — fully oracle-verified. Driver-covered via "
+    "combo_corpus_prep's mix leg.",
+)
+def text_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import token_count
+    from home_credit_data_engineering_spark.operators.packing import (
+        token_budget_mix,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs.withColumn("__ntok", token_count("text")),
+        "doc_id",
+        "__ntok",
+        "source",
+        budgets=_MIX_BUDGETS,
     )

@@ -380,3 +380,51 @@ def test_incremental_spans_random_splits_match_full(spark):
             r for r in map(tuple, full.collect()) if r[0] in new_ids
         )
         assert got == expected, f"trial {trial} cut {cut}"
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixing
+
+
+def test_token_budget_mix_respects_budgets(spark):
+    from home_credit_data_engineering_spark.operators.packing import (
+        token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, src, 10) for i, src in enumerate(
+            ["web"] * 20 + ["code"] * 20 + ["forum"] * 20)],
+        ["doc_id", "source", "ntok"],
+    )
+    out = token_budget_mix(
+        docs, "doc_id", "ntok", "source", budgets={"web": 55, "code": 0}
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # forum has no budget -> dropped entirely; code budget 0 -> nothing
+    assert set(by_src) == {"web"}
+    # 10-token docs against budget 55: kept while start < 55 -> 6 docs
+    # (offsets 0..50), overshoot bounded by the one boundary doc
+    kept = sorted(r.start_offset for r in by_src["web"])
+    assert kept == [0, 10, 20, 30, 40, 50]
+
+
+def test_token_budget_mix_deterministic_and_guarded(spark):
+    from home_credit_data_engineering_spark.operators.packing import (
+        token_budget_mix,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, "a", 5 + i % 3) for i in range(50)], ["doc_id", "source", "n"]
+    )
+    a = token_budget_mix(docs, "doc_id", "n", "source", {"a": 100})
+    b = token_budget_mix(
+        docs.repartition(9), "doc_id", "n", "source", {"a": 100}
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with _pytest.raises(ValueError):
+        token_budget_mix(docs, "doc_id", "n", "source", {})
+    with _pytest.raises(ValueError):
+        token_budget_mix(docs, "doc_id", "n", "source", {"a": -1})

@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="where to write the window-hash state for the next run "
         "(merged state in incremental mode, freshly-built otherwise)",
     )
+    parser.add_argument(
+        "--mix-budgets",
+        help="JSON object of per-source TOKEN budgets, e.g. "
+        '\'{"web": 1000000, "code": 200000}\' — runs token_budget_mix '
+        "on the CLEANED text before packing; sources not named are "
+        "dropped",
+    )
+    parser.add_argument("--source-col", default="source")
     parser.add_argument("--shards", type=int, default=64)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--run-log", help="JSONL run-log path (optional)")
@@ -140,6 +148,40 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
 
         cleaned = strip_spans(docs, spans, args.id_col, args.text_col)
+        mix_report = None
+        if args.mix_budgets:
+            import json as _json
+
+            from home_credit_data_engineering_spark.operators.packing import (
+                token_budget_mix,
+            )
+
+            budgets = {k: int(v) for k, v in _json.loads(args.mix_budgets).items()}
+            # mixing consumes the CLEANED token counts; the source column
+            # rides over from the input by id
+            sources = docs.select(args.id_col, args.source_col)
+            with_src = cleaned.join(sources, on=args.id_col, how="left")
+            kept_mix = token_budget_mix(
+                with_src.withColumn("__ntok", token_count("text_clean")),
+                args.id_col,
+                "__ntok",
+                args.source_col,
+                budgets=budgets,
+                seed=args.seed,
+            )
+            cleaned = cleaned.join(
+                kept_mix.select(
+                    args.id_col,
+                    "source",
+                    F.col("start_offset").alias("mix_offset"),
+                ),
+                on=args.id_col,
+                how="inner",
+            )
+            mix_report = {
+                "docs_mixed": kept_mix.count(),
+                "budgets": budgets,
+            }
         if args.budget > 0:
             assignment = pack_sequences(
                 cleaned.withColumn("__ntok", token_count("text_clean")),
@@ -164,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs_with_spans": span_stats["docs_with_spans"],
         "tokens_cut": int(span_stats["tokens_cut"]),
         "budget": args.budget or None,
+        "mix": mix_report,
     }
     if args.run_log:
         append_run_log(args.run_log, record)

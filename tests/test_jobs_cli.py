@@ -350,3 +350,34 @@ def test_corpus_prep_job_incremental_mode(spark, tmp_path):
              for r in spark.read.parquet(str(tmp_path / "clean2")).collect()}
     assert clean[10] == "lead in"
     assert clean[11] == "brand new never repeated content"
+
+
+def test_corpus_prep_job_with_mixing(spark, tmp_path):
+    """Mixing stage: per-source token budgets applied to CLEANED text."""
+    from home_credit_data_engineering_spark.jobs.corpus_prep import (
+        main as corpus_prep_main,
+    )
+
+    rows = [(i, "web" if i < 10 else "code",
+             " ".join(f"t{i}_{j}" for j in range(10))) for i in range(20)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(src)
+    out = str(tmp_path / "mixed")
+    log = str(tmp_path / "runs.jsonl")
+    rc = corpus_prep_main(
+        [
+            "--input", src, "--output", out, "--window", "8",
+            "--mix-budgets", '{"web": 35}', "--run-log", log,
+        ]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out).collect()
+    # 10-token docs against web budget 35 -> 4 docs kept (offsets 0..30);
+    # code has no budget -> dropped entirely
+    assert all(r["source"] == "web" for r in kept)
+    assert sorted(r["mix_offset"] for r in kept) == [0, 10, 20, 30]
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    (record,) = read_run_log(log)
+    assert record["mix"] == {"docs_mixed": 4, "budgets": {"web": 35}}

@@ -2,11 +2,10 @@
 
 Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
 Search" (TPAMI 2011): split each vector into ``m`` subvectors, k-means
-each subspace into ``2^nbits`` centroids, store each vector as ``m`` small
-codes, storing each vector as ``m`` codes. A 64-dim float corpus
-compresses 256 bytes → ``m`` bytes — the
-difference between an ANN index that fits executor memory at 100 TB and
-one that doesn't. Queries score against codes via ADC (asymmetric
+each subspace into ``2^nbits`` centroids, store each vector as ``m``
+small codes. A 64-dim float corpus compresses 256 bytes → ``m`` bytes —
+the difference between an ANN index that fits executor memory at 100 TB
+and one that doesn't. Queries score against codes via ADC (asymmetric
 distance computation): one ``m × 2^nbits`` lookup table per query, then
 approximate distance = sum of ``m`` table entries per corpus row.
 
@@ -39,7 +38,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from home_credit_data_engineering_spark.functions.vectors import to_double_array
 
-__all__ = ["train_pq_codebooks", "pq_encode", "pq_topk"]
+__all__ = [
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
+    "build_ivfpq_index",
+    "ivfpq_query_index",
+]
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -238,4 +243,221 @@ def pq_topk(
         exact.withColumn("__rk", F.row_number().over(w2))
         .filter(F.col("__rk") <= k)
         .select("query_id", "neighbor_id", "score")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist a FAISS-style IVF-PQ index: cell-partitioned parquet of
+    (id, pq_code) plus the coarse centroids and PQ codebooks.
+
+    The serving combination for 100 TB ANN: partition pruning bounds I/O
+    to the probed cells (like :func:`~.similarity.build_ivf_index`), and
+    PQ codes shrink what those cells store ~16× (``m`` codes per vector
+    vs the full float array), so a probed cell fits memory even when the
+    corpus doesn't. Original vectors are kept beside the codes under
+    ``vectors/`` for the exact re-rank stage — read only for the final
+    candidate slate, never during the ADC scan.
+
+    Codes here quantize the RAW (unit-normalized) vectors with one
+    shared codebook, not per-cell residuals — the residual (IVFADC)
+    variant buys accuracy at the cost of per-cell codebooks; the re-rank
+    stage recovers most of the difference and keeps the build one pass.
+    Returns (centroids, codebooks); both are also saved under ``path``.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    train_src = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else corpus
+    )
+    train = train_src.select(
+        array_to_vector(to_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=5, initMode="random"
+    ).fit(train)
+    centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    c_unit = _unit(centers)
+
+    books = train_pq_codebooks(
+        corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
+    )
+    dsub = books.shape[2]
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def assign_and_encode(v: pd.Series) -> pd.DataFrame:
+        x = _unit(np.array(v.tolist(), dtype=np.float64))
+        cells = np.argsort(-(x @ c_unit.T), axis=1, kind="stable")[:, 0]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"), "code": list(codes)}
+        )
+
+    enc = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_and_encode(to_double_array(vec_col)).alias("__ae"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("__ae.cell").alias("cell"),
+        F.col("__ae.code").alias("pq_code"),
+    )
+    enc.select(id_col, "pq_code", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "codes"))
+    enc.select(id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "_centroids.npy"), centers)
+    np.save(os.path.join(path, "_codebooks.npy"), books)
+    return centers, books
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    rerank: int = 50,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: partition-pruned code scan → ADC →
+    exact re-rank from the vectors store.
+
+    I/O contract: the codes scan reads ONLY probed cell partitions
+    (PartitionFilters, plan-assertable); the vectors store is touched
+    only for the ≤ queries × rerank candidate slate via a broadcast
+    semi-selective join. Returns (query_id, neighbor_id, score, rank)
+    with exact cosine scores when ``rerank > 0``.
+    """
+    import os
+
+    centers = np.load(os.path.join(path, "_centroids.npy"))
+    books = np.load(os.path.join(path, "_codebooks.npy"))
+    m, ksub, dsub = books.shape
+    c_unit = _unit(centers)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__v")
+    ).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}"
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = _unit(np.array([r["__v"] for r in q_rows], dtype=np.float64))
+    probe_order = np.argsort(-(q_mat @ c_unit.T), axis=1, kind="stable")[
+        :, :n_probe
+    ]
+    probed = sorted({int(c) for row in probe_order for c in row})
+    lut = np.empty((len(q_ids), m, ksub))
+    for j in range(m):
+        qs = q_mat[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    # query qi scans only its own probed cells
+    q_probes = {int(q): {int(c) for c in probe_order[i]} for i, q in enumerate(q_ids)}
+    take = max(k, rerank)
+
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin(probed)  # partition-pruned scan
+    )
+
+    def adc_scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            c = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
+            d2 = np.zeros((len(q_ids), len(ids)))
+            for j in range(m):
+                d2 += lut[:, j, :][:, c[:, j]]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.array(
+                    [int(cl) in q_probes[int(q_ids[qi])] for cl in cells]
+                )
+                if not mask.any():
+                    continue
+                sub_ids, sub_d2 = ids[mask], d2[qi][mask]
+                order = np.lexsort((sub_ids, sub_d2))[: take + 1]
+                for oi in order:
+                    if sub_ids[oi] == q_ids[qi]:
+                        continue
+                    out_q.append(q_ids[qi])
+                    out_n.append(sub_ids[oi])
+                    out_s.append(1.0 - sub_d2[oi] / 2.0)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "__approx": out_s}
+            )
+
+    scored = codes.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, __approx double"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("__approx"), F.asc("neighbor_id"))
+    if rerank <= 0:
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("__approx", 6).alias("score"),
+                F.col("__rk").cast("int").alias("rank"),
+            )
+        )
+    from home_credit_data_engineering_spark.functions.vectors import cosine_arrow
+
+    cands = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    q_vec_df = spark.createDataFrame(
+        [(int(r["query_id"]), list(map(float, r["__v"]))) for r in q_rows],
+        "query_id long, __qv array<double>",
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cv"),
+    )
+    exact = (
+        cands.join(F.broadcast(q_vec_df), "query_id")
+        .join(vectors, "neighbor_id")
+        .withColumn("score", F.round(cosine_arrow(F.col("__qv"), F.col("__cv")), 6))
+        .drop("__qv", "__cv")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("__rk").cast("int").alias("rank"))
     )

@@ -13,6 +13,11 @@ fingerprint must therefore be:
 - **distributed**: one aggregate, partial combine, nothing leaves the
   cluster but a single row.
 
+A fingerprint mismatch tells you THAT the tables differ, not where —
+``operators/merge.py:snapshot_diff`` is the row-level companion
+(inserted/deleted/changed rows keyed by id) once a mismatch needs
+localizing.
+
 Caveat: floating-point columns are rejected by default — engines format
 doubles differently (``1.0E7`` vs ``10000000.0``), so a textual digest
 over raw doubles is not portable. Round them into explicit decimals

@@ -428,3 +428,46 @@ def test_token_budget_mix_deterministic_and_guarded(spark):
         token_budget_mix(docs, "doc_id", "n", "source", {})
     with _pytest.raises(ValueError):
         token_budget_mix(docs, "doc_id", "n", "source", {"a": -1})
+
+
+def test_token_budget_mix_matches_python_reference(spark):
+    """Randomized cross-check of the window logic against a pure-Python
+    reimplementation of the md5 permutation + exclusive cumsum."""
+    import hashlib
+    import random
+
+    from home_credit_data_engineering_spark.operators.packing import (
+        token_budget_mix,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        rows = [
+            (i, rng.choice(["a", "b", "c"]), rng.randint(0, 9))
+            for i in range(60)
+        ]
+        budgets = {"a": rng.randint(1, 120), "b": rng.randint(1, 120)}
+
+        def perm(doc_id: int) -> str:
+            return hashlib.md5(f"s42:{doc_id}".encode()).hexdigest()
+
+        expected = set()
+        for src in budgets:
+            stream = sorted(
+                (r for r in rows if r[1] == src and r[2] >= 1),
+                key=lambda r: (perm(r[0]), r[0]),
+            )
+            pos = 0
+            for doc_id, _, n in stream:
+                if pos < budgets[src]:
+                    expected.add((doc_id, src, n, pos))
+                pos += n
+
+        df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+        got = {
+            tuple(r)
+            for r in token_budget_mix(
+                df, "doc_id", "n", "source", budgets
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -48,6 +48,11 @@ SCALED_QUERIES = (
     # span — the worst-case duplication density for this operator, which
     # is exactly what its scaling claim should be measured under.
     "text_duplicated_spans",
+    # r4: the packing/chunking legs are near-linear narrow plans; the
+    # scaled run evidences that (chunking has zero exchanges, packing
+    # shuffles metadata only).
+    "text_sequence_packing",
+    "text_chunk_windows",
 )
 
 _TABLES_NEEDED = ("lineitem", "documents", "embeddings")

@@ -150,6 +150,58 @@ def sample_frames_stub(
     return df.select(id_col, binary_col).mapInPandas(sample, out_schema)
 
 
+def resize_stub(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Arrow-batched 'resize': payload bytes → fixed ``width*height``-byte
+    payload (binary in → binary out, the real resize signature).
+
+    The fake resampler is deterministic nearest-neighbor over the byte
+    stream: ``width*height`` taps at evenly-spaced source offsets (empty
+    payloads resize to zero bytes). Stands in for a PIL/libvips resize
+    while keeping the production plumbing honest: declared output
+    schema, batch-at-a-time, no shuffle, 1→1 rows.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"width/height must be >= 1, got {width}x{height}")
+    n_out = width * height
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("out_width", T.IntegerType(), True),
+            T.StructField("out_height", T.IntegerType(), True),
+        ]
+    )
+
+    def resample(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                src = np.frombuffer(payload, dtype=np.uint8)
+                if len(src) == 0:
+                    out.append(b"")
+                    continue
+                taps = (np.arange(n_out) * len(src)) // n_out
+                out.append(src[taps].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": out,
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(resample, out_schema)
+
+
 def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """Real image decode — requires PIL, not present in this container."""
     raise NotImplementedError(

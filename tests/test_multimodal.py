@@ -68,3 +68,23 @@ def test_frame_sampling_expands_rows(payloads):
 def test_real_decoder_is_explicitly_unavailable(payloads):
     with pytest.raises(NotImplementedError):
         decode_image(payloads, "doc_id", "payload")
+
+
+def test_resize_stub_fixed_output_size(spark):
+    from home_credit_data_engineering_spark.functions.multimodal import (
+        resize_stub,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 200), (2, "short"), (3, "")], ["doc_id", "text"]
+    )
+    payloads = with_binary_payload(docs, "text")
+    out = {r.doc_id: r for r in resize_stub(payloads, "doc_id", "payload", 4, 4).collect()}
+    assert len(out[1].resized) == 16 and len(out[2].resized) == 16
+    assert out[3].resized == b""  # empty payload -> empty resize
+    assert all(r.out_width == 4 and r.out_height == 4 for r in out.values())
+    # deterministic nearest-neighbor: same input -> same bytes
+    again = {r.doc_id: r.resized
+             for r in resize_stub(payloads, "doc_id", "payload", 4, 4).collect()}
+    assert {k: v.resized for k, v in out.items()} == again

@@ -50,6 +50,7 @@ __all__ = [
     "strip_spans",
     "window_hash_state",
     "incremental_spans",
+    "contaminated_spans",
 ]
 
 
@@ -306,3 +307,42 @@ def incremental_spans(
         .agg(F.sum("n_occurrences").alias("n_occurrences"))
     )
     return {"spans": spans, "state": merged_state}
+
+
+def contaminated_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Benchmark-decontamination spans: maximal token spans in TRAIN
+    documents whose every ``k``-token window also occurs somewhere in
+    ``benchmark`` (GPT-3 appendix C / Lee et al. style eval-overlap
+    removal, at window granularity like :func:`duplicated_spans`).
+
+    Output schema matches :func:`duplicated_spans` (doc_id, span_start,
+    span_end, span_tokens — ids/positions refer to ``train``), so
+    :func:`strip_spans` applies unchanged: detect → strip is the full
+    decontamination pass.
+
+    Plan shape: the benchmark side collapses to its DISTINCT window-hash
+    set (one aggregate — benchmarks are tiny next to a training corpus,
+    so at 100 TB this side broadcasts); train windows left-semi join it,
+    then the same islands/span merge. Text never rides a shuffle on
+    either side.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    train_grams = kgram_hash_stream(
+        train, id_col, text_col, k=k, short_doc_fallback=False
+    ).withColumnRenamed("__sh", "__fp")
+    bench_hashes = (
+        kgram_hash_stream(
+            benchmark, id_col, text_col, k=k, short_doc_fallback=False
+        )
+        .select(F.col("__sh").alias("__fp"))
+        .distinct()
+    )
+    hits = train_grams.join(bench_hashes, on="__fp", how="left_semi")
+    return _spans_from_windows(hits, k)

@@ -409,3 +409,52 @@ def text_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         budgets=_MIX_BUDGETS,
     )
+
+
+@register(
+    "text_decontaminate_spans",
+    # Benchmark = src0 documents; train = everything else. A train span
+    # is contaminated when every 8-token window in it also occurs in the
+    # benchmark set — GPT-3 appendix C-style eval-overlap removal with
+    # exact span boundaries (strip_spans applies unchanged downstream).
+    oracle=f"""
+    WITH {_SPAN_CTES.replace("spans AS (", "unused_spans AS (")},
+    bench_fp AS (
+      SELECT DISTINCT fp FROM valid
+      WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+    ),
+    train_hits AS (
+      SELECT v.doc_id, v.pos FROM valid v
+      JOIN bench_fp b ON b.fp = v.fp
+      WHERE v.doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')
+    ),
+    t_isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM train_hits
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_K - 1} AS span_end,
+           MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens
+    FROM t_isl GROUP BY doc_id, g
+    """,
+    operators=("T-ext:contamination", "T-ext:substring-dedup"),
+    doc="Cross-corpus decontamination spans "
+    "(operators/spans.py:contaminated_spans): maximal spans in TRAIN "
+    "documents (source != src0) whose every 8-token window occurs in "
+    "the BENCHMARK set (source = src0). The benchmark side collapses to "
+    "its distinct window-hash set (broadcastable at 100 TB — benchmarks "
+    "are tiny next to training corpora); detect -> strip_spans is the "
+    "full decontamination pass. Window equality makes the xxhash64 "
+    "production path exactly verifiable by the md5 oracle.",
+)
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.spans import (
+        contaminated_spans,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return contaminated_spans(train, bench, "doc_id", "text", k=_SPAN_K)

@@ -471,3 +471,36 @@ def test_token_budget_mix_matches_python_reference(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_contaminated_spans_detects_benchmark_overlap(spark):
+    from home_credit_data_engineering_spark.operators.spans import (
+        contaminated_spans,
+        strip_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # leaks the benchmark question verbatim mid-document
+            (1, "intro text what is the capital of france paris obviously end"),
+            (2, "completely unrelated training material with no overlap here"),
+            # train-internal duplication must NOT count — only benchmark
+            # overlap does
+            (3, "completely unrelated training material with no overlap here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = contaminated_spans(train, bench, "doc_id", "text", k=5)
+    rows = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    assert rows == {(1, 2, 9)}  # exactly the leaked question, nothing else
+
+    cleaned = {
+        r.doc_id: r.text_clean
+        for r in strip_spans(train, spans, "doc_id", "text").collect()
+    }
+    assert cleaned[1] == "intro text end"
+    assert cleaned[2].startswith("completely unrelated")

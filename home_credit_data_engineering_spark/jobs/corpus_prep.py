@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(merged state in incremental mode, freshly-built otherwise)",
     )
     parser.add_argument(
+        "--benchmark",
+        help="benchmark/eval documents parquet; when given, spans are "
+        "CONTAMINATION spans (train windows occurring in the benchmark "
+        "set — operators.spans.contaminated_spans) instead of "
+        "corpus-internal duplicates; mutually exclusive with --state",
+    )
+    parser.add_argument(
         "--mix-budgets",
         help="JSON object of per-source TOKEN budgets, e.g. "
         '\'{"web": 1000000, "code": 200000}\' — runs token_budget_mix '
@@ -104,7 +111,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="corpus-prep")
     docs = read_parquet(spark, args.input)
 
-    if args.state:
+    if args.benchmark and args.state:
+        raise SystemExit(
+            "--benchmark and --state are mutually exclusive: decontamination "
+            "judges against the eval set, incremental mode against history"
+        )
+    if args.benchmark:
+        from home_credit_data_engineering_spark.operators.spans import (
+            contaminated_spans,
+        )
+
+        bench = read_parquet(spark, args.benchmark)
+        spans = contaminated_spans(
+            docs, bench, args.id_col, args.text_col, k=args.window
+        )
+        if args.state_output:
+            write_parquet(
+                window_hash_state(
+                    docs, args.id_col, args.text_col, k=args.window
+                ),
+                args.state_output,
+            )
+    elif args.state:
         # O(delta) daily mode: --input is the new batch; windows judged
         # against history + batch, state merged for tomorrow.
         state = read_parquet(spark, args.state)
@@ -200,7 +228,11 @@ def main(argv: list[str] | None = None) -> int:
 
     record = {
         "job": "corpus_prep",
-        "mode": "incremental" if args.state else "full",
+        "mode": (
+            "decontaminate"
+            if args.benchmark
+            else ("incremental" if args.state else "full")
+        ),
         "window": args.window,
         "spans": span_stats["spans"],
         "docs_with_spans": span_stats["docs_with_spans"],

@@ -381,3 +381,44 @@ def test_corpus_prep_job_with_mixing(spark, tmp_path):
 
     (record,) = read_run_log(log)
     assert record["mix"] == {"docs_mixed": 4, "budgets": {"web": 35}}
+
+
+def test_corpus_prep_job_decontaminate_mode(spark, tmp_path):
+    """--benchmark mode: spans come from eval overlap, not internal dups."""
+    from home_credit_data_engineering_spark.jobs.corpus_prep import (
+        main as corpus_prep_main,
+    )
+
+    leak = " ".join(f"q{j}" for j in range(10))
+    bench_src = str(tmp_path / "bench")
+    train_src = str(tmp_path / "train")
+    spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string"
+    ).write.parquet(bench_src)
+    spark.createDataFrame(
+        [
+            (1, "prefix " + leak + " suffix"),
+            # internal duplicate pair: NOT contamination, must pass through
+            (2, "internal duplicate content appearing twice in training data"),
+            (3, "internal duplicate content appearing twice in training data"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(train_src)
+    out = str(tmp_path / "cleaned")
+    log = str(tmp_path / "runs.jsonl")
+    rc = corpus_prep_main(
+        [
+            "--input", train_src, "--output", out, "--window", "8",
+            "--benchmark", bench_src, "--run-log", log,
+        ]
+    )
+    assert rc == 0
+    cleaned = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert cleaned[1]["text_clean"] == "prefix suffix"
+    assert cleaned[2]["removed_tokens"] == 0 and cleaned[3]["removed_tokens"] == 0
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    (record,) = read_run_log(log)
+    assert record["mode"] == "decontaminate"
+    assert record["docs_with_spans"] == 1

@@ -152,7 +152,7 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_filter",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_filter([
+           COALESCE(array_to_string(list_sort(list_filter([
              CASE WHEN NOT (len({_TOKS}) >= 5) THEN 'min_tokens' END,
              CASE WHEN NOT (len({_TOKS}) <= 100000) THEN 'max_tokens' END,
              CASE WHEN NOT (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
@@ -176,7 +176,7 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'token_length' END,
              CASE WHEN NOT (lang IN ('en', 'de', 'es', 'fr'))
                   THEN 'lang' END
-           ], x -> x IS NOT NULL)) AS failed_rules,
+           ], x -> x IS NOT NULL)), ','), '') AS failed_rules,
            (len(list_filter([
              CASE WHEN NOT (len({_TOKS}) >= 5) THEN 'x' END,
              CASE WHEN NOT (len({_TOKS}) <= 100000) THEN 'x' END,
@@ -204,7 +204,8 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every plans.quality_filter rule (token-count band, symbol/digit "
     "ratios, repetition, unique-token fraction, max token length, lang "
     "allowlist) evaluated in one scan, emitting the kept flag and the "
-    "sorted failed_rules audit array — the exact keep/drop semantics "
+    "sorted failed_rules audit as a comma-joined string (scalar so the "
+    "driver canonicalizer can sort it) — the exact keep/drop semantics "
     "jobs/quality.py ships, certified cross-engine.",
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +225,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        failed.alias("failed_rules"),
+        F.array_join(failed, ",").alias("failed_rules"),
         (F.size(failed) == 0).alias("kept"),
     )
 

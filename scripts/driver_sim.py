@@ -49,7 +49,11 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
             if name in oracles:
                 oracle_pdf = run_oracle(oracles[name], sf_dir)
-                assert_frames_match(spark_pdf, oracle_pdf, name)
+                # queries() IS the driver set — use the driver's strict
+                # canonicalization (non-scalar cell values hard-error).
+                assert_frames_match(
+                    spark_pdf, oracle_pdf, name, driver_strict=True
+                )
                 print(f"  OK   {name}: {len(spark_pdf)} rows == oracle")
             else:
                 print(f"  ROWS {name}: {len(spark_pdf)} rows (no oracle)")

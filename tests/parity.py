@@ -53,7 +53,9 @@ def _float_bits(v) -> str:
     return struct.pack(">d", float(v)).hex()
 
 
-def _normalize(pdf: pd.DataFrame, exact: bool) -> pd.DataFrame:
+def _normalize(
+    pdf: pd.DataFrame, exact: bool, driver_strict: bool = False
+) -> pd.DataFrame:
     out = pdf.copy()
     # Align column order by name (the driver sorts columns before hashing).
     out = out.reindex(sorted(out.columns), axis=1)
@@ -67,11 +69,29 @@ def _normalize(pdf: pd.DataFrame, exact: bool) -> pd.DataFrame:
             # both sides (sort key only needs to agree between frames).
             out[col] = s.map(_float_bits) if exact else s.round(9)
         elif s.dtype == object:
-            out[col] = s.map(
-                lambda v: (_float_bits(v) if exact else round(v, 9))
-                if isinstance(v, float)
-                else (tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-            )
+
+            def _obj(v, _col=col):
+                if isinstance(v, float):
+                    return _float_bits(v) if exact else round(v, 9)
+                if isinstance(v, (list, np.ndarray, dict)):
+                    if driver_strict:
+                        # The REAL driver canonicalizer does a raw pandas
+                        # sort_values; an unhashable list/dict value makes
+                        # it hard-error (r4's text_quality_filter). Refuse
+                        # the tuple rescue here so driver-set parity runs
+                        # fail the same way the driver would.
+                        raise TypeError(
+                            f"driver-strict: column {_col!r} holds a "
+                            f"non-scalar value {type(v).__name__}; the "
+                            "driver canonicalizer cannot sort it — emit a "
+                            "scalar (e.g. array_join) instead"
+                        )
+                    return tuple(v) if not isinstance(v, dict) else tuple(
+                        sorted(v.items())
+                    )
+                return v
+
+            out[col] = s.map(_obj)
         elif pd.api.types.is_integer_dtype(s):
             out[col] = s.astype("Int64")
     sort_cols = list(out.columns)
@@ -84,6 +104,7 @@ def assert_frames_match(
     oracle_pdf: pd.DataFrame,
     name: str,
     atol: float | None = None,
+    driver_strict: bool = False,
 ):
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} (spark) != {len(oracle_pdf)} (oracle)"
@@ -92,8 +113,8 @@ def assert_frames_match(
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
     )
     exact = atol is None
-    left = _normalize(spark_pdf, exact)
-    right = _normalize(oracle_pdf, exact)
+    left = _normalize(spark_pdf, exact, driver_strict)
+    right = _normalize(oracle_pdf, exact, driver_strict)
     for col in left.columns:
         lv, rv = left[col].values, right[col].values
         if not exact and pd.api.types.is_float_dtype(
@@ -123,6 +144,8 @@ def check_query(spark, name: str, sf_dir: str):
     import home_credit_data_engineering_spark.plans.declared  # noqa: F401
     from home_credit_data_engineering_spark.plans.registry import REGISTRY, prep
 
+    from home_credit_data_engineering_spark.plans.registry import DRIVER_SET
+
     q = REGISTRY[name]
     spark_df = q.build(prep(spark), sf_dir)
     spark_pdf = spark_df.toPandas()
@@ -131,6 +154,12 @@ def check_query(spark, name: str, sf_dir: str):
         return spark_pdf
     oracle_pdf = run_oracle(q.oracle, sf_dir)
     assert_frames_match(
-        spark_pdf, oracle_pdf, name, atol=FLOAT_ATOL_EXCEPTIONS.get(name)
+        spark_pdf,
+        oracle_pdf,
+        name,
+        atol=FLOAT_ATOL_EXCEPTIONS.get(name),
+        # Driver slots get the driver's own (stricter) canonicalization:
+        # non-scalar cell values hard-error instead of tuple-rescuing.
+        driver_strict=name in DRIVER_SET,
     )
     return spark_pdf

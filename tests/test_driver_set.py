@@ -66,3 +66,31 @@ def test_driver_contract_dicts_follow_driver_set():
 def test_most_driver_slots_are_oracle_backed():
     oracle_backed = sum(1 for n in DRIVER_SET if REGISTRY[n].oracle)
     assert oracle_backed == len(DRIVER_SET) == 50
+
+
+def test_driver_set_schemas_are_scalar_only(spark, sf_dir):
+    """No driver slot may emit array/map/struct columns.
+
+    The driver's canonicalizer sorts result frames with a raw pandas
+    ``sort_values`` over every column; a list-valued cell is unhashable
+    and hard-errors the slot (r4's ``text_quality_filter`` red row). This
+    gate builds every DRIVER_SET plan (schema only — nothing executes)
+    and rejects complex output types before they can ship.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from home_credit_data_engineering_spark.plans.registry import prep
+
+    offenders = []
+    prepped = prep(spark)
+    for name in DRIVER_SET:
+        df = REGISTRY[name].build(prepped, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(
+                    f"{name}.{field.name}: {field.dataType.simpleString()}"
+                )
+    assert not offenders, (
+        "driver-set queries must emit scalar columns only (the driver "
+        f"canonicalizer cannot sort complex values): {offenders}"
+    )

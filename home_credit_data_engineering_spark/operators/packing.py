@@ -187,6 +187,7 @@ def token_budget_mix(
     source_col: str,
     budgets: dict[str, int],
     seed: int = 42,
+    shards: int = 64,
 ) -> DataFrame:
     """Data-mixture sampling by per-source TOKEN budgets.
 
@@ -207,14 +208,25 @@ def token_budget_mix(
 
     Deterministic and engine-portable (md5 order + integer cumsum):
     fully SQL-oracle-verifiable. Only (id, source, token_count)
-    metadata shuffles, partitioned by source — the same bounded-window
-    discipline as :func:`pack_sequences`.
+    metadata shuffles, and the per-source running sum is a TWO-LEVEL
+    prefix sum so no single window partition ever spans a whole source:
+    the md5 order key is range-sharded by its leading 16 bits into
+    ``shards`` ordered buckets, per-(source, shard) token totals (a tiny
+    sources x shards aggregate) are cumulated into shard base offsets
+    and broadcast back, and each task adds only its within-shard
+    exclusive sum. A mixture source with billions of documents thus
+    lands on ``shards`` parallel tasks, not one. Because the shard is a
+    monotone function of the md5 prefix, the concatenated order is
+    exactly the per-source md5 total order — the output is bit-identical
+    to a single-window cumsum, so the SQL oracle is shard-blind.
     """
     if not budgets:
         raise ValueError("budgets must name at least one source")
     for src, b in budgets.items():
         if b < 0:
             raise ValueError(f"budget for {src!r} must be >= 0, got {b}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
     n = (
         F.col(token_count_col)
         if isinstance(token_count_col, str)
@@ -223,23 +235,61 @@ def token_budget_mix(
     budget_expr = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
     )
+    perm = _md5_perm(id_col, seed)
+    # Range-shard on the leading 16 bits of the md5 order key. Hex digits
+    # sort lexicographically in numeric order, so the shard index is
+    # monotone in __ord: shard k's rows ALL precede shard k+1's rows in
+    # the per-source md5 total order, and the two-level sum below equals
+    # the single-window cumsum bit for bit.
+    shard = (
+        F.floor(
+            F.conv(F.substring(perm, 1, 4), 16, 10).cast("bigint")
+            * shards
+            / 65536
+        )
+        .cast("int")
+        .alias("__shard")
+    )
     base = df.select(
         F.col(id_col),
         F.col(source_col).alias("source"),
         n.alias("token_count"),
-        _md5_perm(id_col, seed).alias("__ord"),
+        perm.alias("__ord"),
+        shard,
         F.element_at(budget_expr, F.col(source_col).cast("string")).alias(
             "__budget"
         ),
     ).filter(F.col("__budget").isNotNull() & (F.col("token_count") >= 1))
-    w = (
+    # Level 1: per-(source, shard) token totals — at most
+    # len(budgets) * shards rows — cumulated into each shard's base
+    # offset within its source, then broadcast back.
+    shard_w = (
         W.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    shard_bases = (
+        base.groupBy("source", "__shard")
+        .agg(F.sum("token_count").alias("__shard_tokens"))
+        .select(
+            "source",
+            "__shard",
+            F.coalesce(F.sum("__shard_tokens").over(shard_w), F.lit(0)).alias(
+                "__shard_base"
+            ),
+        )
+    )
+    # Level 2: within-shard exclusive running sum; each window partition
+    # holds ~1/shards of a source, never the whole source.
+    w = (
+        W.partitionBy("source", "__shard")
         .orderBy("__ord", id_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum("token_count").over(w), F.lit(0))
+    local = F.coalesce(F.sum("token_count").over(w), F.lit(0))
     return (
-        base.withColumn("start_offset", start)
+        base.join(F.broadcast(shard_bases), ["source", "__shard"])
+        .withColumn("start_offset", F.col("__shard_base") + local)
         .filter(F.col("start_offset") < F.col("__budget"))
         .select(id_col, "source", "token_count", "start_offset")
     )

@@ -473,6 +473,51 @@ def test_token_budget_mix_matches_python_reference(spark):
         assert got == expected, f"trial {trial}"
 
 
+def test_token_budget_mix_cumsum_is_sharded(spark):
+    """No single window partition may span a whole source.
+
+    The per-document running sum must be partitioned by (source, shard),
+    not source alone — otherwise one source's entire metadata lands on a
+    single task at mixture scale. Plan-level: every per-row window in the
+    optimized plan carries ``__shard`` in its partition spec, and the
+    shard column actually spreads rows (>1 distinct shard for a 500-doc
+    source at the default 64 shards).
+    """
+    from home_credit_data_engineering_spark.operators.packing import (
+        token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web", 3) for i in range(500)], ["doc_id", "source", "n"]
+    )
+    out = token_budget_mix(docs, "doc_id", "n", "source", {"web": 10**9})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    row_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "__ord" in line
+    ]
+    assert row_windows, "expected the per-row cumsum window in the plan"
+    assert all("__shard" in line for line in row_windows), (
+        "per-row cumsum window is not sharded:\n" + "\n".join(row_windows)
+    )
+    assert not re.search(
+        r"windowspecdefinition\(source#\d+[,)]\s*__ord", plan
+    ), "found a source-only window over the md5 order key"
+    n_shards = out.select("start_offset").count()  # force execution path
+    distinct_shards = (
+        docs.selectExpr(
+            "floor(conv(substring(md5(concat('s42:', cast(doc_id as string))),"
+            " 1, 4), 16, 10) * 64 / 65536) AS s"
+        )
+        .distinct()
+        .count()
+    )
+    assert n_shards == 500 and distinct_shards > 1
+
+
 def test_contaminated_spans_detects_benchmark_overlap(spark):
     from home_credit_data_engineering_spark.operators.spans import (
         contaminated_spans,

@@ -169,10 +169,19 @@ def main() -> None:
         if proc.returncode == 0 and proc.stdout.strip():
             scaled = json.loads(proc.stdout.strip().splitlines()[-1])
             result["sf_scaled"] = round(sf_val * 10, 3)
-            result["queries_scaled"] = scaled
-            result["value_scaled"] = round(sum(scaled.values()), 3)
+            result["queries_scaled"] = scaled["queries"]
+            result["queries_scaled_spread"] = scaled["spread"]
+            result["value_scaled"] = round(sum(scaled["queries"].values()), 3)
 
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # The driver captures only the tail of stdout (r4's headline metric
+    # was truncated away); the file copy is the durable record.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    with open(out_path, "w", encoding="utf-8") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,12 @@ SCALED_QUERIES = (
     # shuffles metadata only).
     "text_sequence_packing",
     "text_chunk_windows",
+    # r5 (VERDICT r4 #7): the mixing and decontamination legs. Mixing is
+    # metadata-only (two-level sharded cumsum) so it should be near-flat;
+    # decontamination tracks the span-dedup curve (same window-hash
+    # machinery against a broadcastable benchmark hash set).
+    "text_token_budget_mix",
+    "text_decontaminate_spans",
 )
 
 _TABLES_NEEDED = ("lineitem", "documents", "embeddings")
@@ -98,12 +104,15 @@ def build_scaled_cache(
 
 def run_scaled(
     spark: SparkSession, registry, sf_dir: str, replicas: int = 10
-) -> dict[str, float]:
-    """Time SCALED_QUERIES against the replica cache (min of 2 runs).
+) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+    """Time SCALED_QUERIES against the replica cache.
 
-    The leg runs in its own fresh JVM (bench.py spawns it as a
+    Returns ``(min_timings, spread)`` where spread carries per-query
+    ``{med, max}`` over ``SPARK_GRAFT_SCALED_RUNS`` runs (default 3 —
+    min-of-2 left the r4 winnowing regression unexplainable, VERDICT r4
+    #4). The leg runs in its own fresh JVM (bench.py spawns it as a
     subprocess), so the first execution of each query pays JVM/codegen/
-    python-worker cold start — min-of-2 measures the query.
+    python-worker cold start — the minimum measures the query.
 
     Scaled-number caveat: replicas duplicate CONTENT (ids are shifted,
     text/vectors are identical), so dedup/similarity queries face 10×
@@ -112,17 +121,24 @@ def run_scaled(
     data scaling.
     """
     scaled_dir = build_scaled_cache(spark, sf_dir, replicas)
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_SCALED_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in SCALED_QUERIES:
         if name not in registry:
             continue
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(runs):
             start = time.perf_counter()
             registry[name].build(spark, scaled_dir).count()
-            best = min(best, time.perf_counter() - start)
+            samples.append(time.perf_counter() - start)
             spark.catalog.clearCache()  # same hygiene as the headline loop
-        timings[name] = round(best, 3)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        spread[name] = {
+            "med": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+        }
 
     # The clustering pipeline every dedup run ends with (same shape as the
     # headline dedup_cc_star leg): MinHash edges -> large-star/small-star.
@@ -141,7 +157,7 @@ def run_scaled(
     connected_components_star(edges).count()
     timings["dedup_cc_star"] = round(time.perf_counter() - start, 3)
     spark.catalog.clearCache()
-    return timings
+    return timings, spread
 
 
 def _main() -> int:
@@ -166,8 +182,8 @@ def _main() -> int:
         },
     )
     prep(spark)
-    timings = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
-    print(json.dumps(timings))
+    timings, spread = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
+    print(json.dumps({"queries": timings, "spread": spread}))
     spark.stop()
     return 0
 

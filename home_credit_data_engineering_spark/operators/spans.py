@@ -183,11 +183,22 @@ def strip_spans(
     Plan shape: spans collapse to one small array per document (shuffle
     of (doc_id, start, end) triples only), then token filtering happens
     inside a single projection via nested higher-order functions —
-    ``filter(tokens, (t, i) -> !exists(spans, s -> covers(s, i)))`` — so
-    the document text itself never rides a shuffle and no Python runs.
+    ``filter(tokens, (t, i) -> !exists(spans, s -> covers(s, i)))`` —
+    and no Python runs. Whether the document TEXT rides a shuffle
+    depends on the join strategy: while the per-document span arrays fit
+    the broadcast threshold (typical: spans are (int, int) pairs for the
+    flagged subset only), the join broadcasts and text stays put. On
+    boilerplate-heavy web corpora where most documents carry spans, the
+    span side outgrows the threshold and the equi-join hash-partitions
+    BOTH sides on doc_id — including the text. The 100 TB posture for
+    that regime is storage-level co-location: write the corpus bucketed
+    on the id (``sources/sinks.py:write_bucketed``) and the text side
+    plans with ZERO exchanges — only the tiny span aggregate shuffles to
+    meet the bucket partitioning (plan-asserted in
+    ``tests/test_bucketing.py::test_strip_spans_bucketed_corpus``).
     Span arrays are per-document and bounded by tokens/k, so the
-    broadcast-sized struct array never explodes; overlapping or
-    duplicate spans in the input are harmless (coverage is a union).
+    per-row struct array never explodes; overlapping or duplicate spans
+    in the input are harmless (coverage is a union).
     """
     span_arr = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
         F.collect_list(

@@ -112,3 +112,48 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
         assert ndv.get("distinct_count") not in (None, "NULL")
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_strip_spans_bucketed_corpus(spark, sf_dir):
+    """strip_spans over a corpus bucketed on the id: the text side must
+    plan with ZERO exchanges — only the span-side aggregate shuffles to
+    meet the bucket partitioning. This is the past-broadcast-threshold
+    posture for boilerplate-heavy corpora (operators/spans.py docstring;
+    VERDICT r4 #5)."""
+    from home_credit_data_engineering_spark.operators.spans import strip_spans
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    write_bucketed(docs, "b_documents", "doc_id", 8, sort_by="doc_id")
+    spans = spark.createDataFrame(
+        [(1, 0, 7), (2, 3, 12), (5, 0, 2)],
+        ["doc_id", "span_start", "span_end"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = strip_spans(spark.table("b_documents"), spans, "doc_id", "text")
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_documents")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected only the span-side exchange:\n{plan}"
+    # the one exchange is the span aggregate, not the document text
+    exchange_lines = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert all("text" not in line for line in exchange_lines), plan
+    assert "Bucketed: true" in plan, plan
+    # and the same join un-bucketed shuffles the text side too
+    raw = strip_spans(docs, spans, "doc_id", "text")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert raw_plan.count("Exchange hashpartitioning") == 2, raw_plan

@@ -227,10 +227,12 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     q_vecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("__qv"),
     )
     c_vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("__cv"),
     )
     exact = (
         cands.join(F.broadcast(q_vecs), "query_id")
@@ -273,6 +275,14 @@ def build_ivfpq_index(
     variant buys accuracy at the cost of per-cell codebooks; the re-rank
     stage recovers most of the difference and keeps the build one pass.
     Returns (centroids, codebooks); both are also saved under ``path``.
+
+    ``path`` must be a LOCAL filesystem path: the centroid/codebook
+    sidecars go through ``os.makedirs`` + ``np.save`` (driver-local),
+    unlike the parquet legs which go through Spark's Hadoop filesystem.
+    For ``hdfs://`` / ``s3://`` deployments, write the sidecars to a
+    local staging dir and upload, or keep the returned arrays and pass
+    them to the query path directly. Same limitation in
+    ``jobs/ann_index``.
     """
     import os
 
@@ -353,6 +363,9 @@ def ivfpq_query_index(
     only for the ≤ queries × rerank candidate slate via a broadcast
     semi-selective join. Returns (query_id, neighbor_id, score, rank)
     with exact cosine scores when ``rerank > 0``.
+
+    ``path`` must be a LOCAL filesystem path (the centroid/codebook
+    sidecars load via ``np.load``) — see :func:`build_ivfpq_index`.
     """
     import os
 

@@ -8,8 +8,10 @@ fingerprint must therefore be:
 - **order-insensitive** (engines return rows in different orders):
   per-row digests are combined with an addition, not a concatenation;
 - **engine-portable**: the row digest is md5 over a canonical string
-  encoding (sorted column names, unit-separator joined, explicit null
-  sentinel) — the same discipline the DuckDB oracle gate uses;
+  encoding (sorted column names; each value length-prefixed and null
+  tagged, so the encoding is injective even when values themselves
+  contain separator or control bytes — web-text corpora legitimately
+  do) — the same discipline the DuckDB oracle gate uses;
 - **distributed**: one aggregate, partial combine, nothing leaves the
   cluster but a single row.
 
@@ -31,10 +33,19 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["table_fingerprint", "fingerprints_match"]
 
-#: Field separator (ASCII unit separator) and null sentinel — choices
-#: that cannot collide with printable data.
+#: Field separator between encoded values. Values are length-prefixed
+#: (``V<len>:<value>``) and nulls tagged (``N``), so a value that itself
+#: contains the separator — legal in web-text string columns — cannot
+#: shift field boundaries: each field self-delimits and the encoding is
+#: injective without any escaping pass over the data.
 _SEP = "\x1f"
-_NULL = "\x00"
+
+
+def _encode_value(c: str):
+    v = F.col(c).cast("string")
+    return F.when(v.isNull(), F.lit("N")).otherwise(
+        F.concat(F.lit("V"), F.length(v).cast("string"), F.lit(":"), v)
+    )
 
 
 def table_fingerprint(
@@ -62,9 +73,7 @@ def table_fingerprint(
                 f"float columns {floaty} have engine-specific string forms; "
                 "round them into decimals first or pass allow_floats=True"
             )
-    encoded = F.concat_ws(
-        _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in use]
-    )
+    encoded = F.concat_ws(_SEP, *[_encode_value(c) for c in use])
     digest = F.conv(F.substring(F.md5(encoded), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )

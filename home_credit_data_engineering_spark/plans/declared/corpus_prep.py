@@ -171,6 +171,28 @@ def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, "doc_id", "text", k=_SPAN_K)
 
 
+#: Idempotent persist for combo_corpus_prep's two-consumer spans leg:
+#: keyed on (applicationId, sf_dir) with at most ONE live entry, so
+#: repeated registry/bench invocations in a single session reuse the
+#: same persisted RDD instead of accumulating cached copies (ADVICE r4
+#: — the old bare .persist() leaked one cache entry per invocation and
+#: relied on callers running clearCache()).
+_SPANS_PERSISTED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _spans_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPANS_PERSISTED:
+        for old in _SPANS_PERSISTED.values():
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — stale handle from a stopped session
+                pass
+        _SPANS_PERSISTED.clear()
+        _SPANS_PERSISTED[key] = _spans_df(spark, sf_dir).persist()
+    return _SPANS_PERSISTED[key]
+
+
 @register(
     "text_duplicated_spans",
     oracle=f"WITH {_SPAN_CTES} "
@@ -303,8 +325,8 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     # two consumers (span leg + strip join) — persist per the
-    # multi-consumer rule; bench/driver clear the cache between queries
-    spans = _spans_df(spark, sf_dir).persist()
+    # multi-consumer rule, via the idempotent session-keyed cache above
+    spans = _spans_persisted(spark, sf_dir)
     stripped = strip_spans(docs, spans, "doc_id", "text")
     packed = text_sequence_packing(spark, sf_dir)
     chunks = text_chunk_windows(spark, sf_dir)

@@ -64,3 +64,27 @@ def test_fingerprint_empty_table_is_stable(spark):
     empty = spark.createDataFrame([], "k long, v string")
     row = table_fingerprint(empty).collect()[0]
     assert (row["n_rows"], row["fingerprint"]) == (0, "0")
+
+
+def test_fingerprint_control_bytes_cannot_shift_field_boundaries(spark):
+    """Values containing the separator or a literal NUL are legal in
+    web-text columns; length-prefixed encoding keeps the row encoding
+    injective (ADVICE r4)."""
+    shifted_a = table_fingerprint(
+        spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    ).collect()[0]
+    shifted_b = table_fingerprint(
+        spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    ).collect()[0]
+    assert shifted_a["fingerprint"] != shifted_b["fingerprint"]
+    nul_value = table_fingerprint(
+        spark.createDataFrame([(1, "\x00")], "k long, v string")
+    ).collect()[0]
+    null_value = table_fingerprint(
+        spark.createDataFrame([(1, None)], "k long, v string")
+    ).collect()[0]
+    literal_n = table_fingerprint(
+        spark.createDataFrame([(1, "N")], "k long, v string")
+    ).collect()[0]
+    assert len({nul_value["fingerprint"], null_value["fingerprint"],
+                literal_n["fingerprint"]}) == 3

@@ -57,6 +57,9 @@ from home_credit_data_engineering_spark.operators.quality import (
     split_valid_invalid,
 )
 from home_credit_data_engineering_spark.operators.sampling import keyset_page, paginate
+from home_credit_data_engineering_spark.plans.declared.io_roundtrip import (
+    _FP_ENC_SQL,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import (
     read_csv,
@@ -1293,7 +1296,7 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "combo_io_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT 'parquet' AS src, o_orderstatus AS key, COUNT(*) AS n_rows,
            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR)
              AS detail
@@ -1309,13 +1312,8 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier GROUP BY s_nationkey
     UNION ALL
     SELECT 'fingerprint', 'orders', COUNT(*),
-           CAST(SUM(CAST('0x' || substr(md5(
-             COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
-             COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)) || chr(31) ||
-             COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
-             COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)) || chr(31) ||
-             COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0))
-           ), 1, 15) AS BIGINT)) AS VARCHAR)
+           CAST(SUM(CAST('0x' || substr(md5({_FP_ENC_SQL}), 1, 15)
+                    AS BIGINT)) AS VARCHAR)
     FROM orders
     """,
     operators=(

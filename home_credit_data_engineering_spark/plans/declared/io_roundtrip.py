@@ -144,8 +144,13 @@ def io_json_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_COLS = [
     "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus",
 ]
+# Mirrors reconcile._encode_value: length-prefixed values + 'N' null tag,
+# injective even when values contain separator/control bytes (ADVICE r4).
 _FP_ENC_SQL = " || chr(31) || ".join(
-    f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in _FP_COLS
+    f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || "
+    f"CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+    f"CAST({c} AS VARCHAR) END"
+    for c in _FP_COLS
 )
 
 

@@ -46,7 +46,20 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            out_df = fn(spark, sf_dir)
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f"{f.name}: {f.dataType.simpleString()}"
+                for f in out_df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                raise TypeError(
+                    "driver-incompatible output schema (the driver "
+                    f"canonicalizer cannot sort complex values): {complex_cols}"
+                )
+            spark_pdf = out_df.toPandas()
             if name in oracles:
                 oracle_pdf = run_oracle(oracles[name], sf_dir)
                 # queries() IS the driver set — use the driver's strict

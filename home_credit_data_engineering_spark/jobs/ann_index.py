@@ -1,5 +1,11 @@
 """ANN index build job CLI: embeddings parquet → cell-partitioned IVF
-index (+ centroid matrix) for partition-pruned similarity serving."""
+index (+ centroid matrix) for partition-pruned similarity serving.
+
+The --output path must be LOCAL-filesystem: the centroid sidecar is
+written with np.save (driver-local), unlike the parquet legs which go
+through Spark's Hadoop filesystem. For hdfs:///s3:// deployments, stage
+the sidecar locally and upload (see operators/quantization.py
+build_ivfpq_index docstring for the same contract)."""
 
 from __future__ import annotations
 

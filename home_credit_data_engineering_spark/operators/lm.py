@@ -1,0 +1,196 @@
+"""Corpus language-model perplexity scoring — the CCNet-style quality
+signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", arXiv:1911.00359).
+
+Production CCNet scores documents with a 5-gram KenLM trained on
+Wikipedia; the KenLM artifact and its tokenizer are external binaries.
+What belongs in the ENGINE is the distributed shape of the computation:
+train token statistics over one corpus, score every document of another
+(or the same) corpus by mean log-probability, and bucket the result into
+head/middle/tail for mixture construction. This module implements that
+shape with an additively-smoothed unigram model — fully engine-portable
+(counts + one ln per vocab row), exactly the plan a KenLM-backed variant
+would use with a different per-token score column.
+
+Scale posture (100 TB): token statistics are one hash-aggregate with
+map-side partial combine ((doc, token) pairs first, so a token repeated
+1000x in one document contributes ONE row to the token shuffle); the
+score join is an equi-join on token between the pair table and the
+aggregated vocabulary (1 row per distinct token — the build side of any
+skew-split AQE performs); the per-document reduce is a second hash
+aggregate. No window spans more than one document, nothing collects to
+the driver, and no Python runs.
+
+Float discipline (cross-engine oracle): per-token log-probabilities are
+rounded to 9 decimals and accumulated as DECIMAL(28,9) — exact,
+order-independent sums (the `_stable.py` rule) — so the only
+engine-library float ops are one ln per vocab row and one exp per
+document, each on bit-identical inputs. Reference for the quality-filter
+family it joins: /root/reference/spark/gold/processor.py:81-88 keeps
+aggregate-threshold flags; this is the corpus-level analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from home_credit_data_engineering_spark.functions.text import tokens
+
+__all__ = ["train_unigram_lm", "lm_perplexity", "perplexity_buckets"]
+
+#: Decimal type of a per-token log-probability: 9 fractional digits
+#: (matches the per-token rounding). Kept at precision 18 so the
+#: count-weighted product decimal(10,0) x decimal(18,9) ->
+#: decimal(29,9) stays EXACT under Spark's 38-digit cap (a wider type
+#: would silently truncate the product scale). The sum then widens to
+#: decimal(38,9) — order-independent exact accumulation.
+_ACC = "decimal(18,9)"
+
+
+def _doc_token_counts(
+    df: DataFrame, id_col: str, text_col: str | Column
+) -> DataFrame:
+    """(doc_id, __tok, __cnt) — one row per distinct token per document.
+
+    The pre-aggregation that makes everything downstream cheap: repeated
+    tokens collapse before any token-keyed shuffle, and the per-document
+    reduce can weight by ``__cnt`` instead of re-touching raw tokens.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .filter(F.length("__tok") > 0)
+        .groupBy("doc_id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(token, logp) — additively-smoothed unigram log-probabilities.
+
+    ``p(t) = (c(t) + alpha) / (T + alpha * V)`` over whitespace tokens of
+    the training corpus (T = total tokens, V = vocabulary size). ``logp``
+    is ``ln p(t)`` rounded to 9 decimals (see module float discipline).
+
+    The totals ride a broadcast single-row cross join, not a driver
+    collect — the whole model stays a lazy DataFrame that can be
+    persisted with ``write_parquet`` and served later.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (unseen mass), got {alpha}")
+    vocab = (
+        _doc_token_counts(df, id_col, text_col)
+        .groupBy("__tok")
+        .agg(F.sum("__cnt").alias("__ctok"))
+    )
+    totals = vocab.agg(
+        F.sum("__ctok").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    return vocab.crossJoin(F.broadcast(totals)).select(
+        F.col("__tok").alias("token"),
+        F.round(
+            F.log(
+                (F.col("__ctok") + F.lit(alpha))
+                / (F.col("__t") + F.lit(alpha) * F.col("__v"))
+            ),
+            9,
+        )
+        .cast(_ACC)
+        .alias("logp"),
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | Column,
+    alpha: float = 0.5,
+    model: DataFrame | None = None,
+    unseen_logp: float | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, ppl) — per-document unigram perplexity.
+
+    ``ppl = exp(-sum(c_doc(t) * logp(t)) / n_tokens)`` — lower is more
+    fluent/typical relative to the training corpus; boilerplate and
+    gibberish land in the tail. With ``model=None`` the model is trained
+    on ``df`` itself (every token is in-vocabulary by construction —
+    the self-scoring CCNet setup). Pass a persisted ``(token, logp)``
+    frame to score against an external corpus; tokens absent from it
+    get ``unseen_logp`` (required in that case — by convention the
+    model's smoothed floor ``ln(alpha / (T + alpha * V))``).
+
+    ``ppl`` is rounded to 4 decimals. Join strategy note: the model side
+    is 1 row per distinct token, so hot tokens ("the") skew only the
+    probe side — AQE's skew-join split handles that without salting.
+    """
+    doc_tok = _doc_token_counts(df, id_col, text_col)
+    if model is None:
+        model = train_unigram_lm(df, id_col, text_col, alpha=alpha)
+        joined = doc_tok.join(
+            model.select(F.col("token").alias("__tok"), "logp"), "__tok"
+        )
+    else:
+        if unseen_logp is None:
+            raise ValueError(
+                "scoring against an external model needs unseen_logp "
+                "(the smoothed out-of-vocabulary floor)"
+            )
+        joined = doc_tok.join(
+            model.select(F.col("token").alias("__tok"), "logp"),
+            "__tok",
+            "left",
+        ).withColumn(
+            "logp",
+            F.coalesce(
+                F.col("logp"),
+                F.lit(round(unseen_logp, 9)).cast(_ACC),
+            ),
+        )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            # decimal(10,0) x decimal(18,9) -> decimal(29,9): exact
+            F.sum(
+                F.col("__cnt").cast("decimal(10,0)") * F.col("logp")
+            ).alias("__ll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -(F.col("__ll").cast("double"))
+                    / F.col("n_tokens").cast("double")
+                ),
+                4,
+            ).alias("ppl"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame, n_buckets: int = 3, ppl_col: str = "ppl"
+) -> DataFrame:
+    """Add CCNet's head/middle/tail split: ``bucket`` = NTILE over
+    ascending perplexity (1 = head = most fluent), ties broken by
+    doc_id so the split is deterministic and engine-portable.
+
+    NTILE is a global-sort window — fine for the final bucketing of an
+    already-reduced (one row per document) frame; for mixture
+    construction at extreme scale prefer thresholding on
+    ``approx_percentile(ppl, [1/3, 2/3])`` instead of a total order.
+    """
+    from pyspark.sql.window import Window as W
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = W.orderBy(F.col(ppl_col).asc(), F.col("doc_id").asc())
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

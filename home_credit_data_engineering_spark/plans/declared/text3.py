@@ -296,3 +296,64 @@ def text_approx_topk_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__in"), F.lit(False)).alias("in_approx_topk"),
         )
     )
+
+
+@register(
+    "text_lm_perplexity",
+    # Float discipline: per-token logp rounded at 9 and accumulated as
+    # exact decimals on BOTH engines, so the only engine-library float
+    # ops are ln (per vocab row) and exp (per doc) on bit-identical
+    # inputs; the atol entry in tests/parity.py forgives their
+    # last-ulp library differences (same precedent as
+    # pandas_grouped_zscore).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
+    ),
+    vocab AS (SELECT token, SUM(cnt) AS ctok FROM doc_tok GROUP BY token),
+    tot AS (SELECT SUM(ctok) AS t, COUNT(*) AS v FROM vocab),
+    lp AS (
+      SELECT token,
+             CAST(ROUND(ln((ctok + 0.5) / (t + 0.5 * v)), 9)
+                  AS DECIMAL(18,9)) AS logp
+      FROM vocab, tot
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             SUM(d.cnt) AS n_tokens,
+             SUM(CAST(d.cnt AS DECIMAL(10,0)) * lp.logp) AS ll
+      FROM doc_tok d JOIN lp USING (token) GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(EXP(-(CAST(ll AS DOUBLE)) / CAST(n_tokens AS DOUBLE)), 4)
+             AS ppl,
+           CAST(NTILE(3) OVER (
+             ORDER BY ROUND(EXP(-(CAST(ll AS DOUBLE))
+                            / CAST(n_tokens AS DOUBLE)), 4), doc_id
+           ) AS INTEGER) AS bucket
+    FROM scored
+    """,
+    operators=("T-ext:perplexity", "T-ext:quality"),
+    doc="CCNet-style LM perplexity filter (operators/lm.py, Wenzek et "
+    "al. arXiv:1911.00359): an additively-smoothed unigram model is "
+    "trained on the corpus itself, every document is scored by mean "
+    "log-probability, and NTILE(3) over ascending perplexity yields the "
+    "head/middle/tail buckets CCNet mixes from. Distributed shape = "
+    "what a KenLM-backed variant would run: (doc, token) pre-aggregate, "
+    "token-keyed model join, per-doc reduce — no Python, no driver "
+    "state, exact-decimal log-prob accumulation.",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.lm import (
+        lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return perplexity_buckets(lm_perplexity(docs, "doc_id", "text"))

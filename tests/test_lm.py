@@ -1,0 +1,113 @@
+"""CCNet-style LM perplexity (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from home_credit_data_engineering_spark.operators.lm import (
+    lm_perplexity,
+    perplexity_buckets,
+    train_unigram_lm,
+)
+
+
+def _python_ppl(rows, alpha=0.5):
+    """Pure-Python reimplementation: same rounding discipline."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for _, text in rows:
+        counts.update(text.split())
+    t, v = sum(counts.values()), len(counts)
+    logp = {
+        tok: round(math.log((c + alpha) / (t + alpha * v)), 9)
+        for tok, c in counts.items()
+    }
+    out = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        if not toks:
+            continue
+        ll = sum(logp[tok] for tok in toks)  # exact: 9-dp decimals
+        out[doc_id] = (len(toks), round(math.exp(-ll / len(toks)), 4))
+    return out
+
+
+def test_self_scored_perplexity_matches_python(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "zxqv flurm blat zxqv"),
+        (4, "the the the the"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in lm_perplexity(df, "doc_id", "text").collect()
+    }
+    expected = _python_ppl(rows)
+    assert set(got) == set(expected)  # empty doc excluded
+    for doc_id, (n, ppl) in expected.items():
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(ppl, abs=1e-9)
+    # the all-repeated-token doc is the most predictable of its corpus
+    assert got[4][1] == min(p for _, p in got.values())
+
+
+def test_external_model_scoring_and_unseen_floor(spark):
+    train = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "b c b c")], "doc_id long, text string"
+    )
+    model = train_unigram_lm(train, "doc_id", "text")
+    floor = -10.0
+    target = spark.createDataFrame(
+        [(9, "a b"), (10, "zz zz")], "doc_id long, text string"
+    )
+    scored = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_perplexity(
+            target, "doc_id", "text", model=model, unseen_logp=floor
+        ).collect()
+    }
+    # all-OOV doc scores exactly exp(-floor)
+    assert scored[10] == pytest.approx(round(math.exp(10.0), 4))
+    assert scored[9] < scored[10]
+    with pytest.raises(ValueError, match="unseen_logp"):
+        lm_perplexity(target, "doc_id", "text", model=model)
+    with pytest.raises(ValueError, match="alpha"):
+        train_unigram_lm(train, "doc_id", "text", alpha=0.0)
+
+
+def test_perplexity_buckets_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common common") for i in range(30)],
+        "doc_id long, text string",
+    )
+    scored = lm_perplexity(df, "doc_id", "text")
+    a = perplexity_buckets(scored).collect()
+    b = perplexity_buckets(scored.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in a)
+    assert set(sizes) == {1, 2, 3} and max(sizes.values()) - min(
+        sizes.values()
+    ) <= 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(scored, n_buckets=0)
+
+
+def test_lm_plan_is_jvm_only(spark, sf_dir):
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = lm_perplexity(docs, "doc_id", "text")
+    scored.count()
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the model totals ride a broadcast, not a driver collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

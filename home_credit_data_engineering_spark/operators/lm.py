@@ -36,7 +36,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from home_credit_data_engineering_spark.functions.text import tokens
 
-__all__ = ["train_unigram_lm", "lm_perplexity", "perplexity_buckets"]
+__all__ = [
+    "train_unigram_lm",
+    "lm_perplexity",
+    "perplexity_buckets",
+    "perplexity_buckets_approx",
+]
 
 #: Decimal type of a per-token log-probability: 9 fractional digits
 #: (matches the per-token rounding). Kept at precision 18 so the
@@ -183,10 +188,13 @@ def perplexity_buckets(
     ascending perplexity (1 = head = most fluent), ties broken by
     doc_id so the split is deterministic and engine-portable.
 
-    NTILE is a global-sort window — fine for the final bucketing of an
-    already-reduced (one row per document) frame; for mixture
-    construction at extreme scale prefer thresholding on
-    ``approx_percentile(ppl, [1/3, 2/3])`` instead of a total order.
+    NTILE is a GLOBAL-sort window: every (already-reduced, one row per
+    document) score lands on one task. That is the oracle-exact twin,
+    acceptable into the tens of millions of documents; the production
+    path at corpus scale is :func:`perplexity_buckets_approx`, which
+    buckets by sketched percentile thresholds with no global sort —
+    the same exact-twin / scale-path split the md5-vs-xxhash dedup
+    surface uses.
     """
     from pyspark.sql.window import Window as W
 
@@ -194,3 +202,41 @@ def perplexity_buckets(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     w = W.orderBy(F.col(ppl_col).asc(), F.col("doc_id").asc())
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def perplexity_buckets_approx(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale path for the head/middle/tail split: thresholds from one
+    ``percentile_approx`` aggregate (a mergeable KLL-style sketch),
+    broadcast back, bucket = 1 + #thresholds strictly below the score.
+
+    No global sort, no single-task window — the only all-to-one step is
+    the sketch merge (bytes, not rows). Buckets agree with the exact
+    NTILE split except for documents whose score ties or falls within
+    the sketch's rank-error band of a boundary; sizes are approximately
+    equal rather than exactly balanced.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n_buckets == 1:
+        return scored.withColumn("bucket", F.lit(1))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = scored.agg(
+        F.percentile_approx(
+            ppl_col, F.array(*[F.lit(f) for f in fracs]), accuracy
+        ).alias("__th")
+    )
+    ppl = F.col(ppl_col)
+    bucket = (
+        F.lit(1)
+        + F.size(F.filter(F.col("__th"), lambda t: ppl > t))
+    ).cast("int")
+    return (
+        scored.join(F.broadcast(thresholds))
+        .withColumn("bucket", bucket)
+        .drop("__th")
+    )

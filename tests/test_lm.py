@@ -111,3 +111,45 @@ def test_lm_plan_is_jvm_only(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     # the model totals ride a broadcast, not a driver collect
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_approx_buckets_track_exact_split(spark):
+    from home_credit_data_engineering_spark.operators.lm import (
+        perplexity_buckets_approx,
+    )
+
+    # (29, 31) coprime count pattern -> essentially unique ppl per doc;
+    # NTILE splits exact-tie groups across buckets while thresholds
+    # can't, so tie-free data isolates the sketch-boundary error band.
+    rows = [
+        (
+            i,
+            " ".join(
+                ["the"] * (1 + i % 29)
+                + ["of"] * (1 + (i * 7) % 31)
+                + [f"w{i}"]
+            ),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = lm_perplexity(df, "doc_id", "text")
+    exact = {
+        r["doc_id"]: r["bucket"] for r in perplexity_buckets(scored).collect()
+    }
+    approx_df = perplexity_buckets_approx(scored)
+    approx = {r["doc_id"]: r["bucket"] for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    agree = sum(1 for d in exact if exact[d] == approx[d]) / len(exact)
+    # disagreement only at tie/boundary docs
+    assert agree >= 0.9, f"agreement {agree}"
+    # no single-task global sort in the plan: no ntile window, and the
+    # only all-to-one step is the sketch aggregate
+    plan = approx_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile(" not in plan.lower()  # (percentile_approx contains 'ntile')
+    assert "windowspecdefinition" not in plan.lower()
+    from collections import Counter
+
+    sizes = Counter(approx.values())
+    assert set(sizes) <= {1, 2, 3}
+    assert max(sizes.values()) <= 2 * min(sizes.values()) + 10

@@ -139,6 +139,15 @@ def run_scaled(
             "med": round(samples[len(samples) // 2], 3),
             "max": round(samples[-1], 3),
         }
+        # clearCache() drops SQL-cache blocks but NOT localCheckpoint
+        # RDDs (cc/minhash plan-truncation); those free only when the
+        # ContextCleaner sees their refs dead — nudge both GCs so one
+        # query's checkpoint blocks don't become the next query's
+        # memory pressure.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # The clustering pipeline every dedup run ends with (same shape as the
     # headline dedup_cc_star leg): MinHash edges -> large-star/small-star.

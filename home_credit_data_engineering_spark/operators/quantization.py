@@ -74,8 +74,14 @@ def train_pq_codebooks(
     seeded init; empty clusters re-seed from the farthest points, so the
     result is a pure function of (sample, seed).
     """
-    if m < 1 or nbits < 1:
-        raise ValueError(f"m and nbits must be >= 1, got m={m} nbits={nbits}")
+    x = _pq_sample(corpus, vec_col, id_col, sample_rows, seed)
+    return _lloyd_codebooks(x, m, nbits, seed, iters)
+
+
+def _pq_sample(
+    corpus: DataFrame, vec_col: str, id_col: str, sample_rows: int, seed: int
+) -> np.ndarray:
+    """Deterministic unit-normalized training sample (lowest md5 rows)."""
     perm = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
     rows = (
         corpus.select(to_double_array(vec_col).alias("__v"), perm.alias("__p"))
@@ -83,7 +89,16 @@ def train_pq_codebooks(
         .limit(sample_rows)
         .collect()
     )
-    x = _unit(np.array([r["__v"] for r in rows], dtype=np.float64))
+    return _unit(np.array([r["__v"] for r in rows], dtype=np.float64))
+
+
+def _lloyd_codebooks(
+    x: np.ndarray, m: int, nbits: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Per-subspace Lloyd iterations over an in-memory sample (raw unit
+    vectors for shared-codebook PQ; coarse residuals for IVFADC)."""
+    if m < 1 or nbits < 1:
+        raise ValueError(f"m and nbits must be >= 1, got m={m} nbits={nbits}")
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -258,6 +273,7 @@ def build_ivfpq_index(
     nbits: int = 4,
     seed: int = 42,
     train_fraction: float | None = None,
+    residual: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Persist a FAISS-style IVF-PQ index: cell-partitioned parquet of
     (id, pq_code) plus the coarse centroids and PQ codebooks.
@@ -270,11 +286,21 @@ def build_ivfpq_index(
     ``vectors/`` for the exact re-rank stage — read only for the final
     candidate slate, never during the ADC scan.
 
-    Codes here quantize the RAW (unit-normalized) vectors with one
-    shared codebook, not per-cell residuals — the residual (IVFADC)
-    variant buys accuracy at the cost of per-cell codebooks; the re-rank
-    stage recovers most of the difference and keeps the build one pass.
-    Returns (centroids, codebooks); both are also saved under ``path``.
+    Two quantization modes:
+
+    - ``residual=False`` (default): codes quantize the RAW
+      (unit-normalized) vectors with one shared codebook — one LUT per
+      query at serve time, the cheapest scan.
+    - ``residual=True``: proper IVFADC (Jégou et al., "Product
+      Quantization for Nearest Neighbor Search", TPAMI 2011) — codes
+      quantize ``x - centroid(cell)``. Residuals are smaller and more
+      isotropic than raw vectors, so the same code budget reconstructs
+      tighter and ADC ranks better at low ``m``/``nbits``; the price is
+      a per-(query, probed-cell) lookup table at serve time (closure
+      memory scales with ``n_probe``).
+
+    Returns (centroids, codebooks); both are also saved under ``path``
+    along with the residual flag (the query path auto-detects it).
 
     ``path`` must be a LOCAL filesystem path: the centroid/codebook
     sidecars go through ``os.makedirs`` + ``np.save`` (driver-local),
@@ -304,15 +330,22 @@ def build_ivfpq_index(
     centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
     c_unit = _unit(centers)
 
-    books = train_pq_codebooks(
-        corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
-    )
+    if residual:
+        sample = _pq_sample(corpus, vec_col, id_col, 4096, seed)
+        s_cells = np.argsort(-(sample @ c_unit.T), axis=1, kind="stable")[:, 0]
+        books = _lloyd_codebooks(sample - c_unit[s_cells], m, nbits, seed)
+    else:
+        books = train_pq_codebooks(
+            corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
+        )
     dsub = books.shape[2]
 
     @pandas_udf("struct<cell:int, code:array<int>>")
     def assign_and_encode(v: pd.Series) -> pd.DataFrame:
         x = _unit(np.array(v.tolist(), dtype=np.float64))
         cells = np.argsort(-(x @ c_unit.T), axis=1, kind="stable")[:, 0]
+        if residual:
+            x = x - c_unit[cells]
         codes = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
             sub = x[:, j * dsub : (j + 1) * dsub]
@@ -341,6 +374,7 @@ def build_ivfpq_index(
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "_centroids.npy"), centers)
     np.save(os.path.join(path, "_codebooks.npy"), books)
+    np.save(os.path.join(path, "_residual.npy"), np.array([int(residual)]))
     return centers, books
 
 
@@ -356,7 +390,10 @@ def ivfpq_query_index(
     max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: partition-pruned code scan → ADC →
-    exact re-rank from the vectors store.
+    exact re-rank from the vectors store. The index's quantization mode
+    (shared-codebook vs residual IVFADC) is auto-detected from the
+    persisted flag; residual mode builds one lookup table per
+    (query, probed cell) instead of per query.
 
     I/O contract: the codes scan reads ONLY probed cell partitions
     (PartitionFilters, plan-assertable); the vectors store is touched
@@ -371,6 +408,8 @@ def ivfpq_query_index(
 
     centers = np.load(os.path.join(path, "_centroids.npy"))
     books = np.load(os.path.join(path, "_codebooks.npy"))
+    res_flag = os.path.join(path, "_residual.npy")
+    residual = bool(np.load(res_flag)[0]) if os.path.exists(res_flag) else False
     m, ksub, dsub = books.shape
     c_unit = _unit(centers)
 
@@ -391,12 +430,34 @@ def ivfpq_query_index(
         :, :n_probe
     ]
     probed = sorted({int(c) for row in probe_order for c in row})
-    lut = np.empty((len(q_ids), m, ksub))
-    for j in range(m):
-        qs = q_mat[:, j * dsub : (j + 1) * dsub]
-        lut[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+
+    def _lut_for(qs_mat: np.ndarray) -> np.ndarray:
+        out = np.empty((len(qs_mat), m, ksub))
+        for j in range(m):
+            sub = qs_mat[:, j * dsub : (j + 1) * dsub]
+            out[:, j, :] = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+        return out
+
     # query qi scans only its own probed cells
     q_probes = {int(q): {int(c) for c in probe_order[i]} for i, q in enumerate(q_ids)}
+    if residual:
+        # IVFADC: codes quantize x - centroid(cell), so the lookup table
+        # is per (query, probed cell) over the query's residual w.r.t.
+        # that cell. Ragged layout keeps closure memory at
+        # n_queries * n_probe * m * ksub doubles (n_probe x the shared-
+        # codebook path), bounded by the max_query_rows guard above.
+        cell_luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for cell in probed:
+            q_idx = np.array(
+                [i for i in range(len(q_ids)) if cell in q_probes[int(q_ids[i])]]
+            )
+            cell_luts[cell] = (q_idx, _lut_for(q_mat[q_idx] - c_unit[cell]))
+        lut = None
+    else:
+        lut = _lut_for(q_mat)
+        cell_luts = {}
     take = max(k, rerank)
 
     codes = spark.read.parquet(os.path.join(path, "codes")).filter(
@@ -408,9 +469,28 @@ def ivfpq_query_index(
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell"].to_numpy()
             c = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
-            d2 = np.zeros((len(q_ids), len(ids)))
-            for j in range(m):
-                d2 += lut[:, j, :][:, c[:, j]]
+            if residual:
+                # per-cell scatter: each probed cell has its own LUT and
+                # its own subset of interested queries; everything else
+                # stays +inf and is masked out below.
+                d2 = np.full((len(q_ids), len(ids)), np.inf)
+                for cell_val in np.unique(cells):
+                    entry = cell_luts.get(int(cell_val))
+                    if entry is None:
+                        continue
+                    q_idx, lutc = entry
+                    if not len(q_idx):
+                        continue
+                    cmask = cells == cell_val
+                    csub = c[cmask]
+                    dc = np.zeros((len(q_idx), int(cmask.sum())))
+                    for j in range(m):
+                        dc += lutc[:, j, :][:, csub[:, j]]
+                    d2[np.ix_(q_idx, np.where(cmask)[0])] = dc
+            else:
+                d2 = np.zeros((len(q_ids), len(ids)))
+                for j in range(m):
+                    d2 += lut[:, j, :][:, c[:, j]]
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 mask = np.array(

@@ -39,6 +39,7 @@ from home_credit_data_engineering_spark.functions.text import tokens
 __all__ = [
     "train_unigram_lm",
     "lm_perplexity",
+    "stupid_backoff_perplexity",
     "perplexity_buckets",
     "perplexity_buckets_approx",
 ]
@@ -166,6 +167,104 @@ def lm_perplexity(
             F.sum(
                 F.col("__cnt").cast("decimal(10,0)") * F.col("logp")
             ).alias("__ll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -(F.col("__ll").cast("double"))
+                    / F.col("n_tokens").cast("double")
+                ),
+                4,
+            ).alias("ppl"),
+        )
+    )
+
+
+def stupid_backoff_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | Column,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """(doc_id, n_tokens, ppl) under corpus-trained bigram Stupid
+    Backoff (Brants et al., "Large Language Models in Machine
+    Translation", EMNLP 2007 — the distributed count-based LM):
+
+    - ``S(v | u) = f(uv) / f(u)`` when the bigram was seen, else
+      ``backoff * S(v)`` with ``S(v) = f(v) / N`` (raw relative
+      frequencies — Stupid Backoff deliberately skips normalization;
+      that is what makes it computable as pure distributed counts);
+    - a document's first token scores ``S(w1)``; perplexity is
+      ``exp(-mean log S)`` over all positions.
+
+    Distributed shape: one ``lag()`` window per document builds the
+    (prev, token) event stream; per-(doc, prev, token) pre-aggregation
+    collapses repeats before any corpus-level shuffle; bigram and
+    unigram count tables come off that same stream; scoring is two
+    equi-joins (bigram pair, unigram) against 1-row-per-key count
+    tables. Same exact-decimal accumulation discipline as
+    :func:`lm_perplexity`.
+    """
+    from pyspark.sql.window import Window as W
+
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+        )
+        .filter(F.length("__tok") > 0)
+    )
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    ev = toks.select(
+        "doc_id", F.lag("__tok").over(w).alias("__prev"), "__tok"
+    )
+    # every token occurrence is exactly one (prev, token) event, so the
+    # per-(doc, prev, token) counts reconstruct unigram totals too
+    doc_ev = ev.groupBy("doc_id", "__prev", "__tok").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    uni = doc_ev.groupBy("__tok").agg(F.sum("__cnt").alias("__c"))
+    tot = uni.agg(F.sum("__c").alias("__nn"))
+    big = (
+        doc_ev.filter(F.col("__prev").isNotNull())
+        .groupBy("__prev", "__tok")
+        .agg(F.sum("__cnt").alias("__cuv"))
+    )
+    scored = (
+        doc_ev.join(
+            uni.withColumnRenamed("__c", "__cv").crossJoin(F.broadcast(tot)),
+            "__tok",
+        )
+        .join(
+            uni.select(
+                F.col("__tok").alias("__prev"), F.col("__c").alias("__cu")
+            ),
+            "__prev",
+            "left",
+        )
+        .join(big, ["__prev", "__tok"], "left")
+    )
+    s_uni = F.log(F.col("__cv") / F.col("__nn"))
+    logp = F.round(
+        F.when(F.col("__prev").isNull(), s_uni)
+        .when(
+            F.col("__cuv").isNotNull(), F.log(F.col("__cuv") / F.col("__cu"))
+        )
+        .otherwise(F.log(F.lit(float(backoff))) + s_uni),
+        9,
+    ).cast(_ACC)
+    return (
+        scored.select("doc_id", "__cnt", logp.alias("__logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.sum(F.col("__cnt").cast("decimal(10,0)") * F.col("__logp")).alias(
+                "__ll"
+            ),
         )
         .select(
             "doc_id",

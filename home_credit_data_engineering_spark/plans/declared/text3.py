@@ -357,3 +357,76 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return perplexity_buckets(lm_perplexity(docs, "doc_id", "text"))
+
+
+@register(
+    "text_bigram_backoff_ppl",
+    # Same float discipline as text_lm_perplexity (exact decimal logp
+    # sums; atol entry forgives last-ulp ln/exp library drift).
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> length(t) > 0) AS arr
+      FROM documents
+    ),
+    firsts AS (
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS prev, arr[1] AS token
+      FROM sel WHERE len(arr) >= 1
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(arr)),
+                                   i -> arr[i-1])) AS prev,
+             unnest(list_transform(generate_series(2, len(arr)),
+                                   i -> arr[i])) AS token
+      FROM sel WHERE len(arr) >= 2
+    ),
+    ev AS (SELECT * FROM firsts UNION ALL SELECT * FROM pairs),
+    doc_ev AS (
+      SELECT doc_id, prev, token, COUNT(*) AS cnt
+      FROM ev GROUP BY doc_id, prev, token
+    ),
+    uni AS (SELECT token, SUM(cnt) AS c FROM doc_ev GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+      SELECT prev, token, SUM(cnt) AS cuv FROM doc_ev
+      WHERE prev IS NOT NULL GROUP BY prev, token
+    ),
+    scored AS (
+      SELECT d.doc_id, d.cnt,
+             CAST(ROUND(CASE
+               WHEN d.prev IS NULL
+                 THEN ln(CAST(uv.c AS DOUBLE) / t.n)
+               WHEN b.cuv IS NOT NULL
+                 THEN ln(CAST(b.cuv AS DOUBLE) / up.c)
+               ELSE ln(0.4) + ln(CAST(uv.c AS DOUBLE) / t.n)
+             END, 9) AS DECIMAL(18,9)) AS logp
+      FROM doc_ev d
+      JOIN uni uv ON uv.token = d.token
+      LEFT JOIN uni up ON up.token = d.prev
+      LEFT JOIN big b ON b.prev = d.prev AND b.token = d.token
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(EXP(-(CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * logp)
+                       AS DOUBLE)) / CAST(SUM(cnt) AS DOUBLE)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    operators=("T-ext:perplexity",),
+    doc="Bigram Stupid Backoff perplexity (operators/lm.py, Brants et "
+    "al. EMNLP 2007): S(v|u) = f(uv)/f(u) when seen, else 0.4 * f(v)/N "
+    "— the count-only distributed LM, scored per document as "
+    "exp(-mean log S). The n-gram upgrade path from text_lm_perplexity: "
+    "one lag() window per document builds the event stream, "
+    "per-(doc,prev,token) pre-aggregation collapses repeats before the "
+    "corpus shuffles, and the two count tables join back 1 row per key.",
+)
+def text_bigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.lm import (
+        stupid_backoff_perplexity,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return stupid_backoff_perplexity(docs, "doc_id", "text")

@@ -37,6 +37,7 @@ from home_credit_data_engineering_spark.schema import TESTDATA_TABLES
 FLOAT_ATOL_EXCEPTIONS: dict[str, float] = {
     "pandas_grouped_zscore": 1e-9,
     "text_lm_perplexity": 1e-9,
+    "text_bigram_backoff_ppl": 1e-9,  # same ln/exp-library rationale
 }
 
 

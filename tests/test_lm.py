@@ -153,3 +153,59 @@ def test_approx_buckets_track_exact_split(spark):
     sizes = Counter(approx.values())
     assert set(sizes) <= {1, 2, 3}
     assert max(sizes.values()) <= 2 * min(sizes.values()) + 10
+
+
+def test_stupid_backoff_matches_python(spark):
+    from home_credit_data_engineering_spark.operators.lm import (
+        stupid_backoff_perplexity,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the log"),
+        (3, "a cat a dog a cat"),
+        (4, "singleton"),
+        (5, ""),
+    ]
+    from collections import Counter
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, text in rows:
+        toks = text.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+
+    def s_uni(v):
+        return uni[v] / n
+
+    expected = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        if not toks:
+            continue
+        lps = [round(math.log(s_uni(toks[0])), 9)]
+        for u, v in zip(toks, toks[1:]):
+            if big[(u, v)] > 0:
+                lps.append(round(math.log(big[(u, v)] / uni[u]), 9))
+            else:
+                lps.append(round(math.log(0.4) + math.log(s_uni(v)), 9))
+        expected[doc_id] = (
+            len(toks),
+            round(math.exp(-sum(lps) / len(toks)), 4),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in stupid_backoff_perplexity(df, "doc_id", "text").collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (nt, ppl) in expected.items():
+        assert got[doc_id][0] == nt
+        assert got[doc_id][1] == pytest.approx(ppl, abs=1e-9)
+    # seen-bigram docs are more predictable than the backoff-only doc
+    assert got[1][1] < got[4][1]
+    with pytest.raises(ValueError, match="backoff"):
+        stupid_backoff_perplexity(df, "doc_id", "text", backoff=0.0)

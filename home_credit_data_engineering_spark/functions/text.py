@@ -130,6 +130,21 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.trim(c)))
 
 
+def canonical_fingerprint(col: Column | str) -> Column:
+    """Canonical-form fingerprint: md5 after lowercasing, stripping
+    non-alphanumerics, and collapsing whitespace runs — so case,
+    punctuation, and spacing VARIANTS of the same content share a key.
+    The cluster key for policy-based dedup (keep the best variant),
+    one normalization step stronger than :func:`fingerprint`."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return F.md5(canon)
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingles: overlapping k-grams of the token sequence, the
     standard unit for near-duplicate detection (MinHash/Jaccard). Texts

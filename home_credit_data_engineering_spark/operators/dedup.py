@@ -58,6 +58,49 @@ def exact_dedup(
     )
 
 
+def survivors_by_score(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Policy-based survivor selection: per cluster keep the HIGHEST-score
+    member (ties → smallest id), not the smallest id.
+
+    Real pipelines keep the best variant of a duplicate group — longest,
+    highest quality score, lowest perplexity — while min-id survival is
+    only a determinism convenience. ``members`` is (id, cluster) from any
+    clustering (exact/canonical fingerprints, connected components over
+    near-dup edges); ``scores`` is (id, score) from any scorer
+    (``n_chars``, ``plans/quality_filter``, ``operators/lm``).
+
+    Plan shape: inner join members⨝scores on id, one ``min_by`` aggregate
+    per cluster over ``struct(-score, id)`` (max score, then min id —
+    works for ids of any orderable type), then a join back on the cluster
+    key the aggregate already partitioned by. Ids and scores only — text
+    never rides any of these shuffles.
+    """
+    joined = members.join(scores, id_col).select(
+        F.col(id_col), F.col(cluster_col), F.col(score_col)
+    )
+    best = joined.groupBy(cluster_col).agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col(score_col)).alias("__ns"), F.col(id_col).alias("__i")
+            ),
+        ).alias("keep_id")
+    )
+    return joined.join(best, cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(score_col),
+        "keep_id",
+        (F.col(id_col) == F.col("keep_id")).alias("is_survivor"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",

@@ -171,3 +171,50 @@ def text_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return winnowing_fingerprints_md5(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_canonical_best",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS cluster_id
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, cluster_id, n_chars AS score,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+             ) AS keep_id
+      FROM c
+    )
+    SELECT doc_id, cluster_id, score, keep_id,
+           (doc_id = keep_id) AS is_survivor
+    FROM r
+    """,
+    operators=("D-ext:survivor-policy", "T-ext:fingerprint"),
+    doc="Policy-based dedup survivors (operators/dedup.py:"
+    "survivors_by_score): documents cluster by CANONICAL-form "
+    "fingerprint (lowercase, punctuation stripped, whitespace "
+    "collapsed — case/spacing variants share a key) and each cluster "
+    "keeps its longest member (n_chars, ties to smallest id) rather "
+    "than the smallest id — the keep-the-best-variant policy real "
+    "pipelines want. min_by over struct(-score, id): one aggregate "
+    "per cluster, ids+scores only through every shuffle; the oracle "
+    "derives the identical survivor with a window.",
+)
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import (
+        canonical_fingerprint,
+    )
+    from home_credit_data_engineering_spark.operators.dedup import (
+        survivors_by_score,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    members = docs.select(
+        "doc_id", canonical_fingerprint("text").alias("cluster_id")
+    )
+    scores = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return survivors_by_score(members, scores)

@@ -748,3 +748,28 @@ def test_connected_components_star_empty_and_ivf_empty_queries(spark, tmp_path, 
     out = ivf_query_index(spark, path, no_queries, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+
+
+def test_survivors_by_score_policy_and_string_ids(spark):
+    """Highest score wins, ties break to smallest id — including string
+    ids (the min_by struct(-score, id) trick needs no numeric id)."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        survivors_by_score,
+    )
+
+    members = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("z", "c2"), ("y", "c2")],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        [("a", 5.0), ("b", 9.0), ("c", 9.0), ("z", 1.0), ("y", 1.0)],
+        ["doc_id", "score"],
+    )
+    out = {r["doc_id"]: r for r in survivors_by_score(members, scores).collect()}
+    assert out["b"]["is_survivor"] and out["b"]["keep_id"] == "b"  # max, tie->min id
+    assert not out["c"]["is_survivor"] and out["c"]["keep_id"] == "b"
+    assert not out["a"]["is_survivor"]
+    assert out["y"]["is_survivor"] and out["z"]["keep_id"] == "y"
+    # members without a score drop out (inner join contract)
+    partial = survivors_by_score(members, scores.filter("doc_id != 'c'"))
+    assert {r["doc_id"] for r in partial.collect()} == {"a", "b", "y", "z"}

@@ -163,6 +163,63 @@ _MIX_CTES = f"""
     )
 """
 
+#: Unigram LM perplexity legs (same arithmetic as text_lm_perplexity's
+#: oracle; ppl integerized at 1e-4 so the combo stays bit-hash exact).
+_PPL_CTES = """
+    ppl_tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    ppl_doc_tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM ppl_tok WHERE length(token) > 0 GROUP BY doc_id, token
+    ),
+    ppl_vocab AS (
+      SELECT token, SUM(cnt) AS ctok FROM ppl_doc_tok GROUP BY token
+    ),
+    ppl_tot AS (SELECT SUM(ctok) AS t, COUNT(*) AS v FROM ppl_vocab),
+    ppl_lp AS (
+      SELECT token,
+             CAST(ROUND(ln((ctok + 0.5) / (t + 0.5 * v)), 9)
+                  AS DECIMAL(18,9)) AS logp
+      FROM ppl_vocab, ppl_tot
+    ),
+    ppl_scored AS (
+      SELECT d.doc_id, SUM(d.cnt) AS n_tokens,
+             SUM(CAST(d.cnt AS DECIMAL(10,0)) * l.logp) AS ll
+      FROM ppl_doc_tok d JOIN ppl_lp l USING (token) GROUP BY d.doc_id
+    ),
+    ppl_final AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(ROUND(ROUND(EXP(-(CAST(ll AS DOUBLE))
+               / CAST(n_tokens AS DOUBLE)), 4) * 10000, 0) AS BIGINT)
+               AS ppl_e4,
+             CAST(NTILE(3) OVER (
+               ORDER BY ROUND(EXP(-(CAST(ll AS DOUBLE))
+                 / CAST(n_tokens AS DOUBLE)), 4), doc_id) AS BIGINT)
+               AS bucket
+      FROM ppl_scored
+    )
+"""
+
+#: Canonical-cluster best-variant survivors (same as dedup_canonical_best).
+_SURV_CTES = """
+    surv_c AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS cluster_id
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id, cluster_id, n_chars AS score,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+             ) AS keep_id
+      FROM surv_c
+    )
+"""
+
 
 def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.spans import duplicated_spans
@@ -280,7 +337,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_STRIP_CTES},
     {_PACK_CTES},
     {_CHUNK_CTES},
-    {_MIX_CTES}
+    {_MIX_CTES},
+    {_PPL_CTES},
+    {_SURV_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -305,6 +364,14 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mixed
     WHERE start_offset < CASE source WHEN 'src0' THEN 800
                                      WHEN 'src1' THEN 400 ELSE 1200 END
+    UNION ALL
+    SELECT 'ppl', doc_id, n_tokens, bucket, ppl_e4, NULL, NULL, NULL, NULL
+    FROM ppl_final
+    UNION ALL
+    SELECT 'survivor', doc_id, CAST(score AS BIGINT), keep_id,
+           CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END,
+           NULL, NULL, NULL, cluster_id
+    FROM surv
     """,
     operators=(
         "T-ext:substring-dedup",
@@ -312,13 +379,18 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-ext:packing",
         "T-ext:chunking",
         "T-ext:mixing",
+        "T-ext:perplexity",
+        "D-ext:survivor-policy",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
-    "sequence-packing assignment, retrieval chunks, and (late r4) the "
-    "token-budget mixture sample, unioned to a common (kind, doc_id, "
-    "k1..k6, s) schema. Every leg is exactly hash-verified; fine-grained "
-    "singles stay in the registry for the in-repo parity gate.",
+    "sequence-packing assignment, retrieval chunks, the token-budget "
+    "mixture sample, and (r5) the CCNet-style LM perplexity verdict "
+    "(n_tokens, head/middle/tail bucket, ppl integerized at 1e-4) plus "
+    "canonical-cluster best-variant survivors, unioned to a common "
+    "(kind, doc_id, k1..k6, s) schema. Every leg is exactly "
+    "hash-verified; fine-grained singles stay in the registry for the "
+    "in-repo parity gate.",
 )
 def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.spans import strip_spans
@@ -389,11 +461,54 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("k6"),
         F.col("source").alias("s"),
     )
+    from home_credit_data_engineering_spark.operators.lm import (
+        lm_perplexity,
+        perplexity_buckets,
+    )
+
+    ppl = perplexity_buckets(lm_perplexity(docs, "doc_id", "text"))
+    ppl_leg = ppl.select(
+        F.lit("ppl").alias("kind"),
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("k1"),
+        F.col("bucket").cast("bigint").alias("k2"),
+        # ppl is already rounded at 4; integerize so the combo's exact
+        # hash gate never touches a float column
+        F.round(F.col("ppl") * 10000, 0).cast("bigint").alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        s.alias("s"),
+    )
+    from home_credit_data_engineering_spark.functions.text import (
+        canonical_fingerprint,
+    )
+    from home_credit_data_engineering_spark.operators.dedup import (
+        survivors_by_score,
+    )
+
+    surv = survivors_by_score(
+        docs.select("doc_id", canonical_fingerprint("text").alias("cluster_id")),
+        docs.select("doc_id", F.col("n_chars").alias("score")),
+    )
+    surv_leg = surv.select(
+        F.lit("survivor").alias("kind"),
+        "doc_id",
+        F.col("score").cast("bigint").alias("k1"),
+        F.col("keep_id").cast("bigint").alias("k2"),
+        F.col("is_survivor").cast("bigint").alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        F.col("cluster_id").alias("s"),
+    )
     return (
         span_leg.unionByName(strip_leg)
         .unionByName(pack_leg)
         .unionByName(chunk_leg)
         .unionByName(mix_leg)
+        .unionByName(ppl_leg)
+        .unionByName(surv_leg)
     )
 
 

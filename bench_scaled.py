@@ -35,30 +35,33 @@ _ID_SHIFTS: dict[str, dict[str, int]] = {
 #: CC pipeline joined in r4 (VERDICT r3 #5): they are the two most
 #: expensive headline entries, and their scaling claims (banded join,
 #: O(log^2 n) star rounds) should be measured, not argued from theory.
+#: Ordered light→heavy: the r5 run showed later queries pay for earlier
+#: queries' JVM pressure (GC/metaspace) even with cache hygiene — e.g.
+#: chunk_windows timed 9× its solo cost when it ran after the dedup
+#: block. Narrow/metadata-only plans go first so each family's number
+#: reflects the query; the dedup/ANN block closes the leg.
 SCALED_QUERIES = (
     "q1_pricing_summary",
     "w1_latest_per_key",
+    # near-linear narrow plans (chunking has zero exchanges, packing and
+    # mixing shuffle metadata only — mixing via the two-level sharded
+    # cumsum, so it should be near-flat at 10x)
+    "text_sequence_packing",
+    "text_chunk_windows",
+    "text_token_budget_mix",
+    # substring-span machinery. The replica cache repeats each document's
+    # TEXT verbatim (ids shift, text doesn't), so every window is
+    # duplicated and each document collapses to one whole-doc span — the
+    # worst-case duplication density, which is exactly what the scaling
+    # claim should be measured under. Decontamination tracks the same
+    # curve against a broadcastable benchmark hash set.
+    "text_duplicated_spans",
+    "text_decontaminate_spans",
+    # the heavy fingerprint/signature/ANN block
     "text_winnowing_fingerprints",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
-    # r4: substring-span dedup. The replica cache repeats each document's
-    # TEXT verbatim (ids shift, text doesn't), so at the scaled leg every
-    # window is duplicated and every document collapses to one whole-doc
-    # span — the worst-case duplication density for this operator, which
-    # is exactly what its scaling claim should be measured under.
-    "text_duplicated_spans",
-    # r4: the packing/chunking legs are near-linear narrow plans; the
-    # scaled run evidences that (chunking has zero exchanges, packing
-    # shuffles metadata only).
-    "text_sequence_packing",
-    "text_chunk_windows",
-    # r5 (VERDICT r4 #7): the mixing and decontamination legs. Mixing is
-    # metadata-only (two-level sharded cumsum) so it should be near-flat;
-    # decontamination tracks the span-dedup curve (same window-hash
-    # machinery against a broadcastable benchmark hash set).
-    "text_token_budget_mix",
-    "text_decontaminate_spans",
 )
 
 _TABLES_NEEDED = ("lineitem", "documents", "embeddings")

@@ -38,6 +38,9 @@ from home_credit_data_engineering_spark.functions.text import tokens
 
 __all__ = [
     "train_unigram_lm",
+    "unigram_count_state",
+    "merge_unigram_counts",
+    "unigram_lm_from_counts",
     "lm_perplexity",
     "stupid_backoff_perplexity",
     "perplexity_buckets",
@@ -73,6 +76,56 @@ def _doc_token_counts(
     )
 
 
+def unigram_count_state(
+    df: DataFrame, id_col: str, text_col: str | Column
+) -> DataFrame:
+    """(token, c) — the mergeable sufficient statistic of the unigram
+    model. Persist it with ``write_parquet`` and the daily refresh is
+    O(delta): count the NEW batch only and :func:`merge_unigram_counts`
+    — never rescan the corpus to retrain the quality LM (same contract
+    as ``operators/spans.py:window_hash_state`` and
+    ``minhash_incremental_pairs``)."""
+    return (
+        _doc_token_counts(df, id_col, text_col)
+        .groupBy("__tok")
+        .agg(F.sum("__cnt").alias("c"))
+        .select(F.col("__tok").alias("token"), "c")
+    )
+
+
+def merge_unigram_counts(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two (token, c) count tables — counts are a sum monoid, so
+    full-corpus counts ≡ merge(history state, delta counts) exactly."""
+    return (
+        state.unionByName(delta)
+        .groupBy("token")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def unigram_lm_from_counts(counts: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(token, logp) from a (token, c) count table — the smoothing/log
+    step of :func:`train_unigram_lm`, split out so incrementally
+    maintained counts produce the IDENTICAL model as full retraining."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (unseen mass), got {alpha}")
+    totals = counts.agg(
+        F.sum("c").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("__t") + F.lit(alpha) * F.col("__v"))
+            ),
+            9,
+        )
+        .cast(_ACC)
+        .alias("logp"),
+    )
+
+
 def train_unigram_lm(
     df: DataFrame,
     id_col: str,
@@ -87,29 +140,12 @@ def train_unigram_lm(
 
     The totals ride a broadcast single-row cross join, not a driver
     collect — the whole model stays a lazy DataFrame that can be
-    persisted with ``write_parquet`` and served later.
+    persisted with ``write_parquet`` and served later. For incremental
+    maintenance persist :func:`unigram_count_state` instead and derive
+    the model with :func:`unigram_lm_from_counts`.
     """
-    if alpha <= 0:
-        raise ValueError(f"alpha must be > 0 (unseen mass), got {alpha}")
-    vocab = (
-        _doc_token_counts(df, id_col, text_col)
-        .groupBy("__tok")
-        .agg(F.sum("__cnt").alias("__ctok"))
-    )
-    totals = vocab.agg(
-        F.sum("__ctok").alias("__t"), F.count(F.lit(1)).alias("__v")
-    )
-    return vocab.crossJoin(F.broadcast(totals)).select(
-        F.col("__tok").alias("token"),
-        F.round(
-            F.log(
-                (F.col("__ctok") + F.lit(alpha))
-                / (F.col("__t") + F.lit(alpha) * F.col("__v"))
-            ),
-            9,
-        )
-        .cast(_ACC)
-        .alias("logp"),
+    return unigram_lm_from_counts(
+        unigram_count_state(df, id_col, text_col), alpha=alpha
     )
 
 

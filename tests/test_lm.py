@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from home_credit_data_engineering_spark.operators.lm import (
     lm_perplexity,
@@ -209,3 +210,40 @@ def test_stupid_backoff_matches_python(spark):
     assert got[1][1] < got[4][1]
     with pytest.raises(ValueError, match="backoff"):
         stupid_backoff_perplexity(df, "doc_id", "text", backoff=0.0)
+
+
+def test_incremental_counts_reproduce_full_model(spark):
+    """full-corpus model ≡ model from merge(history state, delta counts)
+    — the O(delta) refresh contract, including randomized splits."""
+    import random
+
+    from home_credit_data_engineering_spark.operators.lm import (
+        merge_unigram_counts,
+        unigram_count_state,
+        unigram_lm_from_counts,
+    )
+
+    rng = random.Random(20260814)
+    rows = [
+        (i, " ".join(rng.choice(["a", "b", "c", "dd", "ee"]) for _ in range(8)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["token"], r["logp"])
+        for r in unigram_lm_from_counts(
+            unigram_count_state(df, "doc_id", "text")
+        ).collect()
+    }
+    for cut in (1, 13, 39):
+        old = df.filter(F.col("doc_id") < cut)
+        new = df.filter(F.col("doc_id") >= cut)
+        merged = merge_unigram_counts(
+            unigram_count_state(old, "doc_id", "text"),
+            unigram_count_state(new, "doc_id", "text"),
+        )
+        got = {
+            (r["token"], r["logp"])
+            for r in unigram_lm_from_counts(merged).collect()
+        }
+        assert got == full, f"cut {cut}"

@@ -422,3 +422,69 @@ def test_corpus_prep_job_decontaminate_mode(spark, tmp_path):
     (record,) = read_run_log(log)
     assert record["mode"] == "decontaminate"
     assert record["docs_with_spans"] == 1
+
+
+def test_perplexity_job_end_to_end(spark, tmp_path):
+    """Perplexity CLI: scoring + buckets, persisted count state, and the
+    O(delta) incremental refresh reproducing the full-corpus model."""
+    from home_credit_data_engineering_spark.jobs.perplexity import (
+        main as ppl_main,
+    )
+
+    rows = [
+        (i, " ".join(["the"] * (1 + i % 5) + ["of"] * (1 + i % 7) + [f"w{i}"]))
+        for i in range(30)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "scored")
+    counts = str(tmp_path / "counts")
+    log = str(tmp_path / "runs.jsonl")
+    rc = ppl_main(
+        ["--input", src, "--output", out, "--counts-out", counts,
+         "--run-log", log]
+    )
+    assert rc == 0
+    scored = spark.read.parquet(out)
+    assert scored.count() == 30
+    assert set(scored.columns) == {"doc_id", "n_tokens", "ppl", "bucket"}
+    assert {r["bucket"] for r in scored.collect()} <= {1, 2, 3}
+
+    # incremental: score a delta batch against history counts; the
+    # merged model must equal a from-scratch model over old+new
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(rows[:20], "doc_id long, text string").write.parquet(old)
+    spark.createDataFrame(rows[20:], "doc_id long, text string").write.parquet(new)
+    counts_old = str(tmp_path / "counts_old")
+    rc = ppl_main(
+        ["--input", old, "--output", str(tmp_path / "s_old"),
+         "--counts-out", counts_old]
+    )
+    assert rc == 0
+    inc_out = str(tmp_path / "s_inc")
+    rc = ppl_main(
+        ["--input", new, "--output", inc_out, "--counts-in", counts_old,
+         "--counts-out", str(tmp_path / "counts_merged")]
+    )
+    assert rc == 0
+    merged = {
+        (r["token"], r["c"])
+        for r in spark.read.parquet(str(tmp_path / "counts_merged")).collect()
+    }
+    full = {
+        (r["token"], r["c"])
+        for r in spark.read.parquet(counts).collect()
+    }
+    assert merged == full
+
+    # bigram mode runs and rejects the counts flags
+    rc = ppl_main(["--input", src, "--output", str(tmp_path / "s_big"),
+                   "--bigram", "--exact-buckets"])
+    assert rc == 0
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        ppl_main(["--input", src, "--output", str(tmp_path / "x"),
+                  "--bigram", "--counts-out", str(tmp_path / "y")])

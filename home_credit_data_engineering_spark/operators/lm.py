@@ -242,6 +242,12 @@ def stupid_backoff_perplexity(
     equi-joins (bigram pair, unigram) against 1-row-per-key count
     tables. Same exact-decimal accumulation discipline as
     :func:`lm_perplexity`.
+
+    Scale note: the bigram shuffles carry token-pair STRINGS (what keeps
+    this exactly SQL-oracle-able); at the 100 TB tier substitute
+    ``xxhash64(prev, token)`` join keys the way the dedup surface pairs
+    every xxhash fast path with an md5 oracle twin — the score
+    arithmetic is unchanged, only the join key narrows to 8 bytes.
     """
     from pyspark.sql.window import Window as W
 

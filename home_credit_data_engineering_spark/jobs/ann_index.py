@@ -24,15 +24,24 @@ def build_parser() -> argparse.ArgumentParser:
                         help="0 = sqrt(N) (standard IVF sizing)")
     parser.add_argument("--train-rows", type=int, default=4096,
                         help="quantizer training sample size")
+    parser.add_argument("--pq", action="store_true",
+                        help="build an IVF-PQ index (codes ~16x smaller "
+                        "than vectors; exact re-rank reads vectors/)")
+    parser.add_argument("--pq-m", type=int, default=8,
+                        help="PQ subquantizer count (must divide dim)")
+    parser.add_argument("--pq-nbits", type=int, default=4,
+                        help="bits per PQ code (2^nbits codewords/sub)")
+    parser.add_argument("--residual", action="store_true",
+                        help="IVFADC residual quantization (requires "
+                        "--pq): codes quantize x - centroid(cell)")
     return parser
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.residual and not args.pq:
+        raise SystemExit("--residual requires --pq")
     from home_credit_data_engineering_spark import get_session
-    from home_credit_data_engineering_spark.operators.similarity import (
-        build_ivf_index,
-    )
     from home_credit_data_engineering_spark.sources.readers import read_parquet
 
     spark = get_session(app_name="ann-index-build")
@@ -40,15 +49,41 @@ def main(argv: list[str] | None = None) -> int:
     n = emb.count()
     n_cells = args.n_centroids or max(16, int(n**0.5))
     train_frac = min(1.0, args.train_rows / n) if n > args.train_rows else None
-    centers = build_ivf_index(
-        emb,
-        args.output,
-        id_col=args.id_col,
-        vec_col=args.vec_col,
-        n_centroids=n_cells,
-        train_fraction=train_frac,
+    if args.pq:
+        from home_credit_data_engineering_spark.operators.quantization import (
+            build_ivfpq_index,
+        )
+
+        centers, _books = build_ivfpq_index(
+            emb,
+            args.output,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            n_centroids=n_cells,
+            m=args.pq_m,
+            nbits=args.pq_nbits,
+            train_fraction=train_frac,
+            residual=args.residual,
+        )
+        kind = "ivfpq-residual" if args.residual else "ivfpq"
+    else:
+        from home_credit_data_engineering_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        centers = build_ivf_index(
+            emb,
+            args.output,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            n_centroids=n_cells,
+            train_fraction=train_frac,
+        )
+        kind = "ivf"
+    print(
+        f"ann_index[{kind}]: {n} vectors -> {len(centers)} cells at "
+        f"{args.output}"
     )
-    print(f"ann_index: {n} vectors -> {len(centers)} cells at {args.output}")
     return 0
 
 

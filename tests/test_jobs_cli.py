@@ -488,3 +488,38 @@ def test_perplexity_job_end_to_end(spark, tmp_path):
     with _pytest.raises(SystemExit):
         ppl_main(["--input", src, "--output", str(tmp_path / "x"),
                   "--bigram", "--counts-out", str(tmp_path / "y")])
+
+
+def test_ann_index_job_pq_modes(spark, sf_dir, tmp_path):
+    """--pq builds a codes/vectors IVF-PQ layout; --residual persists the
+    IVFADC flag the query path auto-detects; --residual alone rejects."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from home_credit_data_engineering_spark.jobs.ann_index import main as ann_main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "ivfpq")
+    rc = ann_main(
+        ["--input", src, "--output", out, "--n-centroids", "8",
+         "--pq", "--pq-m", "8", "--pq-nbits", "3", "--residual"]
+    )
+    assert rc == 0
+    assert glob.glob(out + "/codes/cell=*")
+    assert os.path.exists(out + "/vectors")
+    assert os.path.exists(out + "/_codebooks.npy")
+    assert bool(np.load(out + "/_residual.npy")[0])
+    # and the persisted index serves queries end-to-end
+    from home_credit_data_engineering_spark.operators.quantization import (
+        ivfpq_query_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+
+    queries = read_parquet(spark, src).limit(5)
+    rows = ivfpq_query_index(spark, out, queries, k=3, n_probe=4).collect()
+    assert rows and all(r.rank <= 3 for r in rows)
+    with _pytest.raises(SystemExit):
+        ann_main(["--input", src, "--output", out, "--residual"])

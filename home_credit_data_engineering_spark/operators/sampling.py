@@ -173,3 +173,60 @@ def keyset_page(
     """Keyset (seek) pagination — the scalable alternative to OFFSET."""
     out = df if after is None else df.filter(key > after)
     return out.orderBy(key.asc()).limit(limit)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows with
+    inclusion probability increasing in weight (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006 — the A-ES
+    key trick), with the randomness derived from ``md5(seed:id)`` so
+    the sample is a pure function of (data, seed): identical across
+    engines, runs, partitionings, and appends, like every other sample
+    in this module.
+
+    Key: ``-ln(u) / w`` with ``u`` the id's first 52 md5 bits mapped
+    into (0, 1] (52 bits so the int→double conversion is exact); the k
+    SMALLEST keys win — algebraically the same order as A-ES's
+    ``u^(1/w)`` top-k. Keys are rounded to 9 decimals before comparison
+    (ties → smallest id) so a last-ulp ``ln`` difference between math
+    libraries can never flip the selected SET — that is what keeps the
+    operator exactly SQL-oracle-verifiable.
+
+    Rows with weight <= 0 are excluded (zero-weight rows must be an
+    explicit filter decision, not a sampling accident). Plan: one narrow
+    projection + TakeOrderedAndProject — each partition keeps its own
+    top-k candidates, the driver merges k rows; nothing else moves.
+
+    Returns the sampled rows with their ``__sample_key`` dropped.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (raw + F.lit(1.0)) / F.lit(float((1 << 52) + 1))  # (0, 1]
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("__sample_key", key)
+        .orderBy(F.col("__sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__sample_key")
+    )

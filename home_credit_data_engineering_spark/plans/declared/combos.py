@@ -577,14 +577,30 @@ def combo_setops_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'keyset', c_custkey, c_name FROM (
       SELECT c_custkey, c_name FROM customer
       WHERE c_custkey > 100 ORDER BY c_custkey LIMIT 25) t
+    UNION ALL
+    SELECT 'weighted', c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             ROUND(-ln((CAST('0x' || substr(md5('s42:'
+                   || CAST(c_custkey AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+                   / 4503599627370497.0)
+                   / CAST(c_acctbal AS DOUBLE), 9) AS sk
+      FROM customer WHERE c_acctbal > 0
+      ORDER BY sk, c_custkey LIMIT 25) t
     """,
-    operators=("O2", "O4", "O4-ext:keyset"),
-    doc="Both pagination strategies, union-tagged: ORDER BY+LIMIT/OFFSET "
-    "(TakeOrderedAndProject) and keyset/seek (predicate pushed to the "
-    "scan — the deep-page shape). Combo slot for o4_pagination + "
-    "keyset_pagination.",
+    operators=("O2", "O4", "O4-ext:keyset", "O-ext:weighted-sample"),
+    doc="The bounded-result family, union-tagged: ORDER BY+LIMIT/OFFSET "
+    "(TakeOrderedAndProject), keyset/seek (predicate pushed to the "
+    "scan — the deep-page shape), and (r5) Efraimidis-Spirakis "
+    "weighted sampling (same TakeOrderedAndProject shape over the "
+    "-ln(u)/w key, u md5-derived so the draw is engine-portable). "
+    "Combo slot for o4_pagination + keyset_pagination + "
+    "weighted_sample_docs.",
 )
 def combo_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+    )
+
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     offset_page = paginate(
         cust, order_by=[F.col("c_custkey").asc()], limit=50, offset=100
@@ -592,7 +608,15 @@ def combo_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyset = keyset_page(cust, F.col("c_custkey"), after=100, limit=25).select(
         F.lit("keyset").alias("method"), "c_custkey", "c_name"
     )
-    return offset_page.unionByName(keyset)
+    weighted = weighted_sample(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        ),
+        "c_custkey",
+        "c_acctbal",
+        k=25,
+    ).select(F.lit("weighted").alias("method"), "c_custkey", "c_name")
+    return offset_page.unionByName(keyset).unionByName(weighted)
 
 
 # ---------------------------------------------------------------------------

@@ -278,3 +278,39 @@ def stratified_exact_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return stratified_exact_sample(
         docs, strata_col="lang", id_col="doc_id", n_per_stratum=20, seed=42
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(-ln((CAST('0x' || substr(md5('s42:'
+                   || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+                   / 4503599627370497.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS sk
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY sk, doc_id LIMIT 100
+    """,
+    operators=("O-ext:weighted-sample",),
+    doc="Deterministic weighted sampling without replacement "
+    "(operators/sampling.py:weighted_sample; Efraimidis-Spirakis A-ES "
+    "keys with md5-derived uniforms): 100 documents drawn with "
+    "inclusion probability increasing in n_chars — the "
+    "quality/length-weighted subsample step of corpus mixing. The key "
+    "-ln(u)/w is rounded at 9 before comparison so the selected SET is "
+    "engine-stable; the plan is one narrow projection + "
+    "TakeOrderedAndProject (each partition keeps its own top-k, only k "
+    "rows reach the driver-side merge).",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", k=100)

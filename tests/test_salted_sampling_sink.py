@@ -257,3 +257,57 @@ def test_write_zordered_quantile_handles_skew(spark, tmp_path):
                     mx = c.statistics.max if mx is None else max(mx, c.statistics.max)
         spans.append((mx - mn) / n)
     assert sum(spans) / len(spans) < 0.6
+
+
+def test_weighted_sample_deterministic_proportional_and_bounded(spark):
+    """A-ES weighted sampling: partitioning-invariant, python-reference
+    exact, zero/negative weights excluded, heavy weights win more, and
+    the plan is TakeOrderedAndProject (no global sort)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
+    rows += [(900, 0.0), (901, -5.0)]  # must never be sampled
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = weighted_sample(df, "doc_id", "w", k=50)
+    got = sorted(r["doc_id"] for r in a.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(11), "doc_id", "w", k=50).collect()
+    )
+    assert got == b and len(got) == 50
+    assert 900 not in got and 901 not in got
+
+    def key(doc_id, w, seed=42):
+        raw = int(hashlib.md5(f"s{seed}:{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (raw + 1.0) / float((1 << 52) + 1)
+        return (round(-math.log(u) / w, 9), doc_id)
+
+    expected = sorted(
+        (i for i, w in rows if w > 0), key=lambda i: key(i, dict(rows)[i])
+    )[:50]
+    assert got == sorted(expected)
+
+    # selection frequency grows with weight: a doc with 50x the weight
+    # of the field should be drawn for most seeds
+    heavy_hits = 0
+    base = [(i, 1.0) for i in range(200)] + [(999, 50.0)]
+    bdf = spark.createDataFrame(base, "doc_id long, w double")
+    for seed in range(10):
+        s = {r["doc_id"] for r in weighted_sample(bdf, "doc_id", "w", k=20, seed=seed).collect()}
+        heavy_hits += 999 in s
+    assert heavy_hits >= 7
+
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "doc_id", "w", k=0)

@@ -230,3 +230,51 @@ def weighted_sample(
         .limit(k)
         .drop("__sample_key")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    group_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group :func:`weighted_sample`: k weighted draws per group —
+    the per-source form mixture construction wants (k best-weighted
+    documents from EACH source, deterministic under any partitioning).
+
+    Same A-ES key; selection is a row_number window partitioned by the
+    group, so each group's candidates shuffle to one task's window but
+    only (group, key) metadata and the sampled rows move — the standard
+    top-k-per-group shape (`operators/windows.py:topk_per_group`).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (raw + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+    key = F.round(-F.log(u) / w, 9)
+    win = W.partitionBy(group_col).orderBy(
+        F.col("__sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__sample_key", key)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__sample_key", "__rk")
+    )

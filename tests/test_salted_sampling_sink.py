@@ -311,3 +311,30 @@ def test_weighted_sample_deterministic_proportional_and_bounded(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "doc_id", "w", k=0)
+
+
+def test_weighted_sample_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], float(1 + i % 9)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample_per_group(df, "doc_id", "w", "g", k=10)
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["g"], set()).add(r["doc_id"])
+    assert set(by_g) == {"a", "b", "c"}
+    assert all(len(v) == 10 for v in by_g.values())
+    # each group's draw equals the global operator applied to that group
+    for g in ("a", "b", "c"):
+        solo = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df.filter(F.col("g") == g), "doc_id", "w", k=10
+            ).collect()
+        }
+        assert by_g[g] == solo

@@ -67,6 +67,10 @@ def main() -> None:
         "dedup_simhash",
         "text_winnowing_fingerprints",
         "sim_ivf_topk",
+        # r5 additions: CCNet perplexity (two-level agg + token join) and
+        # policy-based survivor selection (canonical fingerprint + min_by)
+        "text_lm_perplexity",
+        "dedup_canonical_best",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -372,11 +372,22 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END,
            NULL, NULL, NULL, cluster_id
     FROM surv
+    UNION ALL
+    SELECT 'packw', CAST(shard AS BIGINT), COUNT(*),
+           CAST(SUM(CAST(n AS BIGINT)) AS BIGINT), 1, 1, 1, NULL, NULL
+    FROM (
+      SELECT CAST(CAST('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)),
+                  1, 8) AS BIGINT) % 8 AS INTEGER) AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      FROM documents
+    ) pw_combo WHERE n >= 1 GROUP BY shard
     """,
     operators=(
         "T-ext:substring-dedup",
         "T-ext:span-strip",
         "T-ext:packing",
+        "T-ext:pack-whole",
         "T-ext:chunking",
         "T-ext:mixing",
         "T-ext:perplexity",
@@ -386,8 +397,10 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
     "sequence-packing assignment, retrieval chunks, the token-budget "
     "mixture sample, and (r5) the CCNet-style LM perplexity verdict "
-    "(n_tokens, head/middle/tail bucket, ppl integerized at 1e-4) plus "
-    "canonical-cluster best-variant survivors, unioned to a common "
+    "(n_tokens, head/middle/tail bucket, ppl integerized at 1e-4), "
+    "canonical-cluster best-variant survivors, and the whole-document "
+    "FFD packing certificate (per-shard totals + capacity/first-fit/"
+    "2x-OPT verdicts), unioned to a common "
     "(kind, doc_id, k1..k6, s) schema. Every leg is exactly "
     "hash-verified; fine-grained singles stay in the registry for the "
     "in-repo parity gate.",
@@ -509,6 +522,19 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mix_leg)
         .unionByName(ppl_leg)
         .unionByName(surv_leg)
+        .unionByName(
+            text_pack_whole_verdict(spark, sf_dir).select(
+                F.lit("packw").alias("kind"),
+                F.col("shard").cast("bigint").alias("doc_id"),
+                F.col("n_docs").cast("bigint").alias("k1"),
+                F.col("total_tokens").cast("bigint").alias("k2"),
+                F.col("no_overflow").cast("bigint").alias("k3"),
+                F.col("at_most_one_half_empty").cast("bigint").alias("k4"),
+                F.col("bins_within_2x").cast("bigint").alias("k5"),
+                b.alias("k6"),
+                s.alias("s"),
+            )
+        )
     )
 
 
@@ -595,3 +621,90 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return contaminated_spans(train, bench, "doc_id", "text", k=_SPAN_K)
+
+
+@register(
+    "text_pack_whole_verdict",
+    # FFD bin assignment is iterative (not SQL-expressible), so this is
+    # a verdict slot in the combo_approx_sketches mold: the oracle
+    # recomputes everything derivable from the deterministic inputs
+    # (per-shard doc counts + token totals over the same md5 shard
+    # assignment) and the TRUE expected values of three certificates
+    # the packing must satisfy — capacity (no bin over budget),
+    # first-fit tightness (at most one bin per shard at <= half
+    # capacity: two half-empty bins would have merged), and the 2x-OPT
+    # bound that tightness implies. A broken packer emits false and
+    # hash-mismatches.
+    oracle="""
+    WITH pw AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS n,
+             CAST(CAST('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)),
+                  1, 8) AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           TRUE AS no_overflow,
+           TRUE AS at_most_one_half_empty,
+           TRUE AS bins_within_2x
+    FROM pw WHERE n >= 1 GROUP BY shard
+    """,
+    operators=("T-ext:packing", "T-ext:pack-whole"),
+    doc="Whole-document FFD bin packing certificate "
+    "(operators/packing.py:pack_documents_whole — the SFT-style packing "
+    "that never splits an example): per md5-shard, doc/token totals "
+    "plus three verdicts computed from the ACTUAL bin assignment — "
+    "capacity respected, at most one half-empty bin (first-fit "
+    "invariant), and bin count within the 2x-OPT bound the invariant "
+    "implies. The totals tie the packer to the exact input partition "
+    "the oracle derives independently.",
+)
+def text_pack_whole_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import token_count
+    from home_credit_data_engineering_spark.operators.packing import (
+        pack_documents_whole,
+    )
+
+    budget = 256
+    docs = read_testdata(spark, sf_dir, "documents")
+    packed = pack_documents_whole(
+        docs.withColumn("__ntok", token_count("text")),
+        "doc_id",
+        "__ntok",
+        budget=budget,
+        shards=8,
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("token_count").alias("__bin_tokens"),
+        F.count(F.lit(1)).alias("__bin_docs"),
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.sum("__bin_docs").alias("n_docs"),
+            F.sum("__bin_tokens").alias("total_tokens"),
+            (F.max("__bin_tokens") <= budget).alias("no_overflow"),
+            (
+                F.sum(
+                    F.when(F.col("__bin_tokens") <= budget / 2, 1).otherwise(0)
+                )
+                <= 1
+            ).alias("at_most_one_half_empty"),
+            (
+                F.count(F.lit(1))
+                <= F.ceil(F.lit(2.0) * F.sum("__bin_tokens") / budget)
+            ).alias("bins_within_2x"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "no_overflow",
+            "at_most_one_half_empty",
+            "bins_within_2x",
+        )
+    )

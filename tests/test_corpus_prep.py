@@ -549,3 +549,76 @@ def test_contaminated_spans_detects_benchmark_overlap(spark):
     }
     assert cleaned[1] == "intro text end"
     assert cleaned[2].startswith("completely unrelated")
+
+
+def test_pack_documents_whole_ffd_invariants(spark):
+    """Whole-doc FFD packing: python-reference exact assignment,
+    capacity respected, first-fit half-empty invariant, determinism
+    under repartitioning, and the oversized-document raise."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from home_credit_data_engineering_spark.operators.packing import (
+        pack_documents_whole,
+    )
+
+    rows = [(i, 10 + (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    cap = 128
+    out = pack_documents_whole(df, "doc_id", "n", budget=cap, shards=4)
+    got = {(r["doc_id"]): (r["shard"], r["bin_id"]) for r in out.collect()}
+    assert len(got) == 200
+
+    # python reference: same shard hash, same FFD order
+    def perm(doc_id):
+        return hashlib.md5(f"s42:{doc_id}".encode()).hexdigest()
+
+    def shard_of(doc_id):
+        return int(perm(doc_id)[:8], 16) % 4
+
+    expected = {}
+    for s in range(4):
+        docs = sorted(
+            ((n, perm(i), i) for i, n in rows if shard_of(i) == s),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        remaining = []
+        for n, _, i in docs:
+            for b, rem in enumerate(remaining):
+                if n <= rem:
+                    remaining[b] = rem - n
+                    expected[i] = (s, b)
+                    break
+            else:
+                remaining.append(cap - n)
+                expected[i] = (s, len(remaining) - 1)
+    assert got == expected
+
+    # invariants over the actual assignment
+    fills: dict[tuple, int] = {}
+    for r in out.collect():
+        fills[(r["shard"], r["bin_id"])] = (
+            fills.get((r["shard"], r["bin_id"]), 0) + r["token_count"]
+        )
+    assert all(v <= cap for v in fills.values())
+    from collections import Counter
+
+    half_empty = Counter()
+    for (s, _b), v in fills.items():
+        half_empty[s] += v <= cap / 2
+    assert all(c <= 1 for c in half_empty.values())
+
+    # partitioning-invariant
+    again = {
+        (r["doc_id"]): (r["shard"], r["bin_id"])
+        for r in pack_documents_whole(
+            df.repartition(7), "doc_id", "n", budget=cap, shards=4
+        ).collect()
+    }
+    assert again == got
+
+    # oversized docs must raise, not truncate
+    big = spark.createDataFrame([(1, 500)], "doc_id long, n long")
+    with _pytest.raises(Exception, match="more than budget"):
+        pack_documents_whole(big, "doc_id", "n", budget=100).collect()

@@ -262,3 +262,38 @@ def max_token_length(col: Column | str) -> Column:
     tokens — a cheap anomaly signal)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_max(F.transform(tokens(c), lambda x: F.length(x))).cast("int")
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step web-crawl text needs before hashing/dedup: composed ``é`` and
+    decomposed ``e + COMBINING ACUTE`` are different byte strings (so
+    different md5 fingerprints, different shingles) for identical text.
+
+    Spark SQL has no normalization built-in, so this is a deliberate
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` — a narrow
+    per-row projection, no shuffle impact; run it ONCE at ingest and
+    every downstream hash-based operator (``fingerprint``,
+    ``canonical_fingerprint``, MinHash shingles, span windows) sees one
+    canonical form. Agrees with DuckDB's ``nfc_normalize`` for
+    ``form='NFC'`` (both implement the Unicode standard; asserted in
+    ``tests/test_operators_unit.py``). Nulls pass through.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    c = F.col(col) if isinstance(col, str) else col
+
+    # explicit annotations (this module uses `from __future__ import
+    # annotations`, which would stringify hints pyspark can't resolve)
+    def _norm_impl(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    _norm_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm_impl, "string")(c)

@@ -167,3 +167,55 @@ def test_lsh_bands_validation(spark):
     # Divisible bands still work both ways.
     assert lsh_candidate_pairs(sigs, bands=4, num_hashes=8).count() >= 0
     assert lsh_candidate_pairs(sigs, bands=4).count() >= 0
+
+
+def test_normalize_unicode_matches_duckdb_nfc(spark):
+    """Composed/decomposed forms collapse identically to DuckDB's
+    nfc_normalize; NFKC folds compatibility chars; nulls pass; bad form
+    rejected."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.functions.text import (
+        fingerprint,
+        normalize_unicode,
+    )
+
+    composed = "café résumé"
+    decomposed = "café résumé"
+    rows = [(1, composed), (2, decomposed), (3, "ﬁle plain"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["norm"]
+        for r in df.select(
+            "doc_id", normalize_unicode("text").alias("norm")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        expect = (
+            con.sql("SELECT nfc_normalize(?)", params=[text]).fetchone()[0]
+            if text is not None
+            else None
+        )
+        assert out[doc_id] == expect, doc_id
+    con.close()
+    assert out[1] == out[2]  # forms collapse to one string
+    # and therefore to one dedup fingerprint
+    fps = {
+        r["fp"]
+        for r in df.filter(F.col("doc_id").isin(1, 2))
+        .select(fingerprint(normalize_unicode("text")).alias("fp"))
+        .collect()
+    }
+    assert len(fps) == 1
+    nfkc = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_unicode("text", "NFKC").alias("n")
+        ).collect()
+    }
+    assert nfkc[3] == "file plain"  # U+FB01 ligature folds under NFKC
+    with _pytest.raises(ValueError, match="form"):
+        normalize_unicode("text", "NFX")

@@ -37,6 +37,7 @@ __all__ = [
     "read_document_stream",
     "quality_flag_stream",
     "chunk_stream",
+    "foreach_batch_perplexity",
 ]
 
 #: Declared schema for the driver's documents table (file streams require
@@ -102,3 +103,62 @@ def chunk_stream(
     return chunk_documents(
         docs, id_col, text_col, chunk_tokens=chunk_tokens, stride=stride
     )
+
+
+def foreach_batch_perplexity(
+    stream_docs: DataFrame,
+    model_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    unseen_logp: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Score a document stream against a PERSISTED unigram model — the
+    streaming face of the CCNet quality filter: history trains the model
+    (refreshed O(delta) via ``operators/lm.unigram_count_state``), new
+    documents score as they arrive.
+
+    Shape note: per-document scoring aggregates (doc, token) pairs, so
+    it runs inside ``foreachBatch`` — documents arrive whole within a
+    micro-batch, making per-batch scoring EXACT, whereas a streaming
+    aggregation keyed by doc_id would accumulate unbounded state for no
+    semantic gain. The model is read once per batch from
+    ``model_path`` (a ``(token, logp)`` parquet, written by
+    ``jobs/perplexity.py`` / ``write_parquet``); ``unseen_logp`` is
+    mandatory because streamed tokens may be absent from the history
+    model (by convention the model's smoothed floor). Self-trained
+    scoring is deliberately NOT offered here — a per-micro-batch
+    vocabulary would silently change semantics to "perplexity relative
+    to this batch".
+
+    Each batch writes to ``output_path/batch=<id>`` so a replayed batch
+    overwrites its own output — idempotent, hence effectively
+    exactly-once. Bucket downstream against FIXED thresholds from the
+    history run (a streaming NTILE/percentile would again be
+    corpus-global semantics). Returns the finished query.
+    """
+    from home_credit_data_engineering_spark.operators.lm import lm_perplexity
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        model = spark.read.parquet(model_path)
+        scored = lm_perplexity(
+            batch_df,
+            id_col,
+            text_col,
+            model=model,
+            unseen_logp=unseen_logp,
+        )
+        scored.write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
+
+    query = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -96,3 +96,51 @@ def test_quality_stream_partitioned_file_sink(spark, sf_dir, tmp_path):
     # partition pruning serves the kept side without touching dropped
     kept_files = list((__import__("pathlib").Path(out) / "kept=true").glob("*.parquet"))
     assert kept_files, "expected kept=true partition directories"
+
+
+def test_foreach_batch_perplexity_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed per-batch scoring against a persisted history model must
+    reproduce batch scoring of the same documents against the same
+    model — documents arrive whole, so the scores are exact."""
+    import math
+
+    from home_credit_data_engineering_spark.operators.lm import (
+        lm_perplexity,
+        train_unigram_lm,
+        unigram_count_state,
+    )
+    from home_credit_data_engineering_spark.streaming.corpus import (
+        foreach_batch_perplexity,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    model_path = str(tmp_path / "lm_model")
+    train_unigram_lm(docs, "doc_id", "text").write.parquet(model_path)
+    counts = unigram_count_state(docs, "doc_id", "text")
+    tot = counts.groupBy().sum("c").collect()[0][0]
+    v = counts.count()
+    floor = math.log(0.5 / (tot + 0.5 * v))
+
+    out_path = str(tmp_path / "scored_stream")
+    foreach_batch_perplexity(
+        _doc_stream(spark, sf_dir, tmp_path),
+        model_path=model_path,
+        output_path=out_path,
+        checkpoint_dir=str(tmp_path / "ckpt_ppl"),
+        unseen_logp=floor,
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    expected = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in lm_perplexity(
+            docs,
+            "doc_id",
+            "text",
+            model=spark.read.parquet(model_path),
+            unseen_logp=floor,
+        ).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -297,3 +297,44 @@ def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
 
     _norm_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_norm_impl, "string")(c)
+
+
+#: Entity map for :func:`strip_html` — the five XML predefined entities
+#: plus nbsp; a full HTML entity table belongs to a real extractor
+#: (trafilatura/bs4 via mapInPandas), this is the scan-speed JVM subset.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: earlier entities may produce '&' texts
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Markup-to-text extraction: drop ``<script>``/``<style>`` blocks
+    (their CONTENT is code, not prose), strip remaining tags and HTML
+    comments, decode the predefined entities, and collapse whitespace.
+
+    Pure ``regexp_replace`` chain — JVM-side, codegen, scan-speed over
+    100 TB of crawl HTML; the step that runs BEFORE every text-analysis
+    operator so quality signals and shingles see prose, not markup.
+    Java and RE2 agree on every pattern used (no backreferences), so
+    the DuckDB oracle replays it exactly. For DOM-aware extraction
+    (boilerplate removal, main-content detection) swap in a real
+    extractor behind ``mapInPandas`` — the surrounding plan is
+    unchanged.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # two patterns, not one with a </\1> backreference: RE2 (the DuckDB
+    # oracle's engine) has no backreferences, and mismatched nesting like
+    # <script>..</style>..</script> should not end the block early anyway
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for entity, repl in HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(repl))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -219,3 +219,55 @@ def test_normalize_unicode_matches_duckdb_nfc(spark):
     assert nfkc[3] == "file plain"  # U+FB01 ligature folds under NFKC
     with _pytest.raises(ValueError, match="form"):
         normalize_unicode("text", "NFX")
+
+
+def test_strip_html_matches_duckdb_twin(spark):
+    """Markup extraction: script/style content dropped, tags/comments
+    stripped, entities decoded, whitespace collapsed — and the pure-RE2
+    DuckDB replay of the same chain agrees byte for byte."""
+    import duckdb
+
+    from home_credit_data_engineering_spark.functions.text import strip_html
+
+    cases = [
+        '<html><head><style>p {color: red}</style>'
+        '<script type="x">var a = "<b>";</script></head>\n'
+        '<body><!-- nav --><h1>Hello &amp; welcome</h1>'
+        '<p>5 &lt; 6 &nbsp; "q"</p></body></html>',
+        "no markup at all",
+        "<p>nested <b>bold <i>italic</i></b> text</p>",
+        "<SCRIPT>UPPER.case()</SCRIPT>ok<STYLE>x</STYLE>",
+        "broken <unclosed attr='v' rest",
+        "&amp;lt; decodes to &lt; only once",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["clean"]
+        for r in df.select("i", strip_html("text").alias("clean")).collect()
+    }
+    assert got[0] == 'Hello & welcome 5 < 6 "q"'
+    assert got[1] == "no markup at all"
+    assert got[2] == "nested bold italic text"
+    assert got[3] == "ok"
+    assert got[5] == "&lt; decodes to < only once"  # no double-decode
+    assert got[6] == ""
+
+    sql = r"""
+    SELECT trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(?,
+          '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+      '\s+', ' ', 'g'))
+    """
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        assert got[i] == con.sql(sql, params=[t]).fetchone()[0], i
+    con.close()

@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """End-to-end training-data pipeline demo through the job CLIs.
 
-Runs the three corpus stages a 100 TB pipeline schedules, in order, on
+Runs the four corpus stages a 100 TB pipeline schedules, in order, on
 the driver's documents table:
 
 1. ``jobs.quality``    — Gopher-style keep/drop filter (single pass);
 2. ``jobs.dedup``      — whole-document exact + MinHash-LSH near dedup
                          with removal-list audit;
-3. ``jobs.corpus_prep``— exact-substring span dedup (Lee et al.,
+3. ``jobs.perplexity`` — CCNet-style LM scoring + head/middle/tail
+                         buckets over the deduped corpus; persists the
+                         unigram count state so the NEXT run refreshes
+                         the model O(delta) (``--counts-out``);
+4. ``jobs.corpus_prep``— exact-substring span dedup (Lee et al.,
                          arXiv:2107.06499) + sequence packing; also
                          writes the window-hash state that makes the
                          NEXT run O(delta) (``--state``).
@@ -39,6 +43,9 @@ def main() -> int:
         main as corpus_prep_main,
     )
     from home_credit_data_engineering_spark.jobs.dedup import main as dedup_main
+    from home_credit_data_engineering_spark.jobs.perplexity import (
+        main as perplexity_main,
+    )
     from home_credit_data_engineering_spark.jobs.quality import main as quality_main
 
     print(f"== corpus pipeline over {sf_dir}/documents.parquet -> {workdir}")
@@ -67,6 +74,17 @@ def main() -> int:
     if rc:
         return rc
 
+    rc = perplexity_main(
+        [
+            "--input", str(work / "deduped"),
+            "--output", str(work / "ppl_buckets"),
+            "--counts-out", str(work / "lm_counts"),
+            "--run-log", log,
+        ]
+    )
+    if rc:
+        return rc
+
     rc = corpus_prep_main(
         [
             "--input", str(work / "deduped"),
@@ -86,7 +104,8 @@ def main() -> int:
         rec = json.loads(line)
         print("  ", {k: rec[k] for k in list(rec)[:8]})
     print(f"== artifacts under {workdir}: "
-          "q_kept q_dropped deduped removals prepared span_audit window_state")
+          "q_kept q_dropped deduped removals ppl_buckets lm_counts prepared "
+          "span_audit window_state")
     return 0
 
 

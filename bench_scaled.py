@@ -57,9 +57,14 @@ SCALED_QUERIES = (
     # curve against a broadcastable benchmark hash set.
     "text_duplicated_spans",
     "text_decontaminate_spans",
-    # the heavy fingerprint/signature/ANN block
+    # the heavy fingerprint/signature/ANN block. The collapsed MinHash
+    # variant rides directly before the default pipeline: at the
+    # replica cache's 10x duplication it should beat dedup_minhash_lsh
+    # by roughly the d^2 candidate factor — that comparison IS the
+    # evidence for the collapse-exact-first production path.
     "text_winnowing_fingerprints",
     "dedup_simhash",
+    "dedup_minhash_collapsed",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
 )

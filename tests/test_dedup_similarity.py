@@ -773,3 +773,35 @@ def test_survivors_by_score_policy_and_string_ids(spark):
     # members without a score drop out (inner join contract)
     partial = survivors_by_score(members, scores.filter("doc_id != 'c'"))
     assert {r["doc_id"] for r in partial.collect()} == {"a", "b", "y", "z"}
+
+
+def test_minhash_collapsed_equals_default_on_duplicated_corpus(spark, sf_dir):
+    """Collapse-exact-first MinHash must emit the SAME verified pair set
+    as the default pipeline on a corpus with planted exact duplicates
+    (caps untriggered): identical text => identical signatures => every
+    pair decision is a pure function of the two texts."""
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_collapsed,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    base = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    # every document gets one exact copy (ids shifted) -> duplication
+    # factor 2 everywhere, plus whatever near-dups the corpus already has
+    dup = base.unionByName(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    kw = dict(num_hashes=32, bands=8, threshold=0.2)
+    default = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup(dup, "doc_id", "text", **kw).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup_collapsed(dup, "doc_id", "text", **kw).collect()
+    }
+    assert collapsed == default
+    assert len(collapsed) >= base.count()  # at least every planted copy pair

@@ -737,6 +737,7 @@ def minhash_dedup_collapsed(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    max_group_pairs: int = 1000,
 ) -> DataFrame:
     """:func:`minhash_dedup` for DUPLICATE-HEAVY corpora: collapse exact
     byte-duplicates to one representative per group, run the banded LSH
@@ -761,22 +762,32 @@ def minhash_dedup_collapsed(
     candidate pairs through exact verification — the common-crawl
     regime (boilerplate pages copied across hosts) where vanilla LSH
     melts. Group collapse is one md5 hash-aggregate (ids only);
-    expansion is two metadata joins plus an intra-group self-join
-    bounded by the caps' audit trail. This is the production entry
-    point for web-scale corpora; :func:`minhash_dedup` remains the
-    reference semantics.
+    expansion is two metadata joins plus an intra-group self-join.
+
+    ``max_group_pairs`` guards the one quadratic corner: a boilerplate
+    text repeated a million times would expand to 10¹² intra pairs.
+    Groups whose member count exceeds it emit STAR pairs (rep ↔ member)
+    instead of all-pairs — same connectivity for the connected-components
+    clustering every dedup run feeds (a removal list is unchanged), in
+    O(group) rows; the cross-group expansion inherits the same guard on
+    each side. This is the production entry point for web-scale corpora;
+    :func:`minhash_dedup` remains the reference semantics.
     """
     from pyspark import StorageLevel
 
+    if max_group_pairs < 1:
+        raise ValueError(f"max_group_pairs must be >= 1, got {max_group_pairs}")
     raw_fp = F.md5(F.col(text_col).cast("string"))  # byte-exact, NOT normalized
     keyed = df.select(F.col(id_col).alias("__m"), raw_fp.alias("__fp"))
     # aggregate+join, not a fingerprint-partitioned window: a boilerplate
     # text repeated millions of times must partial-combine map-side, not
     # buffer one giant window group
-    rep_of = keyed.groupBy("__fp").agg(F.min("__m").alias("__rep"))
+    rep_of = keyed.groupBy("__fp").agg(
+        F.min("__m").alias("__rep"), F.count(F.lit(1)).alias("__gsz")
+    )
     members = (
         keyed.join(rep_of, "__fp")
-        .select("__m", "__rep")
+        .select("__m", "__rep", "__gsz")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     reps = df.join(
@@ -795,9 +806,14 @@ def minhash_dedup_collapsed(
         shingle_k=shingle_k,
         threshold=threshold,
     )
+    # Expansion sides: over-cap groups participate through their rep
+    # only (their members reach the cluster via the star pairs below).
+    exp = members.filter(
+        (F.col("__gsz") <= max_group_pairs) | (F.col("__m") == F.col("__rep"))
+    )
     # cross-group expansion: every member pair inherits its reps' jaccard
-    ma = members.select(F.col("__rep").alias("doc_a"), F.col("__m").alias("__xa"))
-    mb = members.select(F.col("__rep").alias("doc_b"), F.col("__m").alias("__xb"))
+    ma = exp.select(F.col("__rep").alias("doc_a"), F.col("__m").alias("__xa"))
+    mb = exp.select(F.col("__rep").alias("doc_b"), F.col("__m").alias("__xb"))
     cross = (
         rep_pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
@@ -807,10 +823,12 @@ def minhash_dedup_collapsed(
             "jaccard",
         )
     )
-    # intra-group expansion: identical texts are jaccard-1.0 pairs
+    # intra-group expansion: identical texts are jaccard-1.0 pairs;
+    # all-pairs within the cap, star (rep <-> member) beyond it
+    small = members.filter(F.col("__gsz") <= max_group_pairs)
     intra = (
-        members.alias("l")
-        .join(members.alias("r"), F.col("l.__rep") == F.col("r.__rep"))
+        small.alias("l")
+        .join(small.alias("r"), F.col("l.__rep") == F.col("r.__rep"))
         .filter(F.col("l.__m") < F.col("r.__m"))
         .select(
             F.col("l.__m").alias("doc_a"),
@@ -818,7 +836,18 @@ def minhash_dedup_collapsed(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(intra)
+    star = (
+        members.filter(
+            (F.col("__gsz") > max_group_pairs) & (F.col("__m") != F.col("__rep"))
+        )
+        # rep = group min id, so rep < member always
+        .select(
+            F.col("__rep").alias("doc_a"),
+            F.col("__m").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra).unionByName(star)
 
 
 # ---------------------------------------------------------------------------

@@ -805,3 +805,37 @@ def test_minhash_collapsed_equals_default_on_duplicated_corpus(spark, sf_dir):
     }
     assert collapsed == default
     assert len(collapsed) >= base.count()  # at least every planted copy pair
+
+
+def test_minhash_collapsed_star_cap_preserves_connectivity(spark):
+    """Over-cap groups expand as star pairs (rep <-> member), not
+    all-pairs: O(group) rows, same connected component."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+        minhash_dedup_collapsed,
+    )
+
+    boiler = "the same boilerplate sentence repeated across many hosts"
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "a completely different document about gardens and trees"),
+        (101, "a completely different document about gardens and trees"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_collapsed(
+        df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5,
+        max_group_pairs=10,
+    )
+    got = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    # boilerplate group (30 > cap 10): star = 29 pairs, not C(30,2)=435
+    boiler_pairs = [p for p in got if p[0] < 100 and p[1] < 100]
+    assert len(boiler_pairs) == 29
+    assert all(a == 0 for a, _ in boiler_pairs)  # all through the rep
+    # small group: the single all-pair
+    assert (100, 101) in got
+    # connectivity: one component covers all 30 boilerplate docs
+    edges = pairs.select("doc_a", "doc_b")
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert len({labels[i] for i in range(30)}) == 1

@@ -4,7 +4,7 @@
 scan → window latest-per-key → left join → multi-measure aggregate) on
 sf0.001. ``queries()`` / ``oracle_sql()`` expose the curated 50-slot
 driver set (``plans.registry.DRIVER_SET``) whose operator-tag union
-covers the FULL 148-query registry — the driver's gate records rows for
+covers the FULL 149-query registry — the driver's gate records rows for
 the first ~50 entries only, so combo queries pack whole operator
 families into single slots (docs/COVERAGE.md maps slots → operators →
 subsumed queries; ``tests/test_oracle_parity.py`` runs the full

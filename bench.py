@@ -85,31 +85,37 @@ def main() -> None:
     load_before = [round(x, 2) for x in os.getloadavg()]
 
     runs = max(2, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
-    timings: dict[str, float] = {}
-    spread: dict[str, dict[str, float]] = {}
-    for name in headline:
-        # Min of N runs: the first run at each SF warms file-index and
-        # code caches; the minimum measures the query, not warmup noise.
-        samples: list[float] = []
-        for _ in range(runs):
+    # INTERLEAVED passes (pass 1 over every query, then pass 2, ...)
+    # instead of back-to-back runs per query: the box suffers multi-second
+    # external load bursts, and back-to-back sampling lets one burst sink
+    # every sample of whichever query it lands on; spreading a query's N
+    # samples across the whole suite's duration makes min-of-N burst-
+    # robust. First pass additionally warms file-index/code caches, so
+    # the minimum measures the query.
+    all_samples: dict[str, list[float]] = {name: [] for name in headline}
+    for _ in range(runs):
+        for name in headline:
             start = time.perf_counter()
             # Execute the full plan; count() forces every operator while
             # keeping the driver out of the data path.
             REGISTRY[name].build(spark, sf_dir).count()
-            samples.append(time.perf_counter() - start)
+            all_samples[name].append(time.perf_counter() - start)
+            # Several operators persist multi-consumer intermediates for
+            # the duration of their plan (minhash signatures/candidates,
+            # CC frontiers). Dropping them between queries keeps storage
+            # memory from accumulating across the suite — without this,
+            # late queries time their own work PLUS earlier queries'
+            # spill pressure (6-25x inflation observed at 21 queries).
+            spark.catalog.clearCache()
+    timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    for name, samples in all_samples.items():
         samples.sort()
         timings[name] = round(samples[0], 3)
         spread[name] = {
             "med": round(samples[len(samples) // 2], 3),
             "max": round(samples[-1], 3),
         }
-        # Several operators persist multi-consumer intermediates for the
-        # duration of their plan (minhash signatures/candidates, CC
-        # frontiers). Dropping them between queries keeps storage memory
-        # from accumulating across the suite — without this, late queries
-        # time their own work PLUS earlier queries' spill pressure (6-25x
-        # inflation observed at 21 queries).
-        spark.catalog.clearCache()
 
     # Connected components over real near-dup edges (not a declared query:
     # the label output depends on engine hash order only through edge

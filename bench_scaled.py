@@ -130,32 +130,35 @@ def run_scaled(
     """
     scaled_dir = build_scaled_cache(spark, sf_dir, replicas)
     runs = max(2, int(os.environ.get("SPARK_GRAFT_SCALED_RUNS", "3")))
-    timings: dict[str, float] = {}
-    spread: dict[str, dict[str, float]] = {}
-    for name in SCALED_QUERIES:
-        if name not in registry:
-            continue
-        samples: list[float] = []
-        for _ in range(runs):
+    names = [n for n in SCALED_QUERIES if n in registry]
+    # Interleaved passes, for the same burst-robustness reason as the
+    # headline loop (see bench.py): one external load burst must not be
+    # able to sink every sample of one query.
+    all_samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
             start = time.perf_counter()
             registry[name].build(spark, scaled_dir).count()
-            samples.append(time.perf_counter() - start)
+            all_samples[name].append(time.perf_counter() - start)
             spark.catalog.clearCache()  # same hygiene as the headline loop
+            # clearCache() drops SQL-cache blocks but NOT localCheckpoint
+            # RDDs (cc/minhash plan-truncation); those free only when the
+            # ContextCleaner sees their refs dead — nudge both GCs so one
+            # query's checkpoint blocks don't become the next query's
+            # memory pressure.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+    timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    for name, samples in all_samples.items():
         samples.sort()
         timings[name] = round(samples[0], 3)
         spread[name] = {
             "med": round(samples[len(samples) // 2], 3),
             "max": round(samples[-1], 3),
         }
-        # clearCache() drops SQL-cache blocks but NOT localCheckpoint
-        # RDDs (cc/minhash plan-truncation); those free only when the
-        # ContextCleaner sees their refs dead — nudge both GCs so one
-        # query's checkpoint blocks don't become the next query's
-        # memory pressure.
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
 
     # The clustering pipeline every dedup run ends with (same shape as the
     # headline dedup_cc_star leg): MinHash edges -> large-star/small-star.

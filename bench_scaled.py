@@ -162,21 +162,30 @@ def run_scaled(
 
     # The clustering pipeline every dedup run ends with (same shape as the
     # headline dedup_cc_star leg): MinHash edges -> large-star/small-star.
-    # Single timed run — iterative cost is per-round job latency.
+    # Min of 2 runs: its cost is per-round job latency, but a single
+    # sample is the one remaining burst-vulnerable number in this leg.
     from home_credit_data_engineering_spark.operators.dedup import (
         connected_components_star,
         minhash_dedup,
     )
     from home_credit_data_engineering_spark.sources.readers import read_testdata
 
-    start = time.perf_counter()
-    docs = read_testdata(spark, scaled_dir, "documents")
-    edges = minhash_dedup(
-        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
-    ).select("doc_a", "doc_b")
-    connected_components_star(edges).count()
-    timings["dedup_cc_star"] = round(time.perf_counter() - start, 3)
-    spark.catalog.clearCache()
+    cc_samples = []
+    for _ in range(2):
+        start = time.perf_counter()
+        docs = read_testdata(spark, scaled_dir, "documents")
+        edges = minhash_dedup(
+            docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+        ).select("doc_a", "doc_b")
+        connected_components_star(edges).count()
+        cc_samples.append(time.perf_counter() - start)
+        spark.catalog.clearCache()
+    cc_samples.sort()
+    timings["dedup_cc_star"] = round(cc_samples[0], 3)
+    spread["dedup_cc_star"] = {
+        "med": round(cc_samples[-1], 3),
+        "max": round(cc_samples[-1], 3),
+    }
     return timings, spread
 
 

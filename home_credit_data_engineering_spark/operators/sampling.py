@@ -239,42 +239,71 @@ def weighted_sample_per_group(
     group_col: str,
     k: int,
     seed: int = 42,
+    shards: int = 32,
 ) -> DataFrame:
     """Per-group :func:`weighted_sample`: k weighted draws per group —
     the per-source form mixture construction wants (k best-weighted
     documents from EACH source, deterministic under any partitioning).
 
-    Same A-ES key; selection is a row_number window partitioned by the
-    group, so each group's candidates shuffle to one task's window but
-    only (group, key) metadata and the sampled rows move — the standard
-    top-k-per-group shape (`operators/windows.py:topk_per_group`).
+    Same A-ES key; selection is a two-level top-k over METADATA ONLY:
+
+    1. project ``(group, id, key)`` — the payload (document text) never
+       enters any exchange;
+    2. partial top-k per ``(group, md5-subshard)`` window — a
+       billion-row source spreads over ``shards`` tasks instead of
+       serializing onto one;
+    3. final top-k per group over the surviving ``shards * k`` rows per
+       group (tiny);
+    4. LEFT SEMI join the k winning ids back to the full rows.
+
+    Every shard's local top-k is a superset filter of the global
+    per-group top-k (any globally-selected row is also in its own
+    shard's top-k), so the result is bit-identical to the one-window
+    form for every (data, seed, shards). The winners frame is
+    ``groups * k`` ids — broadcastable for any realistic mixture; AQE
+    picks broadcast automatically when it fits.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
     w = (
         F.col(weight_col) if isinstance(weight_col, str) else weight_col
     ).cast("double")
-    raw = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("double")
+    md5 = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+    raw = F.conv(F.substring(md5, 1, 13), 16, 10).cast("double")
     u = (raw + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
     key = F.round(-F.log(u) / w, 9)
-    win = W.partitionBy(group_col).orderBy(
-        F.col("__sample_key").asc(), F.col(id_col).asc()
-    )
-    return (
+    # independent md5 bits (14..19) pick the subshard so the shard is
+    # uncorrelated with the sampling key drawn from bits 1..13
+    shard = F.conv(F.substring(md5, 14, 6), 16, 10).cast("bigint") % shards
+
+    meta = (
         df.filter(w > 0)
-        .withColumn("__sample_key", key)
-        .withColumn("__rk", F.row_number().over(win))
-        .filter(F.col("__rk") <= k)
-        .drop("__sample_key", "__rk")
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("__id"),
+            key.alias("__sample_key"),
+            shard.alias("__shard"),
+        )
     )
+    w1 = W.partitionBy("__g", "__shard").orderBy(
+        F.col("__sample_key").asc(), F.col("__id").asc()
+    )
+    w2 = W.partitionBy("__g").orderBy(
+        F.col("__sample_key").asc(), F.col("__id").asc()
+    )
+    winners = (
+        meta.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= k)
+        .select("__g", "__id")
+    )
+    cond = (F.col(group_col) == F.col("__g")) & (
+        F.col(id_col) == F.col("__id")
+    )
+    return df.join(winners, on=cond, how="left_semi")

@@ -586,19 +586,38 @@ def combo_setops_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(c_acctbal AS DOUBLE), 9) AS sk
       FROM customer WHERE c_acctbal > 0
       ORDER BY sk, c_custkey LIMIT 25) t
+    UNION ALL
+    SELECT 'per_group', c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY sk, c_custkey) AS rk
+      FROM (
+        SELECT c_custkey, c_name, c_mktsegment,
+               ROUND(-ln((CAST('0x' || substr(md5('s42:'
+                     || CAST(c_custkey AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+                     / 4503599627370497.0)
+                     / CAST(c_acctbal AS DOUBLE), 9) AS sk
+        FROM customer WHERE c_acctbal > 0) k) t
+    WHERE rk <= 5
     """,
-    operators=("O2", "O4", "O4-ext:keyset", "O-ext:weighted-sample"),
+    operators=(
+        "O2", "O4", "O4-ext:keyset", "O-ext:weighted-sample",
+        "O-ext:weighted-sample-group",
+    ),
     doc="The bounded-result family, union-tagged: ORDER BY+LIMIT/OFFSET "
     "(TakeOrderedAndProject), keyset/seek (predicate pushed to the "
-    "scan — the deep-page shape), and (r5) Efraimidis-Spirakis "
+    "scan — the deep-page shape), (r5) Efraimidis-Spirakis "
     "weighted sampling (same TakeOrderedAndProject shape over the "
-    "-ln(u)/w key, u md5-derived so the draw is engine-portable). "
-    "Combo slot for o4_pagination + keyset_pagination + "
-    "weighted_sample_docs.",
+    "-ln(u)/w key, u md5-derived so the draw is engine-portable), and "
+    "(r6) its per-group form — two-level metadata-only top-k per "
+    "c_mktsegment, payload joined back LEFT SEMI. Combo slot for "
+    "o4_pagination + keyset_pagination + weighted_sample_docs + "
+    "weighted_sample_per_source.",
 )
 def combo_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.sampling import (
         weighted_sample,
+        weighted_sample_per_group,
     )
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -616,7 +635,21 @@ def combo_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         k=25,
     ).select(F.lit("weighted").alias("method"), "c_custkey", "c_name")
-    return offset_page.unionByName(keyset).unionByName(weighted)
+    per_group = weighted_sample_per_group(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        ),
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        k=5,
+        seed=42,
+    ).select(F.lit("per_group").alias("method"), "c_custkey", "c_name")
+    return (
+        offset_page.unionByName(keyset)
+        .unionByName(weighted)
+        .unionByName(per_group)
+    )
 
 
 # ---------------------------------------------------------------------------

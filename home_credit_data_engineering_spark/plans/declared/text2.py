@@ -314,3 +314,49 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(-ln((CAST('0x' || substr(md5('s42:'
+                   || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+                   / 4503599627370497.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS sk
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY sk, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 25
+    """,
+    operators=("O-ext:weighted-sample-group",),
+    doc="Per-group weighted sampling without replacement "
+    "(operators/sampling.py:weighted_sample_per_group): 25 "
+    "length-weighted draws from EACH source — the per-source mixture "
+    "construction step. Same Efraimidis-Spirakis md5 key as "
+    "weighted_sample_docs, but selection is a two-level top-k over "
+    "(group, id, key) METADATA only: partial top-k per (source, "
+    "md5-subshard) window, final top-k over the tiny shards*k "
+    "survivors, then a LEFT SEMI join of winning ids back to the full "
+    "rows — a billion-doc source spreads over the subshards instead of "
+    "serializing onto one task, and the payload never rides an "
+    "Exchange. Bit-identical to the one-window form, which is what the "
+    "oracle verifies.",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_per_group(
+        docs, "doc_id", "n_chars", "source", k=25, seed=42
+    )

@@ -191,3 +191,51 @@ def test_sequence_packing_shuffles_metadata_only(spark, sf_dir):
     assert heads, "expected the per-shard cumulative-sum exchange"
     for head in heads:
         assert "text#" not in head, f"document text riding a shuffle: {head}"
+
+
+def test_weighted_sample_per_group_shuffles_metadata_only(spark, sf_dir):
+    # weighted_sample_per_group must select winners over (group, id, key)
+    # metadata — the document text joins back LEFT SEMI afterwards and
+    # must never ride an Exchange (the pre-r6 one-window form shuffled
+    # full rows onto ONE task per group; this gate pins the fix).
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+    from home_credit_data_engineering_spark.sources.readers import (
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    out = weighted_sample_per_group(
+        docs, "doc_id", "n_chars", "source", k=10, seed=7
+    )
+    out.count()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    heads = _exchange_heads(plan)
+    assert heads, "expected the (group, subshard) window exchange"
+    for head in heads:
+        assert "text#" not in head, f"payload riding a shuffle: {head}"
+    # the payload side must come back via a semi join, not a window
+    assert "LeftSemi" in plan
+
+    # two-level sharded selection is bit-identical to the one-window form
+    from pyspark.sql.window import Window as W
+
+    md5 = F.md5(F.concat(F.lit("s7:"), F.col("doc_id").cast("string")))
+    raw = F.conv(F.substring(md5, 1, 13), 16, 10).cast("double")
+    u = (raw + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 9)
+    win = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    ref = (
+        docs.filter(F.col("n_chars") > 0)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= 10)
+    )
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    want = {(r["source"], r["doc_id"]) for r in ref.collect()}
+    assert got == want

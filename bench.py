@@ -139,11 +139,34 @@ def main() -> None:
     timings["dedup_cc_star"] = round(time.perf_counter() - start, 3)
     spark.catalog.clearCache()
 
+    # Self-adjudication (VERDICT r5 #2): solo-re-probe any query whose
+    # min regressed >1.5x vs the committed quiet-box reference and emit
+    # a per-query noise/regressed verdict, so a loaded box can no longer
+    # make cross-round comparison a judgment call.
+    from bench_scaled import adjudicate, load_bench_ref
+
+    def _run_one(name: str) -> float:
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        if name == "dedup_cc_star":
+            d = read_testdata(spark, sf_dir, "documents")
+            e = minhash_dedup(
+                d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+            ).select("doc_a", "doc_b")
+            connected_components_star(e).count()
+        else:
+            REGISTRY[name].build(spark, sf_dir).count()
+        return time.perf_counter() - start
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
+    verdicts = adjudicate(
+        _run_one, timings, load_bench_ref("headline", sf_val)
+    )
+
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -152,6 +175,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": runs,
         "queries_spread": spread,
+        "verdicts": verdicts,
         "load_avg_before": load_before,
         "load_avg_after": [round(x, 2) for x in os.getloadavg()],
     }
@@ -181,12 +205,16 @@ def main() -> None:
             result["sf_scaled"] = round(sf_val * 10, 3)
             result["queries_scaled"] = scaled["queries"]
             result["queries_scaled_spread"] = scaled["spread"]
+            result["verdicts_scaled"] = scaled.get("verdicts", {})
             result["value_scaled"] = round(sum(scaled["queries"].values()), 3)
 
     line = json.dumps(result)
     # The driver captures only the tail of stdout (r4's headline metric
-    # was truncated away); the file copy is the durable record.
-    out_path = os.path.join(
+    # was truncated away); the file copy is the durable record. The path
+    # is gitignored (ADVICE r5: local runs must not dirty the tree with
+    # machine-specific numbers); committed snapshots are a deliberate
+    # separate artifact (BENCH_r{N}.json / BENCH_REF.json).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
     )
     with open(out_path, "w", encoding="utf-8") as fh:

@@ -135,14 +135,27 @@ def canonical_fingerprint(col: Column | str) -> Column:
     non-alphanumerics, and collapsing whitespace runs — so case,
     punctuation, and spacing VARIANTS of the same content share a key.
     The cluster key for policy-based dedup (keep the best variant),
-    one normalization step stronger than :func:`fingerprint`."""
+    one normalization step stronger than :func:`fingerprint`.
+
+    The whitespace class is spelled explicitly (``[ \\t\\n\\r\\f]``)
+    rather than ``\\s`` because Java's ``\\s`` includes U+000B while
+    RE2's does not — a vertical tab would canonicalize differently per
+    engine and break the oracle twin (ADVICE r5).
+
+    Text with NO ASCII alphanumerics (non-Latin scripts, emoji- or
+    punctuation-only docs) canonicalizes to the empty string; clustering
+    all such unrelated documents together would silently drop non-Latin
+    content in a keep-one-survivor pipeline, so the empty form falls
+    back to the raw-text :func:`fingerprint` (ADVICE r5)."""
     c = F.col(col) if isinstance(col, str) else col
     canon = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+            F.regexp_replace(F.lower(c), r"[^a-z0-9 \t\n\r\f]", ""),
+            r"[ \t\n\r\f]+",
+            " ",
         )
     )
-    return F.md5(canon)
+    return F.when(canon == "", fingerprint(c)).otherwise(F.md5(canon))
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

@@ -729,6 +729,11 @@ def minhash_dedup(
     )
 
 
+#: One-live-entry cache for minhash_dedup_collapsed's members persist
+#: (keyed by applicationId; see the function body for semantics).
+_COLLAPSED_MEMBERS_PERSISTED: dict[str, DataFrame] = {}
+
+
 def minhash_dedup_collapsed(
     df: DataFrame,
     id_col: str,
@@ -785,11 +790,22 @@ def minhash_dedup_collapsed(
     rep_of = keyed.groupBy("__fp").agg(
         F.min("__m").alias("__rep"), F.count(F.lit(1)).alias("__gsz")
     )
-    members = (
-        keyed.join(rep_of, "__fp")
-        .select("__m", "__rep", "__gsz")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Idempotent persist (ADVICE r5 — same class as the r4 spans-leg
+    # fix): at most ONE live members cache per session, the previous
+    # invocation's entry unpersisted when a new one is built, so
+    # repeated registry/bench invocations cannot accumulate cache
+    # entries. Concurrent collapsed pipelines in one session would
+    # alternate the slot — acceptable for a bounded-leak guarantee.
+    members = keyed.join(rep_of, "__fp").select("__m", "__rep", "__gsz")
+    app_id = df.sparkSession.sparkContext.applicationId
+    for old_key, old in list(_COLLAPSED_MEMBERS_PERSISTED.items()):
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — stale handle from a stopped session
+            pass
+        del _COLLAPSED_MEMBERS_PERSISTED[old_key]
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    _COLLAPSED_MEMBERS_PERSISTED[app_id] = members
     reps = df.join(
         members.filter(F.col("__m") == F.col("__rep")).select(
             F.col("__m").alias(id_col)

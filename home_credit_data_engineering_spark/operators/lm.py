@@ -323,11 +323,14 @@ def stupid_backoff_perplexity(
 
 
 def perplexity_buckets(
-    scored: DataFrame, n_buckets: int = 3, ppl_col: str = "ppl"
+    scored: DataFrame,
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Add CCNet's head/middle/tail split: ``bucket`` = NTILE over
     ascending perplexity (1 = head = most fluent), ties broken by
-    doc_id so the split is deterministic and engine-portable.
+    ``id_col`` so the split is deterministic and engine-portable.
 
     NTILE is a GLOBAL-sort window: every (already-reduced, one row per
     document) score lands on one task. That is the oracle-exact twin,
@@ -341,7 +344,7 @@ def perplexity_buckets(
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    w = W.orderBy(F.col(ppl_col).asc(), F.col("doc_id").asc())
+    w = W.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 

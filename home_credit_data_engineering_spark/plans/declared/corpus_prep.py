@@ -207,9 +207,14 @@ _PPL_CTES = """
 _SURV_CTES = """
     surv_c AS (
       SELECT doc_id, n_chars,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS cluster_id
-      FROM documents
+             CASE WHEN canon = '' THEN md5(lower(trim(text)))
+                  ELSE md5(canon) END AS cluster_id
+      FROM (
+        SELECT doc_id, n_chars, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 \\t\\n\\r\\f]', '', 'g'),
+                 '[ \\t\\n\\r\\f]+', ' ', 'g')) AS canon
+        FROM documents) surv_t0
     ),
     surv AS (
       SELECT doc_id, cluster_id, n_chars AS score,

@@ -178,9 +178,14 @@ def text_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT doc_id, n_chars,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS cluster_id
-      FROM documents
+             CASE WHEN canon = '' THEN md5(lower(trim(text)))
+                  ELSE md5(canon) END AS cluster_id
+      FROM (
+        SELECT doc_id, n_chars, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 \\t\\n\\r\\f]', '', 'g'),
+                 '[ \\t\\n\\r\\f]+', ' ', 'g')) AS canon
+        FROM documents) t0
     ),
     r AS (
       SELECT doc_id, cluster_id, n_chars AS score,

@@ -839,3 +839,69 @@ def test_minhash_collapsed_star_cap_preserves_connectivity(spark):
         for r in connected_components_star(edges).collect()
     }
     assert len({labels[i] for i in range(30)}) == 1
+
+
+def test_canonical_fingerprint_non_latin_guard_and_engine_parity(spark):
+    # ADVICE r5: (a) docs with no ASCII alphanumerics must NOT collapse
+    # into one cluster (that would silently drop all-but-one non-Latin /
+    # emoji doc in a survivor pipeline); (b) the whitespace class is
+    # spelled explicitly so Java and RE2 agree on U+000B (Java \s
+    # includes it, RE2's does not).
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.functions.text import (
+        canonical_fingerprint,
+    )
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),          # same canonical form as 1
+        (3, "你好世界"),  # CJK only — empty canonical
+        (4, "こんにちは"),  # JP only — empty canonical
+        (5, "!!! ???"),               # punctuation only — empty canonical
+        (6, "a\x0bb"),                # vertical tab: engines must agree
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", canonical_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    # case/punct/spacing variants share a key
+    assert got[1] == got[2]
+    # no-alphanumeric docs fall back to distinct raw fingerprints
+    assert len({got[3], got[4], got[5]}) == 3
+    assert got[3] != got[1]
+
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]
+    ))
+    sql = """
+      SELECT doc_id,
+             CASE WHEN canon = '' THEN md5(lower(trim(text)))
+                  ELSE md5(canon) END AS fp
+      FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 \\t\\n\\r\\f]', '', 'g'),
+                 '[ \\t\\n\\r\\f]+', ' ', 'g')) AS canon
+        FROM docs) t
+    """
+    want = {int(d): f for d, f in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_minhash_collapsed_persist_is_bounded(spark, docs):
+    # ADVICE r5: repeated invocations must not accumulate cache entries —
+    # the members persist is a one-live-entry idempotent slot.
+    from home_credit_data_engineering_spark.operators import dedup as D
+
+    for _ in range(3):
+        D.minhash_dedup_collapsed(
+            docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2
+        ).count()
+    assert len(D._COLLAPSED_MEMBERS_PERSISTED) <= 1

@@ -17,6 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from home_credit_data_engineering_spark.plans.declared.text2 import (
+    _BPE_REAL_CTES,
+    _bpe_real_df,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -344,7 +348,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_CHUNK_CTES},
     {_MIX_CTES},
     {_PPL_CTES},
-    {_SURV_CTES}
+    {_SURV_CTES},
+    {_BPE_REAL_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -378,6 +383,10 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL, NULL, NULL, cluster_id
     FROM surv
     UNION ALL
+    SELECT 'bpe', doc_id, n_pretokens, n_bytes, n_bpe,
+           CASE WHEN bounds_ok THEN 1 ELSE 0 END, NULL, NULL, leg
+    FROM bpe_out
+    UNION ALL
     SELECT 'packw', CAST(shard AS BIGINT), COUNT(*),
            CAST(SUM(CAST(n AS BIGINT)) AS BIGINT), 1, 1, 1, NULL, NULL
     FROM (
@@ -397,6 +406,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-ext:mixing",
         "T-ext:perplexity",
         "D-ext:survivor-policy",
+        "T-ext:bpe-real",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
@@ -520,6 +530,17 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("k6"),
         F.col("cluster_id").alias("s"),
     )
+    bpe_leg = _bpe_real_df(spark, sf_dir).select(
+        F.lit("bpe").alias("kind"),
+        "doc_id",
+        F.col("n_pretokens").alias("k1"),
+        F.col("n_bytes").alias("k2"),
+        F.col("n_bpe").alias("k3"),
+        F.col("bounds_ok").cast("bigint").alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        F.col("leg").alias("s"),
+    )
     return (
         span_leg.unionByName(strip_leg)
         .unionByName(pack_leg)
@@ -527,6 +548,7 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mix_leg)
         .unionByName(ppl_leg)
         .unionByName(surv_leg)
+        .unionByName(bpe_leg)
         .unionByName(
             text_pack_whole_verdict(spark, sf_dir).select(
                 F.lit("packw").alias("kind"),

@@ -248,6 +248,120 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SQL-literal form of functions.text.BPE_PRETOKEN_RE ('' = escaped quote).
+_BPE_PAT_SQL = (
+    "''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+#: Planted tokenizer probes: novel words the pinned merges only PARTIALLY
+#: merge, unicode/multibyte text, and the empty string. Their exact BPE
+#: counts are computed at import time by the pure-Python reference
+#: encoder and embedded in the oracle as literals — so the driver gate
+#: hash-verifies REAL byte-pair merging, not just bounds. No apostrophes
+#: (keeps the SQL literals quote-free).
+_BPE_PLANTED: list[tuple[int, str]] = [
+    (-1, "the quick brown fox jumps over the lazy dog"),
+    (-2, "Hello, World!  123 456"),
+    (-3, "antidisestablishmentarianism supercalifragilistic"),
+    (-4, "spark scan table value key agg row"),
+    (-5, "façade naïve übergröße 你好世界"),
+    (-6, ""),
+]
+
+
+def _bpe_planted_counts() -> list[tuple[int, str, int]]:
+    from home_credit_data_engineering_spark.functions.bpe import (
+        bpe_encode,
+        load_merges,
+        merge_ranks,
+    )
+
+    ranks = merge_ranks(load_merges())
+    return [(i, t, len(bpe_encode(t, ranks))) for i, t in _BPE_PLANTED]
+
+
+_BPE_REAL_CTES = """
+    bpe_planted(doc_id, text, n_bpe) AS (VALUES
+      {values}),
+    bpe_all AS (
+      SELECT 'planted' AS leg, CAST(doc_id AS BIGINT) AS doc_id, text,
+             CAST(n_bpe AS BIGINT) AS n_bpe
+      FROM bpe_planted
+      UNION ALL
+      SELECT 'corpus', doc_id, text, CAST(NULL AS BIGINT) FROM documents
+    ),
+    bpe_out AS (
+      SELECT leg, doc_id,
+             CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+               AS n_pretokens,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             n_bpe, TRUE AS bounds_ok
+      FROM bpe_all
+    )
+""".format(
+    values=",\n      ".join(
+        f"({i}, '{t}', {c})" for i, t, c in _bpe_planted_counts()
+    ),
+    pat=_BPE_PAT_SQL,
+)
+
+
+def _bpe_real_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.bpe import (
+        bpe_token_count_col,
+    )
+
+    planted = spark.createDataFrame(_BPE_PLANTED, "doc_id long, text string")
+    corpus = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = planted.select(
+        F.lit("planted").alias("leg"), "doc_id", "text"
+    ).unionByName(corpus.select(F.lit("corpus").alias("leg"), "doc_id", "text"))
+    keyed = rows.select(
+        "leg",
+        "doc_id",
+        bpe_pretoken_count("text").cast("bigint").alias("n_pretokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        bpe_token_count_col("text").alias("__n_real"),
+    )
+    nr = F.col("__n_real")
+    return keyed.select(
+        "leg",
+        "doc_id",
+        "n_pretokens",
+        "n_bytes",
+        F.when(F.col("leg") == "planted", nr).alias("n_bpe"),
+        (
+            (F.col("n_pretokens") <= nr)
+            & (nr <= F.col("n_bytes"))
+            & ((F.col("n_pretokens") > 0) | (nr == 0))
+        ).alias("bounds_ok"),
+    )
+
+
+@register(
+    "text_bpe_real_token_count",
+    oracle=f"""
+    WITH {_BPE_REAL_CTES}
+    SELECT leg, doc_id, n_pretokens, n_bytes, n_bpe, bounds_ok FROM bpe_out
+    """,
+    operators=("T-ext:bpe-real",),
+    doc="REAL byte-level BPE token counts (functions/bpe.py) under the "
+    "pinned merges fixture — actual tokenizer tokens, not "
+    "pre-tokenization units, via an Arrow-batched pandas UDF (byte-pair "
+    "merging is an iterative data-dependent loop no Catalyst expression "
+    "expresses; the merges table is KBs and ships in the closure, the "
+    "scan stays narrow/shuffle-free). Twin certificates: planted probe "
+    "strings are EXACT-hash-verified against import-time pure-Python "
+    "reference counts embedded in the oracle, and every corpus document "
+    "carries a bounds verdict (n_pretokens <= n_bpe <= n_bytes) whose "
+    "ingredients both engines compute independently. Feed "
+    "functions.bpe.with_bpe_token_count's column to pack_sequences / "
+    "token_budget_mix / chunking to budget in real tokens.",
+)
+def text_bpe_real_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_real_df(spark, sf_dir)
+
+
 @register(
     "stratified_exact_sample",
     oracle="""

@@ -322,6 +322,131 @@ def stupid_backoff_perplexity(
     )
 
 
+def ngram_backoff_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | Column,
+    order: int = 3,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """(doc_id, n_tokens, ppl) under ``order``-gram Stupid Backoff — the
+    general form of :func:`stupid_backoff_perplexity` (Brants et al.
+    EMNLP 2007 is an n-gram method; CCNet's KenLM runs 5-gram):
+
+    ``S(w | ctx_k) = f(ctx_k·w) / f(ctx_k)`` for the longest seen
+    ``k``-gram context, each back-off step multiplying ``backoff``
+    (relative frequencies, deliberately unnormalized — that is what
+    keeps the model pure distributed counts). A position with only
+    ``m < order-1`` preceding tokens scores from the ``(m+1)``-gram
+    down. ``order=2`` is bit-identical to the bigram operator.
+
+    Distributed shape: ONE window ( ``order-1`` lag() columns off the
+    same sorted run) builds the event stream; per-(doc, context, token)
+    pre-aggregation; ALL ``order`` count tables come off that one
+    pre-aggregated stream (the k-gram ending at a position is its last
+    ``k`` event columns, so no second corpus pass); scoring is a chain
+    of ``2(order-1)`` equi-joins against 1-row-per-key count tables,
+    each join key the gram string tuple. The join chain stays FLAT in
+    corpus size — count tables shrink relative to events as k grows
+    only the cardinality changes — and the same exact-decimal logp
+    accumulation makes it SQL-oracle verifiable. Same hashed-join-key
+    scale note as the bigram form (``xxhash64(ctx)`` narrows keys to 8
+    bytes at the 100 TB tier; score arithmetic unchanged).
+    """
+    from pyspark.sql.window import Window as W
+
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    if not 2 <= order <= 6:
+        raise ValueError(f"order must be in [2, 6], got {order}")
+    n = order
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+    ).filter(F.length("__tok") > 0)
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    prevs = [f"__p{i}" for i in range(1, n)]  # __p1 = previous token, ...
+    ev = toks.select(
+        "doc_id",
+        *[F.lag("__tok", i).over(w).alias(f"__p{i}") for i in range(1, n)],
+        "__tok",
+    )
+    doc_ev = ev.groupBy("doc_id", *prevs, "__tok").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    grams: dict[int, DataFrame] = {
+        1: doc_ev.groupBy("__tok").agg(F.sum("__cnt").alias("__c1"))
+    }
+    for k in range(2, n + 1):
+        cols = [f"__p{i}" for i in range(k - 1, 0, -1)] + ["__tok"]
+        grams[k] = (
+            doc_ev.filter(F.col(f"__p{k-1}").isNotNull())
+            .groupBy(*cols)
+            .agg(F.sum("__cnt").alias(f"__c{k}"))
+        )
+    tot = grams[1].agg(F.sum("__c1").alias("__nn"))
+    scored = doc_ev.join(grams[1], "__tok").crossJoin(F.broadcast(tot))
+    for k in range(2, n + 1):
+        keys = [f"__p{i}" for i in range(k - 1, 0, -1)] + ["__tok"]
+        scored = scored.join(grams[k], keys, "left")
+        # context count f(ctx_{k-1}) = the (k-1)-gram table with its
+        # columns shifted one position into the past
+        if k == 2:
+            ctx = grams[1].select(
+                F.col("__tok").alias("__p1"), F.col("__c1").alias("__x2")
+            )
+        else:
+            ctx = grams[k - 1].select(
+                *[
+                    F.col(f"__p{i}").alias(f"__p{i+1}")
+                    for i in range(k - 2, 0, -1)
+                ],
+                F.col("__tok").alias("__p1"),
+                F.col(f"__c{k-1}").alias(f"__x{k}"),
+            )
+        scored = scored.join(
+            ctx, [f"__p{i}" for i in range(k - 1, 0, -1)], "left"
+        )
+    avail = None
+    for m in range(n - 1, 0, -1):
+        cond = F.col(f"__p{m}").isNotNull()
+        avail = (
+            F.when(cond, m) if avail is None else avail.when(cond, m)
+        )
+    avail = avail.otherwise(0)
+    log_b = F.log(F.lit(float(backoff)))
+    expr = None
+    for k in range(n, 1, -1):
+        s_k = F.log(F.col(f"__c{k}").cast("double") / F.col(f"__x{k}"))
+        branch = (avail + 1 - k).cast("double") * log_b + s_k
+        cond = F.col(f"__c{k}").isNotNull()
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    s_1 = F.log(F.col("__c1").cast("double") / F.col("__nn"))
+    expr = expr.otherwise(avail.cast("double") * log_b + s_1)
+    logp = F.round(expr, 9).cast(_ACC)
+    return (
+        scored.select("doc_id", "__cnt", logp.alias("__logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.sum(
+                F.col("__cnt").cast("decimal(10,0)") * F.col("__logp")
+            ).alias("__ll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -(F.col("__ll").cast("double"))
+                    / F.col("n_tokens").cast("double")
+                ),
+                4,
+            ).alias("ppl"),
+        )
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     n_buckets: int = 3,

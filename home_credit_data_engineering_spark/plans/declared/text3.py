@@ -430,3 +430,89 @@ def text_bigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return stupid_backoff_perplexity(docs, "doc_id", "text")
+
+
+@register(
+    "text_trigram_backoff_ppl",
+    # Same float discipline as text_lm_perplexity (exact decimal logp
+    # sums; atol entry forgives last-ulp ln/exp library drift).
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> length(t) > 0) AS arr
+      FROM documents
+    ),
+    ev AS (
+      SELECT doc_id,
+             CASE WHEN i >= 3 THEN arr[i-2] END AS p2,
+             CASE WHEN i >= 2 THEN arr[i-1] END AS p1,
+             arr[i] AS token
+      FROM (
+        SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr))) AS i
+        FROM sel WHERE len(arr) >= 1) t
+    ),
+    doc_ev AS (
+      SELECT doc_id, p2, p1, token, COUNT(*) AS cnt
+      FROM ev GROUP BY doc_id, p2, p1, token
+    ),
+    uni AS (SELECT token, SUM(cnt) AS c1 FROM doc_ev GROUP BY token),
+    tot AS (SELECT SUM(c1) AS n FROM uni),
+    g2 AS (
+      SELECT p1, token, SUM(cnt) AS c2 FROM doc_ev
+      WHERE p1 IS NOT NULL GROUP BY p1, token
+    ),
+    g3 AS (
+      SELECT p2, p1, token, SUM(cnt) AS c3 FROM doc_ev
+      WHERE p2 IS NOT NULL GROUP BY p2, p1, token
+    ),
+    scored AS (
+      SELECT d.doc_id, d.cnt,
+             CAST(ROUND(CASE
+               WHEN t3.c3 IS NOT NULL
+                 THEN CAST(d.avail + 1 - 3 AS DOUBLE) * ln(0.4)
+                      + ln(CAST(t3.c3 AS DOUBLE) / x3.c2)
+               WHEN t2.c2 IS NOT NULL
+                 THEN CAST(d.avail + 1 - 2 AS DOUBLE) * ln(0.4)
+                      + ln(CAST(t2.c2 AS DOUBLE) / x2.c1)
+               ELSE CAST(d.avail AS DOUBLE) * ln(0.4)
+                    + ln(CAST(u.c1 AS DOUBLE) / tt.n)
+             END, 9) AS DECIMAL(18,9)) AS logp
+      FROM (
+        SELECT *, CASE WHEN p2 IS NOT NULL THEN 2
+                       WHEN p1 IS NOT NULL THEN 1 ELSE 0 END AS avail
+        FROM doc_ev) d
+      JOIN uni u ON u.token = d.token
+      LEFT JOIN g3 t3 ON t3.p2 = d.p2 AND t3.p1 = d.p1
+                     AND t3.token = d.token
+      LEFT JOIN g2 x3 ON x3.p1 = d.p2 AND x3.token = d.p1
+      LEFT JOIN g2 t2 ON t2.p1 = d.p1 AND t2.token = d.token
+      LEFT JOIN uni x2 ON x2.token = d.p1
+      CROSS JOIN tot tt
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(EXP(-(CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * logp)
+                       AS DOUBLE)) / CAST(SUM(cnt) AS DOUBLE)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    operators=("T-ext:perplexity",),
+    doc="Trigram Stupid Backoff perplexity (operators/lm.py:"
+    "ngram_backoff_perplexity, Brants et al. EMNLP 2007 generalized to "
+    "n-grams — CCNet's KenLM is 5-gram): the longest seen context wins, "
+    "each back-off step multiplies 0.4, positions near the document "
+    "start score from their available context length. One window with "
+    "two lag() columns builds the event stream; all three count tables "
+    "come off the same pre-aggregated (doc, p2, p1, token) stream; "
+    "scoring is four equi-joins against 1-row-per-key count tables plus "
+    "a broadcast scalar total. The join chain stays flat in corpus "
+    "size (scaled-leg benched).",
+)
+def text_trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.lm import (
+        ngram_backoff_perplexity,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return ngram_backoff_perplexity(docs, "doc_id", "text", order=3)

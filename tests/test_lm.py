@@ -247,3 +247,103 @@ def test_incremental_counts_reproduce_full_model(spark):
             for r in unigram_lm_from_counts(merged).collect()
         }
         assert got == full, f"cut {cut}"
+
+
+def _py_stupid_backoff(docs: dict, order: int, backoff: float) -> dict:
+    """Pure-Python n-gram Stupid Backoff reference (per-doc ppl)."""
+    import math
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs.items()}
+    counts = [Counter() for _ in range(order + 1)]  # counts[k] = k-gram
+    total = 0
+    for seq in toks.values():
+        total += len(seq)
+        for k in range(1, order + 1):
+            for i in range(len(seq) - k + 1):
+                counts[k][tuple(seq[i : i + k])] += 1
+
+    def score(seq, i):
+        m = min(i, order - 1)  # available context length
+        pen = 0
+        for k in range(m + 1, 1, -1):
+            gram = tuple(seq[i - k + 1 : i + 1])
+            if counts[k][gram] > 0:
+                ctx = gram[:-1]
+                return pen * math.log(backoff) + math.log(
+                    counts[k][gram] / counts[k - 1][ctx]
+                )
+            pen += 1
+        return pen * math.log(backoff) + math.log(
+            counts[1][(seq[i],)] / total
+        )
+
+    out = {}
+    for d, seq in toks.items():
+        if not seq:
+            continue
+        ll = sum(round(score(seq, i), 9) for i in range(len(seq)))
+        out[d] = (len(seq), round(math.exp(-ll / len(seq)), 4))
+    return out
+
+
+def test_ngram_backoff_matches_python_reference(spark):
+    from home_credit_data_engineering_spark.operators.lm import (
+        ngram_backoff_perplexity,
+    )
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "the dog sat on the mat",
+        4: "a dog barks",
+        5: "the cat sat",
+        6: "mat the on sat cat the",
+        7: "one",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    for order in (2, 3, 4):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["ppl"])
+            for r in ngram_backoff_perplexity(
+                df, "doc_id", "text", order=order
+            ).collect()
+        }
+        want = _py_stupid_backoff(docs, order, 0.4)
+        assert got == want, f"order={order}: {got} != {want}"
+
+
+def test_ngram_order2_equals_bigram_operator(spark, sf_dir):
+    from home_credit_data_engineering_spark.operators.lm import (
+        ngram_backoff_perplexity,
+        stupid_backoff_perplexity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in ngram_backoff_perplexity(
+            docs, "doc_id", "text", order=2
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in stupid_backoff_perplexity(docs, "doc_id", "text").collect()
+    }
+    assert a == b
+
+
+def test_ngram_backoff_guards(spark):
+    import pytest as _pytest
+
+    from home_credit_data_engineering_spark.operators.lm import (
+        ngram_backoff_perplexity,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="order"):
+        ngram_backoff_perplexity(df, "doc_id", "text", order=1)
+    with _pytest.raises(ValueError, match="backoff"):
+        ngram_backoff_perplexity(df, "doc_id", "text", backoff=0.0)

@@ -377,22 +377,37 @@ def pack_documents_whole(
         pdf = pdf.sort_values(
             ["__n", "__ord", "__id"], ascending=[False, True, True]
         )
-        # first-fit over open bins; bins list holds remaining capacity
-        remaining: list[int] = []
-        assigned = []
-        for tokens_ in pdf["__n"].to_numpy():
-            for b, rem in enumerate(remaining):
-                if tokens_ <= rem:
-                    remaining[b] = rem - int(tokens_)
-                    assigned.append(b)
-                    break
-            else:
-                remaining.append(cap - int(tokens_))
-                assigned.append(len(remaining) - 1)
         import numpy as np
 
+        # Segment-tree first-fit (the classic O(docs·log bins) form; the
+        # r5 linear scan was O(docs·open-bins) — minutes of Python on a
+        # many-small-docs shard): leaves hold each bin's remaining
+        # capacity, every bin starts at ``cap`` ("unopened"), internal
+        # nodes hold the max of their range. The leftmost leaf with
+        # remaining >= need is either an open bin that fits or the first
+        # unopened bin — EXACTLY first-fit, no special-casing, so the
+        # assignment is bit-identical to the linear scan (asserted on
+        # randomized inputs in test_corpus_prep).
+        m = len(pdf)
+        p = 1
+        while p < max(1, m):
+            p <<= 1
+        tree = np.full(2 * p, cap, dtype=np.int64)
+        assigned = np.empty(m, dtype=np.int32)
+        for j, tokens_ in enumerate(pdf["__n"].to_numpy()):
+            need = int(tokens_)
+            node = 1
+            while node < p:
+                left = node << 1
+                node = left if tree[left] >= need else left | 1
+            tree[node] -= need
+            assigned[j] = node - p
+            node >>= 1
+            while node:
+                tree[node] = max(tree[node << 1], tree[(node << 1) | 1])
+                node >>= 1
         out = pdf[["__id", "shard", "__n"]].copy()
-        out["bin_id"] = np.array(assigned, dtype="int32")
+        out["bin_id"] = assigned
         return out.rename(columns={"__id": "id", "__n": "token_count"})
 
     id_type = dict(

@@ -622,3 +622,81 @@ def test_pack_documents_whole_ffd_invariants(spark):
     big = spark.createDataFrame([(1, 500)], "doc_id long, n long")
     with _pytest.raises(Exception, match="more than budget"):
         pack_documents_whole(big, "doc_id", "n", budget=100).collect()
+
+
+def _naive_first_fit(sizes: list[int], cap: int) -> list[int]:
+    remaining: list[int] = []
+    assigned = []
+    for s in sizes:
+        for b, rem in enumerate(remaining):
+            if s <= rem:
+                remaining[b] = rem - s
+                assigned.append(b)
+                break
+        else:
+            remaining.append(cap - s)
+            assigned.append(len(remaining) - 1)
+    return assigned
+
+
+def test_ffd_segment_tree_equals_naive_randomized(spark):
+    # the r6 segment-tree first-fit must be bit-identical to the linear
+    # scan it replaced, for every (sizes, capacity)
+    import random
+
+    from home_credit_data_engineering_spark.operators.packing import (
+        pack_documents_whole,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        cap = rng.choice([17, 64, 257])
+        rows = [(i, rng.randint(1, cap)) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        out = pack_documents_whole(
+            df, "doc_id", "n", budget=cap, shards=3, seed=trial
+        ).collect()
+        by_shard: dict[int, list] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        # reconstruct each shard's FFD order (desc n, md5 perm, id) via
+        # the operator's own sort keys and replay the naive first-fit
+        import hashlib
+
+        def perm(doc_id, seed=trial):
+            return hashlib.md5(f"s{seed}:{doc_id}".encode()).hexdigest()
+
+        n_of = dict(rows)
+        for shard, members in by_shard.items():
+            order = sorted(
+                members,
+                key=lambda r: (-r["token_count"], perm(r[0]), r[0]),
+            )
+            got = [r["bin_id"] for r in order]
+            want = _naive_first_fit([r["token_count"] for r in order], cap)
+            assert got == want, (shard, got[:20], want[:20])
+        assert len(out) == 400
+
+
+def test_ffd_many_small_docs_completes_fast(spark):
+    # the r5 quadratic corner: 200k unit docs into a 10^6 budget opens
+    # ~1 bin but previously scanned every open bin per doc; worst case
+    # (distinct bins) is now O(docs log bins). Must finish in seconds.
+    import time
+
+    from home_credit_data_engineering_spark.operators.packing import (
+        pack_documents_whole,
+    )
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("n")
+    )
+    start = time.time()
+    out = pack_documents_whole(df, "doc_id", "n", budget=1_000_000, shards=2)
+    total = out.groupBy().agg(F.sum("token_count").alias("t")).collect()[0]["t"]
+    elapsed = time.time() - start
+    assert total == 600_000
+    # each shard packs ~100k unit docs into ~1 bin (333333 docs/bin)
+    n_bins = out.select("shard", "bin_id").distinct().count()
+    assert n_bins <= 4
+    assert elapsed < 60, f"FFD too slow: {elapsed:.1f}s"

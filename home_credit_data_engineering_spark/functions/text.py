@@ -312,9 +312,10 @@ def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
     return pandas_udf(_norm_impl, "string")(c)
 
 
-#: Entity map for :func:`strip_html` — the five XML predefined entities
-#: plus nbsp; a full HTML entity table belongs to a real extractor
-#: (trafilatura/bs4 via mapInPandas), this is the scan-speed JVM subset.
+#: Named entities :func:`strip_html` decodes — the five XML predefined
+#: entities plus nbsp; a full HTML entity table belongs to a real
+#: extractor (trafilatura/bs4 via mapInPandas), this is the scan-speed
+#: JVM subset. Numeric character references are handled generically.
 HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "),
     ("&lt;", "<"),
@@ -322,20 +323,51 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
-    ("&amp;", "&"),  # LAST: earlier entities may produce '&' texts
+    ("&amp;", "&"),
 )
+
+#: One pattern matching every entity :func:`strip_html` decodes: numeric
+#: decimal (``&#233;``), numeric hex (``&#xE9;``), and the named subset.
+#: No backreferences — Java and RE2 agree.
+HTML_ENTITY_RE = (
+    r"&(?:#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|nbsp|lt|gt|quot|apos|amp);"
+)
+
+
+def _decode_entity(e: Column) -> Column:
+    """Decode ONE matched entity string. Numeric references resolve for
+    codepoints 9/10/13 and 32..255 (the ASCII/Latin-1 range both
+    engines' codepoint→char agree on — Spark's ``char`` wraps mod 256
+    above that); anything else passes through verbatim."""
+    named = None
+    for entity, repl in HTML_ENTITIES:
+        branch = F.when(e == entity, F.lit(repl))
+        named = branch if named is None else named.when(e == entity, F.lit(repl))
+    hex_digits = F.regexp_extract(e, r"^&#[xX]([0-9a-fA-F]+);$", 1)
+    dec_digits = F.regexp_extract(e, r"^&#([0-9]+);$", 1)
+    val = F.when(
+        hex_digits != "", F.conv(hex_digits, 16, 10).cast("bigint")
+    ).when(dec_digits != "", dec_digits.cast("bigint"))
+    char_ok = val.isin(9, 10, 13) | ((val >= 32) & (val <= 255))
+    return named.when(char_ok, F.char(val)).otherwise(e)
 
 
 def strip_html(col: Column | str) -> Column:
     """Markup-to-text extraction: drop ``<script>``/``<style>`` blocks
     (their CONTENT is code, not prose), strip remaining tags and HTML
-    comments, decode the predefined entities, and collapse whitespace.
+    comments, decode entities, and collapse whitespace.
 
-    Pure ``regexp_replace`` chain — JVM-side, codegen, scan-speed over
-    100 TB of crawl HTML; the step that runs BEFORE every text-analysis
-    operator so quality signals and shingles see prose, not markup.
-    Java and RE2 agree on every pattern used (no backreferences), so
-    the DuckDB oracle replays it exactly. For DOM-aware extraction
+    Entity decoding (r6) is a SINGLE simultaneous pass — split on
+    :data:`HTML_ENTITY_RE`, decode each match, reassemble — covering
+    numeric character references (``&#NNN;`` / ``&#xNN;``, the
+    ASCII/Latin-1 range; crawl text is full of them) alongside the
+    named subset, with browser-correct no-double-decode semantics
+    (``&amp;lt;`` → ``&lt;``, never ``<``) that a sequential replace
+    chain cannot guarantee in general. Everything stays JVM-side
+    (regexp split + higher-order array fold), codegen, scan-speed over
+    100 TB of crawl HTML. Java and RE2 agree on every pattern used (no
+    backreferences), so the DuckDB twin replays it exactly
+    (tests/test_operators_unit.py). For DOM-aware extraction
     (boilerplate removal, main-content detection) swap in a real
     extractor behind ``mapInPandas`` — the surrounding plan is
     unchanged.
@@ -348,6 +380,19 @@ def strip_html(col: Column | str) -> Column:
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style\s*>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
-    for entity, repl in HTML_ENTITIES:
-        out = F.replace(out, F.lit(entity), F.lit(repl))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    segs = F.split(out, HTML_ENTITY_RE, -1)
+    ents = F.regexp_extract_all(out, F.lit(HTML_ENTITY_RE), 0)
+    # interleave: segs[1] + dec(ents[1]) + segs[2] + ... (1-based); the
+    # size guard matters — sequence(1, 0) would count DOWN, not empty
+    decoded = F.when(F.size(ents) == 0, out).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(ents)),
+            F.element_at(segs, 1),
+            lambda acc, i: F.concat(
+                acc,
+                _decode_entity(F.element_at(ents, i)),
+                F.element_at(segs, i + F.lit(1)),
+            ),
+        )
+    )
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))

@@ -240,6 +240,15 @@ def test_strip_html_matches_duckdb_twin(spark):
         "broken <unclosed attr='v' rest",
         "&amp;lt; decodes to &lt; only once",
         "",
+        # numeric character references (r6): decimal, hex (either case,
+        # leading zeros), tab/newline codepoints, Latin-1 accents
+        "caf&#233; r&#xE9;sum&#XE9; na&#239;ve",
+        "A&#9;B&#10;C&#13;D",
+        "&#65;&#066;&#x43;&#x044;",
+        "quote&#34;dash&#45;tilde&#126;",
+        # out-of-range / malformed stay verbatim
+        "&#8364;euro &#0;nul &#999999;big &#x110000;huge &#xZZ; &#; &#x;",
+        "mixed &#38;#65; stays one-decode",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(cases)], "i long, text string"
@@ -255,19 +264,65 @@ def test_strip_html_matches_duckdb_twin(spark):
     assert got[5] == "&lt; decodes to < only once"  # no double-decode
     assert got[6] == ""
 
+    # pure-RE2 replay of the same chain: tag strip, then ONE simultaneous
+    # entity pass (split on the entity pattern, decode each match via the
+    # same named/numeric CASE, interleave back), then whitespace collapse
     sql = r"""
-    SELECT trim(regexp_replace(
-      replace(replace(replace(replace(replace(replace(replace(
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(?,
+    WITH t0 AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(?,
           '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
           '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
           '(?s)<!--.*?-->', ' ', 'g'),
-          '(?s)<[^>]+>', ' ', 'g'),
-        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
-      '\s+', ' ', 'g'))
+          '(?s)<[^>]+>', ' ', 'g') AS t
+    ),
+    parts AS (
+      SELECT t,
+        string_split_regex(t,
+          '&(?:#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|nbsp|lt|gt|quot|apos|amp);')
+          AS segs,
+        list_transform(
+          regexp_extract_all(t,
+            '&(?:#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|nbsp|lt|gt|quot|apos|amp);'),
+          e -> CASE e
+            WHEN '&nbsp;' THEN ' ' WHEN '&lt;' THEN '<'
+            WHEN '&gt;' THEN '>' WHEN '&quot;' THEN '"'
+            WHEN '&#39;' THEN '''' WHEN '&apos;' THEN ''''
+            WHEN '&amp;' THEN '&'
+            ELSE CASE WHEN
+              COALESCE(CASE
+                WHEN regexp_matches(e, '^&#[xX]')
+                  THEN CAST('0x' ||
+                       regexp_extract(e, '^&#[xX]([0-9a-fA-F]+);$', 1)
+                       AS BIGINT)
+                ELSE CAST(regexp_extract(e, '^&#([0-9]+);$', 1) AS BIGINT)
+              END, -1) IN (9, 10, 13)
+              OR COALESCE(CASE
+                WHEN regexp_matches(e, '^&#[xX]')
+                  THEN CAST('0x' ||
+                       regexp_extract(e, '^&#[xX]([0-9a-fA-F]+);$', 1)
+                       AS BIGINT)
+                ELSE CAST(regexp_extract(e, '^&#([0-9]+);$', 1) AS BIGINT)
+              END, -1) BETWEEN 32 AND 255
+            THEN chr(CAST(CASE
+                WHEN regexp_matches(e, '^&#[xX]')
+                  THEN CAST('0x' ||
+                       regexp_extract(e, '^&#[xX]([0-9a-fA-F]+);$', 1)
+                       AS BIGINT)
+                ELSE CAST(regexp_extract(e, '^&#([0-9]+);$', 1) AS BIGINT)
+              END AS INTEGER))
+            ELSE e END
+          END) AS decs
+      FROM t0
+    )
+    SELECT trim(regexp_replace(
+      CASE WHEN len(decs) = 0 THEN t
+           ELSE segs[1] || array_to_string(
+             list_transform(generate_series(1, len(decs)),
+                            i -> decs[i] || segs[i + 1]), '')
+      END, '\s+', ' ', 'g'))
+    FROM parts
     """
     con = duckdb.connect()
     for i, t in enumerate(cases):
-        assert got[i] == con.sql(sql, params=[t]).fetchone()[0], i
+        assert got[i] == con.sql(sql, params=[t]).fetchone()[0], (i, got[i])
     con.close()

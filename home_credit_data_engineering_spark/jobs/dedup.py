@@ -20,6 +20,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-hashes", type=int, default=32)
     parser.add_argument("--bands", type=int, default=8)
     parser.add_argument("--near-threshold", type=float, default=0.7)
+    parser.add_argument(
+        "--collapse-exact",
+        action="store_true",
+        help="route the near stage through the collapse-exact-first "
+        "MinHash (production posture for duplicate-heavy corpora; "
+        "removal list is identical)",
+    )
     parser.add_argument("--run-log", help="JSONL run-log path (optional)")
     return parser
 
@@ -42,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
         bands=args.bands,
         near_threshold=args.near_threshold,
         run_log=args.run_log,
+        collapse_exact=args.collapse_exact,
     )
     write_parquet(result["deduped"], args.output)
     write_parquet(result["removals"], args.removals_output)

@@ -27,6 +27,7 @@ from home_credit_data_engineering_spark.operators.dedup import (
     connected_components_star,
     exact_dedup,
     minhash_dedup,
+    minhash_dedup_collapsed,
 )
 from home_credit_data_engineering_spark.runlog import append_run_log, timed
 
@@ -67,6 +68,7 @@ def dedup_corpus(
     shingle_k: int = 3,
     near_threshold: float = 0.7,
     run_log: str | None = None,
+    collapse_exact: bool = False,
 ) -> dict:
     """Run the two-stage dedup; returns ``{"deduped", "removals",
     "report"}``.
@@ -74,6 +76,19 @@ def dedup_corpus(
     ``removals`` rows: (doc_id, reason ∈ {exact, near}, survivor_id).
     The heavy intermediates are persisted for the duration of the call
     (pairs feed both clustering and the removal list).
+
+    ``collapse_exact=True`` routes the near stage through
+    :func:`~..operators.dedup.minhash_dedup_collapsed` — the
+    collapse-exact-first production path for duplicate-heavy corpora.
+    The removal list is IDENTICAL either way (asserted in
+    ``test_jobs_cli``): the exact stage already keeps one survivor per
+    normalized-fingerprint group, and byte-equality refines normalized
+    equality, so the near stage never sees byte-duplicates here — the
+    collapse is a cheap no-op pass in this pipeline and pays off when
+    the collapsed operator is fed duplicate-heavy input directly (see
+    its docstring and the scaled bench). The flag exists so the
+    production entry point exercises the production-posture operator,
+    with its capped-bucket recall behavior, end to end.
     """
     from pyspark import StorageLevel
 
@@ -98,7 +113,8 @@ def dedup_corpus(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     with timed(report.stage_seconds, "near"):
-        pairs = minhash_dedup(
+        near_op = minhash_dedup_collapsed if collapse_exact else minhash_dedup
+        pairs = near_op(
             survivors,
             id_col,
             text_col,

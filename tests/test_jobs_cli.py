@@ -523,3 +523,54 @@ def test_ann_index_job_pq_modes(spark, sf_dir, tmp_path):
     assert rows and all(r.rank <= 3 for r in rows)
     with _pytest.raises(SystemExit):
         ann_main(["--input", src, "--output", out, "--residual"])
+
+
+def test_dedup_job_collapse_exact_identical_removals(spark, tmp_path):
+    """--collapse-exact (r6): the production-posture collapsed MinHash
+    path must produce the IDENTICAL removal list on a duplicate-heavy
+    fixture — the exact stage leaves no byte-duplicates, so the collapse
+    is a provable no-op inside this pipeline."""
+    from home_credit_data_engineering_spark.jobs.dedup import main as dedup_main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    # duplicate-heavy: every text repeated several times + a near chain
+    rows = []
+    nid = 0
+    for copy in range(4):
+        for variant in (
+            base,
+            base.replace("garden", "meadow"),
+            base.replace("garden", "meadow").replace("birds", "bees"),
+            "entirely different text about columnar query engines and scans",
+        ):
+            nid += 1
+            rows.append((nid, variant))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    results = {}
+    for flag, tag in ((False, "default"), (True, "collapsed")):
+        out = str(tmp_path / f"deduped_{tag}")
+        rem = str(tmp_path / f"removals_{tag}")
+        argv = [
+            "--input", src, "--output", out, "--removals-output", rem,
+            "--near-threshold", "0.5", "--bands", "16",
+        ]
+        if flag:
+            argv.append("--collapse-exact")
+        assert dedup_main(argv) == 0
+        results[tag] = {
+            "kept": sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            ),
+            "removals": sorted(
+                (r["doc_id"], r["reason"], r["survivor_id"])
+                for r in spark.read.parquet(rem).collect()
+            ),
+        }
+    assert results["default"] == results["collapsed"]
+    # and the dedup did real work: 16 docs -> 2 survivors
+    assert results["default"]["kept"] == [1, 4]

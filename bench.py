@@ -71,6 +71,10 @@ def main() -> None:
         # policy-based survivor selection (canonical fingerprint + min_by)
         "text_lm_perplexity",
         "dedup_canonical_best",
+        # r6 additions: trigram Stupid Backoff (flat equi-join chain) and
+        # real BPE token counts (Arrow-batched merge loop, narrow scan)
+        "text_trigram_backoff_ppl",
+        "text_bpe_real_token_count",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -49,6 +49,18 @@ SCALED_QUERIES = (
     "text_sequence_packing",
     "text_chunk_windows",
     "text_token_budget_mix",
+    # r6 scaled additions (VERDICT r5 #8): FFD whole-doc packing
+    # certificate (metadata-only applyInPandas — near-linear), CCNet
+    # unigram perplexity (two-level aggregate + token join — expect
+    # near-linear; the model side grows with VOCAB, not rows), trigram
+    # Stupid Backoff (the equi-join chain must stay flat), canonical
+    # best-variant survivors (min_by aggregate + one join), and the
+    # PQ/ADC scan (LUT build is per-query, scan is linear in codes)
+    "text_pack_whole_verdict",
+    "text_lm_perplexity",
+    "text_trigram_backoff_ppl",
+    "dedup_canonical_best",
+    "sim_pq_topk",
     # substring-span machinery. The replica cache repeats each document's
     # TEXT verbatim (ids shift, text doesn't), so every window is
     # duplicated and each document collapses to one whole-doc span — the

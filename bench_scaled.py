@@ -213,6 +213,14 @@ def adjudicate(
         if r is None or t <= threshold * r:
             continue
         solo_min = solo_probe(probe_dir, name, probe_runs)
+        if solo_min is not None and solo_min > max(threshold * r, cold_floor):
+            # confirmation probe before a "regressed" verdict: single
+            # probes on this box vary several-fold under invisible I/O
+            # contention (observed: the same query 0.7s and 3.5s minutes
+            # apart); a regression must survive TWO independent probes.
+            second = solo_probe(probe_dir, name, probe_runs)
+            if second is not None:
+                solo_min = min(solo_min, second)
         if solo_min is None:
             verdicts[name] = {
                 "ref": r,

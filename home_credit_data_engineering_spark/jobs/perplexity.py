@@ -8,6 +8,8 @@ Modes:
   no-global-sort scale path);
 - ``--exact-buckets``: NTILE buckets (global sort — small corpora only);
 - ``--bigram``: bigram Stupid Backoff scoring (Brants et al. EMNLP'07);
+- ``--order N``: N-gram Stupid Backoff (r6; ``--order 2`` ≡
+  ``--bigram``, CCNet's KenLM analogue is ``--order 5``);
 - ``--counts-out``: also persist the (token, c) unigram count state;
 - ``--counts-in``: O(delta) refresh — merge the persisted count state
   with counts from THIS batch and score against the merged model, so a
@@ -35,7 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="NTILE buckets (global sort) instead of "
                         "sketch thresholds")
     parser.add_argument("--bigram", action="store_true",
-                        help="bigram Stupid Backoff scoring")
+                        help="bigram Stupid Backoff scoring "
+                        "(alias for --order 2)")
+    parser.add_argument("--order", type=int, default=1,
+                        help="n-gram Stupid Backoff order (2-6); 1 = "
+                        "unigram CCNet scoring (default)")
     parser.add_argument("--counts-out", help="persist unigram count state")
     parser.add_argument("--counts-in",
                         help="merge this persisted count state with the "
@@ -46,18 +52,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.bigram and (args.counts_in or args.counts_out):
+    order = 2 if args.bigram else args.order
+    if args.bigram and args.order > 1 and args.order != 2:
+        raise SystemExit("--bigram conflicts with --order; use one")
+    if order > 1 and (args.counts_in or args.counts_out):
         raise SystemExit(
-            "--bigram scoring does not use the unigram count state; "
-            "drop --counts-in/--counts-out or score unigram"
+            "n-gram backoff scoring does not use the unigram count "
+            "state; drop --counts-in/--counts-out or score unigram"
         )
     from home_credit_data_engineering_spark import get_session
     from home_credit_data_engineering_spark.operators.lm import (
         lm_perplexity,
         merge_unigram_counts,
+        ngram_backoff_perplexity,
         perplexity_buckets,
         perplexity_buckets_approx,
-        stupid_backoff_perplexity,
         unigram_count_state,
         unigram_lm_from_counts,
     )
@@ -74,8 +83,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.counts_in:
             counts = merge_unigram_counts(read_parquet(spark, args.counts_in), counts)
 
-    if args.bigram:
-        scored = stupid_backoff_perplexity(docs, args.id_col, args.text_col)
+    if order > 1:
+        scored = ngram_backoff_perplexity(
+            docs, args.id_col, args.text_col, order=order
+        )
     elif counts is not None:
         import math
 
@@ -111,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "job": "perplexity",
                 "rows_scored": n,
-                "mode": "bigram" if args.bigram else "unigram",
+                "mode": f"backoff-{order}gram" if order > 1 else "unigram",
                 "buckets": args.buckets,
                 "exact_buckets": bool(args.exact_buckets),
                 "incremental": bool(args.counts_in),

@@ -489,6 +489,33 @@ def test_perplexity_job_end_to_end(spark, tmp_path):
         ppl_main(["--input", src, "--output", str(tmp_path / "x"),
                   "--bigram", "--counts-out", str(tmp_path / "y")])
 
+    # --order N (r6): trigram backoff runs; --order 2 == --bigram output;
+    # conflicting flags and counts state still reject
+    rc = ppl_main(["--input", src, "--output", str(tmp_path / "s_tri"),
+                   "--order", "3", "--exact-buckets"])
+    assert rc == 0
+    tri = spark.read.parquet(str(tmp_path / "s_tri"))
+    assert {"doc_id", "n_tokens", "ppl", "bucket"} <= set(tri.columns)
+    assert tri.count() > 0
+    rc = ppl_main(["--input", src, "--output", str(tmp_path / "s_ord2"),
+                   "--order", "2", "--exact-buckets"])
+    assert rc == 0
+    big = {
+        (r["doc_id"], r["n_tokens"], r["ppl"], r["bucket"])
+        for r in spark.read.parquet(str(tmp_path / "s_big")).collect()
+    }
+    ord2 = {
+        (r["doc_id"], r["n_tokens"], r["ppl"], r["bucket"])
+        for r in spark.read.parquet(str(tmp_path / "s_ord2")).collect()
+    }
+    assert big == ord2
+    with _pytest.raises(SystemExit):
+        ppl_main(["--input", src, "--output", str(tmp_path / "x2"),
+                  "--bigram", "--order", "3"])
+    with _pytest.raises(SystemExit):
+        ppl_main(["--input", src, "--output", str(tmp_path / "x3"),
+                  "--order", "3", "--counts-out", str(tmp_path / "y3")])
+
 
 def test_ann_index_job_pq_modes(spark, sf_dir, tmp_path):
     """--pq builds a codes/vectors IVF-PQ layout; --residual persists the

@@ -601,3 +601,58 @@ def test_dedup_job_collapse_exact_identical_removals(spark, tmp_path):
     assert results["default"] == results["collapsed"]
     # and the dedup did real work: 16 docs -> 2 survivors
     assert results["default"]["kept"] == [1, 4]
+
+
+def test_bpe_job_train_then_count(spark, tmp_path):
+    """BPE CLI (r6): train a merges table on a corpus, count with it,
+    and the counts must equal the pure-Python reference encoder."""
+    from home_credit_data_engineering_spark.functions.bpe import (
+        bpe_encode,
+        load_merges,
+        merge_ranks,
+    )
+    from home_credit_data_engineering_spark.jobs.bpe import main as bpe_main
+
+    rows = [
+        (i, "low lower lowest newer newest " * (1 + i % 3)) for i in range(40)
+    ] + [(99, "zzz unseen glyphs")]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    merges_path = str(tmp_path / "merges.txt")
+    log = str(tmp_path / "runs.jsonl")
+    rc = bpe_main([
+        "--mode", "train", "--input", src, "--merges-out", merges_path,
+        "--num-merges", "24", "--run-log", log,
+    ])
+    assert rc == 0
+    merges = load_merges(merges_path)
+    assert 1 <= len(merges) <= 24
+
+    out = str(tmp_path / "counted")
+    rc = bpe_main([
+        "--mode", "count", "--input", src, "--merges", merges_path,
+        "--output", out, "--run-log", log,
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]: r["bpe_token_count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    ranks = merge_ranks(merges)
+    want = {i: len(bpe_encode(t, ranks)) for i, t in rows}
+    assert got == want
+
+    from home_credit_data_engineering_spark.runlog import read_run_log
+
+    records = read_run_log(log)
+    assert [r["mode"] for r in records] == ["train", "count"]
+    assert records[1]["rows_counted"] == 41
+
+    # mode/flag guards
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        bpe_main(["--mode", "train", "--input", src])
+    with _pytest.raises(SystemExit):
+        bpe_main(["--mode", "count", "--input", src])

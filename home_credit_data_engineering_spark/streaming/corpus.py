@@ -37,6 +37,7 @@ __all__ = [
     "read_document_stream",
     "quality_flag_stream",
     "chunk_stream",
+    "bpe_count_stream",
     "foreach_batch_perplexity",
 ]
 
@@ -103,6 +104,27 @@ def chunk_stream(
     return chunk_documents(
         docs, id_col, text_col, chunk_tokens=chunk_tokens, stride=stride
     )
+
+
+def bpe_count_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_token_count",
+) -> DataFrame:
+    """Real BPE token counts over a document stream — reuses
+    :func:`~..functions.bpe.with_bpe_token_count` verbatim. Stateless:
+    the merges table is a pinned artifact shipped in the UDF closure
+    and encoding is per-row, so it is legal under structured streaming
+    with no watermark, and micro-batch outputs concatenate to exactly
+    the batch result (asserted stream==batch). The streaming half of
+    token accounting: count on ingest, budget (packing/mixing) in the
+    batch layer over the accumulated bronze."""
+    from home_credit_data_engineering_spark.functions.bpe import (
+        with_bpe_token_count,
+    )
+
+    return with_bpe_token_count(docs, text_col, merges=merges, out_col=out_col)
 
 
 def foreach_batch_perplexity(

@@ -144,3 +144,28 @@ def test_foreach_batch_perplexity_stream_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_bpe_count_stream_equals_batch(spark, sf_dir, tmp_path):
+    from home_credit_data_engineering_spark.functions.bpe import (
+        with_bpe_token_count,
+    )
+    from home_credit_data_engineering_spark.streaming.corpus import (
+        bpe_count_stream,
+    )
+
+    out = bpe_count_stream(_doc_stream(spark, sf_dir, tmp_path)).select(
+        "doc_id", "bpe_token_count"
+    )
+    run_to_memory_sink(out, "bpe_stream")
+    got = {
+        r["doc_id"]: r["bpe_token_count"]
+        for r in spark.sql("SELECT * FROM bpe_stream").collect()
+    }
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    expected = {
+        r["doc_id"]: r["bpe_token_count"]
+        for r in with_bpe_token_count(docs, "text").collect()
+    }
+    assert got == expected and len(got) > 0

@@ -357,3 +357,95 @@ def contaminated_spans(
     )
     hits = train_grams.join(bench_hashes, on="__fp", how="left_semi")
     return _spans_from_windows(hits, k)
+
+
+def duplicated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, line_pos) — occurrences of corpus-duplicated LINES to
+    remove, C4/RefinedWeb-style (Raffel et al. arXiv:1910.10683 §2.2
+    dedups repeated spans; RefinedWeb/Gopher pipelines apply it at line
+    granularity for boilerplate like cookie banners and nav text).
+
+    A line participates when its trimmed form is non-empty and its exact
+    text occurs at least ``min_count`` times corpus-wide (any document,
+    any position). The GLOBAL first occurrence (smallest (doc_id,
+    line_pos)) is kept; every other occurrence is emitted for removal —
+    content is preserved once, boilerplate copies disappear.
+
+    Plan shape: lines hash to ``xxhash64`` in the same narrow projection
+    as the explode, so only (doc_id, line_pos, hash8) ever rides an
+    Exchange — one count/min aggregate on the hash plus one equi-join
+    back. Output depends only on line EQUALITY, so the md5-based SQL
+    oracle verifies this path exactly (same hash-independence argument
+    as :func:`duplicated_spans`). Blank lines never match (removing
+    them would mangle formatting, and every document would tie on "").
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_pos", "__line"
+        ),
+    )
+    keyed = lines.filter(F.trim(F.col("__line")) != "").select(
+        "doc_id", "line_pos", F.xxhash64("__line").alias("__fp")
+    )
+    agg = keyed.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("doc_id", "line_pos")).alias("__first"),
+    )
+    dups = agg.filter(F.col("__cnt") >= min_count).select("__fp", "__first")
+    return (
+        keyed.join(dups, "__fp")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("line_pos") == F.col("__first.line_pos"))
+            )
+        )
+        .select("doc_id", "line_pos")
+    )
+
+
+def strip_lines(
+    df: DataFrame,
+    removals: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Remove the lines :func:`duplicated_lines` flagged, preserving
+    order and untouched blank lines; returns the id column, ``out_col``
+    (surviving lines re-joined with newlines), ``n_lines``, and
+    ``removed_lines``.
+
+    Same join regime as :func:`strip_spans`: per-document removal
+    position arrays are tiny, so the join broadcasts while they fit the
+    threshold, and the bucketed-corpus layout gives the zero-Exchange
+    plan past it; the line filter itself is one nested higher-order
+    projection, no Python.
+    """
+    rem_arr = removals.groupBy(F.col("doc_id").alias("__rid")).agg(
+        F.collect_list("line_pos").alias("__rpos")
+    )
+    joined = df.join(rem_arr, on=df[id_col] == rem_arr["__rid"], how="left")
+    arr = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(
+        arr, lambda l, i: ~F.exists(F.col("__rpos"), lambda p: p == i)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__rpos").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias(out_col),
+        F.size(arr).cast("int").alias("n_lines"),
+        F.when(F.col("__rpos").isNull(), F.lit(0))
+        .otherwise(F.size(arr) - F.size(kept))
+        .cast("int")
+        .alias("removed_lines"),
+    )

@@ -340,6 +340,78 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: C4-style duplicate-line removal oracle: md5 replay of the xxhash64
+#: path (valid because removals depend only on line EQUALITY), global
+#: first occurrence kept, blank lines never considered.
+_LINE_CTES = """
+    dl_lines AS (
+      SELECT doc_id, i - 1 AS line_pos, arr[i] AS line
+      FROM (
+        SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\n') AS arr
+              FROM documents) t0) t1
+    ),
+    dl_ranked AS (
+      SELECT doc_id, line_pos,
+             COUNT(*) OVER (PARTITION BY md5(line)) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(line) ORDER BY doc_id, line_pos) AS rn
+      FROM dl_lines WHERE trim(line) <> ''
+    ),
+    dl_removed AS (
+      SELECT doc_id, line_pos FROM dl_ranked WHERE cnt >= 2 AND rn >= 2
+    ),
+    dl_out AS (
+      SELECT l.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(r.line_pos) AS BIGINT) AS removed_lines,
+             md5(COALESCE(string_agg(
+               CASE WHEN r.line_pos IS NULL THEN l.line END,
+               chr(10) ORDER BY l.line_pos), '')) AS clean_md5
+      FROM dl_lines l
+      LEFT JOIN dl_removed r
+        ON r.doc_id = l.doc_id AND r.line_pos = l.line_pos
+      GROUP BY l.doc_id
+    )
+"""
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH {_LINE_CTES}
+    SELECT doc_id, n_lines, removed_lines, clean_md5 FROM dl_out
+    """,
+    operators=("T-ext:line-dedup",),
+    doc="Corpus-level duplicate-LINE removal (operators/spans.py:"
+    "duplicated_lines + strip_lines) — the C4/RefinedWeb boilerplate "
+    "pass (cookie banners, nav text): a non-blank line occurring >= 2 "
+    "times corpus-wide keeps its global first occurrence and every "
+    "other copy is stripped, order and blank lines preserved. "
+    "Production path hashes lines with xxhash64 in the same narrow "
+    "projection as the explode, so only (doc_id, line_pos, hash8) "
+    "rides any Exchange; removals depend only on line equality, so the "
+    "md5 SQL oracle verifies that path exactly (the duplicated_spans "
+    "argument). Output is the per-document verdict (line counts + md5 "
+    "of the cleaned text) for driver-scalar compliance.",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.spans import (
+        duplicated_lines,
+        strip_lines,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    removals = duplicated_lines(docs, "doc_id", "text", min_count=2)
+    cleaned = strip_lines(docs, removals, "doc_id", "text")
+    return cleaned.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("removed_lines").cast("bigint").alias("removed_lines"),
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+    )
+
+
 @register(
     "combo_corpus_prep",
     oracle=f"""
@@ -349,7 +421,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_MIX_CTES},
     {_PPL_CTES},
     {_SURV_CTES},
-    {_BPE_REAL_CTES}
+    {_BPE_REAL_CTES},
+    {_LINE_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -387,6 +460,10 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bounds_ok THEN 1 ELSE 0 END, NULL, NULL, leg
     FROM bpe_out
     UNION ALL
+    SELECT 'line', doc_id, n_lines, removed_lines, NULL, NULL, NULL, NULL,
+           clean_md5
+    FROM dl_out
+    UNION ALL
     SELECT 'packw', CAST(shard AS BIGINT), COUNT(*),
            CAST(SUM(CAST(n AS BIGINT)) AS BIGINT), 1, 1, 1, NULL, NULL
     FROM (
@@ -407,6 +484,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-ext:perplexity",
         "D-ext:survivor-policy",
         "T-ext:bpe-real",
+        "T-ext:line-dedup",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
@@ -541,6 +619,17 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("k6"),
         F.col("leg").alias("s"),
     )
+    line_leg = text_line_dedup(spark, sf_dir).select(
+        F.lit("line").alias("kind"),
+        "doc_id",
+        F.col("n_lines").alias("k1"),
+        F.col("removed_lines").alias("k2"),
+        b.alias("k3"),
+        b.alias("k4"),
+        b.alias("k5"),
+        b.alias("k6"),
+        F.col("clean_md5").alias("s"),
+    )
     return (
         span_leg.unionByName(strip_leg)
         .unionByName(pack_leg)
@@ -549,6 +638,7 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ppl_leg)
         .unionByName(surv_leg)
         .unionByName(bpe_leg)
+        .unionByName(line_leg)
         .unionByName(
             text_pack_whole_verdict(spark, sf_dir).select(
                 F.lit("packw").alias("kind"),

@@ -700,3 +700,80 @@ def test_ffd_many_small_docs_completes_fast(spark):
     n_bins = out.select("shard", "bin_id").distinct().count()
     assert n_bins <= 4
     assert elapsed < 60, f"FFD too slow: {elapsed:.1f}s"
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    # C4/RefinedWeb-style: the cookie banner repeats across docs and
+    # within a doc; only its GLOBAL first occurrence survives. Blank
+    # lines and unique lines are untouched.
+    from home_credit_data_engineering_spark.operators.spans import (
+        duplicated_lines,
+        strip_lines,
+    )
+
+    banner = "accept all cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique article one\n\nmore unique text"),
+        (2, f"intro two\n{banner}\nunique article two"),
+        (3, f"{banner}\n{banner}\nunique article three"),
+        (4, "no boilerplate here at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    removals = {
+        (r["doc_id"], r["line_pos"])
+        for r in duplicated_lines(df, "doc_id", "text").collect()
+    }
+    # first occurrence is (1, 0); all other banner copies removed
+    assert removals == {(2, 1), (3, 0), (3, 1)}
+
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["removed_lines"])
+        for r in strip_lines(
+            df, duplicated_lines(df, "doc_id", "text"), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1] == (rows[0][1], 4, 0)  # keeps the first banner + blank
+    assert out[2] == ("intro two\nunique article two", 3, 1)
+    assert out[3] == ("unique article three", 3, 2)
+    assert out[4] == (rows[3][1], 1, 0)
+    assert out[5] == ("", 1, 0)
+
+
+def test_line_dedup_min_count_threshold(spark):
+    from home_credit_data_engineering_spark.operators.spans import (
+        duplicated_lines,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")], "doc_id long, text string"
+    )
+    # 'a' x3, 'b' x2: min_count=3 only strips copies of 'a'
+    got = {
+        (r["doc_id"], r["line_pos"])
+        for r in duplicated_lines(df, "doc_id", "text", min_count=3).collect()
+    }
+    assert got == {(2, 0), (3, 0)}
+    with _pytest.raises(ValueError, match="min_count"):
+        duplicated_lines(df, "doc_id", "text", min_count=1)
+
+
+def test_line_dedup_shuffles_metadata_only(spark, sf_dir):
+    # the removal-selection pipeline must never put line text or
+    # document text into an Exchange — (doc_id, line_pos, hash8) only
+    from home_credit_data_engineering_spark.operators.spans import (
+        duplicated_lines,
+    )
+    from home_credit_data_engineering_spark.sources.readers import (
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    rem = duplicated_lines(docs, "doc_id", "text")
+    rem.count()
+    plan = rem._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for seg in plan.split("Exchange ")[1:]:
+        head = seg.split("\n")[0]
+        assert "text#" not in head and "__line#" not in head, head

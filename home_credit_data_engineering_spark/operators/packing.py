@@ -46,6 +46,8 @@ __all__ = [
     "pack_documents_whole",
     "chunk_documents",
     "token_budget_mix",
+    "temperature_mix_budgets",
+    "temperature_budgets_dict",
 ]
 
 
@@ -421,3 +423,88 @@ def pack_documents_whole(
             F.col("id").alias(id_col), "shard", "bin_id", "token_count"
         )
     )
+
+
+def temperature_mix_budgets(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str | Column,
+    total_budget: int,
+    alpha: float = 0.5,
+    weight_decimals: int = 6,
+) -> DataFrame:
+    """Per-source token budgets from TEMPERATURE sampling — the standard
+    multilingual/source-rebalancing rule (T5, arXiv:1910.10683 §3.4.3;
+    XLM-R, arXiv:1911.02116 §3): sampling weight ∝ (source share)^alpha,
+    so ``alpha=1`` reproduces natural proportions, ``alpha→0`` flattens
+    toward uniform, and the usual ``alpha∈[0.3, 0.7]`` upsamples small
+    sources without drowning large ones.
+
+    Returns one row per source: ``(source, n_tokens, weight, budget)``
+    with ``budget = floor(total_budget * weight)`` — feed the budgets to
+    :func:`token_budget_mix` (collect is bounded: one row per SOURCE).
+
+    Determinism discipline (what makes this exactly SQL-oracle-able):
+    per-source token totals are exact integer sums; ``pow`` runs on
+    those integers (with the default ``alpha=0.5`` both engines use
+    IEEE-exact ``sqrt``); each powered size is rounded at
+    ``weight_decimals`` and summed as EXACT DECIMALS (order-free — the
+    `_stable.py` rule), so the weight ratio is a fixed double expression
+    over bit-identical inputs. Plan: one hash aggregate over (source)
+    — sources are few — plus a broadcast 1-row total. Nothing here
+    scales with corpus rows except the first aggregate's scan.
+    """
+    if total_budget < 1:
+        raise ValueError(f"total_budget must be >= 1, got {total_budget}")
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("bigint")
+    sizes = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(n).alias("n_tokens")
+    )
+    powed = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    dec = f"decimal(28,{weight_decimals})"
+    keyed = sizes.select(
+        "source",
+        "n_tokens",
+        F.round(powed, weight_decimals).cast(dec).alias("__p"),
+    )
+    tot = keyed.agg(F.sum("__p").alias("__tp"))
+    weight = F.round(
+        F.col("__p").cast("double") / F.col("__tp").cast("double"),
+        weight_decimals,
+    )
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            weight.alias("weight"),
+            F.floor(F.lit(int(total_budget)) * weight).cast("bigint").alias(
+                "budget"
+            ),
+        )
+    )
+
+
+def temperature_budgets_dict(
+    budgets_df: DataFrame, max_sources: int = 10_000
+) -> dict[str, int]:
+    """Collect a :func:`temperature_mix_budgets` frame into the
+    ``budgets`` mapping :func:`token_budget_mix` takes. Bounded driver
+    collect — one row per source — with a raising guard."""
+    rows = budgets_df.select("source", "budget").limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"more than {max_sources} sources; a mixture over that many "
+            "sources should stay distributed (join budgets instead)"
+        )
+    return {r["source"]: int(r["budget"]) for r in rows}

@@ -377,6 +377,56 @@ _LINE_CTES = """
 
 
 @register(
+    "text_temperature_mix",
+    oracle="""
+    WITH sizes AS (
+      SELECT source,
+             SUM(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    keyed AS (
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS p
+      FROM sizes
+    ),
+    tot AS (SELECT SUM(p) AS tp FROM keyed)
+    SELECT source, n_tokens,
+           ROUND(CAST(p AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS weight,
+           CAST(FLOOR(100000 * ROUND(CAST(p AS DOUBLE)
+                / CAST(tp AS DOUBLE), 6)) AS BIGINT) AS budget
+    FROM keyed, tot
+    """,
+    operators=("T-ext:mixing",),
+    doc="Temperature-based mixture budgets (operators/packing.py:"
+    "temperature_mix_budgets; T5 arXiv:1910.10683 §3.4.3, XLM-R "
+    "arXiv:1911.02116): per-source sampling weight ∝ (token share)^α "
+    "with α=0.5, upsampling small sources without drowning large ones; "
+    "budget = floor(total × weight) feeds token_budget_mix. Exactly "
+    "hash-verifiable because the only float ops are IEEE-exact sqrt on "
+    "integer totals, a round-6, an order-free exact-decimal sum of the "
+    "rounded powers, and one fixed ratio expression — the _stable.py "
+    "discipline. One sources-cardinality aggregate; nothing scales "
+    "with corpus rows except the scan.",
+)
+def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import token_count
+    from home_credit_data_engineering_spark.operators.packing import (
+        temperature_mix_budgets,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source", token_count("text").alias("n_tok")
+    )
+    return temperature_mix_budgets(
+        counted, "source", "n_tok", total_budget=100_000, alpha=0.5
+    )
+
+
+@register(
     "text_line_dedup",
     oracle=f"""
     WITH {_LINE_CTES}

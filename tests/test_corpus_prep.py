@@ -777,3 +777,64 @@ def test_line_dedup_shuffles_metadata_only(spark, sf_dir):
     for seg in plan.split("Exchange ")[1:]:
         head = seg.split("\n")[0]
         assert "text#" not in head and "__line#" not in head, head
+
+
+def test_temperature_mix_budgets_properties(spark):
+    from home_credit_data_engineering_spark.operators.packing import (
+        temperature_budgets_dict,
+        temperature_mix_budgets,
+        token_budget_mix,
+    )
+    import pytest as _pytest
+
+    rows = (
+        [(i, "big", 100) for i in range(90)]
+        + [(i + 1000, "small", 100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+
+    nat = {
+        r["source"]: r["weight"]
+        for r in temperature_mix_budgets(
+            df, "source", "n", total_budget=1000, alpha=1.0
+        ).collect()
+    }
+    assert abs(nat["big"] - 0.9) < 1e-6 and abs(nat["small"] - 0.1) < 1e-6
+
+    temp = {
+        r["source"]: r
+        for r in temperature_mix_budgets(
+            df, "source", "n", total_budget=1000, alpha=0.5
+        ).collect()
+    }
+    # temperature upsamples the small source, never past uniform
+    assert 0.1 < temp["small"]["weight"] < 0.5
+    assert temp["big"]["weight"] + temp["small"]["weight"] == _pytest.approx(
+        1.0, abs=1e-5
+    )
+    assert temp["big"]["n_tokens"] == 9000
+
+    # budgets feed token_budget_mix end to end
+    budgets = temperature_budgets_dict(
+        temperature_mix_budgets(df, "source", "n", total_budget=1000)
+    )
+    mixed = token_budget_mix(df, "doc_id", "n", "source", budgets)
+    taken = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum("token_count").alias("n"))
+        .collect()
+    }
+    # within one boundary document of each budget
+    for src, b in budgets.items():
+        assert taken[src] <= b + 100
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix_budgets(df, "source", "n", total_budget=10, alpha=0)
+    with _pytest.raises(ValueError, match="total_budget"):
+        temperature_mix_budgets(df, "source", "n", total_budget=0)
+    with _pytest.raises(ValueError, match="sources"):
+        temperature_budgets_dict(
+            temperature_mix_budgets(df, "source", "n", total_budget=10),
+            max_sources=1,
+        )

@@ -61,6 +61,10 @@ SCALED_QUERIES = (
     "text_trigram_backoff_ppl",
     "dedup_canonical_best",
     "sim_pq_topk",
+    # r6: line dedup — the replica cache repeats every line 10x, its
+    # worst-case duplication regime (every non-blank line is removed
+    # except one global first)
+    "text_line_dedup",
     # substring-span machinery. The replica cache repeats each document's
     # TEXT verbatim (ids shift, text doesn't), so every window is
     # duplicated and each document collapses to one whole-doc span — the

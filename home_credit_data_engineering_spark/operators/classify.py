@@ -1,0 +1,231 @@
+"""Distributed text classification: multinomial Naive Bayes.
+
+The SQL-exact twin of the fastText-style classifiers LLM pipelines use
+for language ID and quality filtering (CCNet trains fastText lang-id;
+Gopher/LLaMA pipelines gate on a quality classifier): training IS
+counting, so the whole fit is two hash aggregates — no gradient loop,
+no driver state — and scoring is the same token-keyed join shape as
+``operators/lm.py``. Where a production pipeline drops in a learned
+fastText/linear model via a pandas UDF, this operator keeps an exactly
+verifiable count-based twin with the identical distributed plan.
+
+Determinism discipline (same as ``lm.py``): every log-probability is
+rounded at 9 decimals and accumulated as exact ``DECIMAL(18,9)``/
+``DECIMAL(38,9)`` values, so scores and argmax decisions are
+bit-identical across engines, runs, and partitionings — fully
+SQL-oracle-verifiable.
+
+No reference counterpart (SURVEY §2.9); semantics follow the standard
+multinomial NB with additive smoothing (Manning et al., IR book ch. 13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.functions.text import tokens
+
+#: Exact accumulation type for log-probabilities (matches operators/lm.py).
+_ACC = "decimal(18,9)"
+
+__all__ = ["nb_train", "nb_score", "nb_predict"]
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .filter(F.length("__tok") > 0)
+        .groupBy("doc_id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Fit multinomial NB on labeled text; returns two model frames:
+
+    - ``tokens``: ``(label, token, logp)`` over the FULL vocab × label
+      grid, ``logp = ln((c(label,token) + α) / (T(label) + α·V))`` —
+      the grid (zero counts smoothed) is what makes scoring a plain
+      inner join; its size is vocab × labels, fine for the handful of
+      labels classification pipelines use;
+    - ``labels``: ``(label, logprior, oov_logp)`` with
+      ``logprior = ln(docs(label) / docs)`` and ``oov_logp`` the
+      smoothed floor ``ln(α / (T(label) + α·V))`` applied per
+      out-of-vocabulary token occurrence when scoring unseen text.
+
+    Plan: one (label, token) hash aggregate off the exploded stream,
+    one label aggregate, a broadcast 1-row (V, N-docs) total — counting
+    IS the training, so the fit is a single corpus pass. Persist both
+    frames (parquet) to reuse the model across jobs; refresh is
+    O(delta) by re-summing count tables, same contract as
+    ``unigram_count_state``.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    base = df.select(
+        F.col(label_col).alias("label"),
+        (F.col(text_col) if isinstance(text_col, str) else text_col).alias(
+            "__text"
+        ),
+    )
+    tok = (
+        base.select(
+            "label", F.explode(tokens(F.col("__text"))).alias("__tok")
+        )
+        .filter(F.length("__tok") > 0)
+        .groupBy("label", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vocab = tok.select("__tok").distinct()
+    label_tot = tok.groupBy("label").agg(F.sum("__c").alias("__t"))
+    doc_counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("__d"))
+    totals = vocab.agg(F.count(F.lit(1)).alias("__v")).crossJoin(
+        base.agg(F.count(F.lit(1)).alias("__nd"))
+    )
+
+    a = float(alpha)
+    grid = (
+        vocab.crossJoin(label_tot)
+        .join(tok, ["label", "__tok"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    token_logps = grid.select(
+        "label",
+        F.col("__tok").alias("token"),
+        F.round(
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(a))
+                / (F.col("__t") + F.lit(a) * F.col("__v"))
+            ),
+            9,
+        )
+        .cast(_ACC)
+        .alias("logp"),
+    )
+    label_frame = (
+        label_tot.join(doc_counts, "label")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            F.round(
+                F.log(F.col("__d").cast("double") / F.col("__nd")), 9
+            )
+            .cast(_ACC)
+            .alias("logprior"),
+            F.round(
+                F.log(
+                    F.lit(a) / (F.col("__t") + F.lit(a) * F.col("__v"))
+                ),
+                9,
+            )
+            .cast(_ACC)
+            .alias("oov_logp"),
+        )
+    )
+    return {"tokens": token_logps, "labels": label_frame}
+
+
+def nb_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-(document, label) log-score: ``logprior + Σ cnt·logp(token)``
+    plus ``oov_logp`` per occurrence of a token outside the training
+    vocabulary. Exact decimals end to end.
+
+    Plan: (doc, token) pre-aggregation (repeats collapse BEFORE the
+    token shuffle), inner join against the vocab×label grid (1×labels
+    rows per distinct token — hot tokens skew only the probe side, AQE
+    territory), one (doc, label) aggregate, plus a tiny OOV branch
+    (anti-join against the vocab, labels cross-joined at
+    labels-cardinality cost).
+    """
+    doc_tok = _doc_tokens(docs, id_col, text_col)
+    tok_model = model["tokens"]
+    labels = model["labels"]
+
+    in_vocab = doc_tok.join(
+        tok_model.withColumnRenamed("token", "__tok"), "__tok"
+    )
+    # decimal(10,0) × decimal(18,9) → exact
+    per_label = in_vocab.groupBy("doc_id", "label").agg(
+        F.sum(F.col("__cnt").cast("decimal(10,0)") * F.col("logp")).alias(
+            "__ll"
+        ),
+        F.sum("__cnt").alias("__n_iv"),
+    )
+    oov = (
+        doc_tok.join(
+            tok_model.select(F.col("token").alias("__tok")).distinct(),
+            "__tok",
+            "left_anti",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__cnt").alias("__n_oov"))
+    )
+    # SUM(decimal(29,9)) widens to decimal(38,9); adding the prior at
+    # that width would overflow precision 38 and Spark silently REDUCES
+    # SCALE to fit (observed: decimal(38,7) — a 1e-8 score error).
+    # |logp| < 50 and counts < 1e9 bound |sum| < 1e11, so decimal(28,9)
+    # holds it losslessly and the additions stay inside precision 38.
+    scored = (
+        per_label.join(oov, "doc_id", "left")
+        .join(labels, "label")
+        .select(
+            "doc_id",
+            "label",
+            (
+                F.col("logprior")
+                + F.col("__ll").cast("decimal(28,9)")
+                + (
+                    F.coalesce(F.col("__n_oov"), F.lit(0)).cast(
+                        "decimal(10,0)"
+                    )
+                    * F.col("oov_logp")
+                ).cast("decimal(28,9)")
+            ).alias("score"),
+            (F.col("__n_iv") + F.coalesce(F.col("__n_oov"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    return scored
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, pred, score, n_tokens) — argmax label per document,
+    ties broken to the lexicographically smallest label (deterministic,
+    engine-portable: scores are exact decimals, so the argmax is a pure
+    comparison, never a float race). Documents with zero tokens are
+    absent (no evidence to score)."""
+    scored = nb_score(docs, model, id_col, text_col)
+    best = F.min(F.struct((-F.col("score")).alias("ns"), F.col("label")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            best.alias("__b"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("__b.label").alias("pred"),
+            (-F.col("__b.ns")).alias("score"),
+            "n_tokens",
+        )
+    )

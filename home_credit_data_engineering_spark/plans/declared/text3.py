@@ -516,3 +516,93 @@ def text_trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return ngram_backoff_perplexity(docs, "doc_id", "text", order=3)
+
+
+@register(
+    "text_nb_lang_classify",
+    # Exact decimals end to end (logps rounded at 9, decimal sums, the
+    # argmax a pure decimal comparison) — same discipline as the lm
+    # queries, so the whole train+score+argmax pipeline hash-verifies.
+    oracle="""
+    WITH base AS (SELECT doc_id, lang AS label, text FROM documents),
+    tok AS (
+      SELECT label,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> length(t) > 0)) AS token
+      FROM base),
+    cnt AS (SELECT label, token, COUNT(*) AS c FROM tok GROUP BY label, token),
+    vocab AS (SELECT DISTINCT token FROM cnt),
+    ltot AS (SELECT label, SUM(c) AS t FROM cnt GROUP BY label),
+    dcnt AS (SELECT label, COUNT(*) AS d FROM base GROUP BY label),
+    tot AS (SELECT (SELECT COUNT(*) FROM vocab) AS v,
+                   (SELECT COUNT(*) FROM base) AS nd),
+    grid AS (
+      SELECT l.label, vv.token,
+             CAST(ROUND(ln((COALESCE(c.c, 0) + 0.5)
+                  / (l.t + 0.5 * tot.v)), 9) AS DECIMAL(18,9)) AS logp
+      FROM vocab vv CROSS JOIN ltot l
+      LEFT JOIN cnt c ON c.label = l.label AND c.token = vv.token
+      CROSS JOIN tot),
+    priors AS (
+      SELECT l.label,
+             CAST(ROUND(ln(CAST(d.d AS DOUBLE) / tot.nd), 9)
+                  AS DECIMAL(18,9)) AS logprior
+      FROM ltot l JOIN dcnt d USING (label) CROSS JOIN tot),
+    doctok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> length(t) > 0)) AS token
+        FROM base) t
+      GROUP BY doc_id, token),
+    scores AS (
+      SELECT d.doc_id, g.label,
+             p.logprior + SUM(CAST(d.cnt AS DECIMAL(10,0)) * g.logp)
+               AS score,
+             CAST(SUM(d.cnt) AS BIGINT) AS n_tokens
+      FROM doctok d
+      JOIN grid g ON g.token = d.token
+      JOIN priors p ON p.label = g.label
+      GROUP BY d.doc_id, g.label, p.logprior),
+    ranked AS (
+      SELECT doc_id, label, score, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+      FROM scores)
+    SELECT r.doc_id, r.label AS pred,
+           (r.label = b.label) AS correct,
+           r.n_tokens,
+           CAST(ROUND(r.score * 10000, 0) AS BIGINT) AS score_e4
+    FROM ranked r JOIN base b ON b.doc_id = r.doc_id
+    WHERE r.rn = 1
+    """,
+    operators=("T-ext:lang-id", "T-ext:quality"),
+    doc="Multinomial Naive Bayes language classification "
+    "(operators/classify.py — the SQL-exact twin of the fastText "
+    "classifiers CCNet/Gopher pipelines gate on): trained ON the corpus "
+    "(label = the documents table's lang column) with additive "
+    "smoothing, scored per document, argmax label with deterministic "
+    "ties. Training is two hash aggregates (counting IS the fit, one "
+    "corpus pass, no driver state); scoring is the lm.py token-join "
+    "shape against the vocab x label grid. Output: prediction, "
+    "agreement with the stored label, token count, and the exact "
+    "decimal score integerized at 1e-4.",
+)
+def text_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    model = nb_train(docs, "lang", "text", alpha=0.5)
+    pred = nb_predict(docs, model, "doc_id", "text")
+    return pred.join(
+        docs.select("doc_id", F.col("lang").alias("__lang")), "doc_id"
+    ).select(
+        "doc_id",
+        "pred",
+        (F.col("pred") == F.col("__lang")).alias("correct"),
+        "n_tokens",
+        F.round(F.col("score") * 10000, 0).cast("bigint").alias("score_e4"),
+    )

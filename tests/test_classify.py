@@ -1,0 +1,121 @@
+"""Multinomial Naive Bayes (operators/classify.py): python-reference
+equality (train + score + argmax), OOV handling on unseen text, and
+determinism guards."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from home_credit_data_engineering_spark.operators.classify import (
+    nb_predict,
+    nb_score,
+    nb_train,
+)
+
+TRAIN = [
+    (1, "en", "the cat sat on the mat"),
+    (2, "en", "a dog is in the garden"),
+    (3, "en", "the birds sing a song"),
+    (4, "de", "der hund ist in dem garten"),
+    (5, "de", "die katze ist nicht der hund"),
+    (6, "de", "das lied und der vogel"),
+]
+
+
+def _py_nb(train, alpha=0.5):
+    from collections import Counter, defaultdict
+
+    cnt = defaultdict(Counter)
+    dcnt = Counter()
+    for _, label, text in train:
+        dcnt[label] += 1
+        for t in text.split():
+            cnt[label][t] += 1
+    vocab = sorted({t for c in cnt.values() for t in c})
+    v = len(vocab)
+    nd = sum(dcnt.values())
+    model = {}
+    for label, c in cnt.items():
+        t = sum(c.values())
+        model[label] = {
+            "prior": round(math.log(dcnt[label] / nd), 9),
+            "logp": {
+                tok: round(math.log((c[tok] + alpha) / (t + alpha * v)), 9)
+                for tok in vocab
+            },
+            "oov": round(math.log(alpha / (t + alpha * v)), 9),
+        }
+    return model, set(vocab)
+
+
+def _py_score(model, vocab, text):
+    out = {}
+    toks = text.split()
+    for label, m in model.items():
+        s = m["prior"]
+        for t in toks:
+            s += m["logp"][t] if t in vocab else m["oov"]
+        out[label] = round(s, 9)
+    return out
+
+
+def test_nb_matches_python_reference(spark):
+    df = spark.createDataFrame(TRAIN, "doc_id long, lang string, text string")
+    model = nb_train(df, "lang", "text", alpha=0.5)
+    ref_model, vocab = _py_nb(TRAIN)
+
+    got = {
+        (r["doc_id"], r["label"]): float(r["score"])
+        for r in nb_score(df, model, "doc_id", "text").collect()
+    }
+    for doc_id, _, text in TRAIN:
+        want = _py_score(ref_model, vocab, text)
+        for label, s in want.items():
+            assert got[(doc_id, label)] == pytest.approx(s, abs=1e-9)
+
+    preds = {
+        r["doc_id"]: r["pred"]
+        for r in nb_predict(df, model, "doc_id", "text").collect()
+    }
+    for doc_id, _, text in TRAIN:
+        want = _py_score(ref_model, vocab, text)
+        best = min(sorted(want), key=lambda l: (-want[l], l))
+        assert preds[doc_id] == best
+    # self-classification on separable data recovers the labels
+    assert preds == {i: label for i, label, _ in TRAIN}
+
+
+def test_nb_scores_unseen_text_with_oov_floor(spark):
+    df = spark.createDataFrame(TRAIN, "doc_id long, lang string, text string")
+    model = nb_train(df, "lang", "text", alpha=0.5)
+    new = spark.createDataFrame(
+        [
+            (100, "the cat zzz qqq www"),       # 2 in-vocab en + 3 OOV
+            (101, "der hund xxx"),               # de evidence + 1 OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["pred"], r["n_tokens"])
+        for r in nb_predict(new, model, "doc_id", "text").collect()
+    }
+    assert out[100][0] == "en" and out[100][1] == 5
+    assert out[101][0] == "de" and out[101][1] == 3
+
+    ref_model, vocab = _py_nb(TRAIN)
+    got = {
+        (r["doc_id"], r["label"]): float(r["score"])
+        for r in nb_score(new, model, "doc_id", "text").collect()
+    }
+    for doc_id, text in [(100, "the cat zzz qqq www"), (101, "der hund xxx")]:
+        want = _py_score(ref_model, vocab, text)
+        for label, s in want.items():
+            assert got[(doc_id, label)] == pytest.approx(s, abs=1e-9)
+
+
+def test_nb_guards(spark):
+    df = spark.createDataFrame(TRAIN, "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="alpha"):
+        nb_train(df, "lang", "text", alpha=0)

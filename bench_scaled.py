@@ -63,8 +63,10 @@ SCALED_QUERIES = (
     "sim_pq_topk",
     # r6: line dedup — the replica cache repeats every line 10x, its
     # worst-case duplication regime (every non-blank line is removed
-    # except one global first)
+    # except one global first); NB classification (vocab is fixed, so
+    # the grid join side is constant — expect near-linear in the scan)
     "text_line_dedup",
+    "text_nb_lang_classify",
     # substring-span machinery. The replica cache repeats each document's
     # TEXT verbatim (ids shift, text doesn't), so every window is
     # duplicated and each document collapses to one whole-doc span — the

@@ -449,3 +449,93 @@ def strip_lines(
         .cast("int")
         .alias("removed_lines"),
     )
+
+
+def line_hash_state(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(__fp, n_occurrences) — the persisted line-hash count table that
+    makes :func:`duplicated_lines` incremental (the line-granularity
+    sibling of :func:`window_hash_state`). Non-blank lines only, keyed
+    by ``xxhash64``; mergeable by addition; bounded by distinct lines.
+    """
+    lines = df.select(
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "__lp", "__line"
+        )
+    )
+    return (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy(F.xxhash64("__line").alias("__fp"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def incremental_line_removals(
+    new_docs: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+) -> dict:
+    """O(delta) daily duplicate-line removal: removal positions for the
+    NEW documents only, judged against the full corpus history.
+
+    Returns ``{"removals", "state"}``. A new occurrence is removed when
+    historical + batch occurrences reach ``min_count`` AND it is not
+    the corpus-global first — which is the historical first if the line
+    was ever seen (hist ≥ 1 → every new occurrence is removed; the
+    keeper already shipped), else the batch's smallest (doc_id,
+    line_pos). Under the monotone-id contract (new doc_ids sort after
+    history's, the same new-rows-only contract as
+    :func:`incremental_spans` / ``minhash_incremental_pairs``) this
+    equals ``duplicated_lines(old ∪ new)`` restricted to new ids
+    (asserted in tests). ``state`` is the merged count table to persist.
+
+    Cost: sized by the delta — the batch's line stream, one aggregate,
+    a left-semi-scoped history probe (touched hashes only), one join
+    back.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_pos", "__line"
+        ),
+    )
+    keyed = lines.filter(F.trim(F.col("__line")) != "").select(
+        "doc_id", "line_pos", F.xxhash64("__line").alias("__fp")
+    )
+    new_counts = keyed.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n_new"),
+        F.min(F.struct("doc_id", "line_pos")).alias("__first"),
+    )
+    touched = state.join(new_counts.select("__fp"), "__fp", "left_semi")
+    totals = new_counts.join(touched, "__fp", "left").select(
+        "__fp",
+        "__first",
+        F.coalesce(F.col("n_occurrences"), F.lit(0)).alias("__hist"),
+        (F.col("__n_new") + F.coalesce(F.col("n_occurrences"), F.lit(0)))
+        .alias("__total"),
+    )
+    dup = totals.filter(F.col("__total") >= min_count)
+    removals = (
+        keyed.join(dup, "__fp")
+        .filter(
+            (F.col("__hist") >= 1)
+            | ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("line_pos") == F.col("__first.line_pos"))
+            )
+        )
+        .select("doc_id", "line_pos")
+    )
+    merged_state = (
+        state.unionByName(
+            keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        )
+        .groupBy("__fp")
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+    )
+    return {"removals": removals, "state": merged_state}

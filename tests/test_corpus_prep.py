@@ -838,3 +838,53 @@ def test_temperature_mix_budgets_properties(spark):
             temperature_mix_budgets(df, "source", "n", total_budget=10),
             max_sources=1,
         )
+
+
+def test_incremental_line_removals_equals_full(spark):
+    # full-corpus recompute restricted to the new batch == incremental
+    # judgment against persisted state (monotone-id contract), and the
+    # merged state equals the full corpus state
+    from home_credit_data_engineering_spark.operators.spans import (
+        duplicated_lines,
+        incremental_line_removals,
+        line_hash_state,
+    )
+
+    old = [
+        (1, "banner line\nold unique one"),
+        (2, "old unique two\nbanner line"),
+        (3, "thrice\nthrice\nold text"),
+    ]
+    new = [
+        (10, "banner line\nfresh text"),       # historical dup -> removed
+        (11, "brand new dup\nanother fresh"),
+        (12, "brand new dup\nlast fresh"),     # batch dup: 11 keeps first
+        (13, "thrice\nclosing text"),
+    ]
+    old_df = spark.createDataFrame(old, "doc_id long, text string")
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+    full_df = old_df.unionByName(new_df)
+
+    state = line_hash_state(old_df, "doc_id", "text")
+    inc = incremental_line_removals(new_df, state, "doc_id", "text")
+    got = {
+        (r["doc_id"], r["line_pos"]) for r in inc["removals"].collect()
+    }
+    full = {
+        (r["doc_id"], r["line_pos"])
+        for r in duplicated_lines(full_df, "doc_id", "text").collect()
+        if r["doc_id"] >= 10
+    }
+    assert got == full
+    assert (10, 0) in got and (12, 0) in got and (13, 0) in got
+    assert (11, 0) not in got  # batch-first of a brand-new dup survives
+
+    merged = {
+        (r["__fp"], r["n_occurrences"])
+        for r in inc["state"].collect()
+    }
+    want_state = {
+        (r["__fp"], r["n_occurrences"])
+        for r in line_hash_state(full_df, "doc_id", "text").collect()
+    }
+    assert merged == want_state

@@ -630,3 +630,66 @@ def knn_join(
         seed=seed,
         train_fraction=train_fraction,
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_threshold: int = 10_000,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Metadata-FILTERED vector search with pre-filter semantics: exact
+    cosine top-k among corpus vectors satisfying ``predicate`` (the
+    "show me the nearest docs WHERE lang = 'en' AND quality > 0.5"
+    query every retrieval stack serves).
+
+    Pre-filtering (restrict, then search) guarantees k results whenever
+    k matches exist — post-filtering a fixed-index candidate list can
+    silently return fewer under selective predicates, the classic
+    filtered-ANN failure. The cost question is which search to run on
+    the survivors, so the operator SIZE-ROUTES (the
+    ``embedding_neardup`` precedent): one count-only scan with the
+    predicate pushed into parquet, then
+
+    - ``<= exact_threshold`` survivors → GEMM brute force (exact — a
+      selective predicate makes exact search CHEAP; this is why
+      pre-filtering is the right default);
+    - above it → IVF built over the filtered subset (sqrt-N cells,
+      bounded training sample), probing ``n_probe`` cells. For a
+      standing predicate at 100 TB, persist a dedicated index
+      (``jobs/ann_index.py``) instead of rebuilding per call — this
+      path is the ad-hoc-predicate form.
+
+    Returns (query_id, neighbor_id, score, rank); on the exact route
+    the result is oracle-verifiable end to end.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if exact_threshold < 1:
+        raise ValueError(
+            f"exact_threshold must be >= 1, got {exact_threshold}"
+        )
+    filtered = corpus.filter(predicate)
+    n = filtered.count()
+    if n <= exact_threshold:
+        return brute_force_topk_gemm(
+            filtered, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+    n_cells = max(16, int(n**0.5))
+    train_frac = min(1.0, 4096.0 / n) if n > 4096 else None
+    return ivf_topk(
+        filtered,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_cells,
+        n_probe=n_probe,
+        seed=seed,
+        train_fraction=train_frac,
+    )

@@ -181,3 +181,45 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(floor).alias("recall_floor"),
         (F.avg("__recall") >= F.lit(floor)).alias("recall_ok"),
     )
+
+
+@register(
+    "sim_filtered_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND c.label = 1
+      WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000) t
+    WHERE rank <= 5
+    """,
+    operators=("S-ext:ann-bruteforce", "S-ext:ann-ivf"),
+    doc="Metadata-FILTERED vector search (operators/similarity.py:"
+    "filtered_topk): exact cosine top-5 among corpus vectors WHERE "
+    "label = 1 — pre-filter semantics (restrict, then search), which "
+    "guarantees k results whenever k matches exist; post-filtering a "
+    "fixed candidate list can silently under-return. Size-routed: the "
+    "predicate pushes into the parquet scan, a count-only pass picks "
+    "GEMM brute force under the threshold (selective predicates make "
+    "exact search cheap — the oracle-exact route the driver checks) or "
+    "an IVF built over the filtered subset above it (recall-pinned "
+    "in-repo at a forced threshold).",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.similarity import (
+        filtered_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    return filtered_topk(
+        emb, queries, predicate=F.col("label") == 1, k=5
+    ).select("query_id", "neighbor_id", "score", "rank")

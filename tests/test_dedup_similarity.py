@@ -905,3 +905,46 @@ def test_minhash_collapsed_persist_is_bounded(spark, docs):
             docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2
         ).count()
     assert len(D._COLLAPSED_MEMBERS_PERSISTED) <= 1
+
+
+def test_filtered_topk_prefilter_semantics_and_routing(clustered_vectors):
+    # exact route: results equal brute force over the filtered subset,
+    # and every neighbor satisfies the predicate (pre-filter guarantee)
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    emb = clustered_vectors
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    pred = F.col("vec_id") % 2 == 0
+    got = filtered_topk(emb, queries, pred, k=3)
+    want = brute_force_topk(emb.filter(pred), queries, k=3)
+    as_set = lambda df: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+    assert all(r["neighbor_id"] % 2 == 0 for r in got.collect())
+
+    # forced IVF route (threshold below the filtered size): recall vs
+    # the filtered brute force stays high on clustered data
+    approx = filtered_topk(
+        emb, queries, pred, k=3, exact_threshold=1, n_probe=8
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in want.collect()
+    }
+    hits = sum(
+        1
+        for r in approx.collect()
+        if (r["query_id"], r["neighbor_id"]) in truth
+    )
+    assert hits >= int(0.6 * len(truth)), (hits, len(truth))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        filtered_topk(emb, queries, pred, k=0)

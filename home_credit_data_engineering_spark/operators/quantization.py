@@ -42,6 +42,9 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "train_opq",
+    "rotate_vectors",
+    "opq_topk",
     "build_ivfpq_index",
     "ivfpq_query_index",
 ]
@@ -553,4 +556,131 @@ def ivfpq_query_index(
         exact.withColumn("__rk", F.row_number().over(w2))
         .filter(F.col("__rk") <= k)
         .select("query_id", "neighbor_id", "score", F.col("__rk").cast("int").alias("rank"))
+    )
+
+
+def _pq_reconstruct(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode then decode ``x`` through ``books`` (training-time helper)."""
+    m, ksub, dsub = books.shape
+    out = np.empty_like(x)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j * dsub : (j + 1) * dsub] = books[j][d2.argmin(axis=1)]
+    return out
+
+
+def train_opq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    nbits: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+    opq_iters: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al., CVPR 2013, the
+    non-parametric OPQ_NP): learn an ORTHOGONAL rotation ``R`` that
+    axis-aligns the data's correlations before the PQ subspace split,
+    alternating (fix R → Lloyd codebooks on the rotated sample) with
+    (fix codebooks → orthogonal Procrustes ``R = U·Vᵀ`` from
+    ``svd(Xᵀ·Q)``). Plain PQ quantizes each aligned subspace
+    independently, so correlated/anisotropic embeddings (the realistic
+    case — learned embeddings concentrate variance in a few directions)
+    waste code budget; the rotation redistributes variance across
+    subspaces and strictly lowers training quantization error.
+
+    Returns ``(R, codebooks)`` — both ~KBs, both pure functions of
+    (sample, seed) (same determinism contract as
+    :func:`train_pq_codebooks`; the SVD of a full-rank cross-covariance
+    is unique up to sign conventions LAPACK fixes deterministically).
+    Rotation preserves norms and cosines, so downstream exact re-ranking
+    is unchanged whether it uses rotated or original vectors.
+    """
+    x = _pq_sample(corpus, vec_col, id_col, sample_rows, seed)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if opq_iters < 1:
+        raise ValueError(f"opq_iters must be >= 1, got {opq_iters}")
+    rot = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        xr = x @ rot
+        books = _lloyd_codebooks(xr, m, nbits, seed, iters)
+        q = _pq_reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(x.T @ q)
+        rot = u @ vt
+    books = _lloyd_codebooks(x @ rot, m, nbits, seed, iters)
+    return rot, books
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """(id, out_col array<double>) — one narrow Arrow-batched matmul per
+    batch; the dim×dim rotation (~KBs) ships in the UDF closure, no
+    shuffle. Orthogonal rotations preserve norms and cosines."""
+    from pyspark.sql.functions import pandas_udf
+
+    rot = np.ascontiguousarray(rotation, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def rotate(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64) @ rot
+        return pd.Series(list(x))
+
+    return df.select(
+        F.col(id_col), rotate(to_double_array(vec_col)).alias(out_col)
+    )
+
+
+def opq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    rerank: int = 0,
+    max_query_rows: int = 100_000,
+    opq_iters: int = 5,
+) -> DataFrame:
+    """:func:`pq_topk` with a learned OPQ rotation: train R + codebooks
+    on the bounded sample, rotate corpus and queries (one narrow
+    Arrow-batched pass each), run the identical ADC scan. Same output
+    contract and determinism as :func:`pq_topk`; at equal code budget
+    recall on correlated data is at least the plain-PQ recall
+    (asserted on planted anisotropic fixtures in
+    ``tests/test_quantization.py``)."""
+    rot, books = train_opq(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        m=m,
+        nbits=nbits,
+        sample_rows=sample_rows,
+        seed=seed,
+        opq_iters=opq_iters,
+    )
+    rc = rotate_vectors(corpus, rot, id_col=id_col, vec_col=vec_col)
+    rq = rotate_vectors(queries, rot, id_col=id_col, vec_col=vec_col)
+    return pq_topk(
+        rc,
+        rq,
+        books,
+        k=k,
+        id_col=id_col,
+        vec_col="rotated",
+        rerank=rerank,
+        max_query_rows=max_query_rows,
     )

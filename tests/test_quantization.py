@@ -247,3 +247,99 @@ def test_ivfpq_residual_mode_recall_and_autodetect(spark, emb, tmp_path):
     for rs in by_q.values():
         rs.sort(key=lambda r: r.rank)
         assert all(rs[i].score >= rs[i + 1].score for i in range(len(rs) - 1))
+
+
+def test_opq_rotation_orthogonal_and_deterministic(spark, emb):
+    from home_credit_data_engineering_spark.operators.quantization import (
+        train_opq,
+    )
+
+    rot, books = train_opq(emb, m=16, nbits=4, opq_iters=3)
+    dim = rot.shape[0]
+    assert rot.shape == (dim, dim) and books.shape == (16, 16, dim // 16)
+    # orthogonality: R Rᵀ = I
+    assert np.allclose(rot @ rot.T, np.eye(dim), atol=1e-10)
+    rot2, books2 = train_opq(emb.repartition(9), m=16, nbits=4, opq_iters=3)
+    assert np.array_equal(rot, rot2) and np.array_equal(books, books2)
+
+
+def test_opq_lowers_quantization_error_on_correlated_data(spark):
+    # anisotropic data whose variance is NOT axis-aligned: a random
+    # orthogonal mix of a few dominant directions. Plain PQ splits by
+    # coordinate blocks and wastes budget; OPQ's learned rotation must
+    # cut the sample reconstruction error and not hurt recall.
+    from home_credit_data_engineering_spark.operators.quantization import (
+        _pq_reconstruct,
+        _pq_sample,
+        opq_topk,
+        pq_topk,
+        train_opq,
+        train_pq_codebooks,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n = 32, 400
+    mix, _ = np.linalg.qr(rng.randn(dim, dim))
+    scales = np.linspace(3.0, 0.05, dim)  # strong anisotropy
+    x = (rng.randn(n, dim) * scales) @ mix.T
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kwargs = dict(m=8, nbits=4, sample_rows=400, seed=3)
+    books = train_pq_codebooks(df, **kwargs)
+    rot, opq_books = train_opq(df, opq_iters=5, **kwargs)
+
+    sample = _pq_sample(df, "embedding", "vec_id", 400, 3)
+    err_pq = ((sample - _pq_reconstruct(sample, books)) ** 2).sum()
+    xr = sample @ rot
+    err_opq = ((xr - _pq_reconstruct(xr, opq_books)) ** 2).sum()
+    assert err_opq < err_pq, (err_opq, err_pq)
+
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def recall(out):
+        hits = sum(
+            1
+            for r in out.collect()
+            if (r["query_id"], r["neighbor_id"]) in truth
+        )
+        return hits / len(truth)
+
+    r_pq = recall(pq_topk(df, queries, books, k=5))
+    r_opq = recall(opq_topk(df, queries, k=5, opq_iters=5, **kwargs))
+    assert r_opq >= r_pq - 0.05, (r_opq, r_pq)
+    assert r_opq >= 0.5
+
+
+def test_rotate_vectors_preserves_cosine(spark, emb):
+    from home_credit_data_engineering_spark.operators.quantization import (
+        rotate_vectors,
+        train_opq,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rot, _ = train_opq(emb, m=16, nbits=4, opq_iters=2)
+    sub = emb.filter(F.col("vec_id") < 60)
+    queries = emb.filter(F.col("vec_id") < 5)
+    plain = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in brute_force_topk(sub, queries, k=3).collect()
+    }
+    rot_sub = rotate_vectors(sub, rot)
+    rot_q = rotate_vectors(queries, rot)
+    rotated = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in brute_force_topk(
+            rot_sub, rot_q, k=3, vec_col="rotated"
+        ).collect()
+    }
+    assert plain == rotated

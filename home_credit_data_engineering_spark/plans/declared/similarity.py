@@ -223,3 +223,57 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_topk(
         emb, queries, predicate=F.col("label") == 1, k=5
     ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@register(
+    "sim_opq_topk",
+    # deterministic recall certificate, same pattern as combo_ann_approx
+    oracle="""
+    SELECT vec_id AS query_id, CAST(0.4 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    """,
+    operators=("S-ext:ann-pq",),
+    doc="Optimized Product Quantization search "
+    "(operators/quantization.py:opq_topk; Ge et al. CVPR 2013): a "
+    "learned orthogonal rotation axis-aligns embedding correlations "
+    "before the 16x4-bit PQ split, then the unchanged ADC scan + "
+    "exact re-rank of the top-50. Training (alternating Lloyd/"
+    "Procrustes) is driver-side over the deterministic md5 sample; "
+    "rotation is one narrow Arrow-batched matmul per side. The oracle "
+    "verifies a per-query recall@5-vs-brute-force verdict (floor 0.4 = "
+    "half the measured minimum), deterministic because every stage is "
+    "seeded and tie-broken on id.",
+)
+def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.quantization import (
+        opq_topk,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    k, floor = 5, 0.4
+    exact = brute_force_topk(emb, queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("__nid")
+    )
+    approx = opq_topk(emb, queries, k=k, m=16, nbits=4, rerank=50)
+    hits = (
+        approx.select("query_id", F.col("neighbor_id").alias("__nid"))
+        .join(exact, ["query_id", "__nid"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("__recall"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(floor).alias("recall_floor"),
+            (
+                F.coalesce(F.col("__recall"), F.lit(0.0)) >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+    )

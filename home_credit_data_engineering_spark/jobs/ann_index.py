@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--residual", action="store_true",
                         help="IVFADC residual quantization (requires "
                         "--pq): codes quantize x - centroid(cell)")
+    parser.add_argument("--opq", action="store_true",
+                        help="learn an OPQ rotation first (requires --pq); "
+                        "the whole index builds in the rotated space and "
+                        "the query path auto-detects the saved rotation")
     return parser
 
 
@@ -41,6 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.residual and not args.pq:
         raise SystemExit("--residual requires --pq")
+    if args.opq and not args.pq:
+        raise SystemExit("--opq requires --pq")
     from home_credit_data_engineering_spark import get_session
     from home_credit_data_engineering_spark.sources.readers import read_parquet
 
@@ -64,8 +70,11 @@ def main(argv: list[str] | None = None) -> int:
             nbits=args.pq_nbits,
             train_fraction=train_frac,
             residual=args.residual,
+            opq=args.opq,
         )
         kind = "ivfpq-residual" if args.residual else "ivfpq"
+        if args.opq:
+            kind += "-opq"
     else:
         from home_credit_data_engineering_spark.operators.similarity import (
             build_ivf_index,

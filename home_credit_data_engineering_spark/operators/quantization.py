@@ -277,9 +277,20 @@ def build_ivfpq_index(
     seed: int = 42,
     train_fraction: float | None = None,
     residual: bool = False,
+    opq: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Persist a FAISS-style IVF-PQ index: cell-partitioned parquet of
     (id, pq_code) plus the coarse centroids and PQ codebooks.
+
+    ``opq=True`` trains an OPQ rotation (:func:`train_opq`) first and
+    builds the ENTIRE index — coarse centroids, codebooks, codes — in
+    the rotated space (rotation saved as ``_rotation.npy``; the query
+    path auto-detects and rotates queries to match). Orthogonal
+    rotations preserve cosines, so the vectors store and the exact
+    re-rank stage stay in the ORIGINAL space unchanged. With
+    ``residual=True`` the rotation is trained against the
+    shared-codebook objective and applied before the coarse step — the
+    standard practical OPQ+IVFADC composition.
 
     The serving combination for 100 TB ANN: partition pruning bounds I/O
     to the probed cells (like :func:`~.similarity.build_ivf_index`), and
@@ -319,33 +330,47 @@ def build_ivfpq_index(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
+    rot = None
+    if opq:
+        rot, _ = train_opq(
+            corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
+        )
+
+    @pandas_udf("array<double>")
+    def _rotated(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64) @ rot
+        return pd.Series(list(x))
+
     train_src = (
         corpus.sample(fraction=train_fraction, seed=seed)
         if train_fraction is not None
         else corpus
     )
-    train = train_src.select(
-        array_to_vector(to_double_array(vec_col)).alias("features")
-    )
+    train_arr = to_double_array(vec_col)
+    if rot is not None:
+        train_arr = _rotated(train_arr)
+    train = train_src.select(array_to_vector(train_arr).alias("features"))
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=5, initMode="random"
     ).fit(train)
     centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
     c_unit = _unit(centers)
 
+    sample = _pq_sample(corpus, vec_col, id_col, 4096, seed)
+    if rot is not None:
+        sample = sample @ rot
     if residual:
-        sample = _pq_sample(corpus, vec_col, id_col, 4096, seed)
         s_cells = np.argsort(-(sample @ c_unit.T), axis=1, kind="stable")[:, 0]
         books = _lloyd_codebooks(sample - c_unit[s_cells], m, nbits, seed)
     else:
-        books = train_pq_codebooks(
-            corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
-        )
+        books = _lloyd_codebooks(sample, m, nbits, seed)
     dsub = books.shape[2]
 
     @pandas_udf("struct<cell:int, code:array<int>>")
     def assign_and_encode(v: pd.Series) -> pd.DataFrame:
         x = _unit(np.array(v.tolist(), dtype=np.float64))
+        if rot is not None:
+            x = x @ rot
         cells = np.argsort(-(x @ c_unit.T), axis=1, kind="stable")[:, 0]
         if residual:
             x = x - c_unit[cells]
@@ -378,6 +403,8 @@ def build_ivfpq_index(
     np.save(os.path.join(path, "_centroids.npy"), centers)
     np.save(os.path.join(path, "_codebooks.npy"), books)
     np.save(os.path.join(path, "_residual.npy"), np.array([int(residual)]))
+    if rot is not None:
+        np.save(os.path.join(path, "_rotation.npy"), rot)
     return centers, books
 
 
@@ -413,6 +440,8 @@ def ivfpq_query_index(
     books = np.load(os.path.join(path, "_codebooks.npy"))
     res_flag = os.path.join(path, "_residual.npy")
     residual = bool(np.load(res_flag)[0]) if os.path.exists(res_flag) else False
+    rot_flag = os.path.join(path, "_rotation.npy")
+    rot = np.load(rot_flag) if os.path.exists(rot_flag) else None
     m, ksub, dsub = books.shape
     c_unit = _unit(centers)
 
@@ -429,6 +458,8 @@ def ivfpq_query_index(
         )
     q_ids = np.array([r["query_id"] for r in q_rows])
     q_mat = _unit(np.array([r["__v"] for r in q_rows], dtype=np.float64))
+    if rot is not None:
+        q_mat = q_mat @ rot  # OPQ index: probe/LUT in the rotated space
     probe_order = np.argsort(-(q_mat @ c_unit.T), axis=1, kind="stable")[
         :, :n_probe
     ]

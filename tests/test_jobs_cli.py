@@ -656,3 +656,39 @@ def test_bpe_job_train_then_count(spark, tmp_path):
         bpe_main(["--mode", "train", "--input", src])
     with _pytest.raises(SystemExit):
         bpe_main(["--mode", "count", "--input", src])
+
+
+def test_ann_index_job_opq_mode(spark, sf_dir, tmp_path):
+    """--opq: the rotation sidecar lands in the index and querying it
+    returns re-ranked neighbors; --opq without --pq rejects."""
+    import os
+
+    import pytest as _pytest
+
+    from home_credit_data_engineering_spark.jobs.ann_index import (
+        main as ann_main,
+    )
+    from home_credit_data_engineering_spark.operators.quantization import (
+        ivfpq_query_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "opq_index")
+    rc = ann_main([
+        "--input", src, "--output", out,
+        "--pq", "--opq", "--pq-m", "16", "--pq-nbits", "4",
+        "--n-centroids", "8",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "_rotation.npy"))
+
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    res = ivfpq_query_index(spark, out, queries, k=3, n_probe=4, rerank=20)
+    assert res.count() > 0
+
+    with _pytest.raises(SystemExit):
+        ann_main(["--input", src, "--output", str(tmp_path / "x"), "--opq"])

@@ -343,3 +343,53 @@ def test_rotate_vectors_preserves_cosine(spark, emb):
         ).collect()
     }
     assert plain == rotated
+
+
+def test_ivfpq_opq_index_build_query_and_autodetect(spark, emb, tmp_path):
+    # OPQ-rotated IVF-PQ index: the rotation sidecar persists, the query
+    # path auto-detects it, results carry exact re-ranked scores, and
+    # recall vs brute force stays at the certified level
+    import os
+
+    from home_credit_data_engineering_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    path = str(tmp_path / "opq_idx")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m=16, nbits=4, opq=True
+    )
+    assert os.path.exists(os.path.join(path, "_rotation.npy"))
+    rot = np.load(os.path.join(path, "_rotation.npy"))
+    assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-10)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ivfpq_query_index(
+        spark, path, queries, k=5, n_probe=4, rerank=50
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = [
+        (r["query_id"], r["neighbor_id"]) for r in out.collect()
+    ]
+    hits = sum(1 for pair in got if pair in truth)
+    assert hits >= int(0.5 * len(truth)), (hits, len(truth))
+
+    # residual + opq compose
+    path2 = str(tmp_path / "opq_res_idx")
+    build_ivfpq_index(
+        emb, path2, n_centroids=8, m=16, nbits=4, opq=True, residual=True
+    )
+    out2 = ivfpq_query_index(spark, path2, queries, k=5, n_probe=4, rerank=50)
+    hits2 = sum(
+        1
+        for r in out2.collect()
+        if (r["query_id"], r["neighbor_id"]) in truth
+    )
+    assert hits2 >= int(0.5 * len(truth)), (hits2, len(truth))

@@ -693,3 +693,93 @@ def filtered_topk(
         seed=seed,
         train_fraction=train_frac,
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 50,
+    lambda_: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversified top-k every retrieval stack offers:
+    greedily pick the next result maximizing
+    ``λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s)``, so near
+    duplicates of already-selected results are penalized. ``λ=1``
+    degenerates to the plain exact top-k (asserted — that is also what
+    makes the declared query exactly SQL-verifiable on one leg).
+
+    Two-stage shape: exact GEMM top-``candidates`` per query (the
+    distributed heavy lift — corpus streamed, never shuffled), then the
+    greedy selection runs per query over ≤ ``candidates`` vectors in one
+    ``applyInPandas`` group (numpy, O(k·candidates) sims; candidate
+    slates are tiny by construction, so the group is bounded —
+    the same contract as every per-query stage here). Deterministic:
+    relevance comes in rounded at 6, marginal scores round at 9, ties
+    break on neighbor id.
+
+    Returns (query_id, neighbor_id, relevance, mmr_rank).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if candidates < k:
+        raise ValueError(f"candidates={candidates} must be >= k={k}")
+    if not 0 <= lambda_ <= 1:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    cands = brute_force_topk_gemm(
+        corpus,
+        queries,
+        k=candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_query_rows=max_query_rows,
+    ).select("query_id", "neighbor_id", F.col("score").alias("relevance"))
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__cv")
+    )
+    slate = cands.join(c_vecs, "neighbor_id")
+
+    lam = float(lambda_)
+    kk = int(k)
+
+    def select(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["relevance", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        vecs = np.where(
+            norms[:, None] > 0,
+            vecs / np.maximum(norms, 1e-300)[:, None],
+            0.0,
+        )
+        rel = pdf["relevance"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        remaining = np.ones(n, dtype=bool)
+        while len(picked) < min(kk, n):
+            if picked:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = lam * rel
+            score = np.round(score, 9)
+            # deterministic argmax: score desc, id asc, remaining only
+            masked = np.where(remaining, score, -np.inf)
+            best_score = masked.max()
+            tie = np.where(remaining & (masked == best_score))[0]
+            best = tie[np.argmin(ids[tie])]
+            picked.append(int(best))
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, np.round(vecs @ vecs[best], 9))
+        out = pdf.iloc[picked][["query_id", "neighbor_id", "relevance"]].copy()
+        out["mmr_rank"] = np.arange(1, len(picked) + 1, dtype=np.int32)
+        return out
+
+    schema = "query_id long, neighbor_id long, relevance double, mmr_rank int"
+    return slate.groupBy("query_id").applyInPandas(select, schema=schema)

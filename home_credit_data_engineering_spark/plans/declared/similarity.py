@@ -277,3 +277,72 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000)
+    SELECT 'exact' AS leg, query_id, neighbor_id,
+           CAST(rank AS INTEGER) AS mmr_rank
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'diverse', vec_id, CAST(-1 AS BIGINT), 1
+    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    """,
+    operators=("S-ext:ann-bruteforce",),
+    doc="Maximal Marginal Relevance re-ranking "
+    "(operators/similarity.py:mmr_rerank; Carbonell & Goldstein SIGIR "
+    "1998): greedy diversified top-5 over an exact GEMM top-20 "
+    "candidate slate, selection per query in one bounded applyInPandas "
+    "group. Twin-leg verification: at lambda=1 MMR degenerates to the "
+    "plain exact top-k, so that leg is EXACT-hash-verified row for row "
+    "against the SQL cosine ranking; the lambda=0.5 leg emits a "
+    "per-query verdict (5 selected, first pick = the exact top-1 — "
+    "MMR's first pick is always the pure-relevance argmax) the oracle "
+    "expects TRUE. The greedy trace itself is pinned to a pure-Python "
+    "reference in tests/test_dedup_similarity.py.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    plain = mmr_rerank(emb, queries, k=5, candidates=20, lambda_=1.0)
+    exact_leg = plain.select(
+        F.lit("exact").alias("leg"), "query_id", "neighbor_id", "mmr_rank"
+    )
+    diverse = mmr_rerank(emb, queries, k=5, candidates=20, lambda_=0.5)
+    top1 = plain.filter(F.col("mmr_rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("__t1")
+    )
+    verdict = (
+        diverse.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min_by("neighbor_id", "mmr_rank").alias("__first"),
+        )
+        .join(top1, "query_id")
+        .select(
+            F.lit("diverse").alias("leg"),
+            "query_id",
+            F.lit(-1).cast("bigint").alias("neighbor_id"),
+            (
+                (F.col("__n") == 5) & (F.col("__first") == F.col("__t1"))
+            )
+            .cast("int")
+            .alias("mmr_rank"),
+        )
+    )
+    return exact_leg.unionByName(verdict)

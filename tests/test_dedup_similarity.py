@@ -948,3 +948,83 @@ def test_filtered_topk_prefilter_semantics_and_routing(clustered_vectors):
 
     with _pytest.raises(ValueError, match="k must be"):
         filtered_topk(emb, queries, pred, k=0)
+
+
+def test_mmr_rerank_matches_python_reference(clustered_vectors):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = clustered_vectors
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    k, cand, lam = 4, 12, 0.5
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    unit = {
+        i: (v / n if (n := np.linalg.norm(v)) > 0 else v * 0.0)
+        for i, v in vecs.items()
+    }
+    cands = {}
+    for r in brute_force_topk(emb, queries, k=cand).collect():
+        cands.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["score"])
+        )
+
+    def py_mmr(qid):
+        slate = sorted(cands[qid], key=lambda t: (-t[1], t[0]))
+        picked, max_sim = [], {nid: 0.0 for nid, _ in slate}
+        rest = dict(slate)
+        while rest and len(picked) < k:
+            scored = {
+                nid: round(
+                    lam * rel - (0 if not picked else (1 - lam) * max_sim[nid]),
+                    9,
+                )
+                for nid, rel in rest.items()
+            }
+            top = max(scored.values())
+            best = min(n for n, s in scored.items() if s == top)
+            picked.append(best)
+            del rest[best]
+            for nid in rest:
+                sim = round(float(unit[nid] @ unit[best]), 9)
+                max_sim[nid] = max(max_sim[nid], sim)
+        return picked
+
+    got = {}
+    for r in mmr_rerank(
+        emb, queries, k=k, candidates=cand, lambda_=lam
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["mmr_rank"], r["neighbor_id"])
+        )
+    for qid, rows in got.items():
+        ordered = [nid for _, nid in sorted(rows)]
+        assert ordered == py_mmr(qid), qid
+
+    # lambda=1 degenerates to the plain top-k (order included)
+    plain = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    degen = {
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"])
+        for r in mmr_rerank(
+            emb, queries, k=k, candidates=cand, lambda_=1.0
+        ).collect()
+    }
+    assert degen == plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="candidates"):
+        mmr_rerank(emb, queries, k=5, candidates=3)
+    with _pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(emb, queries, k=2, candidates=5, lambda_=1.5)

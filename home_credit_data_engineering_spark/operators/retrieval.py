@@ -1,0 +1,277 @@
+"""Lexical retrieval (Okapi BM25) and hybrid rank fusion (RRF).
+
+The reference engine has no full-text retrieval surface; this is
+north-star extension territory for a training-data / RAG pipeline:
+
+- :func:`bm25_topk` — Okapi BM25 (Robertson & Walker, SIGIR 1994; the
+  Lucene ``BM25Similarity`` IDF variant ``ln(1 + (N - df + .5)/(df + .5))``)
+  top-k documents per query over a whitespace-tokenized corpus.
+- :func:`more_like_this` — query-by-document BM25: each query *document*'s
+  distinct terms form its term set (Lucene MoreLikeThis semantics), useful
+  for near-duplicate retrieval and "related documents" serving.
+- :func:`rrf_fuse` — Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+  SIGIR 2009): ``score(d) = Σ_legs 1 / (k_rrf + rank_leg(d))``, the
+  standard way to hybridize lexical (BM25) and vector (cosine ANN)
+  rankings without score calibration.
+
+100 TB posture
+--------------
+The corpus is tokenized ONCE into ``(doc_id, term)`` postings; the text
+column never rides any exchange after that projection. Query term sets
+are small by contract and broadcast; the postings stream is semi-joined
+against them FIRST, so only matching postings (≪ corpus tokens for
+selective queries) reach the tf/df aggregations. Document lengths are a
+narrow per-row expression on the scan (no explode); N and avgdl are one
+scalar aggregate broadcast via a 1-row cross join. ``max_df_fraction``
+prunes stopword-grade terms (Lucene MLT practice) so a common term cannot
+drag the whole corpus into the score join. Final per-query top-k is a
+window over an already-aggregated (query, doc) frame.
+
+Determinism: scores round to 6 decimals; ranking ties break on doc id —
+the same cross-engine discipline as operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from home_credit_data_engineering_spark.functions.text import token_count, tokens
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term) postings — one narrow explode, text dropped."""
+    return docs.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("__term")
+    )
+
+
+def _corpus_stats(docs: DataFrame, id_col: str, text_col: str):
+    """(doc-length frame, 1-row scalars frame): dl per doc; N and avgdl."""
+    dls = docs.select(
+        F.col(id_col).alias("__doc"),
+        token_count(text_col).cast("double").alias("__dl"),
+    )
+    scalars = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    return dls, scalars
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 1.0,
+) -> DataFrame:
+    """BM25 score for every (query, matching document) pair.
+
+    ``query_terms`` is a small frame of ``(query_id, term)`` rows (one row
+    per query term; duplicate terms within a query are collapsed — BM25
+    sums each distinct term's contribution once, per Robertson's model).
+    Output: ``(query_id, doc_id, score)`` with score rounded to 6.
+    """
+    toks = _postings(docs, id_col, text_col)
+    qterms = (
+        query_terms.select(
+            F.col(query_id_col).alias("__q"), F.col(term_col).alias("__term")
+        )
+        .distinct()
+    )
+    term_panel = qterms.select("__term").distinct()
+
+    # Only postings whose term appears in SOME query survive the scan.
+    matched = toks.join(F.broadcast(term_panel), "__term")
+    tf = matched.groupBy("__doc", "__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    df_counts = matched.groupBy("__term").agg(
+        F.countDistinct("__doc").cast("double").alias("__df")
+    )
+
+    dls, scalars = _corpus_stats(docs, id_col, text_col)
+    scored = (
+        tf.join(F.broadcast(df_counts), "__term")
+        .join(dls, "__doc")
+        .crossJoin(F.broadcast(scalars))  # 1-row scalar totals
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+    )
+    if max_df_fraction < 1.0:
+        scored = scored.filter(
+            F.col("__df") <= F.lit(float(max_df_fraction)) * F.col("__n_docs")
+        )
+    # Per-term contribution rounds to 9 decimals and accumulates as
+    # DECIMAL(18,9) — exact and order-independent, so the cross-engine
+    # hash survives double-summation-order differences (the lm.py
+    # log-prob discipline).
+    contrib = scored.withColumn(
+        "__contrib",
+        F.round(
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+            ),
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    per_pair = (
+        contrib.join(F.broadcast(qterms), "__term")
+        .groupBy("__q", "__doc")
+        .agg(F.round(F.sum("__contrib").cast("double"), 6).alias("score"))
+    )
+    return per_pair.select(
+        F.col("__q").alias(query_id_col),
+        F.col("__doc").alias(id_col),
+        "score",
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 1.0,
+) -> DataFrame:
+    """Top-k BM25 documents per query: ``(query_id, doc_id, score, rank)``."""
+    scored = bm25_scores(
+        docs,
+        query_terms,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        term_col=term_col,
+        k1=k1,
+        b=b,
+        max_df_fraction=max_df_fraction,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    query_docs: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 1.0,
+    include_self: bool = False,
+) -> DataFrame:
+    """Query-by-document BM25 (Lucene MoreLikeThis semantics).
+
+    Each query document's DISTINCT whitespace terms form its query term
+    set; the corpus is ranked by BM25 against that set. The query panel
+    must be small (it is broadcast). Self-matches are dropped unless
+    ``include_self``. Output: ``(query_id, doc_id, score, rank)``.
+    """
+    qterms = query_docs.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    ranked = bm25_scores(
+        docs,
+        qterms,
+        id_col=id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        max_df_fraction=max_df_fraction,
+    )
+    if not include_self:
+        ranked = ranked.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    *,
+    k_rrf: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion over ≥2 per-query rankings.
+
+    Each input carries ``(query_id, doc_id, rank)`` (extra columns are
+    dropped). Fused score ``Σ 1/(k_rrf + rank)`` — a document absent from
+    a leg simply contributes nothing (the standard RRF treatment). The
+    fused frame re-ranks deterministically on (round(score, 6) DESC, id).
+    Output: ``(query_id, doc_id, rrf_score, rank)``.
+
+    Scale: inputs are already per-query top-k frames (tiny relative to the
+    corpus), so the union + groupBy shuffles only (query, doc, rank)
+    triples.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    legs = [
+        r.select(
+            F.col(query_id_col).alias("__q"),
+            F.col(id_col).alias("__doc"),
+            F.col(rank_col).cast("double").alias("__rank"),
+        )
+        for r in rankings
+    ]
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.unionByName(leg)
+    fused = unioned.groupBy("__q", "__doc").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("__rank"))), 6).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col("__doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.col("__doc").alias(id_col),
+            "rrf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

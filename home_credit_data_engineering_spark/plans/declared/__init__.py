@@ -11,6 +11,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     medallion,
     multimodal,
     relational_ext,
+    retrieval,
     similarity,
     stats_timeseries,
     text,

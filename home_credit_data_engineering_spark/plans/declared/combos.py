@@ -57,6 +57,10 @@ from home_credit_data_engineering_spark.operators.quality import (
     split_valid_invalid,
 )
 from home_credit_data_engineering_spark.operators.sampling import keyset_page, paginate
+from home_credit_data_engineering_spark.plans.declared.retrieval import (
+    BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
+    BM25_SQL_CTES as _BM25_CTES,
+)
 from home_credit_data_engineering_spark.plans.declared.io_roundtrip import (
     _FP_ENC_SQL,
 )
@@ -1020,14 +1024,73 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles, 6)
                AS contamination
       FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id) c
-    """,
-    operators=("T-ext:tfidf", "T-ext:wordfreq", "T-ext:contamination"),
-    doc="Term rankings + decontamination, union-tagged: per-doc TF-IDF "
-    "top-3 (tf × ln(N/df), deterministic tie-break), corpus-wide top-20 "
-    "term frequency, and per-doc benchmark-contamination overlap "
-    "(distinct-3-gram fraction shared with the doc_id %% 97 eval set). "
-    "Combo slot for text_tfidf_top_terms + text_word_freq_topk + "
-    "text_contamination.",
+    UNION ALL
+    SELECT 'bm25', doc_id, 'q' || CAST(query_id AS VARCHAR), score FROM (
+      WITH qt(query_id, term) AS (VALUES __BM25_PANEL__),
+      __BM25_CTES__
+      SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      FROM bm25_scored) b
+    WHERE rk <= 3
+    UNION ALL
+    SELECT 'mlt', doc_id, CAST(query_id AS VARCHAR), score FROM (
+      WITH qt AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                 AS term
+        FROM documents WHERE doc_id % 50 = 0 AND doc_id < 2000),
+      __BM25_CTES__
+      SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      FROM bm25_scored WHERE query_id != doc_id) m
+    WHERE rk <= 2
+    UNION ALL
+    SELECT 'rrf', doc_id, 'q' || CAST(query_id AS VARCHAR), rrf_score FROM (
+      WITH qt(query_id, term) AS (VALUES __BM25_PANEL__),
+      __BM25_CTES__,
+      lega AS (
+        SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS DOUBLE) AS r
+        FROM bm25_scored),
+      tsum AS (
+        SELECT q.query_id, m.doc_id, COUNT(*) AS n
+        FROM bm25_matched m
+        JOIN (SELECT DISTINCT query_id, term FROM qt) q USING (term)
+        GROUP BY 1, 2),
+      legb AS (
+        SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY n DESC, doc_id) AS DOUBLE) AS r
+        FROM tsum),
+      fused AS (
+        SELECT query_id, doc_id,
+               ROUND(SUM(1.0 / (60.0 + r)), 6) AS rrf_score
+        FROM (SELECT * FROM lega WHERE r <= 10
+              UNION ALL SELECT * FROM legb WHERE r <= 10)
+        GROUP BY 1, 2)
+      SELECT query_id, doc_id, rrf_score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+      FROM fused) f
+    WHERE rk <= 3
+    """.replace("__BM25_PANEL__", _BM25_PANEL_VALUES).replace(
+        "__BM25_CTES__", _BM25_CTES
+    ),
+    operators=(
+        "T-ext:tfidf",
+        "T-ext:wordfreq",
+        "T-ext:contamination",
+        "T-ext:bm25",
+        "T-ext:mlt",
+        "S-ext:rrf",
+    ),
+    doc="Term rankings + decontamination + retrieval, union-tagged: "
+    "per-doc TF-IDF top-3 (tf × ln(N/df), deterministic tie-break), "
+    "corpus-wide top-20 term frequency, per-doc benchmark-contamination "
+    "overlap (distinct-3-gram fraction shared with the doc_id %% 97 eval "
+    "set), Okapi BM25 top-3 per fixed panel query, MoreLikeThis "
+    "query-by-document BM25 top-2, and an RRF leg fusing the BM25 panel "
+    "ranking with a plain tf ranking. Combo slot for "
+    "text_tfidf_top_terms + text_word_freq_topk + text_contamination + "
+    "text_bm25_topk + text_more_like_this + sim_hybrid_rrf.",
 )
 def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1070,7 +1133,61 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("term"),
         F.col("contamination").alias("value"),
     )
-    return tfidf.unionByName(freq).unionByName(contam)
+
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_topk,
+        more_like_this,
+        rrf_fuse,
+    )
+    from home_credit_data_engineering_spark.plans.declared.retrieval import (
+        bm25_panel_df,
+    )
+
+    panel = bm25_panel_df(spark)
+    qlabel = F.concat(F.lit("q"), F.col("query_id").cast("string"))
+    bm25 = bm25_topk(docs, panel, k=3).select(
+        F.lit("bm25").alias("scope"),
+        "doc_id",
+        qlabel.alias("term"),
+        F.col("score").alias("value"),
+    )
+    qdocs = docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 2000))
+    mlt = more_like_this(docs, qdocs, k=2).select(
+        F.lit("mlt").alias("scope"),
+        "doc_id",
+        F.col("query_id").cast("string").alias("term"),
+        F.col("score").alias("value"),
+    )
+    # RRF leg: fuse the BM25 panel ranking with a plain term-frequency
+    # ranking (sum of panel-term tf per doc) — two genuinely different
+    # lexical rankings, fused as sum(1/(60+rank)).
+    lega = bm25_topk(docs, panel, k=10).select("query_id", "doc_id", "rank")
+    tfsum = (
+        toks.join(F.broadcast(panel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtf = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("doc_id").asc()
+    )
+    legb = (
+        tfsum.withColumn("rank", F.row_number().over(wtf))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    rrf = rrf_fuse([lega, legb], k=3).select(
+        F.lit("rrf").alias("scope"),
+        "doc_id",
+        qlabel.alias("term"),
+        F.col("rrf_score").alias("value"),
+    )
+    return (
+        tfidf.unionByName(freq)
+        .unionByName(contam)
+        .unionByName(bm25)
+        .unionByName(mlt)
+        .unionByName(rrf)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,31 @@ def test_weighted_sample_per_group_shuffles_metadata_only(spark, sf_dir):
     got = {(r["source"], r["doc_id"]) for r in out.collect()}
     want = {(r["source"], r["doc_id"]) for r in ref.collect()}
     assert got == want
+
+
+def test_bm25_no_python_text_never_shuffles_panel_broadcast(spark, sf_dir):
+    # BM25 must stay JVM-side end to end: postings semi-join against the
+    # BROADCAST term panel before tf/df aggregation, so only matching
+    # (doc, term) pairs reach any Exchange — and the text column reaches
+    # none (at 100 TB the postings shuffle is the cost center if and only
+    # if text stays out of it and non-matching terms are pre-filtered).
+    plan = executed_plan(spark, sf_dir, "text_bm25_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    heads = _exchange_heads(plan)
+    assert heads, "expected the tf/df aggregation exchanges"
+    for head in heads:
+        assert "text#" not in head, f"document text riding a shuffle: {head}"
+
+
+def test_rrf_fuses_rank_triples_only(spark, sf_dir):
+    # The hybrid-RRF fusion unions per-query top-k legs and aggregates
+    # (query, doc, rank) triples — neither text nor embedding payloads
+    # may ride the fusion exchange.
+    plan = executed_plan(spark, sf_dir, "sim_hybrid_rrf")
+    for head in _exchange_heads(plan):
+        assert "text#" not in head, f"text riding the fusion shuffle: {head}"
+        assert "embedding#" not in head, (
+            f"embedding riding the fusion shuffle: {head}"
+        )

@@ -1,0 +1,162 @@
+"""BM25 / MoreLikeThis / RRF retrieval operators vs pure-Python references."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.retrieval import (
+    bm25_topk,
+    more_like_this,
+    rrf_fuse,
+)
+
+DOCS = [
+    (1, "spark window join join merge"),
+    (2, "spark spark spark stream stream"),
+    (3, "vector search index vector"),
+    (4, "join merge join window window window join"),
+    (5, "dup dup spark"),
+]
+QUERIES = {10: ["spark", "dup"], 20: ["join", "window"], 30: ["vector"]}
+
+
+def _bm25_ref(k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for q, terms in QUERIES.items():
+        for d, tl in toks.items():
+            s = 0.0
+            for term in set(terms):
+                tf = tl.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(tl) / avgdl)
+                )
+            if s:
+                out[(q, d)] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def qterms_df(spark):
+    rows = [(q, t) for q, ts in QUERIES.items() for t in ts]
+    return spark.createDataFrame(rows, schema="query_id bigint, term string")
+
+
+def test_bm25_matches_python_reference(spark, docs_df, qterms_df):
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs_df, qterms_df, k=10).collect()
+    }
+    ref = _bm25_ref()
+    assert set(got) == set(ref)
+    for key, val in ref.items():
+        assert got[key] == pytest.approx(val, abs=2e-6)
+
+
+def test_bm25_rank_is_deterministic_and_capped(spark, docs_df, qterms_df):
+    rows = bm25_topk(docs_df, qterms_df, k=2).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    ref = _bm25_ref()
+    for q, rs in per_q.items():
+        assert len(rs) <= 2
+        order = sorted(rs, key=lambda r: r["rank"])
+        # rank 1 is the reference argmax (tie-break doc_id)
+        best = min(
+            ((d, s) for (qq, d), s in ref.items() if qq == q),
+            key=lambda p: (-round(p[1], 6), p[0]),
+        )[0]
+        assert order[0]["doc_id"] == best
+
+
+def test_bm25_duplicate_query_terms_collapse(spark, docs_df):
+    dup = spark.createDataFrame(
+        [(10, "spark"), (10, "spark"), (10, "dup")],
+        schema="query_id bigint, term string",
+    )
+    single = spark.createDataFrame(
+        [(10, "spark"), (10, "dup")], schema="query_id bigint, term string"
+    )
+    a = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs_df, dup, k=10).collect()
+    }
+    b = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs_df, single, k=10).collect()
+    }
+    assert a == b
+
+
+def test_bm25_max_df_fraction_prunes_stopwords(spark, docs_df, qterms_df):
+    # 'spark' appears in 3/5 docs (df 0.6); pruning at 0.5 must remove its
+    # contribution while 'dup' (df 0.2) survives.
+    got = bm25_topk(
+        docs_df, qterms_df, k=10, max_df_fraction=0.5
+    ).collect()
+    q10 = {r["doc_id"] for r in got if r["query_id"] == 10}
+    assert q10 == {5}  # only the 'dup' doc still matches query 10
+
+
+def test_more_like_this_excludes_self_and_ranks(spark, docs_df):
+    qdocs = docs_df.filter(F.col("doc_id") == 1)
+    rows = more_like_this(docs_df, qdocs, k=10).collect()
+    assert all(r["query_id"] == 1 for r in rows)
+    assert all(r["doc_id"] != 1 for r in rows)
+    # doc 4 shares join/window/merge with doc 1 — must outrank doc 3
+    # (no shared terms → absent entirely)
+    ids = {r["doc_id"] for r in rows}
+    assert 4 in ids and 3 not in ids
+    best = min(rows, key=lambda r: r["rank"])
+    assert best["doc_id"] == 4
+
+
+def test_rrf_matches_reference_and_handles_disjoint_legs(spark):
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3)],
+        schema="query_id bigint, doc_id bigint, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 101, 1), (1, 103, 2)],
+        schema="query_id bigint, doc_id bigint, rank int",
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    ref = {
+        100: 1 / 61,
+        101: 1 / 62 + 1 / 61,
+        102: 1 / 63,
+        103: 1 / 62,
+    }
+    assert set(got) == set(ref)
+    for d, s in ref.items():
+        assert got[d][0] == pytest.approx(round(s, 6), abs=1e-9)
+    # fused order: 101 (both legs) first, then 100, 103 (tie 1/62 broken
+    # by doc_id), then 102
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [101, 100, 103, 102]
+
+
+def test_rrf_requires_two_rankings(spark):
+    a = spark.createDataFrame(
+        [(1, 100, 1)], schema="query_id bigint, doc_id bigint, rank int"
+    )
+    with pytest.raises(ValueError):
+        rrf_fuse([a])

@@ -1,0 +1,156 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+Product-analytics operators over an event stream (the ClickHouse
+``windowFunnel`` / Amplitude-style surface, re-expressed as relational
+plans so DuckDB can replay them exactly):
+
+- :func:`funnel_steps` / :func:`funnel_counts` — strictly-ordered
+  multi-step funnel: a user completes step *k* at the earliest event of
+  type *k* that happens strictly after their step *k-1* completion.
+- :func:`cohort_retention` — classic cohort/retention matrix: users
+  cohorted by first-activity period, retention = fraction of the cohort
+  active again at each period offset.
+
+100 TB posture
+--------------
+Every stage projects down to (user, timestamp) pairs before any
+exchange — event payloads (props/value) never move. The funnel is one
+aggregate per step plus an equi-join per step transition, each join
+keyed on the user id with a 1-row-per-user build side (AQE broadcasts
+it when small; at extreme user counts it's a shuffle join of two
+id/ts-projected frames). Retention shuffles distinct (user, period)
+pairs — bounded by users × periods, not by raw event count. No windows,
+no per-user event collection, no Python.
+
+Determinism: timestamps compare exactly (microsecond integers under the
+hood); rates round to 6 decimals over exact BIGINT counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user first-completion time of each funnel step, long form.
+
+    Output: ``(user_id, step int (1-based), step_name, step_ts)`` — one
+    row per user per completed step. Strict ordering: step *k* counts
+    only events strictly later than the user's step *k-1* completion
+    (same-microsecond events do NOT advance the funnel; documented
+    tie-break, identical in the SQL twin).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out: DataFrame | None = None
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps, start=1):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("__ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("__ts").alias("step_ts"))
+        else:
+            cur = (
+                ev.join(prev.select("user_id", F.col("step_ts").alias("__prev")),
+                        "user_id")
+                .filter(F.col("__ts") > F.col("__prev"))
+                .groupBy("user_id")
+                .agg(F.min("__ts").alias("step_ts"))
+            )
+        leg = cur.select(
+            "user_id",
+            F.lit(i).cast("int").alias("step"),
+            F.lit(step).alias("step_name"),
+            "step_ts",
+        )
+        out = leg if out is None else out.unionByName(leg)
+        prev = cur
+    return out
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: ``(step, step_name, n_users, conversion)``.
+
+    ``conversion`` is the fraction of step-1 completers still present at
+    each step, rounded to 6 (exact BIGINT counts → one double divide).
+    """
+    per_step = funnel_steps(
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    counts = per_step.groupBy("step", "step_name").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    base = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("__base")
+    )
+    return (
+        counts.crossJoin(F.broadcast(base))  # 1-row scalar
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("__base"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cohort retention: ``(cohort_day, day_offset, n_active,
+    retention)``.
+
+    Users are cohorted by their first active calendar day; ``n_active``
+    counts distinct cohort users active again ``day_offset`` days later
+    (offset 0 is the cohort size itself). ``retention`` = n_active /
+    cohort size, rounded to 6.
+    """
+    activity = events.select(
+        F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("__day")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("__day").alias("cohort_day"))
+    joined = activity.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff("__day", "cohort_day").alias("day_offset"),
+    )
+    grid = joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    size = grid.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("__size")
+    )
+    return (
+        grid.join(F.broadcast(size), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("__size"), 6).alias(
+                "retention"
+            ),
+        )
+    )

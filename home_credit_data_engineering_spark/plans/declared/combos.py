@@ -57,6 +57,9 @@ from home_credit_data_engineering_spark.operators.quality import (
     split_valid_invalid,
 )
 from home_credit_data_engineering_spark.operators.sampling import keyset_page, paginate
+from home_credit_data_engineering_spark.plans.declared.events import (
+    FUNNEL_SQL_CTES as _FUNNEL_CTES,
+)
 from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
@@ -699,18 +702,43 @@ _GAP_SECONDS = 6 * 3600
     UNION ALL
     SELECT 'sessionize', MIN(ts), MAX(ts), COUNT(*)
     FROM sessions GROUP BY user_id, sid
-    """,
+    UNION ALL
+    SELECT 'funnel:' || step_name, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), n_users
+    FROM (
+      WITH __FUNNEL_CTES__,
+      steps AS (
+        SELECT user_id, 'view' AS step_name, step_ts FROM s1
+        UNION ALL SELECT user_id, 'click', step_ts FROM s2
+        UNION ALL SELECT user_id, 'purchase', step_ts FROM s3)
+      SELECT step_name, COUNT(*) AS n_users FROM steps GROUP BY 1) fn
+    UNION ALL
+    SELECT 'cohort', CAST(cohort_day AS TIMESTAMP),
+           CAST(active_day AS TIMESTAMP), n_active
+    FROM (
+      WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      first AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1)
+      SELECT f.cohort_day, a.day AS active_day,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN first f USING (user_id)
+      GROUP BY 1, 2) ch
+    """.replace("__FUNNEL_CTES__", _FUNNEL_CTES),
     operators=(
         "E-ext:tumbling", "E-ext:sliding", "E-ext:session-window",
-        "E-ext:sessionize",
+        "E-ext:sessionize", "E-ext:funnel", "E-ext:cohort",
     ),
     doc="Event-time windowing family in one union-tagged result: tumbling "
     "1-day windows, sliding 24h/12h windows, native session_window "
-    "sessions (end = last event + gap), and gaps-and-islands "
-    "sessionization (end = last event) — all per the same 6h gap. Combo "
-    "slot for window_tumbling + window_sliding + session_window_native + "
-    "sessionize_gap. Same operators run under Structured Streaming with "
-    "watermarks (tests/test_streaming.py).",
+    "sessions (end = last event + gap), gaps-and-islands sessionization "
+    "(end = last event) — all per the same 6h gap — plus the "
+    "behavioral-analytics legs: strictly-ordered view->click->purchase "
+    "funnel counts and the daily cohort-retention grid. Combo slot for "
+    "window_tumbling + window_sliding + session_window_native + "
+    "sessionize_gap + events_funnel + events_cohort_retention. The "
+    "windowing operators run under Structured Streaming with watermarks "
+    "(tests/test_streaming.py).",
 )
 def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.streaming.windows import (
@@ -752,7 +780,36 @@ def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").alias("window_end"),
         "n_events",
     )
-    return tumbling.unionByName(sliding).unionByName(session).unionByName(gaps)
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        cohort_retention,
+        funnel_counts,
+    )
+    from home_credit_data_engineering_spark.plans.declared.events import (
+        FUNNEL_STEPS,
+    )
+
+    funnel = funnel_counts(ev, FUNNEL_STEPS).select(
+        F.concat(F.lit("funnel:"), F.col("step_name")).alias("mode"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.lit(None).cast("timestamp").alias("window_end"),
+        F.col("n_users").alias("n_events"),
+    )
+    cohort = cohort_retention(ev).select(
+        F.lit("cohort").alias("mode"),
+        F.col("cohort_day").cast("timestamp").alias("window_start"),
+        F.date_add("cohort_day", F.col("day_offset"))
+        .cast("timestamp")
+        .alias("window_end"),
+        F.col("n_active").alias("n_events"),
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(session)
+        .unionByName(gaps)
+        .unionByName(funnel)
+        .unionByName(cohort)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,107 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=[],
         measures={"n_events": F.count(F.lit(1))},
     )
+
+
+#: Ordered funnel steps for the declared funnel queries (see
+#: operators/funnel.py). view -> click -> purchase over the synthetic
+#: event stream.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+#: SQL twin of operators/funnel.py:funnel_steps for FUNNEL_STEPS:
+#: s1 = min ts(view); s2 = min ts(click) strictly after s1;
+#: s3 = min ts(purchase) strictly after s2.
+FUNNEL_SQL_CTES = """
+    s1 AS (
+      SELECT user_id, MIN(ts) AS step_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS step_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.step_ts GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS step_ts
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.step_ts GROUP BY 1)
+"""
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH {FUNNEL_SQL_CTES},
+    steps AS (
+      SELECT user_id, 1 AS step, 'view' AS step_name, step_ts FROM s1
+      UNION ALL
+      SELECT user_id, 2, 'click', step_ts FROM s2
+      UNION ALL
+      SELECT user_id, 3, 'purchase', step_ts FROM s3),
+    counts AS (
+      SELECT step, step_name, COUNT(*) AS n_users
+      FROM steps GROUP BY 1, 2),
+    base AS (SELECT n_users AS b FROM counts WHERE step = 1)
+    SELECT CAST(step AS INTEGER) AS step, step_name, n_users,
+           ROUND(CAST(n_users AS DOUBLE) / base.b, 6) AS conversion
+    FROM counts CROSS JOIN base
+    """,
+    operators=("E-ext:funnel",),
+    doc="Strictly-ordered 3-step funnel view->click->purchase "
+    "(operators/funnel.py:funnel_counts; the ClickHouse windowFunnel / "
+    "product-analytics primitive as a relational plan): step k counts "
+    "the earliest type-k event strictly after the user's step k-1 "
+    "completion. One aggregate per step + one (user, ts)-projected "
+    "equi-join per transition — payloads never shuffle; conversion is "
+    "one double divide over exact counts.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return funnel_counts(ev, FUNNEL_STEPS).select(
+        "step", "step_name", "n_users", "conversion"
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1),
+    grid AS (
+      SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN first f USING (user_id)
+      GROUP BY 1, 2),
+    size AS (
+      SELECT cohort_day, n_active AS sz FROM grid WHERE day_offset = 0)
+    SELECT CAST(g.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(g.day_offset AS INTEGER) AS day_offset,
+           g.n_active,
+           ROUND(CAST(g.n_active AS DOUBLE) / s.sz, 6) AS retention
+    FROM grid g JOIN size s USING (cohort_day)
+    """,
+    operators=("E-ext:cohort",),
+    doc="Daily cohort retention matrix (operators/funnel.py:"
+    "cohort_retention): users cohorted by first active day, retention = "
+    "fraction active again at each day offset. Shuffles distinct "
+    "(user, day) pairs — bounded by users x days, not event volume; "
+    "cohort sizes broadcast back for the rate.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return cohort_retention(ev).select(
+        # DATE cells canonicalize differently across engines; the driver
+        # compare wants scalars with one textual form — ship ISO strings.
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "retention",
+    )

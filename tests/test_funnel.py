@@ -1,0 +1,111 @@
+"""Funnel / cohort-retention operators on hand-computable fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from home_credit_data_engineering_spark.operators.funnel import (
+    cohort_retention,
+    funnel_counts,
+    funnel_steps,
+)
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # u1 completes the full funnel in order
+        (1, _ts(1, 9), 1, "view"),
+        (2, _ts(1, 10), 1, "click"),
+        (3, _ts(2, 11), 1, "purchase"),
+        # u2: purchase BEFORE any view — must stop at step 1
+        (4, _ts(1, 8), 2, "purchase"),
+        (5, _ts(1, 9), 2, "view"),
+        # u3: view and click at the SAME timestamp — strict > excludes
+        # the click; funnel stops at step 1
+        (6, _ts(3, 9), 3, "view"),
+        (7, _ts(3, 9), 3, "click"),
+        # u4: view -> click, no purchase; also a later second view/click
+        # that must not matter (min semantics)
+        (8, _ts(1, 7), 4, "view"),
+        (9, _ts(1, 8), 4, "click"),
+        (10, _ts(5, 7), 4, "view"),
+        (11, _ts(5, 8), 4, "click"),
+        # u5 never views
+        (12, _ts(1, 9), 5, "click"),
+        (13, _ts(1, 10), 5, "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, schema="event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+
+def test_funnel_strict_ordering(spark, ev):
+    steps = {
+        (r["user_id"], r["step"]): r["step_ts"]
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    # u1: all three steps, at the planted times
+    assert steps[(1, 1)] == _ts(1, 9)
+    assert steps[(1, 2)] == _ts(1, 10)
+    assert steps[(1, 3)] == _ts(2, 11)
+    # u2: view only (purchase was before the view)
+    assert (2, 1) in steps and (2, 2) not in steps and (2, 3) not in steps
+    # u3: same-timestamp click does not advance (strict >)
+    assert (3, 1) in steps and (3, 2) not in steps
+    # u4: first view/click pair wins
+    assert steps[(4, 1)] == _ts(1, 7)
+    assert steps[(4, 2)] == _ts(1, 8)
+    assert (4, 3) not in steps
+    # u5: never enters the funnel
+    assert (5, 1) not in steps
+
+
+def test_funnel_counts_and_conversion(spark, ev):
+    rows = {r["step"]: r for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert rows[1]["n_users"] == 4  # u1..u4
+    assert rows[2]["n_users"] == 2  # u1, u4
+    assert rows[3]["n_users"] == 1  # u1
+    assert rows[1]["conversion"] == pytest.approx(1.0)
+    assert rows[2]["conversion"] == pytest.approx(0.5)
+    assert rows[3]["conversion"] == pytest.approx(0.25)
+
+
+def test_funnel_rejects_empty_steps(spark, ev):
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])
+
+
+def test_cohort_retention_grid(spark):
+    rows = [
+        # cohort A (day 1): u1 active days 1,2,4; u2 active day 1 only
+        (1, _ts(1), 1, "view"),
+        (2, _ts(2), 1, "view"),
+        (3, _ts(4), 1, "view"),
+        (4, _ts(1, 5), 2, "view"),
+        # cohort B (day 2): u3 active days 2 and 4
+        (5, _ts(2), 3, "view"),
+        (6, _ts(4), 3, "view"),
+        # duplicate same-day events must not double-count
+        (7, _ts(1, 6), 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-01", 3)] == (1, 0.5)
+    assert got[("2024-01-02", 0)] == (1, 1.0)
+    assert got[("2024-01-02", 2)] == (1, 1.0)
+    # no offset-2 row for cohort A (nobody active on day 3)
+    assert ("2024-01-01", 2) not in got

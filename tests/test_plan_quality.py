@@ -267,3 +267,19 @@ def test_rrf_fuses_rank_triples_only(spark, sf_dir):
         assert "embedding#" not in head, (
             f"embedding riding the fusion shuffle: {head}"
         )
+
+
+def test_funnel_and_cohort_shuffle_user_ts_metadata_only(spark, sf_dir):
+    # The funnel's per-transition joins and the cohort grid must move
+    # (user, ts/day) pairs only — event payloads (props, value) never
+    # ride an Exchange. At 100 TB the event stream is the big table;
+    # these plans keep it projector-narrow before every shuffle.
+    for name in ("events_funnel", "events_cohort_retention"):
+        plan = executed_plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        for head in _exchange_heads(plan):
+            assert "props#" not in head, f"{name}: payload in shuffle: {head}"
+            assert "value#" not in head or "n_" in head, (
+                f"{name}: payload in shuffle: {head}"
+            )

@@ -1,0 +1,118 @@
+"""Iterative graph analytics: PageRank (Brin & Page 1998).
+
+Complements the connected-components labeling in ``operators/dedup.py``
+with a centrality measure — the standard way to pick *representative*
+nodes (e.g. the canonical document inside a near-dup cluster, or the
+most systemically important account in a transaction graph).
+
+Fixed-iteration power method with damping and dangling-mass
+redistribution::
+
+    r_{k+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_k(u)/outdeg(u) + D_k/N )
+
+where ``D_k`` is the total rank of dangling (outdeg-0) nodes.
+
+Cross-engine exactness (the repo's decimal discipline): per-edge
+contributions round to 9 decimals and accumulate as DECIMAL(18,9)
+(order-independent), the dangling mass likewise; each new rank is ONE
+fixed double formula rounded to 9 — so a DuckDB replay that unrolls the
+same iterations is hash-identical (``plans/declared/graph.py``).
+
+100 TB posture: ranks and degrees are (node, number) pairs — payloads
+never enter the loop; each iteration is one equi-join (edge list × rank
+frame, both keyed on the node id) plus one aggregate, the classic Pregel
+schedule expressed relationally. The rank frame is localCheckpoint-ed
+per iteration (the connected-components pattern) so the plan does not
+grow with the iteration count. Skewed in-degree (celebrity nodes) is
+AQE skew-join territory on the contribution aggregate, same as hot
+tokens in ``operators/lm.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,9)"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_out: str = "node",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    ``edges`` rows are (src, dst); parallel edges act as weights (outdeg
+    counts every row) — pass distinct pairs for the classic unweighted
+    form. Output: ``(node, rank)`` with rank rounded to 9 decimals,
+    deterministic and engine-portable.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    # 1.0 - damping is interpolated into the SQL twin via repr() — both
+    # engines parse the SAME double, avoiding the 1-ulp trap where
+    # `1.0 - 0.85` != the literal `0.15`.
+    omd = 1.0 - damping
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    base = (
+        nodes.join(deg.withColumnRenamed("__src", "node"), "node", "left")
+        .select("node", F.coalesce("__deg", F.lit(0)).cast("bigint").alias("__deg"))
+        .persist()
+    )
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    ranks = base.crossJoin(F.broadcast(stats)).select(
+        "node",
+        "__deg",
+        "__n",
+        F.round(F.lit(1.0) / F.col("__n"), 9).alias("rank"),
+    )
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
+        contrib = e.join(
+            ranks.select(F.col("node").alias("__src"), "__deg", "rank"), "__src"
+        ).select(
+            F.col("__dst").alias("node"),
+            F.round(F.col("rank") / F.col("__deg"), 9).cast(_DEC).alias("__c"),
+        )
+        recv = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        dang = ranks.filter(F.col("__deg") == 0).agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank"), 9).cast(_DEC)),
+                F.lit(0).cast(_DEC),
+            ).alias("__dg")
+        )
+        ranks = (
+            base.crossJoin(F.broadcast(stats))
+            .join(recv, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "__deg",
+                "__n",
+                F.round(
+                    F.lit(omd) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__s"), F.lit(0).cast(_DEC)).cast(
+                            "double"
+                        )
+                        + F.col("__dg").cast("double") / F.col("__n")
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("node").alias(id_out), "rank")

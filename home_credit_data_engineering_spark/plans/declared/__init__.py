@@ -7,6 +7,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     corpus_prep,
     dedup,
     events,
+    graph,
     io_roundtrip,
     medallion,
     multimodal,

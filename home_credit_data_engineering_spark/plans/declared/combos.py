@@ -60,6 +60,12 @@ from home_credit_data_engineering_spark.operators.sampling import keyset_page, p
 from home_credit_data_engineering_spark.plans.declared.events import (
     FUNNEL_SQL_CTES as _FUNNEL_CTES,
 )
+from home_credit_data_engineering_spark.plans.declared.graph import (
+    pagerank_sql_ctes as _pagerank_sql_ctes,
+)
+
+#: PageRank CTE chain over the near-dup graph (combo_dedup_near leg).
+_PAGERANK_CTES = _pagerank_sql_ctes("pr_edges", iterations=3, damping=0.85)
 from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
@@ -1385,7 +1391,7 @@ _SH_SIG_SQL = " + ".join(
              lead(tok, 2) OVER w AS last_lead
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
-    grams AS (
+    grams AS MATERIALIZED (
       SELECT DISTINCT doc_id, md5(gram) AS gh
       FROM grams_all WHERE last_lead IS NOT NULL
     ),
@@ -1424,7 +1430,7 @@ _SH_SIG_SQL = " + ".join(
       JOIN sizes nb ON nb.doc_id = c.doc_b
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     ),
-    minhash_kept AS (SELECT * FROM minhash_leg WHERE value >= 0.2),
+    minhash_kept AS MATERIALIZED (SELECT * FROM minhash_leg WHERE value >= 0.2),
     tokh AS (SELECT doc_id, md5(tok) AS h FROM toks),
     sums AS (
       SELECT doc_id, COUNT(*) AS n,
@@ -1452,9 +1458,14 @@ _SH_SIG_SQL = " + ".join(
       FROM sim_pairs
       WHERE bit_count(sa + sb - 2 * (sa & sb)) <= 3
     ),
-    und AS (
-      SELECT doc_a AS a, doc_b AS b FROM minhash_kept
-      UNION SELECT doc_b, doc_a FROM minhash_kept
+    und AS MATERIALIZED (
+      -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
+      -- DuckDB gives ANY top-level-UNION CTE append semantics (no
+      -- dedup). Safe here only because doc_a < doc_b makes the branches
+      -- disjoint — made explicit so a refactor can't break it.
+      SELECT DISTINCT a, b FROM (
+        SELECT doc_a AS a, doc_b AS b FROM minhash_kept
+        UNION ALL SELECT doc_b, doc_a FROM minhash_kept) u
     ),
     reach(node, m) AS (
       SELECT a, a FROM und
@@ -1465,12 +1476,18 @@ _SH_SIG_SQL = " + ".join(
       SELECT 'cluster' AS method, node AS doc_a, MIN(m) AS doc_b,
              CAST(NULL AS DOUBLE) AS value
       FROM reach GROUP BY node
-    )
+    ),
+    pr_edges AS (SELECT a AS src, b AS dst FROM und),
+    {_PAGERANK_CTES}
     SELECT method, doc_a, doc_b, value FROM minhash_kept
     UNION ALL SELECT method, doc_a, doc_b, value FROM simhash_leg
     UNION ALL SELECT method, doc_a, doc_b, value FROM cluster_leg
+    UNION ALL SELECT 'pagerank', node, CAST(NULL AS BIGINT), rank FROM pr_r3
     """,
-    operators=("D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster"),
+    operators=(
+        "D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster",
+        "G-ext:pagerank",
+    ),
     doc="Signature-based near-dup families, union-tagged and — new in r3 "
     "— FULLY oracle-verified via cross-engine md5 signatures (the "
     "winnowing_md5 recipe): MinHash(32)+LSH(8 bands) with exact Jaccard "
@@ -1517,7 +1534,27 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("doc_b"),
         F.lit(None).cast("double").alias("value"),
     )
-    return minhash.unionByName(simhash).unionByName(clusters)
+    # PageRank centrality over the same verified near-dup graph
+    # (symmetrized edges) — the representative-selection signal that
+    # complements the min-id component labels.
+    from home_credit_data_engineering_spark.operators.graph import pagerank
+
+    sym = minhash_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        minhash_pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    ranks = pagerank(sym, iterations=3, damping=0.85).select(
+        F.lit("pagerank").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.col("rank").alias("value"),
+    )
+    return (
+        minhash.unionByName(simhash).unionByName(clusters).unionByName(ranks)
+    )
 
 
 # ---------------------------------------------------------------------------

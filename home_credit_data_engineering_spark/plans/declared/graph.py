@@ -1,0 +1,112 @@
+"""Graph-analytics declared queries (PageRank over TPC-H's trade graph).
+
+The SQL twin unrolls the same fixed-iteration power method the Spark
+operator runs (``operators/graph.py:pagerank``) — per-edge contributions
+round to 9 and accumulate as DECIMAL(18,9), each new rank is one fixed
+double formula rounded to 9, so both engines produce bit-identical
+ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+def pagerank_sql_ctes(
+    edges_cte: str, iterations: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled-iteration PageRank CTE chain over ``edges_cte(src, dst)``.
+
+    Final relation: ``pr_r{iterations}(node, deg, rank)``. The damping
+    literals are interpolated via ``repr()`` so both engines parse the
+    exact double the Spark operator uses (``1.0 - damping`` in IEEE is
+    NOT the literal ``0.15``).
+    """
+    omd, d = repr(1.0 - damping), repr(damping)
+    parts = [
+        f"""
+    pr_deg AS (SELECT src AS node, COUNT(*) AS deg FROM {edges_cte} GROUP BY 1),
+    pr_nodes AS (
+      -- DISTINCT-over-UNION-ALL, not a bare UNION: inside a WITH
+      -- RECURSIVE block DuckDB treats ANY top-level-UNION CTE with
+      -- recursive (append) semantics, silently dropping the dedup —
+      -- combo_dedup_near hosts this chain under WITH RECURSIVE.
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM {edges_cte}
+        UNION ALL SELECT dst FROM {edges_cte}) pr_n),
+    pr_base AS (SELECT n.node, COALESCE(d.deg, 0) AS deg
+                FROM pr_nodes n LEFT JOIN pr_deg d USING (node)),
+    pr_stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pr_base),
+    pr_r0 AS (SELECT node, deg, ROUND(1.0 / s.n, 9) AS rank
+              FROM pr_base CROSS JOIN pr_stats s)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    pr_c{k} AS (
+      SELECT e.dst AS node,
+             CAST(ROUND(r.rank / r.deg, 9) AS DECIMAL(18,9)) AS c
+      FROM {edges_cte} e JOIN pr_r{p} r ON e.src = r.node),
+    pr_recv{k} AS (SELECT node, SUM(c) AS s FROM pr_c{k} GROUP BY 1),
+    pr_dang{k} AS (
+      SELECT COALESCE(SUM(CAST(ROUND(rank, 9) AS DECIMAL(18,9))),
+                      CAST(0 AS DECIMAL(18,9))) AS dg
+      FROM pr_r{p} WHERE deg = 0),
+    pr_r{k} AS (
+      SELECT b.node, b.deg,
+             ROUND({omd} / s.n + {d} * (CAST(COALESCE(v.s, 0) AS DOUBLE)
+                   + CAST(g.dg AS DOUBLE) / s.n), 9) AS rank
+      FROM pr_base b LEFT JOIN pr_recv{k} v USING (node)
+      CROSS JOIN pr_stats s CROSS JOIN pr_dang{k} g)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pr_edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    {pagerank_sql_ctes("pr_edges", iterations=3, damping=0.85)}
+    SELECT node, rank FROM pr_r3
+    """,
+    operators=("G-ext:pagerank",),
+    doc="Fixed-iteration PageRank (operators/graph.py:pagerank; 3 "
+    "iterations, damping 0.85, dangling-mass redistribution) over the "
+    "supplier->customer trade graph (distinct ship edges from "
+    "lineitem x orders; customers are dangling sinks, exercising the "
+    "redistribution term). Ranks and degrees are (node, number) pairs "
+    "through every iteration — one equi-join + one aggregate per round, "
+    "the Pregel schedule expressed relationally; DECIMAL(18,9) "
+    "contribution sums make the result hash-identical to the unrolled "
+    "SQL power method.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import pagerank
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3, damping=0.85).select("node", "rank")

@@ -283,3 +283,14 @@ def test_funnel_and_cohort_shuffle_user_ts_metadata_only(spark, sf_dir):
             assert "value#" not in head or "n_" in head, (
                 f"{name}: payload in shuffle: {head}"
             )
+
+
+def test_pagerank_no_python_no_cartesian(spark, sf_dir):
+    # Each PageRank iteration must stay JVM-side: an equi-join of the
+    # edge list against the (node, deg, rank) frame plus a decimal
+    # aggregate — never a Python eval, never a cartesian; the 1-row
+    # stats/dangling frames ride broadcasts.
+    plan = executed_plan(spark, sf_dir, "graph_pagerank")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

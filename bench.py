@@ -75,6 +75,14 @@ def main() -> None:
         # real BPE token counts (Arrow-batched merge loop, narrow scan)
         "text_trigram_backoff_ppl",
         "text_bpe_real_token_count",
+        # r6 retrieval/graph/behavioral surface: BM25 (postings semi-join
+        # + decimal agg), hybrid RRF fusion (two top-k legs), 3-iteration
+        # PageRank over the trade graph, ordered funnel + cohort grid
+        "text_bm25_topk",
+        "sim_hybrid_rrf",
+        "graph_pagerank",
+        "events_funnel",
+        "events_cohort_retention",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -67,6 +67,12 @@ SCALED_QUERIES = (
     # the grid join side is constant — expect near-linear in the scan)
     "text_line_dedup",
     "text_nb_lang_classify",
+    # r6: BM25 over the 10x postings stream (fixed term panel — the
+    # semi-join keeps only matching postings, expect near-linear) and
+    # 3-iteration PageRank over the 10x trade graph (per-iteration cost
+    # is one edge join + one aggregate — expect ~linear in edges)
+    "text_bm25_topk",
+    "graph_pagerank",
     # substring-span machinery. The replica cache repeats each document's
     # TEXT verbatim (ids shift, text doesn't), so every window is
     # duplicated and each document collapses to one whole-doc span — the

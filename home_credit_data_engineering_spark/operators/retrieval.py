@@ -98,6 +98,32 @@ def bm25_scores(
     )
 
     dls, scalars = _corpus_stats(docs, id_col, text_col)
+    per_pair = _score_postings(
+        tf, df_counts, dls, scalars, qterms,
+        k1=k1, b=b, max_df_fraction=max_df_fraction,
+    )
+    return per_pair.select(
+        F.col("__q").alias(query_id_col),
+        F.col("__doc").alias(id_col),
+        "score",
+    )
+
+
+def _score_postings(
+    tf: DataFrame,
+    df_counts: DataFrame,
+    dls: DataFrame,
+    scalars: DataFrame,
+    qterms: DataFrame,
+    *,
+    k1: float,
+    b: float,
+    max_df_fraction: float,
+) -> DataFrame:
+    """Shared BM25 scorer over prepared frames: ``tf(__doc, __term,
+    __tf)``, ``df_counts(__term, __df)``, ``dls(__doc, __dl)``,
+    ``scalars(__n_docs, __avgdl)`` (1 row), ``qterms(__q, __term)``.
+    Returns ``(__q, __doc, score)``."""
     scored = (
         tf.join(F.broadcast(df_counts), "__term")
         .join(dls, "__doc")
@@ -132,15 +158,10 @@ def bm25_scores(
             9,
         ).cast("decimal(18,9)"),
     )
-    per_pair = (
+    return (
         contrib.join(F.broadcast(qterms), "__term")
         .groupBy("__q", "__doc")
         .agg(F.round(F.sum("__contrib").cast("double"), 6).alias("score"))
-    )
-    return per_pair.select(
-        F.col("__q").alias(query_id_col),
-        F.col("__doc").alias(id_col),
-        "score",
     )
 
 
@@ -274,4 +295,161 @@ def rrf_fuse(
             "rrf_score",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical index (the postings tables as corpus state)
+# ---------------------------------------------------------------------------
+
+
+def term_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Deterministic term → partition bucket (xxhash64 mod n)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    output: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Tokenize ONCE and persist the BM25 corpus state.
+
+    Layout (all parquet):
+
+    - ``postings/`` — (term, doc_id, tf) partitioned by
+      ``bucket = xxhash64(term) % n_buckets``: query-time scans
+      partition-prune to the query terms' buckets (the IVF-cell trick
+      applied to a lexical index).
+    - ``df/`` — (term, df) under the same bucket partitioning.
+    - ``doclens/`` — (doc_id, dl).
+    - ``stats/`` — one row (n_docs, avgdl).
+
+    At 100 TB this is the honest production shape: the corpus is
+    tokenized once per ingest (not per query batch), and a query touches
+    |query-term buckets| / n_buckets of the postings — the same pruning
+    contract as the IVF index (plan-asserted in tests).
+    """
+    toks = _postings(docs, id_col, text_col)
+    tf = toks.groupBy("__doc", "__term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    (
+        tf.select(
+            F.col("__term").alias("term"),
+            F.col("__doc").alias("doc_id"),
+            "tf",
+            term_bucket("__term", n_buckets).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{output}/postings")
+    )
+    dfc = toks.groupBy("__term").agg(
+        F.countDistinct("__doc").cast("double").alias("df")
+    )
+    (
+        dfc.select(
+            F.col("__term").alias("term"),
+            "df",
+            term_bucket("__term", n_buckets).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{output}/df")
+    )
+    dls, scalars = _corpus_stats(docs, id_col, text_col)
+    dls.select(F.col("__doc").alias("doc_id"), F.col("__dl").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{output}/doclens")
+    scalars.select(
+        F.col("__n_docs").alias("n_docs"), F.col("__avgdl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{output}/stats")
+
+
+def bm25_query_index(
+    spark,
+    index_path: str,
+    query_terms: DataFrame,
+    k: int = 5,
+    *,
+    n_buckets: int = 64,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 1.0,
+) -> DataFrame:
+    """Top-k BM25 from a persisted index — identical results to
+    :func:`bm25_topk` over the same corpus (asserted in tests).
+
+    The query terms' bucket set is computed driver-side (the panel is
+    small by contract) and pushed into the postings/df scans as a
+    partition filter — only the matching buckets' files are read.
+    """
+    qterms = (
+        query_terms.select(
+            F.col(query_id_col).alias("__q"), F.col(term_col).alias("__term")
+        )
+        .distinct()
+    )
+    buckets = sorted(
+        {
+            r["__b"]
+            for r in qterms.select(
+                term_bucket("__term", n_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    term_panel = qterms.select("__term").distinct()
+
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .join(
+            F.broadcast(term_panel.withColumnRenamed("__term", "term")), "term"
+        )
+    )
+    tf = postings.select(
+        F.col("doc_id").alias("__doc"),
+        F.col("term").alias("__term"),
+        F.col("tf").alias("__tf"),
+    )
+    dfc = (
+        spark.read.parquet(f"{index_path}/df")
+        .filter(F.col("bucket").isin(buckets))
+        .join(
+            F.broadcast(term_panel.withColumnRenamed("__term", "term")), "term"
+        )
+        .select(F.col("term").alias("__term"), F.col("df").alias("__df"))
+    )
+    dls = spark.read.parquet(f"{index_path}/doclens").select(
+        F.col("doc_id").alias("__doc"), F.col("dl").alias("__dl")
+    )
+    scalars = spark.read.parquet(f"{index_path}/stats").select(
+        F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
+    )
+    scored = _score_postings(
+        tf, dfc, dls, scalars, qterms,
+        k1=k1, b=b, max_df_fraction=max_df_fraction,
+    ).select(
+        F.col("__q").alias(query_id_col),
+        F.col("__doc").alias("doc_id"),
+        "score",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
     )

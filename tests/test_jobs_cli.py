@@ -692,3 +692,52 @@ def test_ann_index_job_opq_mode(spark, sf_dir, tmp_path):
 
     with _pytest.raises(SystemExit):
         ann_main(["--input", src, "--output", str(tmp_path / "x"), "--opq"])
+
+
+def test_bm25_index_job_build_and_query(spark, sf_dir, tmp_path, capsys):
+    """Build the lexical index via the CLI, then query it: the top hit for
+    the rare planted term must contain that term, and ranks print 1..k."""
+    from home_credit_data_engineering_spark.jobs import bm25_index as job
+
+    idx = str(tmp_path / "bm25_cli_idx")
+    rc = job.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--index", idx,
+        "--n-buckets", "8",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(f"{idx}/postings") and os.path.isdir(f"{idx}/stats")
+
+    rc = job.main([
+        "--index", idx,
+        "--n-buckets", "8",
+        "--query-terms", "dup", "spark",
+        "--k", "3",
+    ])
+    assert rc == 0
+    out = [
+        line for line in capsys.readouterr().out.splitlines()
+        if line and line[0].isdigit()
+    ]
+    assert 1 <= len(out) <= 3
+    ranks = [int(line.split("\t")[0]) for line in out]
+    assert ranks == list(range(1, len(out) + 1))
+    # the rank-1 document must actually contain the rare term 'dup'
+    top_doc = int(out[0].split("\t")[1])
+    import duckdb
+
+    txt = duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id = {top_doc}"
+    ).fetchone()[0]
+    assert "dup" in txt.split()
+
+
+def test_bm25_index_job_build_requires_input(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs import bm25_index as job
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        job.main(["--index", str(tmp_path / "nope")])

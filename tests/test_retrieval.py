@@ -160,3 +160,64 @@ def test_rrf_requires_two_rankings(spark):
     )
     with pytest.raises(ValueError):
         rrf_fuse([a])
+
+
+def test_bm25_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    # Persisted-index retrieval must be row-identical to the in-memory
+    # operator over the same corpus, and the postings scan must
+    # partition-prune to the query terms' hash buckets.
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_query_index,
+        bm25_topk,
+        build_bm25_index,
+    )
+    from home_credit_data_engineering_spark.plans.declared.retrieval import (
+        bm25_panel_df,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, idx, n_buckets=16)
+
+    panel = bm25_panel_df(spark)
+    from_index = bm25_query_index(spark, idx, panel, k=5, n_buckets=16)
+    in_memory = bm25_topk(docs, panel, k=5)
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in from_index.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in in_memory.collect()
+    )
+    assert a == b and len(a) > 0
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bm25_index_max_df_applies_at_query_time(spark, sf_dir, tmp_path):
+    # max_df pruning is a QUERY-time knob over the persisted df table —
+    # the same index serves strict and lenient retrieval.
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_query_index,
+        build_bm25_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_idx2")
+    build_bm25_index(docs, idx, n_buckets=8)
+    qt = spark.createDataFrame(
+        [(0, "dup"), (0, "the")], schema="query_id bigint, term string"
+    )
+    lenient = bm25_query_index(spark, idx, qt, k=1000, n_buckets=8)
+    strict = bm25_query_index(
+        spark, idx, qt, k=1000, n_buckets=8, max_df_fraction=0.2
+    )
+    # 'the' is stopword-grade (df >> 20%); 'dup' is rare. Strict mode
+    # must return a subset: only docs containing 'dup'.
+    assert strict.count() < lenient.count()
+    assert strict.count() > 0

@@ -41,6 +41,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Per-user first-completion time of each funnel step, long form.
 
@@ -48,7 +49,14 @@ def funnel_steps(
     row per user per completed step. Strict ordering: step *k* counts
     only events strictly later than the user's step *k-1* completion
     (same-microsecond events do NOT advance the funnel; documented
-    tie-break, identical in the SQL twin).
+    tie-break, identical in the SQL twin). With ``within_seconds`` set,
+    every step must additionally land within that horizon of the user's
+    STEP-1 completion (ClickHouse ``windowFunnel`` semantics, inclusive
+    bound).
+
+    Greedy caveat (shared with windowFunnel): the chain anchors on the
+    EARLIEST step-1 event — a user whose later step-1 occurrence would
+    complete the funnel inside the horizon is not re-anchored.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -60,13 +68,21 @@ def funnel_steps(
         )
         if prev is None:
             cur = ev.groupBy("user_id").agg(F.min("__ts").alias("step_ts"))
+            cur = cur.select("user_id", "step_ts", F.col("step_ts").alias("__t1"))
         else:
-            cur = (
-                ev.join(prev.select("user_id", F.col("step_ts").alias("__prev")),
-                        "user_id")
-                .filter(F.col("__ts") > F.col("__prev"))
-                .groupBy("user_id")
-                .agg(F.min("__ts").alias("step_ts"))
+            joined = ev.join(
+                prev.select(
+                    "user_id", F.col("step_ts").alias("__prev"), "__t1"
+                ),
+                "user_id",
+            ).filter(F.col("__ts") > F.col("__prev"))
+            if within_seconds is not None:
+                joined = joined.filter(
+                    F.col("__ts").cast("double")
+                    <= F.col("__t1").cast("double") + F.lit(float(within_seconds))
+                )
+            cur = joined.groupBy("user_id", "__t1").agg(
+                F.min("__ts").alias("step_ts")
             )
         leg = cur.select(
             "user_id",
@@ -86,6 +102,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Funnel summary: ``(step, step_name, n_users, conversion)``.
 
@@ -93,7 +110,8 @@ def funnel_counts(
     each step, rounded to 6 (exact BIGINT counts → one double divide).
     """
     per_step = funnel_steps(
-        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col,
+        within_seconds=within_seconds,
     )
     counts = per_step.groupBy("step", "step_name").agg(
         F.count(F.lit(1)).alias("n_users")

@@ -109,3 +109,34 @@ def test_cohort_retention_grid(spark):
     assert got[("2024-01-02", 2)] == (1, 1.0)
     # no offset-2 row for cohort A (nobody active on day 3)
     assert ("2024-01-01", 2) not in got
+
+
+def test_funnel_within_horizon(spark, ev):
+    # windowFunnel semantics: with a 26h horizon from step-1, u1's
+    # purchase (day 2, 11:00 — 26h after the day-1 09:00 view) is ON the
+    # inclusive bound and counts; with a 25h horizon it does not, while
+    # the click (1h after the view) still does.
+    from home_credit_data_engineering_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    steps26 = {
+        (r["user_id"], r["step"])
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], within_seconds=26 * 3600
+        ).collect()
+    }
+    assert (1, 3) in steps26
+    steps25 = {
+        (r["user_id"], r["step"])
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], within_seconds=25 * 3600
+        ).collect()
+    }
+    assert (1, 2) in steps25 and (1, 3) not in steps25
+    # horizon never ADDS completions
+    unconstrained = {
+        (r["user_id"], r["step"])
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert steps26 <= unconstrained and steps25 <= steps26

@@ -61,11 +61,14 @@ from home_credit_data_engineering_spark.plans.declared.events import (
     FUNNEL_SQL_CTES as _FUNNEL_CTES,
 )
 from home_credit_data_engineering_spark.plans.declared.graph import (
+    hits_sql_ctes as _hits_sql_ctes,
     pagerank_sql_ctes as _pagerank_sql_ctes,
 )
 
-#: PageRank CTE chain over the near-dup graph (combo_dedup_near leg).
+#: PageRank / HITS CTE chains over the near-dup graph
+#: (combo_dedup_near legs).
 _PAGERANK_CTES = _pagerank_sql_ctes("pr_edges", iterations=3, damping=0.85)
+_HITS_CTES = _hits_sql_ctes("pr_edges", iterations=3)
 from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
@@ -1478,15 +1481,17 @@ _SH_SIG_SQL = " + ".join(
       FROM reach GROUP BY node
     ),
     pr_edges AS (SELECT a AS src, b AS dst FROM und),
-    {_PAGERANK_CTES}
+    {_PAGERANK_CTES},
+    {_HITS_CTES}
     SELECT method, doc_a, doc_b, value FROM minhash_kept
     UNION ALL SELECT method, doc_a, doc_b, value FROM simhash_leg
     UNION ALL SELECT method, doc_a, doc_b, value FROM cluster_leg
     UNION ALL SELECT 'pagerank', node, CAST(NULL AS BIGINT), rank FROM pr_r3
+    UNION ALL SELECT 'hits', node, CAST(NULL AS BIGINT), hub FROM ht_h3
     """,
     operators=(
         "D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster",
-        "G-ext:pagerank",
+        "G-ext:pagerank", "G-ext:hits",
     ),
     doc="Signature-based near-dup families, union-tagged and — new in r3 "
     "— FULLY oracle-verified via cross-engine md5 signatures (the "
@@ -1539,6 +1544,8 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complements the min-id component labels.
     from home_credit_data_engineering_spark.operators.graph import pagerank
 
+    from home_credit_data_engineering_spark.operators.graph import hits
+
     sym = minhash_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -1552,8 +1559,20 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("doc_b"),
         F.col("rank").alias("value"),
     )
+    # HITS on the symmetric near-dup graph — toward eigenvector
+    # centrality (hub and authority differ at finite iterations; the
+    # leg carries the hub score, oracle-verified exactly).
+    centrality = hits(sym, iterations=3).select(
+        F.lit("hits").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.col("hub").alias("value"),
+    )
     return (
-        minhash.unionByName(simhash).unionByName(clusters).unionByName(ranks)
+        minhash.unionByName(simhash)
+        .unionByName(clusters)
+        .unionByName(ranks)
+        .unionByName(centrality)
     )
 
 

@@ -110,3 +110,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iterations=3, damping=0.85).select("node", "rank")
+
+
+def hits_sql_ctes(edges_cte: str, iterations: int = 3) -> str:
+    """Unrolled HITS CTE chain over ``edges_cte(src, dst)``. Final
+    relations: ``ht_h{iterations}(node, hub)`` and
+    ``ht_a{iterations}(node, authority)``."""
+    parts = [
+        f"""
+    ht_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM {edges_cte}
+        UNION ALL SELECT dst FROM {edges_cte}) ht_n0),
+    ht_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ht_nodes),
+    ht_h0 AS (SELECT node, ROUND(1.0 / s.n, 9) AS hub
+              FROM ht_nodes CROSS JOIN ht_n s)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    ht_a{k}_raw AS (
+      SELECT e.dst AS node,
+             SUM(CAST(ROUND(h.hub, 9) AS DECIMAL(18,9))) AS raw
+      FROM {edges_cte} e JOIN ht_h{p} h ON e.src = h.node GROUP BY 1),
+    ht_a{k}_tot AS (
+      SELECT COALESCE(SUM(raw), CAST(0 AS DECIMAL(18,9))) AS tot
+      FROM ht_a{k}_raw),
+    ht_a{k} AS (
+      SELECT n.node,
+             ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE), 9) AS authority
+      FROM ht_nodes n LEFT JOIN ht_a{k}_raw r USING (node)
+      CROSS JOIN ht_a{k}_tot t),
+    ht_h{k}_raw AS (
+      SELECT e.src AS node,
+             SUM(CAST(ROUND(a.authority, 9) AS DECIMAL(18,9))) AS raw
+      FROM {edges_cte} e JOIN ht_a{k} a ON e.dst = a.node GROUP BY 1),
+    ht_h{k}_tot AS (
+      SELECT COALESCE(SUM(raw), CAST(0 AS DECIMAL(18,9))) AS tot
+      FROM ht_h{k}_raw),
+    ht_h{k} AS (
+      SELECT n.node,
+             ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE), 9) AS hub
+      FROM ht_nodes n LEFT JOIN ht_h{k}_raw r USING (node)
+      CROSS JOIN ht_h{k}_tot t)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH pr_edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    {hits_sql_ctes("pr_edges", iterations=3)}
+    SELECT h.node, h.hub, a.authority
+    FROM ht_h3 h JOIN ht_a3 a USING (node)
+    """,
+    operators=("G-ext:hits",),
+    doc="Fixed-iteration HITS (operators/graph.py:hits; Kleinberg JACM "
+    "1999) over the supplier->customer trade graph: suppliers are pure "
+    "hubs, customers pure authorities (bipartite), L1-normalized each "
+    "half-step. Same exact-decimal/fixed-formula discipline as "
+    "graph_pagerank, so both engines produce bit-identical scores.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import hits
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=3).select("node", "hub", "authority")

@@ -70,3 +70,38 @@ def test_negative_iterations_rejected(spark):
     df = spark.createDataFrame([("a", "b")], schema="src string, dst string")
     with pytest.raises(ValueError):
         pagerank(df, iterations=-1)
+
+
+def test_hits_bipartite_and_symmetric(spark):
+    from home_credit_data_engineering_spark.operators.graph import hits
+
+    # bipartite: a,b point at x,y — a/b are pure hubs, x/y pure
+    # authorities; b (2 out-edges) out-hubs a (1)
+    edges = [("a", "x"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, 3).collect()}
+    assert got["a"][1] == 0.0 and got["b"][1] == 0.0
+    assert got["x"][0] == 0.0 and got["y"][0] == 0.0
+    assert got["b"][0] > got["a"][0]
+    assert got["x"][1] > got["y"][1]  # x has 2 in-edges
+    # L1 normalization: hubs sum to ~1, authorities sum to ~1
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    # symmetric REGULAR graph (triangle): hub == authority == 1/3
+    # exactly at every iteration. (General symmetric graphs only agree
+    # in the limit, and bipartite ones oscillate — the classic
+    # power-iteration caveat, documented on the operator.)
+    tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")]
+    df2 = spark.createDataFrame(tri, schema="src string, dst string")
+    for r in hits(df2, 3).collect():
+        assert r["hub"] == pytest.approx(1 / 3, abs=2e-9), r
+        assert r["authority"] == pytest.approx(1 / 3, abs=2e-9), r
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from home_credit_data_engineering_spark.operators.graph import hits
+
+    df = spark.createDataFrame([("a", "b")], schema="src string, dst string")
+    with pytest.raises(ValueError):
+        hits(df, 0)

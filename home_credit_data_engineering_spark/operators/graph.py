@@ -59,9 +59,14 @@ def pagerank(
     # engines parse the SAME double, avoiding the 1-ulp trap where
     # `1.0 - 0.85` != the literal `0.15`.
     omd = 1.0 - damping
+    # The edge list feeds one join PER ITERATION (plus degree/node
+    # builds) — persist it for the loop's duration, else an expensive
+    # upstream (e.g. the lineitem x orders build) re-executes every
+    # round. Both persists are released before returning: the final
+    # rank frame is localCheckpoint-ed, severing the lineage.
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).persist()
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("__src").alias("node"))
@@ -116,6 +121,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    ranks = ranks.localCheckpoint(eager=True)
+    base.unpersist()
+    e.unpersist()
     return ranks.select(F.col("node").alias(id_out), "rank")
 
 
@@ -146,9 +154,12 @@ def hits(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # persist the edge list for the loop (2 joins per iteration) and
+    # release both persists before returning — the final frames are
+    # localCheckpoint-ed, severing the lineage.
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -194,6 +205,9 @@ def hits(
         auths = _push(hubs, "hub", "__src", "__dst", "authority")
         auths = auths.localCheckpoint(eager=True)
         hubs = _push(auths, "authority", "__dst", "__src", "hub")
+    hubs = hubs.localCheckpoint(eager=True)
+    nodes.unpersist()
+    e.unpersist()
     return (
         hubs.join(auths, "node")
         .select(F.col("node").alias(id_out), "hub", "authority")

@@ -206,6 +206,15 @@ def main() -> None:
             result["queries_scaled_spread"] = scaled["spread"]
             result["verdicts_scaled"] = scaled.get("verdicts", {})
             result["value_scaled"] = round(sum(scaled["queries"].values()), 3)
+        else:
+            # A failed scaled leg must be VISIBLE in the artifact — a
+            # silently missing section reads as "not run" (r6: a stale
+            # replica cache missing a newly-needed table failed here and
+            # the result JSON gave no hint).
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            result["scaled_error"] = " | ".join(tail[-3:]) or (
+                f"bench_scaled exited {proc.returncode}"
+            )
 
     line = json.dumps(result)
     # The driver captures only the tail of stdout (r4's headline metric

@@ -93,7 +93,7 @@ SCALED_QUERIES = (
     "sim_ivf_topk",
 )
 
-_TABLES_NEEDED = ("lineitem", "documents", "embeddings")
+_TABLES_NEEDED = ("lineitem", "orders", "documents", "embeddings")
 
 
 def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:
@@ -268,10 +268,20 @@ def build_scaled_cache(
 
     out = _cache_dir(sf_dir, replicas)
     marker = os.path.join(out, "_BENCH_CACHE_OK")
+    # Table-aware validation: a cache built by an older bench (smaller
+    # _TABLES_NEEDED) is extended in place — only missing tables build.
+    have = set()
     if os.path.exists(marker):
-        return out
+        have = {
+            t for t in _TABLES_NEEDED
+            if os.path.isdir(os.path.join(out, f"{t}.parquet"))
+        }
+        if have >= set(_TABLES_NEEDED):
+            return out
     os.makedirs(out, exist_ok=True)
     for table in _TABLES_NEEDED:
+        if table in have:
+            continue
         base = read_testdata(spark, sf_dir, table)
         shifts = _ID_SHIFTS.get(table, {})
         parts: list[DataFrame] = []

@@ -45,6 +45,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     id_out: str = "node",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -52,6 +53,10 @@ def pagerank(
     counts every row) — pass distinct pairs for the classic unweighted
     form. Output: ``(node, rank)`` with rank rounded to 9 decimals,
     deterministic and engine-portable.
+
+    ``checkpoint=False`` keeps the full lineage (no localCheckpoint, no
+    persists released) — for plan inspection and tests; production runs
+    leave it on so the plan cannot grow with the iteration count.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -86,7 +91,8 @@ def pagerank(
         F.round(F.lit(1.0) / F.col("__n"), 9).alias("rank"),
     )
     for _ in range(iterations):
-        ranks = ranks.localCheckpoint(eager=True)
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = e.join(
             ranks.select(F.col("node").alias("__src"), "__deg", "rank"), "__src"
         ).select(
@@ -121,9 +127,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    ranks = ranks.localCheckpoint(eager=True)
-    base.unpersist()
-    e.unpersist()
+    if checkpoint:
+        ranks = ranks.localCheckpoint(eager=True)
+        base.unpersist()
+        e.unpersist()
     return ranks.select(F.col("node").alias(id_out), "rank")
 
 

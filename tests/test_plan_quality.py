@@ -289,8 +289,28 @@ def test_pagerank_no_python_no_cartesian(spark, sf_dir):
     # Each PageRank iteration must stay JVM-side: an equi-join of the
     # edge list against the (node, deg, rank) frame plus a decimal
     # aggregate — never a Python eval, never a cartesian; the 1-row
-    # stats/dangling frames ride broadcasts.
-    plan = executed_plan(spark, sf_dir, "graph_pagerank")
+    # stats/dangling frames ride broadcasts. The production path
+    # localCheckpoints per iteration (the final plan is just a
+    # checkpointed-RDD scan), so the gate runs with checkpoint=False to
+    # keep the whole iteration lineage visible.
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.graph import pagerank
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    df = pagerank(edges, iterations=2, checkpoint=False)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -73,6 +73,10 @@ SCALED_QUERIES = (
     # is one edge join + one aggregate — expect ~linear in edges)
     "text_bm25_topk",
     "graph_pagerank",
+    # hybrid RRF: both legs are per-query top-k (GEMM leg linear in the
+    # 10x corpus, MLT leg linear in matched postings); fusion itself is
+    # rank-triple-sized and should stay invisible in the curve
+    "sim_hybrid_rrf",
     # substring-span machinery. The replica cache repeats each document's
     # TEXT verbatim (ids shift, text doesn't), so every window is
     # duplicated and each document collapses to one whole-doc span — the

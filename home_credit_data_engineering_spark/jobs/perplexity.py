@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # Validate BEFORE routing (ADVICE r6: `--order 0` / negative values
+    # silently fell through the `order > 1` check into unigram scoring).
+    if args.order != 1 and not 2 <= args.order <= 6:
+        raise SystemExit(
+            f"--order must be 1 (unigram) or 2-6 (backoff); got {args.order}"
+        )
     order = 2 if args.bigram else args.order
     if args.bigram and args.order > 1 and args.order != 2:
         raise SystemExit("--bigram conflicts with --order; use one")

@@ -150,6 +150,14 @@ def nb_score(
     territory), one (doc, label) aggregate, plus a tiny OOV branch
     (anti-join against the vocab, labels cross-joined at
     labels-cardinality cost).
+
+    The output universe is EVERY scored document with ≥1 token × every
+    label (distinct doc ids cross-joined with the broadcast label
+    frame): a document whose tokens are ALL out-of-vocabulary — wrong
+    language, emoji-only, a new domain, exactly what a lang-id or
+    quality gate meets in the wild — still scores
+    ``logprior + n_oov·oov_logp`` per label instead of silently
+    vanishing (VERDICT r6 #1; only zero-token documents are absent).
     """
     doc_tok = _doc_tokens(docs, id_col, text_col)
     tok_model = model["tokens"]
@@ -174,20 +182,28 @@ def nb_score(
         .groupBy("doc_id")
         .agg(F.sum("__cnt").alias("__n_oov"))
     )
+    # (doc, label) universe: labels is tiny (a handful of classes) and
+    # broadcast, so the cross join costs one narrow distinct over the
+    # already-aggregated (doc, token) frame — nothing new shuffles.
+    universe = doc_tok.select("doc_id").distinct().crossJoin(
+        F.broadcast(labels)
+    )
     # SUM(decimal(29,9)) widens to decimal(38,9); adding the prior at
     # that width would overflow precision 38 and Spark silently REDUCES
     # SCALE to fit (observed: decimal(38,7) — a 1e-8 score error).
     # |logp| < 50 and counts < 1e9 bound |sum| < 1e11, so decimal(28,9)
     # holds it losslessly and the additions stay inside precision 38.
     scored = (
-        per_label.join(oov, "doc_id", "left")
-        .join(labels, "label")
+        universe.join(per_label, ["doc_id", "label"], "left")
+        .join(oov, "doc_id", "left")
         .select(
             "doc_id",
             "label",
             (
                 F.col("logprior")
-                + F.col("__ll").cast("decimal(28,9)")
+                + F.coalesce(
+                    F.col("__ll"), F.lit(0).cast("decimal(38,9)")
+                ).cast("decimal(28,9)")
                 + (
                     F.coalesce(F.col("__n_oov"), F.lit(0)).cast(
                         "decimal(10,0)"
@@ -195,7 +211,10 @@ def nb_score(
                     * F.col("oov_logp")
                 ).cast("decimal(28,9)")
             ).alias("score"),
-            (F.col("__n_iv") + F.coalesce(F.col("__n_oov"), F.lit(0)))
+            (
+                F.coalesce(F.col("__n_iv"), F.lit(0))
+                + F.coalesce(F.col("__n_oov"), F.lit(0))
+            )
             .cast("bigint")
             .alias("n_tokens"),
         )
@@ -213,7 +232,8 @@ def nb_predict(
     ties broken to the lexicographically smallest label (deterministic,
     engine-portable: scores are exact decimals, so the argmax is a pure
     comparison, never a float race). Documents with zero tokens are
-    absent (no evidence to score)."""
+    absent (no evidence to score); all-OOV documents ARE present,
+    scored on the OOV floor (see :func:`nb_score`)."""
     scored = nb_score(docs, model, id_col, text_col)
     best = F.min(F.struct((-F.col("score")).alias("ns"), F.col("label")))
     return (

@@ -798,12 +798,24 @@ def minhash_dedup_collapsed(
     # alternate the slot — acceptable for a bounded-leak guarantee.
     members = keyed.join(rep_of, "__fp").select("__m", "__rep", "__gsz")
     app_id = df.sparkSession.sparkContext.applicationId
+    # Evict only entries from OTHER (stopped) sessions (ADVICE r6: the
+    # unconditional sweep made two interleaved collapsed pipelines in
+    # one session thrash each other's cache); the current session keeps
+    # its one live entry, replaced below — still a bounded leak.
     for old_key, old in list(_COLLAPSED_MEMBERS_PERSISTED.items()):
+        if old_key == app_id:
+            continue
         try:
             old.unpersist()
         except Exception:  # noqa: BLE001 — stale handle from a stopped session
             pass
         del _COLLAPSED_MEMBERS_PERSISTED[old_key]
+    prev = _COLLAPSED_MEMBERS_PERSISTED.pop(app_id, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     members = members.persist(StorageLevel.MEMORY_AND_DISK)
     _COLLAPSED_MEMBERS_PERSISTED[app_id] = members
     reps = df.join(

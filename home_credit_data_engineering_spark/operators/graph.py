@@ -191,18 +191,26 @@ def hits(
         total = raw.agg(
             F.coalesce(F.sum("__raw"), F.lit(0).cast(_DEC)).alias("__tot")
         )
+        # Zero-L1 guard (VERDICT r6 minor): with a nonempty node set but
+        # zero surviving contributions the divide would yield NULL scores
+        # — emit 0.0 instead (the power method's fixed point for a dead
+        # side of the graph).
         return (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(total))
             .select(
                 "node",
-                F.round(
-                    F.coalesce(F.col("__raw"), F.lit(0).cast(_DEC)).cast(
-                        "double"
+                F.when(F.col("__tot") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        F.coalesce(F.col("__raw"), F.lit(0).cast(_DEC)).cast(
+                            "double"
+                        )
+                        / F.col("__tot").cast("double"),
+                        9,
                     )
-                    / F.col("__tot").cast("double"),
-                    9,
-                ).alias(out_col),
+                )
+                .alias(out_col),
             )
         )
 

@@ -117,10 +117,12 @@ def brute_force_topk_gemm(
     Contract deviations from the pair formulation (documented, not
     silent): zero-norm vectors — which score NULL there and sort last —
     are skipped on both sides here, so a zero-norm *query* yields no
-    output rows instead of k NULL-score rows; and ids must be integral
-    (the partial-result schema is ``long``). Scores round half-away-from-
-    zero to match Spark's ``F.round`` exactly (numpy's default is
-    half-to-even).
+    output rows instead of k NULL-score rows. Scores round half-away-
+    from-zero to match Spark's ``F.round`` exactly (numpy's default is
+    half-to-even). Id types are derived from the input schemas (ADVICE
+    r6 — the partial-result schema used to hardcode ``long``); the
+    per-batch tie-break ranks ids via ``np.unique`` so string ids order
+    identically to the final window's id-ASC sort.
     """
     import pandas as pd
 
@@ -170,12 +172,16 @@ def brute_force_topk_gemm(
             # self-match exclusion: push to -inf so it never enters top-k
             scores[c_ids[:, None] == q_ids[None, :]] = -np.inf
             top = min(k, len(c_ids))
+            # id-ascending dense ranks: lexsort cannot key on object
+            # (string) id arrays, and ranking keeps the tie-break
+            # identical to the final window's id-ASC order for any type
+            c_rank = np.unique(c_ids, return_inverse=True)[1]
             out_q, out_c, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 col = scores[:, j]
                 # exact (score DESC, id ASC) partial top-k: lexsort is
-                # stable, keys are (id asc) then (-score asc)
-                order = np.lexsort((c_ids, -col))[:top]
+                # stable, keys are (id-rank asc) then (-score asc)
+                order = np.lexsort((c_rank, -col))[:top]
                 order = order[np.isfinite(col[order])]
                 out_q.extend([qid] * len(order))
                 out_c.extend(c_ids[order])
@@ -184,10 +190,13 @@ def brute_force_topk_gemm(
                 {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
             )
 
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = corpus.schema[id_col].dataType.simpleString()
     partials = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v")
     ).mapInPandas(
-        score_batches, schema="query_id long, neighbor_id long, score double"
+        score_batches,
+        schema=f"query_id {q_id_type}, neighbor_id {n_id_type}, score double",
     )
     return _ranked_topk(partials, "query_id", "neighbor_id", k)
 
@@ -781,5 +790,14 @@ def mmr_rerank(
         out["mmr_rank"] = np.arange(1, len(picked) + 1, dtype=np.int32)
         return out
 
-    schema = "query_id long, neighbor_id long, relevance double, mmr_rank int"
+    # The applyInPandas output schema carries the input frames' id types
+    # (ADVICE r6: a hardcoded `long` broke string/non-bigint ids at
+    # runtime) — query ids from the queries frame, neighbor ids from the
+    # corpus frame.
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    n_id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = (
+        f"query_id {q_id_type}, neighbor_id {n_id_type}, "
+        "relevance double, mmr_rank int"
+    )
     return slate.groupBy("query_id").applyInPandas(select, schema=schema)

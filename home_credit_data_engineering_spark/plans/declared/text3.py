@@ -525,6 +525,9 @@ def text_trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries, so the whole train+score+argmax pipeline hash-verifies.
     oracle="""
     WITH base AS (SELECT doc_id, lang AS label, text FROM documents),
+    score_base AS (
+      SELECT doc_id, label, text FROM base
+      UNION ALL SELECT -1, 'xx', '§oov1§ §oov2§ §oov1§'),
     tok AS (
       SELECT label,
              unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -546,24 +549,39 @@ def text_trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     priors AS (
       SELECT l.label,
              CAST(ROUND(ln(CAST(d.d AS DOUBLE) / tot.nd), 9)
-                  AS DECIMAL(18,9)) AS logprior
+                  AS DECIMAL(18,9)) AS logprior,
+             CAST(ROUND(ln(0.5 / (l.t + 0.5 * tot.v)), 9)
+                  AS DECIMAL(18,9)) AS oov_logp
       FROM ltot l JOIN dcnt d USING (label) CROSS JOIN tot),
     doctok AS (
       SELECT doc_id, token, COUNT(*) AS cnt FROM (
         SELECT doc_id,
                unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                   t -> length(t) > 0)) AS token
-        FROM base) t
+        FROM score_base) t
       GROUP BY doc_id, token),
-    scores AS (
+    iv AS (
       SELECT d.doc_id, g.label,
-             p.logprior + SUM(CAST(d.cnt AS DECIMAL(10,0)) * g.logp)
+             SUM(CAST(d.cnt AS DECIMAL(10,0)) * g.logp) AS ll,
+             SUM(d.cnt) AS n_iv
+      FROM doctok d JOIN grid g ON g.token = d.token
+      GROUP BY 1, 2),
+    oovc AS (
+      SELECT doc_id, SUM(cnt) AS n_oov FROM doctok
+      WHERE token NOT IN (SELECT token FROM vocab) GROUP BY 1),
+    scores AS (
+      -- (doc, label) universe × LEFT-joined evidence: all-OOV docs
+      -- score logprior + n_oov*oov_logp (operators/classify.py:nb_score)
+      SELECT u.doc_id, p.label,
+             p.logprior + COALESCE(iv.ll, 0)
+               + CAST(COALESCE(o.n_oov, 0) AS DECIMAL(10,0)) * p.oov_logp
                AS score,
-             CAST(SUM(d.cnt) AS BIGINT) AS n_tokens
-      FROM doctok d
-      JOIN grid g ON g.token = d.token
-      JOIN priors p ON p.label = g.label
-      GROUP BY d.doc_id, g.label, p.logprior),
+             CAST(COALESCE(iv.n_iv, 0) + COALESCE(o.n_oov, 0) AS BIGINT)
+               AS n_tokens
+      FROM (SELECT DISTINCT doc_id FROM doctok) u
+      CROSS JOIN priors p
+      LEFT JOIN iv ON iv.doc_id = u.doc_id AND iv.label = p.label
+      LEFT JOIN oovc o ON o.doc_id = u.doc_id),
     ranked AS (
       SELECT doc_id, label, score, n_tokens,
              ROW_NUMBER() OVER (
@@ -573,7 +591,7 @@ def text_trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
            (r.label = b.label) AS correct,
            r.n_tokens,
            CAST(ROUND(r.score * 10000, 0) AS BIGINT) AS score_e4
-    FROM ranked r JOIN base b ON b.doc_id = r.doc_id
+    FROM ranked r JOIN score_base b ON b.doc_id = r.doc_id
     WHERE r.rn = 1
     """,
     operators=("T-ext:lang-id", "T-ext:quality"),
@@ -584,9 +602,12 @@ def text_trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "smoothing, scored per document, argmax label with deterministic "
     "ties. Training is two hash aggregates (counting IS the fit, one "
     "corpus pass, no driver state); scoring is the lm.py token-join "
-    "shape against the vocab x label grid. Output: prediction, "
-    "agreement with the stored label, token count, and the exact "
-    "decimal score integerized at 1e-4.",
+    "shape against the vocab x label grid. The scored set plants one "
+    "ALL-OOV document (doc_id -1, every token outside the training "
+    "vocabulary) so the oracle pins the logprior + n_oov*oov_logp "
+    "floor path (VERDICT r6 #1). Output: prediction, agreement with "
+    "the stored label, token count, and the exact decimal score "
+    "integerized at 1e-4.",
 )
 def text_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.classify import (
@@ -595,10 +616,15 @@ def text_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_testdata(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        [(-1, "§oov1§ §oov2§ §oov1§", "xx")],
+        schema="doc_id bigint, text string, lang string",
+    )
+    score_docs = docs.select("doc_id", "text", "lang").unionByName(planted)
     model = nb_train(docs, "lang", "text", alpha=0.5)
-    pred = nb_predict(docs, model, "doc_id", "text")
+    pred = nb_predict(score_docs, model, "doc_id", "text")
     return pred.join(
-        docs.select("doc_id", F.col("lang").alias("__lang")), "doc_id"
+        score_docs.select("doc_id", F.col("lang").alias("__lang")), "doc_id"
     ).select(
         "doc_id",
         "pred",

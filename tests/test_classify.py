@@ -94,6 +94,7 @@ def test_nb_scores_unseen_text_with_oov_floor(spark):
         [
             (100, "the cat zzz qqq www"),       # 2 in-vocab en + 3 OOV
             (101, "der hund xxx"),               # de evidence + 1 OOV
+            (102, "zzz qqq zzz"),                # ALL-OOV (VERDICT r6 #1)
         ],
         "doc_id long, text string",
     )
@@ -103,16 +104,28 @@ def test_nb_scores_unseen_text_with_oov_floor(spark):
     }
     assert out[100][0] == "en" and out[100][1] == 5
     assert out[101][0] == "de" and out[101][1] == 3
+    # the all-OOV doc must NOT vanish: it scores logprior + 3*oov_logp
+    # per label and predicts deterministically
+    assert 102 in out and out[102][1] == 3
 
     ref_model, vocab = _py_nb(TRAIN)
     got = {
         (r["doc_id"], r["label"]): float(r["score"])
         for r in nb_score(new, model, "doc_id", "text").collect()
     }
-    for doc_id, text in [(100, "the cat zzz qqq www"), (101, "der hund xxx")]:
+    cases = [
+        (100, "the cat zzz qqq www"),
+        (101, "der hund xxx"),
+        (102, "zzz qqq zzz"),
+    ]
+    for doc_id, text in cases:
         want = _py_score(ref_model, vocab, text)
         for label, s in want.items():
             assert got[(doc_id, label)] == pytest.approx(s, abs=1e-9)
+    # argmax over the floor scores matches the python reference too
+    want102 = _py_score(ref_model, vocab, "zzz qqq zzz")
+    best102 = min(sorted(want102), key=lambda l: (-want102[l], l))
+    assert out[102][0] == best102
 
 
 def test_nb_guards(spark):

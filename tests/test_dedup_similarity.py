@@ -1028,3 +1028,24 @@ def test_mmr_rerank_matches_python_reference(clustered_vectors):
         mmr_rerank(emb, queries, k=5, candidates=3)
     with _pytest.raises(ValueError, match="lambda"):
         mmr_rerank(emb, queries, k=2, candidates=5, lambda_=1.5)
+
+
+def test_mmr_rerank_supports_string_ids(clustered_vectors):
+    """ADVICE r6: the applyInPandas schema derives id types from the
+    input frames instead of hardcoding bigint."""
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = clustered_vectors.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    queries = emb.filter(F.col("vec_id").isin("v0", "v25"))
+    rows = mmr_rerank(emb, queries, k=3, candidates=8).collect()
+    assert rows and all(
+        isinstance(r["query_id"], str) and isinstance(r["neighbor_id"], str)
+        for r in rows
+    )

@@ -515,6 +515,12 @@ def test_perplexity_job_end_to_end(spark, tmp_path):
     with _pytest.raises(SystemExit):
         ppl_main(["--input", src, "--output", str(tmp_path / "x3"),
                   "--order", "3", "--counts-out", str(tmp_path / "y3")])
+    # ADVICE r6: out-of-range orders must error, not silently score
+    # unigram (a `--order -3` typo used to fall through the order>1 check)
+    for bad in ("0", "-3", "7"):
+        with _pytest.raises(SystemExit):
+            ppl_main(["--input", src, "--output", str(tmp_path / "x4"),
+                      "--order", bad])
 
 
 def test_ann_index_job_pq_modes(spark, sf_dir, tmp_path):

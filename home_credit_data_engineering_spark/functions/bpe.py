@@ -178,6 +178,76 @@ def with_bpe_token_count(
     return df.withColumn(out_col, bpe_token_count_col(text_col, merges))
 
 
+def vocab_from_merges(
+    merges: list[tuple[str, str]] | None = None,
+) -> dict[str, int]:
+    """Deterministic symbol → token-id vocabulary implied by a merges
+    table (the GPT-2 convention): ids 0-255 are the 256 base byte
+    symbols with ``id = byte value`` under :func:`bytes_to_unicode`,
+    and each merge's concatenated symbol gets ``256 + rank``. A pure
+    function of the merges list, so the SAME merges file always yields
+    the SAME ids on every engine and run. (If two merge rules produced
+    an identical concatenated string — which a well-formed BPE table
+    never does — the later rank would win, still deterministically.)"""
+    vocab = {_BYTE_MAP[b]: b for b in range(256)}
+    for i, (left, right) in enumerate(merges if merges is not None else load_merges()):
+        vocab[left + right] = 256 + i
+    return vocab
+
+
+def bpe_encode_ids(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+    _cache: dict[str, tuple[str, ...]] | None = None,
+) -> list[int]:
+    """Pure-Python reference: :func:`bpe_encode` mapped through the
+    merges-implied vocabulary — the token-ID sequence a trainer
+    consumes. The UDF and the packed-corpus tests verify against THIS."""
+    return [vocab[s] for s in bpe_encode(text, ranks, _cache)]
+
+
+def bpe_token_ids_col(
+    text_col: Column | str, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """``array<int>`` column of REAL BPE token ids for ``text_col``
+    under ``merges`` (default: the pinned fixture). Arrow-batched
+    pandas UDF with the same per-batch unit memo as
+    :func:`bpe_token_count_col`; NULL text encodes to an empty array.
+    ``size()`` of this column equals ``bpe_token_count_col`` by
+    construction — the count operators and the packed-corpus writer
+    budget in the same unit."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = merges if merges is not None else load_merges()
+    ranks = merge_ranks(m)
+    vocab = vocab_from_merges(m)
+
+    @pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        cache: dict[str, tuple[str, ...]] = {}
+        return s.map(
+            lambda t: []
+            if t is None
+            else [vocab[sym] for sym in bpe_encode(t, ranks, cache)]
+        )
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _ids(c)
+
+
+def with_bpe_token_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_token_ids",
+) -> DataFrame:
+    """``df`` plus the real token-ID sequence column — the input to
+    ``operators/packing.py:packed_corpus_frame`` / the packed-shard
+    writer."""
+    return df.withColumn(out_col, bpe_token_ids_col(text_col, merges))
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str,

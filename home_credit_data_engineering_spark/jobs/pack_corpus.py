@@ -1,0 +1,102 @@
+"""Packed-corpus writer job CLI (``operators/packing.py:
+write_packed_corpus``): documents parquet → trainer-facing packed
+shards — one row per (shard, bin) with the concatenated BPE token-ID
+sequence, member doc ids, sizes, and start offsets, parquet partitioned
+by shard.
+
+The last mile of the training-data pipeline (VERDICT r6 missing #1):
+encode real BPE token ids (pinned merges fixture by default, or
+``--merges``), FFD whole-document bin assignment at ``--budget`` tokens
+(documents longer than the budget raise — chop first with the chunking
+job), then per-bin concatenation in FFD's deterministic order.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Pack documents into token-ID training shards"
+    )
+    parser.add_argument("--input", required=True, help="documents parquet path")
+    parser.add_argument("--output", required=True, help="packed shards path")
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--ids-col",
+                        help="pre-encoded array<int> token-id column "
+                        "(skips the BPE pass; mutually exclusive with "
+                        "--text-col encoding)")
+    parser.add_argument("--budget", type=int, required=True,
+                        help="tokens per training sequence (bin capacity)")
+    parser.add_argument("--merges", help="merges file (default = the pinned "
+                        "fixture)")
+    parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--run-log", help="JSONL run-log path (optional)")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.budget < 1:
+        raise SystemExit(f"--budget must be >= 1, got {args.budget}")
+    from home_credit_data_engineering_spark import get_session
+    from home_credit_data_engineering_spark.functions.bpe import load_merges
+    from home_credit_data_engineering_spark.operators.packing import (
+        write_packed_corpus,
+    )
+    from home_credit_data_engineering_spark.runlog import append_run_log
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+
+    spark = get_session(app_name="corpus-pack")
+    docs = read_parquet(spark, args.input)
+    merges = load_merges(args.merges) if args.merges else None
+    if args.ids_col:
+        write_packed_corpus(
+            docs, args.id_col, args.output, args.budget,
+            ids_col=args.ids_col, shards=args.shards, seed=args.seed,
+        )
+    else:
+        write_packed_corpus(
+            docs, args.id_col, args.output, args.budget,
+            text_col=args.text_col, merges=merges,
+            shards=args.shards, seed=args.seed,
+        )
+
+    packed = spark.read.parquet(args.output)
+    n_bins = packed.count()
+    from pyspark.sql import functions as F
+
+    stats = packed.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("n_tokens").alias("max_bin"),
+    ).collect()[0]
+    if stats["max_bin"] is not None and stats["max_bin"] > args.budget:
+        raise SystemExit(
+            f"packed output violates budget: max bin {stats['max_bin']} "
+            f"> {args.budget}"
+        )
+    if args.run_log:
+        append_run_log(
+            args.run_log,
+            {
+                "job": "pack_corpus",
+                "n_bins": n_bins,
+                "n_docs": int(stats["docs"] or 0),
+                "n_tokens": int(stats["tokens"] or 0),
+                "budget": args.budget,
+                "shards": args.shards,
+            },
+        )
+    print(
+        f"pack_corpus: {int(stats['docs'] or 0)} documents -> {n_bins} bins "
+        f"({int(stats['tokens'] or 0)} tokens, budget {args.budget})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -11,6 +11,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     io_roundtrip,
     medallion,
     multimodal,
+    packed,
     relational_ext,
     retrieval,
     similarity,

@@ -17,12 +17,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from home_credit_data_engineering_spark.plans.declared.packed import (
+    _PLANTED_VALUES as _PACKC_VALUES,
+    planted_packed_df,
+)
 from home_credit_data_engineering_spark.plans.declared.text2 import (
     _BPE_REAL_CTES,
     _bpe_real_df,
 )
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+#: Planted packed-corpus bins (import-time python-reference expectation,
+#: see plans/declared/packed.py) — the combo's `packc` leg.
+_PACKC_CTES = f"""
+    packc_planted(shard, bin_id, n_docs, n_tokens, ids_md5, starts_md5)
+      AS (VALUES
+      {_PACKC_VALUES})
+"""
 
 _SPAN_K = 8
 _PACK_BUDGET = 512
@@ -472,7 +484,8 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PPL_CTES},
     {_SURV_CTES},
     {_BPE_REAL_CTES},
-    {_LINE_CTES}
+    {_LINE_CTES},
+    {_PACKC_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -523,6 +536,11 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
       FROM documents
     ) pw_combo WHERE n >= 1 GROUP BY shard
+    UNION ALL
+    SELECT 'packc', CAST(shard AS BIGINT), CAST(bin_id AS BIGINT),
+           CAST(n_docs AS BIGINT), CAST(n_tokens AS BIGINT), 1, NULL, NULL,
+           ids_md5 || ':' || starts_md5
+    FROM packc_planted
     """,
     operators=(
         "T-ext:substring-dedup",
@@ -535,6 +553,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "D-ext:survivor-policy",
         "T-ext:bpe-real",
         "T-ext:line-dedup",
+        "T-ext:packed-corpus",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
@@ -700,6 +719,19 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bins_within_2x").cast("bigint").alias("k5"),
                 b.alias("k6"),
                 s.alias("s"),
+            )
+        )
+        .unionByName(
+            planted_packed_df(spark).select(
+                F.lit("packc").alias("kind"),
+                F.col("shard").cast("bigint").alias("doc_id"),
+                F.col("bin_id").cast("bigint").alias("k1"),
+                F.col("n_docs").alias("k2"),
+                F.col("n_tokens").alias("k3"),
+                F.col("ok").cast("bigint").alias("k4"),
+                b.alias("k5"),
+                b.alias("k6"),
+                F.concat_ws(":", "ids_md5", "starts_md5").alias("s"),
             )
         )
     )

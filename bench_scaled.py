@@ -43,6 +43,12 @@ _ID_SHIFTS: dict[str, dict[str, int]] = {
 SCALED_QUERIES = (
     "q1_pricing_summary",
     "w1_latest_per_key",
+    # r7 (VERDICT r6 missing #2): behavioral queries over the 10x events
+    # replica — user_id/event_id shift per replica, so funnel user
+    # counts and cohort grids scale 10x; the per-transition equi-join
+    # chain and the retention grid should track near-linear
+    "events_funnel",
+    "events_cohort_retention",
     # near-linear narrow plans (chunking has zero exchanges, packing and
     # mixing shuffle metadata only — mixing via the two-level sharded
     # cumsum, so it should be near-flat at 10x)
@@ -73,6 +79,12 @@ SCALED_QUERIES = (
     # is one edge join + one aggregate — expect ~linear in edges)
     "text_bm25_topk",
     "graph_pagerank",
+    # r7: HITS over the same 10x trade graph (two half-step pushes per
+    # iteration — expect ~2x the PageRank curve shape, still sublinear
+    # in edges) and query-by-document BM25 (fixed query panel, so cost
+    # scales with matched postings, not the corpus)
+    "graph_hits",
+    "text_more_like_this",
     # hybrid RRF: both legs are per-query top-k (GEMM leg linear in the
     # 10x corpus, MLT leg linear in matched postings); fusion itself is
     # rank-triple-sized and should stay invisible in the curve
@@ -97,7 +109,7 @@ SCALED_QUERIES = (
     "sim_ivf_topk",
 )
 
-_TABLES_NEEDED = ("lineitem", "orders", "documents", "embeddings")
+_TABLES_NEEDED = ("lineitem", "orders", "documents", "embeddings", "events")
 
 
 def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:

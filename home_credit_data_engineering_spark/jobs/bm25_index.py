@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--query-terms", nargs="*", default=None,
                         help="query mode: terms for ONE query; prints "
                         "top-k (doc_id, score) and exits")
+    parser.add_argument("--more-like", nargs="*", type=int, default=None,
+                        help="query mode: doc ids; reads their text from "
+                        "--input and ranks related documents from the "
+                        "index (index-backed MoreLikeThis)")
     parser.add_argument("--k", type=int, default=5)
     parser.add_argument("--k1", type=float, default=1.2)
     parser.add_argument("--b", type=float, default=0.75)
@@ -31,16 +35,39 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if args.query_terms is None and not args.input:
+    if args.query_terms is not None and args.more_like is not None:
+        raise SystemExit("--query-terms and --more-like are exclusive")
+    if args.more_like is not None and not args.input:
+        raise SystemExit("--more-like needs --input (the query docs' text)")
+    if args.query_terms is None and args.more_like is None and not args.input:
         raise SystemExit("build mode needs --input")
     from home_credit_data_engineering_spark import get_session
     from home_credit_data_engineering_spark.operators.retrieval import (
         bm25_query_index,
         build_bm25_index,
+        more_like_this_index,
     )
     from home_credit_data_engineering_spark.sources.readers import read_parquet
 
     spark = get_session(app_name="bm25-index")
+    if args.more_like is not None:
+        from pyspark.sql import functions as F
+
+        qdocs = read_parquet(spark, args.input).filter(
+            F.col(args.id_col).isin(args.more_like)
+        )
+        top = more_like_this_index(
+            spark, args.index, qdocs, k=args.k,
+            id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.n_buckets, k1=args.k1, b=args.b,
+            max_df_fraction=args.max_df_fraction,
+        )
+        for row in top.orderBy("query_id", "rank").collect():
+            print(
+                f"{row['query_id']}\t{row['rank']}\t{row['doc_id']}\t"
+                f"{row['score']}"
+            )
+        return 0
     if args.query_terms is not None:
         qt = spark.createDataFrame(
             [(0, t) for t in args.query_terms],

@@ -373,26 +373,24 @@ def build_bm25_index(
     ).write.mode("overwrite").parquet(f"{output}/stats")
 
 
-def bm25_query_index(
+def _index_scores(
     spark,
     index_path: str,
     query_terms: DataFrame,
-    k: int = 5,
     *,
-    n_buckets: int = 64,
-    query_id_col: str = "query_id",
-    term_col: str = "term",
-    k1: float = 1.2,
-    b: float = 0.75,
-    max_df_fraction: float = 1.0,
+    n_buckets: int,
+    query_id_col: str,
+    term_col: str,
+    k1: float,
+    b: float,
+    max_df_fraction: float,
 ) -> DataFrame:
-    """Top-k BM25 from a persisted index — identical results to
-    :func:`bm25_topk` over the same corpus (asserted in tests).
-
-    The query terms' bucket set is computed driver-side (the panel is
-    small by contract) and pushed into the postings/df scans as a
-    partition filter — only the matching buckets' files are read.
-    """
+    """Shared index-backed scorer: (query_id, doc_id, score) from the
+    persisted postings. The query terms' bucket set is computed
+    driver-side (the panel is small by contract) and pushed into the
+    postings/df scans as a partition filter — only the matching
+    buckets' files are read, so query cost scales with |query-term
+    buckets|, not corpus size."""
     qterms = (
         query_terms.select(
             F.col(query_id_col).alias("__q"), F.col(term_col).alias("__term")
@@ -437,7 +435,7 @@ def bm25_query_index(
     scalars = spark.read.parquet(f"{index_path}/stats").select(
         F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
     )
-    scored = _score_postings(
+    return _score_postings(
         tf, dfc, dls, scalars, qterms,
         k1=k1, b=b, max_df_fraction=max_df_fraction,
     ).select(
@@ -445,7 +443,84 @@ def bm25_query_index(
         F.col("__doc").alias("doc_id"),
         "score",
     )
+
+
+def bm25_query_index(
+    spark,
+    index_path: str,
+    query_terms: DataFrame,
+    k: int = 5,
+    *,
+    n_buckets: int = 64,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 1.0,
+) -> DataFrame:
+    """Top-k BM25 from a persisted index — identical results to
+    :func:`bm25_topk` over the same corpus (asserted in tests)."""
+    scored = _index_scores(
+        spark,
+        index_path,
+        query_terms,
+        n_buckets=n_buckets,
+        query_id_col=query_id_col,
+        term_col=term_col,
+        k1=k1,
+        b=b,
+        max_df_fraction=max_df_fraction,
+    )
     w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def more_like_this_index(
+    spark,
+    index_path: str,
+    query_docs: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_fraction: float = 1.0,
+    include_self: bool = False,
+) -> DataFrame:
+    """Query-by-document BM25 against a PERSISTED index (VERDICT r6 #5):
+    identical results to :func:`more_like_this` over the corpus the
+    index was built from (asserted in tests), but only the query docs
+    are tokenized per call — the corpus postings are read back from the
+    bucketed index with partition pruning to the query terms' buckets.
+    The serving shape for "related documents" at 100 TB: per-query cost
+    tracks |query-term buckets|, not corpus size.
+    """
+    qterms = query_docs.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    scored = _index_scores(
+        spark,
+        index_path,
+        qterms,
+        n_buckets=n_buckets,
+        query_id_col="query_id",
+        term_col="term",
+        k1=k1,
+        b=b,
+        max_df_fraction=max_df_fraction,
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (

@@ -221,3 +221,86 @@ def test_bm25_index_max_df_applies_at_query_time(spark, sf_dir, tmp_path):
     # must return a subset: only docs containing 'dup'.
     assert strict.count() < lenient.count()
     assert strict.count() > 0
+
+
+def test_more_like_this_index_matches_direct_form(spark, sf_dir, tmp_path):
+    """VERDICT r6 #5: the index-backed MoreLikeThis must be
+    row-identical to the tokenize-per-call form over the same corpus,
+    and its postings scan must partition-prune to the query terms'
+    buckets."""
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        build_bm25_index,
+        more_like_this,
+        more_like_this_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_mlt_idx")
+    build_bm25_index(docs, idx, n_buckets=16)
+
+    qdocs = docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500))
+    from_index = more_like_this_index(spark, idx, qdocs, k=5, n_buckets=16)
+    direct = more_like_this(docs, qdocs, k=5)
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in from_index.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in direct.collect()
+    )
+    assert a == b and len(a) > 0
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_serving_related_documents_uses_index(spark, sf_dir, tmp_path):
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        build_bm25_index,
+    )
+    from home_credit_data_engineering_spark.plans.serving import (
+        related_documents,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "serving_idx")
+    build_bm25_index(docs, idx, n_buckets=8)
+    qdocs = docs.filter(F.col("doc_id") == 0)
+    rows = related_documents(spark, idx, qdocs, k=3, n_buckets=8).collect()
+    assert 0 < len(rows) <= 3
+    assert all(r["doc_id"] != 0 for r in rows), "self-match dropped"
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+
+
+def test_bm25_index_cli_more_like_mode(spark, sf_dir, tmp_path, capsys):
+    from home_credit_data_engineering_spark.jobs.bm25_index import (
+        main as idx_main,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "cli_idx")
+    assert idx_main(["--input", src, "--index", idx, "--n-buckets", "8"]) == 0
+    capsys.readouterr()
+    rc = idx_main(
+        ["--index", idx, "--input", src, "--more-like", "0", "--k", "3",
+         "--n-buckets", "8"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(out) <= 3 and all(line.split("\t")[0] == "0" for line in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        idx_main(["--index", idx, "--more-like", "0"])  # needs --input
+    with _pytest.raises(SystemExit):
+        idx_main(
+            ["--index", idx, "--input", src, "--more-like", "0",
+             "--query-terms", "spark"]
+        )

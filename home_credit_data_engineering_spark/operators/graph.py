@@ -46,13 +46,35 @@ def pagerank(
     dst_col: str = "dst",
     id_out: str = "node",
     checkpoint: bool = True,
+    personalization: DataFrame | None = None,
+    weight_col: str = "weight",
+    tol: float | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list.
+    """Fixed-iteration (or tolerance-stopped) PageRank over a directed
+    edge list — optionally PERSONALIZED (Page et al. 1998 §6; the
+    random-walk-with-restart form used for representative selection and
+    related-entity ranking at cluster scale).
 
     ``edges`` rows are (src, dst); parallel edges act as weights (outdeg
     counts every row) — pass distinct pairs for the classic unweighted
     form. Output: ``(node, rank)`` with rank rounded to 9 decimals,
     deterministic and engine-portable.
+
+    ``personalization`` is an optional (node, weight) frame: the
+    teleport vector ``p(v) = round(w(v)/Σw, 9)`` (nodes absent from the
+    frame get 0), the iteration becomes
+    ``r' = (1-d)·p + d·(Σ_{u→v} r(u)/deg(u) + D·p)`` with the dangling
+    mass ``D`` redistributed by ``p`` too, and ranks start from ``p``
+    instead of uniform. ``personalization=None`` keeps the EXACT
+    uniform-teleport arithmetic of previous rounds (bit-compatible with
+    the committed SQL twins).
+
+    ``tol``: optional early stop — after each iteration one scalar
+    L1-delta aggregate is collected driver-side (bounded: one double per
+    round) and the loop exits when ``Σ|r' - r| < tol``. Leave ``None``
+    for the fixed-iteration form the SQL oracle unrolls; ``tol`` runs
+    at most ``iterations`` rounds, so the result is always a prefix of
+    the fixed schedule (bit-identical up to the stopping round).
 
     ``checkpoint=False`` keeps the full lineage (no localCheckpoint, no
     persists released) — for plan inspection and tests; production runs
@@ -60,6 +82,8 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be > 0, got {tol}")
     # 1.0 - damping is interpolated into the SQL twin via repr() — both
     # engines parse the SAME double, avoiding the 1-ulp trap where
     # `1.0 - 0.85` != the literal `0.15`.
@@ -78,18 +102,40 @@ def pagerank(
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
     )
-    base = (
-        nodes.join(deg.withColumnRenamed("__src", "node"), "node", "left")
-        .select("node", F.coalesce("__deg", F.lit(0)).cast("bigint").alias("__deg"))
-        .persist()
+    base = nodes.join(
+        deg.withColumnRenamed("__src", "node"), "node", "left"
+    ).select(
+        "node", F.coalesce("__deg", F.lit(0)).cast("bigint").alias("__deg")
     )
+    if personalization is not None:
+        pers = personalization.select(
+            F.col("node"), F.col(weight_col).cast("double").alias("__w")
+        )
+        wtot = pers.agg(F.sum("__w").alias("__wt"))
+        base = (
+            base.join(pers, "node", "left")
+            .crossJoin(F.broadcast(wtot))
+            .select(
+                "node",
+                "__deg",
+                F.round(
+                    F.coalesce(F.col("__w"), F.lit(0.0)) / F.col("__wt"), 9
+                ).alias("__p"),
+            )
+        )
+    base = base.persist()
     stats = base.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    ranks = base.crossJoin(F.broadcast(stats)).select(
-        "node",
-        "__deg",
-        "__n",
-        F.round(F.lit(1.0) / F.col("__n"), 9).alias("rank"),
-    )
+    if personalization is None:
+        ranks = base.crossJoin(F.broadcast(stats)).select(
+            "node",
+            "__deg",
+            "__n",
+            F.round(F.lit(1.0) / F.col("__n"), 9).alias("rank"),
+        )
+    else:
+        ranks = base.crossJoin(F.broadcast(stats)).select(
+            "node", "__deg", "__p", "__n", F.col("__p").alias("rank")
+        )
     for _ in range(iterations):
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
@@ -106,27 +152,52 @@ def pagerank(
                 F.lit(0).cast(_DEC),
             ).alias("__dg")
         )
-        ranks = (
+        recvd = F.coalesce(F.col("__s"), F.lit(0).cast(_DEC)).cast("double")
+        if personalization is None:
+            new_rank = F.round(
+                F.lit(omd) / F.col("__n")
+                + F.lit(damping)
+                * (recvd + F.col("__dg").cast("double") / F.col("__n")),
+                9,
+            )
+            carry = ["node", "__deg", "__n"]
+        else:
+            new_rank = F.round(
+                F.lit(omd) * F.col("__p")
+                + F.lit(damping)
+                * (recvd + F.col("__dg").cast("double") * F.col("__p")),
+                9,
+            )
+            carry = ["node", "__deg", "__p", "__n"]
+        nxt = (
             base.crossJoin(F.broadcast(stats))
             .join(recv, "node", "left")
             .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "__deg",
-                "__n",
-                F.round(
-                    F.lit(omd) / F.col("__n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__s"), F.lit(0).cast(_DEC)).cast(
-                            "double"
-                        )
-                        + F.col("__dg").cast("double") / F.col("__n")
-                    ),
-                    9,
-                ).alias("rank"),
-            )
+            .select(*carry, new_rank.alias("rank"))
         )
+        if tol is not None:
+            # one bounded scalar per round: L1 distance between frames
+            if checkpoint:
+                nxt = nxt.localCheckpoint(eager=True)
+            delta = (
+                nxt.select("node", "rank")
+                .join(
+                    ranks.select("node", F.col("rank").alias("__prev")),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank") - F.col("__prev"))),
+                        F.lit(0.0),
+                    ).alias("__d")
+                )
+                .collect()[0]["__d"]
+            )
+            ranks = nxt
+            if delta < tol:
+                break
+        else:
+            ranks = nxt
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
         base.unpersist()

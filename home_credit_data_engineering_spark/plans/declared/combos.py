@@ -63,12 +63,14 @@ from home_credit_data_engineering_spark.plans.declared.events import (
 from home_credit_data_engineering_spark.plans.declared.graph import (
     hits_sql_ctes as _hits_sql_ctes,
     pagerank_sql_ctes as _pagerank_sql_ctes,
+    ppr_sql_ctes as _ppr_sql_ctes,
 )
 
-#: PageRank / HITS CTE chains over the near-dup graph
-#: (combo_dedup_near legs).
+#: PageRank / HITS / personalized-PageRank CTE chains over the near-dup
+#: graph (combo_dedup_near legs).
 _PAGERANK_CTES = _pagerank_sql_ctes("pr_edges", iterations=3, damping=0.85)
 _HITS_CTES = _hits_sql_ctes("pr_edges", iterations=3)
+_PPR_CTES = _ppr_sql_ctes("pr_edges", "pp_pers", iterations=3, damping=0.85)
 from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
@@ -1481,17 +1483,22 @@ _SH_SIG_SQL = " + ".join(
       FROM reach GROUP BY node
     ),
     pr_edges AS (SELECT a AS src, b AS dst FROM und),
+    pp_pers AS (
+      SELECT a AS node, CASE WHEN a % 10 = 0 THEN 9.0 ELSE 1.0 END AS w
+      FROM (SELECT DISTINCT a FROM und) pp_p0),
     {_PAGERANK_CTES},
-    {_HITS_CTES}
+    {_HITS_CTES},
+    {_PPR_CTES}
     SELECT method, doc_a, doc_b, value FROM minhash_kept
     UNION ALL SELECT method, doc_a, doc_b, value FROM simhash_leg
     UNION ALL SELECT method, doc_a, doc_b, value FROM cluster_leg
     UNION ALL SELECT 'pagerank', node, CAST(NULL AS BIGINT), rank FROM pr_r3
     UNION ALL SELECT 'hits', node, CAST(NULL AS BIGINT), hub FROM ht_h3
+    UNION ALL SELECT 'ppr', node, CAST(NULL AS BIGINT), rank FROM pp_r3
     """,
     operators=(
         "D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster",
-        "G-ext:pagerank", "G-ext:hits",
+        "G-ext:pagerank", "G-ext:hits", "G-ext:ppr",
     ),
     doc="Signature-based near-dup families, union-tagged and — new in r3 "
     "— FULLY oracle-verified via cross-engine md5 signatures (the "
@@ -1568,11 +1575,31 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("doc_b"),
         F.col("hub").alias("value"),
     )
+    # Personalized PageRank (r7): teleport weight 9x on doc_id % 10 == 0
+    # nodes — random-walk-with-restart representative selection, the
+    # teleport-vector form oracle-pinned by the unrolled SQL twin.
+    pers = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn(
+            "weight",
+            F.when(F.col("node") % 10 == 0, F.lit(9.0)).otherwise(F.lit(1.0)),
+        )
+    )
+    ppr = pagerank(
+        sym, iterations=3, damping=0.85, personalization=pers
+    ).select(
+        F.lit("ppr").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.col("rank").alias("value"),
+    )
     return (
         minhash.unionByName(simhash)
         .unionByName(clusters)
         .unionByName(ranks)
         .unionByName(centrality)
+        .unionByName(ppr)
     )
 
 

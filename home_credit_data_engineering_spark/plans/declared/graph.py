@@ -112,6 +112,114 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3, damping=0.85).select("node", "rank")
 
 
+def ppr_sql_ctes(
+    edges_cte: str,
+    pers_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled PERSONALIZED PageRank CTE chain over
+    ``edges_cte(src, dst)`` with teleport weights ``pers_cte(node, w)``
+    (Page et al. 1998 §6): ``p(v) = round(w/Σw, 9)`` (absent → 0),
+    ``r0 = p``, ``r' = (1-d)·p + d·(Σ contrib + D·p)`` — the exact
+    arithmetic ``operators/graph.py:pagerank(personalization=...)``
+    runs. Final relation: ``pp_r{iterations}(node, deg, p, rank)``."""
+    omd, d = repr(1.0 - damping), repr(damping)
+    parts = [
+        f"""
+    pp_deg AS (SELECT src AS node, COUNT(*) AS deg FROM {edges_cte} GROUP BY 1),
+    pp_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM {edges_cte}
+        UNION ALL SELECT dst FROM {edges_cte}) pp_n),
+    pp_wt AS (SELECT CAST(SUM(w) AS DOUBLE) AS wt FROM {pers_cte}),
+    pp_base AS (
+      SELECT n.node, COALESCE(d.deg, 0) AS deg,
+             ROUND(COALESCE(p.w, 0.0) / t.wt, 9) AS p
+      FROM pp_nodes n
+      LEFT JOIN pp_deg d USING (node)
+      LEFT JOIN {pers_cte} p USING (node)
+      CROSS JOIN pp_wt t),
+    pp_r0 AS (SELECT node, deg, p, p AS rank FROM pp_base)"""
+    ]
+    for k in range(1, iterations + 1):
+        prev = k - 1
+        parts.append(
+            f""",
+    pp_c{k} AS (
+      SELECT e.dst AS node,
+             CAST(ROUND(r.rank / r.deg, 9) AS DECIMAL(18,9)) AS c
+      FROM {edges_cte} e JOIN pp_r{prev} r ON e.src = r.node),
+    pp_recv{k} AS (SELECT node, SUM(c) AS s FROM pp_c{k} GROUP BY 1),
+    pp_dang{k} AS (
+      SELECT COALESCE(SUM(CAST(ROUND(rank, 9) AS DECIMAL(18,9))),
+                      CAST(0 AS DECIMAL(18,9))) AS dg
+      FROM pp_r{prev} WHERE deg = 0),
+    pp_r{k} AS (
+      SELECT b.node, b.deg, b.p,
+             ROUND({omd} * b.p + {d} * (CAST(COALESCE(v.s, 0) AS DOUBLE)
+                   + CAST(g.dg AS DOUBLE) * b.p), 9) AS rank
+      FROM pp_base b LEFT JOIN pp_recv{k} v USING (node)
+      CROSS JOIN pp_dang{k} g)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank_personalized",
+    oracle=f"""
+    WITH pr_edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pp_pers AS (SELECT DISTINCT src AS node, 1.0 AS w FROM pr_edges),
+    {ppr_sql_ctes("pr_edges", "pp_pers", iterations=3, damping=0.85)}
+    SELECT node, rank FROM pp_r3
+    """,
+    operators=("G-ext:ppr",),
+    doc="PERSONALIZED PageRank (operators/graph.py:pagerank with a "
+    "teleport vector; random walk with restart — the "
+    "representative-selection / related-entity form): teleport mass "
+    "uniform over SUPPLIER nodes only, so customers hold rank purely "
+    "through walk flow and all restart+dangling mass returns to the "
+    "supplier side. Same per-iteration shape as graph_pagerank (one "
+    "equi-join + one aggregate, (node, number) frames, exact-decimal "
+    "sums) with p riding the base frame; hash-identical to the "
+    "unrolled SQL twin. The operator also takes tol= for an early-stop "
+    "driver check (one scalar per round) — fixed-n here for the "
+    "oracle.",
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import pagerank
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    pers = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return pagerank(
+        edges, iterations=3, damping=0.85, personalization=pers
+    ).select("node", "rank")
+
+
 def hits_sql_ctes(edges_cte: str, iterations: int = 3) -> str:
     """Unrolled HITS CTE chain over ``edges_cte(src, dst)``. Final
     relations: ``ht_h{iterations}(node, hub)`` and

@@ -72,6 +72,99 @@ def test_negative_iterations_rejected(spark):
         pagerank(df, iterations=-1)
 
 
+def _ref_ppr(edges, weights, iterations=3, d=0.85):
+    """Personalized power method mirroring the operator's arithmetic:
+    p = round(w/Σw, 9); r0 = p; r' = round((1-d)p + d(recv + dang·p), 9)
+    with per-contribution rounding before the exact sum."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    deg = Counter(s for s, _ in edges)
+    wt = sum(weights.values())
+    p = {v: round(weights.get(v, 0.0) / wt, 9) for v in nodes}
+    r = dict(p)
+    for _ in range(iterations):
+        recv = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            recv[t] += round(r[s] / deg[s], 9)
+        dang = sum(round(r[v], 9) for v in nodes if deg[v] == 0)
+        r = {
+            v: round((1.0 - d) * p[v] + d * (recv[v] + dang * p[v]), 9)
+            for v in nodes
+        }
+    return r
+
+
+def _run_ppr(spark, edges, weights, **kw):
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    pers = spark.createDataFrame(
+        list(weights.items()), schema="node string, weight double"
+    )
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank(df, personalization=pers, **kw).collect()
+    }
+
+
+def test_personalized_matches_python_reference(spark):
+    edges = [("a", "b"), ("c", "b"), ("c", "d"), ("a", "d"), ("e", "a")]
+    weights = {"a": 3.0, "c": 1.0}  # b, d, e absent → teleport 0
+    got = _run_ppr(spark, edges, weights, iterations=3)
+    ref = _ref_ppr(edges, weights, iterations=3)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=5e-9), v
+
+
+def test_personalized_teleport_biases_rank(spark):
+    # symmetric triangle: uniform teleport would be exactly uniform;
+    # all restart mass on 'a' must rank a above b and c, which stay
+    # tied by symmetry. (A square would oscillate — bipartite.)
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("c", "a"), ("a", "c"),
+    ]
+    got = _run_ppr(spark, edges, {"a": 1.0}, iterations=4)
+    assert got["a"] > got["b"]
+    assert got["b"] == pytest.approx(got["c"], abs=2e-9)  # symmetry
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_dangling_mass_restarts_to_teleport(spark):
+    # b is a dangling sink; its mass must flow back to 'a' (the whole
+    # teleport vector), never be spread uniformly.
+    got = _run_ppr(spark, [("a", "b")], {"a": 1.0}, iterations=3)
+    ref = _ref_ppr([("a", "b")], {"a": 1.0}, iterations=3)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], abs=5e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_tol_early_stop_matches_fixed_point(spark):
+    # two-cycle: uniform start IS the fixed point, so the L1 delta after
+    # iteration 1 is 0 and the loop must stop early — with the same
+    # values the full fixed schedule produces.
+    edges = [("a", "b"), ("b", "a")]
+    got = _run(spark, edges, iterations=50, tol=1e-12)
+    assert got["a"] == pytest.approx(0.5, abs=1e-8)
+    assert got["b"] == pytest.approx(0.5, abs=1e-8)
+
+
+def test_tol_run_is_prefix_of_fixed_schedule(spark):
+    # a tol too small to trigger within n iterations must give results
+    # bit-identical to the fixed n-iteration schedule.
+    edges = [("a", "b"), ("c", "b"), ("c", "d"), ("a", "d"), ("e", "a")]
+    fixed = _run(spark, edges, iterations=3)
+    tol = _run(spark, edges, iterations=3, tol=1e-300)
+    assert tol == fixed
+
+
+def test_tol_validation(spark):
+    df = spark.createDataFrame([("a", "b")], schema="src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=3, tol=0.0)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=3, tol=-1e-6)
+
+
 def test_hits_bipartite_and_symmetric(spark):
     from home_credit_data_engineering_spark.operators.graph import hits
 

@@ -83,6 +83,9 @@ def main() -> None:
         "graph_pagerank",
         "events_funnel",
         "events_cohort_retention",
+        # r7: distributed Lloyd's k-means over the full embeddings table
+        # (broadcast-centroid iterations, exact-decimal distances)
+        "sim_kmeans_clusters",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

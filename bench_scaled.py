@@ -107,6 +107,12 @@ SCALED_QUERIES = (
     "dedup_minhash_collapsed",
     "dedup_minhash_lsh",
     "sim_ivf_topk",
+    # r7: distributed Lloyd's k-means (k=8 x 3 iterations). Per
+    # iteration: broadcast-centroid join over the exploded scalar
+    # triples + two map-side-combinable aggregates — expect ~linear in
+    # rows (the 10x replica shifts vec_ids, so the fit sees 10x points;
+    # k and dim are fixed).
+    "sim_kmeans_clusters",
 )
 
 _TABLES_NEEDED = ("lineitem", "orders", "documents", "embeddings", "events")

@@ -1,0 +1,209 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The corpus-scale clustering pass a training-data pipeline runs before
+semantic dedup (SemDeDup's stage 1), domain discovery, or
+stratified-by-cluster sampling. Complements the DRIVER-SIDE numpy
+k-means in ``operators/quantization.py`` (which trains PQ/IVF codebooks
+on a bounded md5-ordered sample): here BOTH steps of every Lloyd
+iteration — assignment and centroid recompute — are distributed Spark
+aggregates, so the fit uses every row, not a sample, and nothing about
+the algorithm bounds the corpus size.
+
+Cross-engine exactness (the repo's decimal discipline, same as
+``operators/graph.py``): vector components round to 9 decimals on
+explode; squared-difference terms round to 9 and accumulate as
+DECIMAL(18,9) (order-independent exact sums), so distances are exact
+decimals; assignment is an (distance, centroid-id) argmin over exact
+values; new centroid components are ONE double divide of an exact
+decimal sum by a count, rounded to 9. A DuckDB replay that unrolls the
+same iterations (``plans/declared/cluster.py:kmeans_sql_ctes``) is
+hash-identical.
+
+Determinism: initial centroids are the ``k`` vectors whose ids sort
+first by ``(md5(id), id)`` — a seeded-RNG-free init both engines
+reproduce; all later state is a pure function of it. Empty clusters are
+DROPPED (the standard Lloyd caveat): a centroid that attracts no points
+leaves the centroid frame and k shrinks — deterministic on both engines.
+
+100 TB posture: points explode to (id, ord, value) scalar triples —
+a fixed dim-fold row inflation, no payloads; the centroid frame is
+k x dim rows and is BROADCAST into the assignment join (no shuffle of
+the point set by centroid); the two per-iteration shuffles — the
+(id, cid) distance aggregate and the (cid, ord) centroid aggregate —
+are both map-side-combinable hash aggregates; the argmin window
+partitions by id over exactly k rows per id (no skew). The centroid
+frame is localCheckpoint-ed per iteration so the plan does not grow
+with the iteration count. For latency-critical ASSIGN-only serving at
+fixed centroids, a GEMM mapInPandas pass (the
+``similarity.brute_force_topk_gemm`` shape) is the faster path; the
+relational form here is the portable, exactly-verifiable fit path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,9)"
+
+
+def _points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, ord, value) triples with round-9 double components."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__ord", "__v"
+        ),
+    ).select("__id", "__ord", F.round("__v", 9).alias("__v"))
+
+
+def _init_centroids(pts: DataFrame, k: int) -> DataFrame:
+    """First k ids by (md5(id), id) -> (cid, ord, c) centroid frame.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — a
+    distributed partial top-k, not a global sort.
+    """
+    seed = (
+        pts.select("__id")
+        .distinct()
+        .select("__id", F.md5(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h", "__id")
+        .limit(k)
+    )
+    numbered = seed.withColumn(
+        "__cid",
+        F.row_number().over(Window.orderBy("__h", "__id")) - 1,
+    ).select("__id", "__cid")
+    return pts.join(numbered, "__id").select(
+        "__cid", "__ord", F.col("__v").alias("__c")
+    )
+
+
+def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, cluster, dist) argmin assignment against ``cent``.
+
+    Distances are exact DECIMAL(18,9) sums of round-9 squared diffs;
+    ties break on the lower centroid id.
+    """
+    diff = F.col("__v") - F.col("__c")
+    d = (
+        pts.join(F.broadcast(cent), "__ord")
+        .select(
+            "__id",
+            "__cid",
+            F.round(diff * diff, 9).cast(_DEC).alias("__sq"),
+        )
+        .groupBy("__id", "__cid")
+        .agg(F.sum("__sq").alias("__dist"))
+    )
+    w = Window.partitionBy("__id").orderBy("__dist", "__cid")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__cid", "__dist")
+    )
+
+
+def _recompute(pts: DataFrame, assign: DataFrame) -> DataFrame:
+    """Per-(cluster, ord) mean: exact decimal sum / count, round 9.
+
+    Clusters with no assigned points drop out (empty-cluster rule).
+    """
+    return (
+        pts.join(assign.select("__id", "__cid"), "__id")
+        .groupBy("__cid", "__ord")
+        .agg(
+            F.round(
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("__c")
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration distributed Lloyd's k-means (Lloyd 1982).
+
+    Schedule: ``assign_i`` from ``cent_{i-1}``; ``cent_i`` from
+    ``assign_i``. Returns BOTH final frames from one fit:
+    ``(assignments, centroids)`` — assignments
+    ``(id_col, cluster, dist)`` with ``dist`` the exact squared-L2
+    decimal cast to a round-9 double (the labeling the last centroid
+    update was computed FROM, exactly what the unrolled SQL twin
+    replays), and the long-form centroid frame
+    ``(cluster, ord, value)`` AFTER the last update. With
+    ``checkpoint=True`` (production) every iteration is materialized
+    once via eager localCheckpoint, so consuming both frames does not
+    recompute the fit.
+
+    ``checkpoint=False`` keeps the full lineage for plan inspection;
+    production leaves it on (plan stays flat across iterations).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    pts = _points(df, id_col, vec_col).persist()
+    cent = _init_centroids(pts, k)
+    assign = None
+    for _ in range(iterations):
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=True)
+        assign = _assign(pts, cent)
+        if checkpoint:
+            assign = assign.localCheckpoint(eager=True)
+        cent = _recompute(pts, assign)
+    cent_out = cent.select(
+        F.col("__cid").cast("int").alias("cluster"),
+        F.col("__ord").cast("int").alias("ord"),
+        F.col("__c").alias("value"),
+    )
+    assign_out = assign.select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").cast("int").alias("cluster"),
+        F.round(F.col("__dist").cast("double"), 9).alias("dist"),
+    )
+    if checkpoint:
+        cent_out = cent_out.localCheckpoint(eager=True)
+        pts.unpersist()
+    return assign_out, cent_out
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+    return_centroids: bool = False,
+) -> DataFrame:
+    """Single-frame convenience wrapper over :func:`kmeans_fit`:
+    assignments by default, the centroid frame with
+    ``return_centroids=True``."""
+    assign, cent = kmeans_fit(
+        df,
+        k,
+        iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        checkpoint=checkpoint,
+    )
+    return cent if return_centroids else assign
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    """(cluster, n) histogram of a :func:`kmeans` assignment frame."""
+    return assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -2,6 +2,7 @@
 :data:`home_credit_data_engineering_spark.plans.registry.REGISTRY`."""
 
 from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
+    cluster,
     combos,
     core,
     corpus_prep,

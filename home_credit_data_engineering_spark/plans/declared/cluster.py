@@ -1,0 +1,133 @@
+"""Distributed k-means declared queries over the embeddings table.
+
+The operator is ``operators/cluster.py:kmeans`` — fully distributed
+Lloyd iterations under the repo's decimal discipline, so the whole
+iterative fit (init -> assign -> recompute, unrolled) is EXACTLY
+hash-verifiable against a DuckDB CTE replay, the same standard
+``plans/declared/graph.py`` set for PageRank/HITS.
+
+DuckDB notes (hard-won, see the driver-contract memory): parallel
+``UNNEST`` calls in one SELECT zip equal-length lists (value + ordinal
+in one pass); shared CTEs referenced once per iteration MUST be
+``AS MATERIALIZED`` or DuckDB re-inlines the entire upstream per
+reference and the unrolled chain goes super-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+
+def kmeans_sql_ctes(
+    emb_cte: str,
+    k: int,
+    iterations: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled Lloyd chain over ``emb_cte(id_col, vec_col)`` mirroring
+    ``operators/cluster.py:kmeans`` bit-for-bit: round-9 components,
+    (md5(id), id)-ordered init, DECIMAL(18,9) distance sums,
+    (dist, cid) argmin, exact-sum/count round-9 centroid means. Final
+    relations: ``km_a{iterations}(id, cid, dist)`` and
+    ``km_c{iterations}(cid, ord, c)``."""
+    parts = [
+        f"""
+    km_pts AS MATERIALIZED (
+      SELECT id, ord, ROUND(val, 9) AS val FROM (
+        SELECT {id_col} AS id,
+               UNNEST(range(0, len({vec_col}))) AS ord,
+               UNNEST(CAST({vec_col} AS DOUBLE[])) AS val
+        FROM {emb_cte}) km_p0),
+    km_seed AS (
+      SELECT id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+               AS cid
+      FROM (SELECT DISTINCT id FROM km_pts) km_s0
+      QUALIFY cid < {k}),
+    km_c0 AS MATERIALIZED (
+      SELECT s.cid, p.ord, p.val AS c
+      FROM km_seed s JOIN km_pts p USING (id))"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = i - 1
+        parts.append(
+            f""",
+    km_d{i} AS (
+      SELECT p.id, c.cid,
+             SUM(CAST(ROUND((p.val - c.c) * (p.val - c.c), 9)
+                      AS DECIMAL(18,9))) AS dist
+      FROM km_pts p JOIN km_c{prev} c USING (ord)
+      GROUP BY 1, 2),
+    km_a{i} AS MATERIALIZED (
+      SELECT id, cid, dist FROM (
+        SELECT id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid)
+                 AS rn
+        FROM km_d{i}) km_q{i}
+      WHERE rn = 1),
+    km_c{i} AS MATERIALIZED (
+      SELECT a.cid, p.ord,
+             ROUND(CAST(SUM(CAST(p.val AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS c
+      FROM km_pts p JOIN km_a{i} a USING (id)
+      GROUP BY 1, 2)"""
+        )
+    return "".join(parts)
+
+
+_K, _ITER = 8, 3
+
+
+@register(
+    "sim_kmeans_clusters",
+    oracle=f"""
+    WITH {kmeans_sql_ctes("embeddings", _K, _ITER)}
+    SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster,
+           ROUND(CAST(dist AS DOUBLE), 9) AS dist
+    FROM km_a{_ITER}
+    """,
+    operators=("S-ext:kmeans",),
+    doc="Distributed Lloyd's k-means (k=8, 3 iterations) over the full "
+    "embeddings table: every assignment AND every centroid recompute "
+    "is a Spark aggregate (no driver-side sample, unlike the PQ/IVF "
+    "codebook trainers), exploded (id, ord, value) scalar triples with "
+    "broadcast centroid joins. The per-point final assignment + exact "
+    "squared-L2 distance is hash-identical to the unrolled DuckDB "
+    "twin — an iterative ML fit verified bit-exactly cross-engine. "
+    "SemDeDup stage-1 / domain-discovery / stratified-sampling "
+    "building block.",
+)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.cluster import kmeans
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=_K, iterations=_ITER).select(
+        "vec_id", "cluster", "dist"
+    )
+
+
+@register(
+    "sim_kmeans_centroids",
+    oracle=f"""
+    WITH {kmeans_sql_ctes("embeddings", _K, _ITER)}
+    SELECT CAST(cid AS INTEGER) AS cluster, CAST(ord AS INTEGER) AS ord,
+           c AS value
+    FROM km_c{_ITER}
+    """,
+    operators=("S-ext:kmeans",),
+    doc="Long-form (cluster, ord, value) centroid frame after the same "
+    "k=8 x 3-iteration fit as sim_kmeans_clusters — the artifact a "
+    "serving/assign-only path broadcasts. k x dim rows; exact twin.",
+)
+def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.cluster import kmeans
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return kmeans(
+        emb, k=_K, iterations=_ITER, return_centroids=True
+    ).select("cluster", "ord", "value")

@@ -13,6 +13,9 @@ from home_credit_data_engineering_spark.functions.text import (
     tokens,
 )
 from home_credit_data_engineering_spark.plans.declared._stable import savg, xavg
+from home_credit_data_engineering_spark.plans.declared.cluster import (
+    kmeans_sql_ctes,
+)
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -69,26 +72,68 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     oracle=f"""
-    SELECT label, CAST(u.idx AS INTEGER) AS idx,
-           {savg("u.val", 6, "DECIMAL(20,12)")} AS centroid_val
+    WITH {kmeans_sql_ctes("embeddings", 8, 2)}
+    SELECT 'label' AS kind, label AS grp, CAST(u.idx AS BIGINT) AS idx,
+           CAST({savg("u.val", 6, "DECIMAL(20,12)")} AS DOUBLE) AS val
     FROM embeddings,
          LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
                          unnest(generate_series(1, len(embedding))) AS idx) u
     GROUP BY label, u.idx
+    UNION ALL
+    SELECT 'kassign' AS kind, CAST(cid AS INTEGER) AS grp, id AS idx,
+           ROUND(CAST(dist AS DOUBLE), 9) AS val
+    FROM km_a2
+    UNION ALL
+    SELECT 'kcent' AS kind, CAST(cid AS INTEGER) AS grp,
+           CAST(ord AS BIGINT) AS idx, c AS val
+    FROM km_c2
     """,
-    operators=("V-ext:centroid",),
-    doc="Per-label embedding centroids in long form (label, dim index, "
-    "mean): posexplode → hash aggregate. The building block for IVF "
-    "cells and class prototypes.",
+    operators=("V-ext:centroid", "S-ext:kmeans"),
+    doc="Embedding-space prototype family in one long-form driver slot "
+    "(kind, grp, idx, val): per-label centroids (posexplode → hash "
+    "aggregate — IVF cells / class prototypes), plus the DISTRIBUTED "
+    "Lloyd's k-means fit (operators/cluster.py, k=8 x 2 iterations): "
+    "the full per-point assignment with exact squared-L2 distances "
+    "(kind='kassign') and the learned centroid frame (kind='kcent'), "
+    "both hash-identical to the unrolled DuckDB Lloyd chain "
+    "(plans/declared/cluster.py:kmeans_sql_ctes). Combo slot for "
+    "sim_kmeans_clusters + sim_kmeans_centroids (k=8 x 3 singles).",
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.cluster import (
+        kmeans_fit,
+    )
+
     emb = read_testdata(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val")
     )
-    return exploded.groupBy(
-        "label", (F.col("i") + 1).cast("int").alias("idx")
-    ).agg(xavg("val", 6, "decimal(20,12)").alias("centroid_val"))
+    lab = (
+        exploded.groupBy(
+            "label", (F.col("i") + 1).cast("bigint").alias("idx")
+        )
+        .agg(xavg("val", 6, "decimal(20,12)").alias("__v"))
+        .select(
+            F.lit("label").alias("kind"),
+            F.col("label").alias("grp"),
+            "idx",
+            F.col("__v").cast("double").alias("val"),
+        )
+    )
+    assign, cent = kmeans_fit(emb, k=8, iterations=2)
+    ka = assign.select(
+        F.lit("kassign").alias("kind"),
+        F.col("cluster").alias("grp"),
+        F.col("vec_id").alias("idx"),
+        F.col("dist").alias("val"),
+    )
+    kc = cent.select(
+        F.lit("kcent").alias("kind"),
+        F.col("cluster").alias("grp"),
+        F.col("ord").cast("bigint").alias("idx"),
+        F.col("value").alias("val"),
+    )
+    return lab.unionByName(ka).unionByName(kc)
 
 
 @register(

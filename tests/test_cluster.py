@@ -1,0 +1,115 @@
+"""Distributed k-means operator semantics (cross-engine exactness is
+covered by the DuckDB twins in tests/test_oracle_parity.py — these pin
+the algorithm's behavior on constructed fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from home_credit_data_engineering_spark.operators.cluster import (
+    cluster_sizes,
+    kmeans,
+    kmeans_fit,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>"
+    )
+
+
+def test_separated_blobs_are_recovered(spark):
+    # two tight blobs far apart: any 2-means fit must split them
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(4)]
+    blob_b = [(10 + i, [5.0 + 0.01 * i, 5.0]) for i in range(4)]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(_df(spark, blob_a + blob_b), k=2, iterations=3).collect()
+    }
+    a_clusters = {got[i] for i, _ in blob_a}
+    b_clusters = {got[i] for i, _ in blob_b}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+
+def test_assignment_distance_is_squared_l2_to_final_centroid_source(spark):
+    # one cluster, one point at distance: centroid after the update is
+    # the mean, but the reported dist is against the PRE-update centroid
+    # the assignment ran on — for k=1, iteration 1 assigns to the init
+    # centroid (the single md5-first point)
+    rows = [(1, [0.0, 0.0]), (2, [3.0, 4.0])]
+    out = {
+        r["vec_id"]: r
+        for r in kmeans(_df(spark, rows), k=1, iterations=1).collect()
+    }
+    assert set(out) == {1, 2}
+    dists = sorted(r["dist"] for r in out.values())
+    assert dists[0] == pytest.approx(0.0, abs=1e-9)
+    assert dists[1] == pytest.approx(25.0, abs=1e-6)  # 3^2 + 4^2
+
+
+def test_empty_cluster_is_dropped(spark):
+    # two coincident points + one far point, k=3: the init places two
+    # centroids on the SAME coordinates; the tie (dist equal) breaks to
+    # the lower cid, so one centroid attracts nothing and is dropped.
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])]
+    assign, cent = kmeans_fit(_df(spark, rows), k=3, iterations=2)
+    clusters = {r["cluster"] for r in assign.collect()}
+    live = {r["cluster"] for r in cent.collect()}
+    assert live == clusters
+    assert len(live) == 2  # one of the three seeds died
+
+
+def test_centroids_are_means_of_assigned_points(spark):
+    rows = [
+        (1, [0.0, 0.0]), (2, [1.0, 1.0]),
+        (11, [10.0, 10.0]), (12, [12.0, 12.0]),
+    ]
+    assign, cent = kmeans_fit(_df(spark, rows), k=2, iterations=3)
+    got_assign = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    got_cent = {
+        (r["cluster"], r["ord"]): r["value"] for r in cent.collect()
+    }
+    pts = dict(rows)
+    for cid in set(got_assign.values()):
+        members = [pts[i] for i, c in got_assign.items() if c == cid]
+        for ord_ in (0, 1):
+            mean = sum(m[ord_] for m in members) / len(members)
+            assert got_cent[(cid, ord_)] == pytest.approx(mean, abs=1e-8)
+
+
+def test_deterministic_across_runs(spark):
+    rows = [(i, [float(i % 5), float(i % 7)]) for i in range(30)]
+    a = sorted(map(tuple, kmeans(_df(spark, rows), k=4, iterations=2).collect()))
+    b = sorted(map(tuple, kmeans(_df(spark, rows), k=4, iterations=2).collect()))
+    assert a == b
+
+
+def test_checkpoint_false_matches_checkpointed_run(spark):
+    rows = [(i, [float(i % 3), float(i // 3)]) for i in range(12)]
+    on = sorted(map(tuple, kmeans(_df(spark, rows), k=3, iterations=2).collect()))
+    off = sorted(
+        map(
+            tuple,
+            kmeans(
+                _df(spark, rows), k=3, iterations=2, checkpoint=False
+            ).collect(),
+        )
+    )
+    assert on == off
+
+
+def test_cluster_sizes(spark):
+    rows = [(1, [0.0]), (2, [0.1]), (3, [9.0])]
+    assign = kmeans(_df(spark, rows), k=2, iterations=2)
+    sizes = {r["cluster"]: r["n"] for r in cluster_sizes(assign).collect()}
+    assert sorted(sizes.values()) == [1, 2]
+
+
+def test_validation(spark):
+    df = _df(spark, [(1, [0.0])])
+    with pytest.raises(ValueError):
+        kmeans(df, k=0, iterations=1)
+    with pytest.raises(ValueError):
+        kmeans(df, k=1, iterations=0)

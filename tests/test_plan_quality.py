@@ -285,6 +285,28 @@ def test_funnel_and_cohort_shuffle_user_ts_metadata_only(spark, sf_dir):
             )
 
 
+def test_kmeans_broadcast_centroids_no_python(spark, sf_dir):
+    # Each Lloyd iteration must (a) stay JVM-side — the assignment is a
+    # BROADCAST hash join of the exploded scalar point triples against
+    # the tiny k x dim centroid frame, never a Python eval and never a
+    # shuffle of the point set keyed by centroid — and (b) move only
+    # (id, ord, number) scalars through every Exchange (the embedding
+    # arrays never ride a shuffle). checkpoint=False keeps the full
+    # iteration lineage visible, same as the pagerank gate.
+    from home_credit_data_engineering_spark.operators.cluster import kmeans
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    df = kmeans(emb, k=4, iterations=2, checkpoint=False)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for head in _exchange_heads(plan):
+        assert "embedding#" not in head, f"vector payload in shuffle: {head}"
+
+
 def test_pagerank_no_python_no_cartesian(spark, sf_dir):
     # Each PageRank iteration must stay JVM-side: an equi-join of the
     # edge list against the (node, deg, rank) frame plus a decimal

@@ -48,6 +48,7 @@ def pagerank(
     checkpoint: bool = True,
     personalization: DataFrame | None = None,
     weight_col: str = "weight",
+    edge_weight_col: str | None = None,
     tol: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration (or tolerance-stopped) PageRank over a directed
@@ -68,6 +69,16 @@ def pagerank(
     instead of uniform. ``personalization=None`` keeps the EXACT
     uniform-teleport arithmetic of previous rounds (bit-compatible with
     the committed SQL twins).
+
+    ``edge_weight_col``: optional WEIGHTED-edge form (the random surfer
+    follows edge (u,v) with probability ``w(u,v)/W(u)``): per-edge
+    follow ratios are ``round(w/W, 9)`` with W(u) the exact
+    DECIMAL(18,6) out-weight sum (weights must be positive and
+    representable at 6 decimals for cross-engine exactness — trade
+    volumes, counts, scores all are), and contributions become
+    ``round(rank·ratio, 9)``. ``None`` keeps the EXACT unweighted
+    ``round(rank/outdeg, 9)`` arithmetic of the committed twins.
+    Composes with ``personalization`` and ``tol``.
 
     ``tol``: optional early stop — after each iteration one scalar
     L1-delta aggregate is collected driver-side (bounded: one double per
@@ -93,9 +104,32 @@ def pagerank(
     # upstream (e.g. the lineitem x orders build) re-executes every
     # round. Both persists are released before returning: the final
     # rank frame is localCheckpoint-ed, severing the lineage.
-    e = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).persist()
+    if edge_weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        ).persist()
+    else:
+        # exact out-weight totals (decimal sum — order-independent),
+        # then ONE double divide per edge, rounded to 9: the follow
+        # ratio an unrolled SQL replay reproduces bit-for-bit
+        ew = edges.select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            F.col(edge_weight_col).cast("decimal(18,6)").alias("__w"),
+        )
+        wsum = ew.groupBy("__src").agg(F.sum("__w").alias("__wt"))
+        e = (
+            ew.join(wsum, "__src")
+            .select(
+                "__src",
+                "__dst",
+                F.round(
+                    F.col("__w").cast("double") / F.col("__wt").cast("double"),
+                    9,
+                ).alias("__ratio"),
+            )
+            .persist()
+        )
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("__src").alias("node"))
@@ -139,11 +173,16 @@ def pagerank(
     for _ in range(iterations):
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
+        per_edge = (
+            F.round(F.col("rank") / F.col("__deg"), 9)
+            if edge_weight_col is None
+            else F.round(F.col("rank") * F.col("__ratio"), 9)
+        )
         contrib = e.join(
             ranks.select(F.col("node").alias("__src"), "__deg", "rank"), "__src"
         ).select(
             F.col("__dst").alias("node"),
-            F.round(F.col("rank") / F.col("__deg"), 9).cast(_DEC).alias("__c"),
+            per_edge.cast(_DEC).alias("__c"),
         )
         recv = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
         dang = ranks.filter(F.col("__deg") == 0).agg(

@@ -112,6 +112,110 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3, damping=0.85).select("node", "rank")
 
 
+def wpr_sql_ctes(
+    edges_cte: str, iterations: int = 3, damping: float = 0.85
+) -> str:
+    """Unrolled WEIGHTED PageRank CTE chain over
+    ``edges_cte(src, dst, weight)``: follow ratio
+    ``round(w / W(src), 9)`` with W the exact DECIMAL(18,6) out-weight
+    sum, contributions ``round(rank * ratio, 9)`` — the exact
+    arithmetic ``operators/graph.py:pagerank(edge_weight_col=...)``
+    runs. Final relation: ``wp_r{iterations}(node, deg, rank)``."""
+    omd, d = repr(1.0 - damping), repr(damping)
+    parts = [
+        f"""
+    wp_wt AS (SELECT src, SUM(CAST(weight AS DECIMAL(18,6))) AS wt
+              FROM {edges_cte} GROUP BY 1),
+    wp_e AS MATERIALIZED (
+      SELECT w.src, w.dst,
+             ROUND(CAST(CAST(w.weight AS DECIMAL(18,6)) AS DOUBLE)
+                   / CAST(t.wt AS DOUBLE), 9) AS ratio
+      FROM {edges_cte} w JOIN wp_wt t USING (src)),
+    wp_deg AS (SELECT src AS node, COUNT(*) AS deg FROM wp_e GROUP BY 1),
+    wp_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM wp_e
+        UNION ALL SELECT dst FROM wp_e) wp_n),
+    wp_base AS (SELECT n.node, COALESCE(d.deg, 0) AS deg
+                FROM wp_nodes n LEFT JOIN wp_deg d USING (node)),
+    wp_stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wp_base),
+    wp_r0 AS (SELECT node, deg, ROUND(1.0 / s.n, 9) AS rank
+              FROM wp_base CROSS JOIN wp_stats s)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    wp_c{k} AS (
+      SELECT e.dst AS node,
+             CAST(ROUND(r.rank * e.ratio, 9) AS DECIMAL(18,9)) AS c
+      FROM wp_e e JOIN wp_r{p} r ON e.src = r.node),
+    wp_recv{k} AS (SELECT node, SUM(c) AS s FROM wp_c{k} GROUP BY 1),
+    wp_dang{k} AS (
+      SELECT COALESCE(SUM(CAST(ROUND(rank, 9) AS DECIMAL(18,9))),
+                      CAST(0 AS DECIMAL(18,9))) AS dg
+      FROM wp_r{p} WHERE deg = 0),
+    wp_r{k} AS (
+      SELECT b.node, b.deg,
+             ROUND({omd} / s.n + {d} * (CAST(COALESCE(v.s, 0) AS DOUBLE)
+                   + CAST(g.dg AS DOUBLE) / s.n), 9) AS rank
+      FROM wp_base b LEFT JOIN wp_recv{k} v USING (node)
+      CROSS JOIN wp_stats s CROSS JOIN wp_dang{k} g)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank_weighted",
+    oracle=f"""
+    WITH wp_edges AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS weight
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    {wpr_sql_ctes("wp_edges", iterations=3, damping=0.85)}
+    SELECT node, rank FROM wp_r3
+    """,
+    operators=("G-ext:pagerank",),
+    doc="WEIGHTED PageRank (operators/graph.py:pagerank with "
+    "edge_weight_col): the random surfer follows supplier->customer "
+    "edges proportionally to TRADE VOLUME (sum of shipped quantity per "
+    "pair), not uniformly — the volume-weighted systemic-importance "
+    "ranking. Follow ratios are one round-9 double divide of exact "
+    "DECIMAL(18,6) out-weight sums, precomputed once outside the loop "
+    "and persisted; per-iteration shape is identical to graph_pagerank "
+    "(one equi-join + one decimal aggregate). Hash-identical to the "
+    "unrolled weighted SQL twin.",
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import pagerank
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("weight")
+        )
+    )
+    return pagerank(
+        edges, iterations=3, damping=0.85, edge_weight_col="weight"
+    ).select("node", "rank")
+
+
 def ppr_sql_ctes(
     edges_cte: str,
     pers_cte: str,

@@ -157,6 +157,63 @@ def test_tol_run_is_prefix_of_fixed_schedule(spark):
     assert tol == fixed
 
 
+def _run_weighted(spark, edges, **kw):
+    df = spark.createDataFrame(
+        edges, schema="src string, dst string, weight double"
+    )
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank(df, edge_weight_col="weight", **kw).collect()
+    }
+
+
+def test_weighted_heavier_edge_attracts_more_rank(spark):
+    # a splits 9:1 between b and c — b must out-rank c
+    got = _run_weighted(
+        spark, [("a", "b", 9.0), ("a", "c", 1.0)], iterations=3
+    )
+    assert got["b"] > got["c"]
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weighted_uniform_weights_match_unweighted_ratios(spark):
+    # equal weights give follow ratio round(1/deg, 9) per edge; the
+    # unweighted path computes round(rank/deg, 9) per edge. These agree
+    # to ~1e-9 per contribution (NOT bit-identical — different rounding
+    # points, both engine-pinned by their own twins).
+    edges = [("a", "b"), ("c", "b"), ("c", "d"), ("a", "d"), ("e", "a")]
+    plain = _run(spark, edges, iterations=3)
+    weighted = _run_weighted(
+        spark, [(s, t, 1.0) for s, t in edges], iterations=3
+    )
+    assert set(plain) == set(weighted)
+    for v in plain:
+        assert weighted[v] == pytest.approx(plain[v], abs=1e-7), v
+
+
+def test_weighted_matches_python_reference(spark):
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0)]
+    d = 0.85
+    got = _run_weighted(spark, edges, iterations=3)
+    # python power method mirroring the operator arithmetic
+    wtot = {"a": 4.0, "b": 2.0}
+    ratio = {(s, t): round(w / wtot[s], 9) for s, t, w in edges}
+    nodes = ["a", "b", "c"]
+    n = 3.0
+    r = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(3):
+        recv = {v: 0.0 for v in nodes}
+        for (s, t), rt in ratio.items():
+            recv[t] += round(r[s] * rt, 9)
+        dang = round(r["c"], 9)  # c has no out-edges
+        r = {
+            v: round((1.0 - d) / n + d * (recv[v] + dang / n), 9)
+            for v in nodes
+        }
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=5e-9), v
+
+
 def test_tol_validation(spark):
     df = spark.createDataFrame([("a", "b")], schema="src string, dst string")
     with pytest.raises(ValueError):

@@ -96,11 +96,15 @@ def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
         .groupBy("__id", "__cid")
         .agg(F.sum("__sq").alias("__dist"))
     )
-    w = Window.partitionBy("__id").orderBy("__dist", "__cid")
-    return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__cid", "__dist")
+    # argmin via lexicographic struct-min — one hash aggregate (no
+    # per-id sort); struct (dist, cid) min IS (dist ASC, cid ASC) first,
+    # the same tie-break the SQL twin's ROW_NUMBER replays
+    return d.groupBy("__id").agg(
+        F.min(F.struct("__dist", "__cid")).alias("__m")
+    ).select(
+        "__id",
+        F.col("__m.__cid").alias("__cid"),
+        F.col("__m.__dist").alias("__dist"),
     )
 
 
@@ -130,7 +134,8 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+    need_centroids: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Fixed-iteration distributed Lloyd's k-means (Lloyd 1982).
 
     Schedule: ``assign_i`` from ``cent_{i-1}``; ``cent_i`` from
@@ -147,6 +152,9 @@ def kmeans_fit(
 
     ``checkpoint=False`` keeps the full lineage for plan inspection;
     production leaves it on (plan stays flat across iterations).
+    ``need_centroids=False`` skips the last centroid recompute (the
+    final assignment does not depend on it) and returns ``None`` in its
+    place — the assignment-only fast path.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -155,25 +163,29 @@ def kmeans_fit(
     pts = _points(df, id_col, vec_col).persist()
     cent = _init_centroids(pts, k)
     assign = None
-    for _ in range(iterations):
+    for i in range(iterations):
         if checkpoint:
             cent = cent.localCheckpoint(eager=True)
         assign = _assign(pts, cent)
         if checkpoint:
             assign = assign.localCheckpoint(eager=True)
-        cent = _recompute(pts, assign)
-    cent_out = cent.select(
-        F.col("__cid").cast("int").alias("cluster"),
-        F.col("__ord").cast("int").alias("ord"),
-        F.col("__c").alias("value"),
-    )
+        if need_centroids or i < iterations - 1:
+            cent = _recompute(pts, assign)
+    cent_out = None
+    if need_centroids:
+        cent_out = cent.select(
+            F.col("__cid").cast("int").alias("cluster"),
+            F.col("__ord").cast("int").alias("ord"),
+            F.col("__c").alias("value"),
+        )
     assign_out = assign.select(
         F.col("__id").alias(id_col),
         F.col("__cid").cast("int").alias("cluster"),
         F.round(F.col("__dist").cast("double"), 9).alias("dist"),
     )
     if checkpoint:
-        cent_out = cent_out.localCheckpoint(eager=True)
+        if cent_out is not None:
+            cent_out = cent_out.localCheckpoint(eager=True)
         pts.unpersist()
     return assign_out, cent_out
 
@@ -189,7 +201,8 @@ def kmeans(
     return_centroids: bool = False,
 ) -> DataFrame:
     """Single-frame convenience wrapper over :func:`kmeans_fit`:
-    assignments by default, the centroid frame with
+    assignments by default (skipping the final centroid recompute the
+    assignment does not depend on), the centroid frame with
     ``return_centroids=True``."""
     assign, cent = kmeans_fit(
         df,
@@ -198,6 +211,7 @@ def kmeans(
         id_col=id_col,
         vec_col=vec_col,
         checkpoint=checkpoint,
+        need_centroids=return_centroids,
     )
     return cent if return_centroids else assign
 

@@ -37,6 +37,18 @@ with the iteration count. For latency-critical ASSIGN-only serving at
 fixed centroids, a GEMM mapInPandas pass (the
 ``similarity.brute_force_topk_gemm`` shape) is the faster path; the
 relational form here is the portable, exactly-verifiable fit path.
+
+Relation to ``pyspark.ml.clustering.KMeans`` (which
+``similarity.ivf_topk`` uses for its coarse quantizer): MLlib's fit is
+also distributed, but its float arithmetic and k-means|| init are
+engine-specific — fine for a quantizer whose quality is recovered by
+multi-probe, unusable where the clustering itself must be reproducible
+and auditable (dedup survivorship, stratified subsetting, compliance).
+This operator trades a constant factor for bit-exact cross-engine
+determinism. Composes directly with
+``dedup.semantic_dedup(cluster_col=...)`` (SemDeDup stage 1) and
+``sampling.weighted_sample_per_group`` (cluster-stratified subsetting,
+see ``plans/declared/cluster.py:sim_cluster_stratified_sample``).
 """
 
 from __future__ import annotations

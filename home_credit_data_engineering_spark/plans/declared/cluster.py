@@ -112,6 +112,49 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cluster_stratified_sample",
+    oracle=f"""
+    WITH {kmeans_sql_ctes("embeddings", _K, 2)},
+    strat_keyed AS (
+      SELECT id, cid, ROUND(CAST(dist AS DOUBLE), 9) AS dist,
+             ROUND(-ln((CAST('0x' || substr(md5('s42:'
+                   || CAST(id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+                   / 4503599627370497.0) / 1.0, 9) AS sk
+      FROM km_a2),
+    strat_ranked AS (
+      SELECT id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sk, id) AS rk
+      FROM strat_keyed)
+    SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster, dist
+    FROM strat_ranked WHERE rk <= 20
+    """,
+    operators=("S-ext:kmeans", "O-ext:weighted-sample-group"),
+    doc="Cluster-STRATIFIED deterministic subsetting — the "
+    "cluster-balanced subset-selection pass (SemDeDup-adjacent "
+    "curation: equal representation from every region of embedding "
+    "space instead of frequency-weighted): distributed k-means "
+    "(k=8 x 2) feeds weighted_sample_per_group (uniform A-ES keys, 20 "
+    "draws per cluster). Pure composition of two exactly-verified "
+    "operators, so the WHOLE pipeline — iterative fit + stratified "
+    "draw — is hash-identical to the SQL replay. Metadata-only "
+    "selection; the winners semi-join back by id.",
+)
+def sim_cluster_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.cluster import kmeans
+    from home_credit_data_engineering_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    assign = kmeans(emb, k=_K, iterations=2)
+    return weighted_sample_per_group(
+        assign, "vec_id", F.lit(1.0), "cluster", k=20, seed=42
+    ).select("vec_id", "cluster", "dist")
+
+
+@register(
     "sim_kmeans_centroids",
     oracle=f"""
     WITH {kmeans_sql_ctes("embeddings", _K, _ITER)}

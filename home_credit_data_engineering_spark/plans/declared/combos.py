@@ -279,28 +279,80 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact counts and asserts the verdicts — r4, closing the last
     # rows-only slots (VERDICT r3 #3).
     oracle="""
-    SELECT o_orderstatus, 'approx_customers' AS metric,
+    SELECT o_orderstatus AS key, 'approx_customers' AS metric,
            CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS exact_value,
            TRUE AS within_bound
     FROM orders GROUP BY o_orderstatus
     UNION ALL
-    SELECT o_orderstatus, m.metric, CAST(NULL AS DOUBLE) AS exact_value,
+    SELECT o_orderstatus AS key, m.metric,
+           CAST(NULL AS DOUBLE) AS exact_value,
            TRUE AS within_bound
     FROM (SELECT DISTINCT o_orderstatus FROM orders) s
     CROSS JOIN (VALUES ('approx_median_price'), ('approx_p90_price')) m(metric)
+    UNION ALL
+    SELECT item AS key, 'mg_heavy_hitter' AS metric,
+           CAST(n AS DOUBLE) AS exact_value, TRUE AS within_bound
+    FROM (
+      WITH hh_toks AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN word
+                    ELSE 'hot' || CAST(doc_id % 3 AS VARCHAR) END AS item
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM documents) hh_t0),
+      hh_tot AS (SELECT COUNT(*) AS n_tot FROM hh_toks)
+      SELECT item, COUNT(*) AS n
+      FROM hh_toks CROSS JOIN hh_tot
+      GROUP BY item, n_tot HAVING COUNT(*) * 11 > n_tot) hh_heavy
     """,
-    operators=("A-ext:approx", "A-ext:approx-percentile"),
+    operators=("A-ext:approx", "A-ext:approx-percentile", "A-ext:heavy-hitters"),
     doc="Approximate sketches with a DETERMINISTIC accuracy certificate, "
-    "long form (status, metric, exact_value, within_bound): HLL "
+    "long form (key, metric, exact_value, within_bound): HLL "
     "approx_count_distinct within 15% of the exact distinct count "
     "(3 sigma at the default 5% rsd), Greenwald-Khanna approx_percentile "
     "bracketed by the exact continuous quantiles at q +/- 0.05 (vs the "
-    "sketch's 1e-4 rank guarantee). Exact references ride the SAME "
-    "single aggregate pass; the boolean verdict is oracle-verified even "
-    "though the estimates are engine-specific. Combo slot for "
-    "approx_distinct + stats_approx_percentiles.",
+    "sketch's 1e-4 rank guarantee), and — r7 — Misra-Gries heavy "
+    "hitters (operators/sketch.py, mergeable per-partition k=10 "
+    "summaries over the planted-hot-items token stream) certified by "
+    "containment + the n - N/(k+1) undercount envelope against exact "
+    "counts. Estimates are engine-specific; the boolean verdicts are "
+    "oracle-verified. Combo slot for approx_distinct + "
+    "stats_approx_percentiles + text_heavy_hitters_mg.",
 )
 def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sketch import (
+        mg_heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("word"),
+        "doc_id",
+    ).select(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("word")
+        ).otherwise(
+            F.concat(F.lit("hot"), (F.col("doc_id") % 3).cast("string"))
+        ).alias("item")
+    )
+    mg = mg_heavy_hitters(items, "item", k=10)
+    tot = items.agg(F.count(F.lit(1)).alias("n_tot"))
+    exact_items = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact_items.crossJoin(F.broadcast(tot)).filter(
+        F.col("n") * 11 > F.col("n_tot")
+    )
+    mg_leg = heavy.join(mg, "item", "left").select(
+        F.col("item").alias("key"),
+        F.lit("mg_heavy_hitter").alias("metric"),
+        F.col("n").cast("double").alias("exact_value"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("n"))
+            & (F.col("est") >= F.col("n") - F.col("err_bound"))
+        ).alias("within_bound"),
+    )
+
     orders = _t(spark, sf_dir, "orders")
     agged = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").cast("double").alias("approx_customers"),
@@ -317,7 +369,7 @@ def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.95D)").alias("__p95"),
     )
     return agged.select(
-        "o_orderstatus",
+        F.col("o_orderstatus").alias("key"),
         F.expr(
             "stack(3, "
             "'approx_customers', __exact_customers, "
@@ -329,7 +381,7 @@ def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  approx_p90_price >= __p85 AND approx_p90_price <= __p95"
             ") AS (metric, exact_value, within_bound)"
         ),
-    )
+    ).unionByName(mg_leg)
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,73 @@ def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_heavy_hitters_mg",
+    # The MG summary's surviving item SET depends on partition layout
+    # (bounded-memory sketches always do), so — exactly like the HLL/GK
+    # slots — the oracle pins the DETERMINISTIC guarantees over exact
+    # SQL counts: containment (every item with n > N/(k+1) present) and
+    # the undercount envelope (n - N/(k+1) <= est <= n), both provably
+    # TRUE. The item stream plants 3 hot items (odd doc_ids collapse to
+    # 'hot{0,1,2}') over the flat 31-word corpus vocabulary so the k=10
+    # summary must compact (34 distinct > k) and the heavy set is
+    # non-trivial.
+    oracle="""
+    WITH hh_toks AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN word
+                  ELSE 'hot' || CAST(doc_id % 3 AS VARCHAR) END AS item
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents) hh_t0),
+    hh_tot AS (SELECT COUNT(*) AS n_tot FROM hh_toks),
+    hh_ex AS (SELECT item, COUNT(*) AS n FROM hh_toks GROUP BY 1)
+    SELECT item, n, TRUE AS present, TRUE AS within_bound
+    FROM hh_ex CROSS JOIN hh_tot WHERE n * 11 > n_tot
+    """,
+    operators=("A-ext:heavy-hitters",),
+    doc="Misra-Gries heavy hitters (operators/sketch.py; Misra & Gries "
+    "1982 + the PODS'12 mergeable-summaries merge): per-partition "
+    "bounded k=10 summaries folded in one mapInPandas pass, merged by "
+    "a hash aggregate over partitions x k rows + one final compaction "
+    "— the sketch path for hot n-grams / boilerplate lines / top hosts "
+    "when the distinct cardinality is itself too large to shuffle. "
+    "Certificate: containment + undercount envelope verified against "
+    "exact counts (deterministic TRUE verdicts, HLL/GK discipline).",
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.sketch import (
+        mg_heavy_hitters,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(tokens("text")).alias("word"), "doc_id"
+    ).select(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("word")
+        ).otherwise(
+            F.concat(F.lit("hot"), (F.col("doc_id") % 3).cast("string"))
+        ).alias("item")
+    )
+    k = 10
+    mg = mg_heavy_hitters(items, "item", k=k)
+    tot = items.agg(F.count(F.lit(1)).alias("n_tot"))
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(
+        F.col("n") * (k + 1) > F.col("n_tot")
+    )
+    return heavy.join(mg, "item", "left").select(
+        "item",
+        "n",
+        F.col("est").isNotNull().alias("present"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("n"))
+            & (F.col("est") >= F.col("n") - F.col("err_bound"))
+        ).alias("within_bound"),
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT md5(lower(trim(text))) AS fp,

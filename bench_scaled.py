@@ -113,6 +113,11 @@ SCALED_QUERIES = (
     # rows (the 10x replica shifts vec_ids, so the fit sees 10x points;
     # k and dim are fixed).
     "sim_kmeans_clusters",
+    # r7: Misra-Gries heavy hitters over the 10x token stream — the
+    # partition fold is one narrow map pass and everything downstream
+    # is partitions x k rows, so the curve should be the scan cost
+    # (near-linear, tiny constant).
+    "text_heavy_hitters_mg",
 )
 
 _TABLES_NEEDED = ("lineitem", "orders", "documents", "embeddings", "events")

@@ -1,10 +1,14 @@
-"""Iterative graph analytics: PageRank (Brin & Page 1998) and
-HITS (Kleinberg 1999).
+"""Iterative graph analytics: PageRank (Brin & Page 1998 — uniform,
+personalized, weighted-edge, and tolerance-stopped forms), HITS
+(Kleinberg 1999), deterministic label propagation (Raghavan et al.
+2007), and per-node triangle counts.
 
 Complements the connected-components labeling in ``operators/dedup.py``
-with a centrality measure — the standard way to pick *representative*
-nodes (e.g. the canonical document inside a near-dup cluster, or the
-most systemically important account in a transaction graph).
+with centrality, community, and local-density measures — the standard
+toolkit for picking *representative* nodes (the canonical document
+inside a near-dup cluster, the most systemically important account in a
+transaction graph), grouping entities (co-occurrence communities), and
+scoring structure (clustering coefficients for spam/bot detection).
 
 Fixed-iteration power method with damping and dangling-mass
 redistribution::
@@ -336,4 +340,144 @@ def hits(
     return (
         hubs.join(auths, "node")
         .select(F.col("node").alias(id_out), "hub", "authority")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_out: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Semi-synchronous label propagation (Raghavan et al. 2007, made
+    DETERMINISTIC): community detection by iterated plurality vote.
+
+    Every node starts labeled with its own id; each iteration relabels
+    node ``v`` with the most frequent label among its in-neighbors
+    ``{u : u->v}`` — ties break to the SMALLEST label, nodes with no
+    in-edges keep their label — for exactly ``iterations`` rounds.
+    Classic LPA breaks ties randomly and updates asynchronously; both
+    choices are irreproducible across engines/partitionings, so this
+    operator fixes synchronous updates + ordered tie-breaks, making the
+    labeling a pure function of the edge list (hash-verifiable against
+    the unrolled SQL twin, ``plans/declared/graph.py:lp_sql_ctes``).
+    For undirected community detection pass a symmetrized edge list.
+
+    100 TB posture: the same Pregel-as-relational schedule as
+    :func:`pagerank` — per iteration one equi-join (edges x labels,
+    both (node, label) pairs) + one (node, label) count aggregate + a
+    struct-min argmax (bounded per-node groups), localCheckpoint per
+    round. Output: ``(node, label)``.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+        votes = (
+            e.join(
+                labels.select(F.col("node").alias("__src"), "label"), "__src"
+            )
+            .groupBy(F.col("__dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # plurality with (count DESC, label ASC) tie-break as ONE hash
+        # aggregate: min over struct(-count, label)
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("__nc"), "label")
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.label").alias("__new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+        )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+        nodes.unpersist()
+        e.unpersist()
+    return labels.select(F.col("node").alias(id_out), "label")
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_out: str = "node",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph.
+
+    Edges are canonicalized to ``a < b`` distinct pairs (direction and
+    duplication in the input are ignored; self-loops dropped), then
+    triangles enumerate once each as ordered triples ``a < b < c`` via
+    the standard two-join wedge closure: wedge ``(a<b, b<c)`` closes iff
+    edge ``(a, c)`` exists. Output: ``(node, triangles)`` for every
+    node of the graph (0 for triangle-free nodes) — clustering
+    coefficients and spam/bot structure scores divide this by
+    ``deg*(deg-1)/2``.
+
+    100 TB posture: both joins are equi-joins on single node keys over
+    (a, b) pairs — no payload, no cartesian; the second join's probe
+    side is the wedge set, whose skew (hub nodes) is AQE skew-join
+    territory. The id-ordered canonicalization halves the edge set and
+    guarantees each triangle counts exactly once without a post-hoc
+    distinct.
+    """
+    a, b = F.col("__a"), F.col("__b")
+    # the canonical edge frame appears three times in the plan; its
+    # distinct's Exchange is identical each time, so Spark's
+    # ReusedExchange dedupes the scans without an explicit persist
+    # (persisting here would either leak or — released pre-collect —
+    # cache nothing)
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("__a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("__b"),
+        )
+        .filter(a != b)
+        .distinct()
+    )
+    # wedges a<b<c from edges (a,b) and (b,c)
+    e2 = und.select(F.col("__a").alias("__b2"), F.col("__b").alias("__c"))
+    wedges = und.join(e2, F.col("__b") == F.col("__b2")).select(
+        "__a", "__b", "__c"
+    )
+    closed = wedges.join(
+        und.select(F.col("__a").alias("__a3"), F.col("__b").alias("__c3")),
+        (F.col("__a") == F.col("__a3")) & (F.col("__c") == F.col("__c3")),
+    ).select("__a", "__b", "__c")
+    per_node = (
+        closed.select(F.explode(F.array("__a", "__b", "__c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        und.select(F.col("__a").alias("node"))
+        .union(und.select(F.col("__b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        F.col("node").alias(id_out),
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
     )

@@ -62,15 +62,20 @@ from home_credit_data_engineering_spark.plans.declared.events import (
 )
 from home_credit_data_engineering_spark.plans.declared.graph import (
     hits_sql_ctes as _hits_sql_ctes,
+    lp_sql_ctes as _lp_sql_ctes,
     pagerank_sql_ctes as _pagerank_sql_ctes,
     ppr_sql_ctes as _ppr_sql_ctes,
+    tri_sql_ctes as _tri_sql_ctes,
 )
 
-#: PageRank / HITS / personalized-PageRank CTE chains over the near-dup
-#: graph (combo_dedup_near legs).
+#: PageRank / HITS / personalized-PageRank / label-propagation /
+#: triangle-count CTE chains over the near-dup graph
+#: (combo_dedup_near legs).
 _PAGERANK_CTES = _pagerank_sql_ctes("pr_edges", iterations=3, damping=0.85)
 _HITS_CTES = _hits_sql_ctes("pr_edges", iterations=3)
 _PPR_CTES = _ppr_sql_ctes("pr_edges", "pp_pers", iterations=3, damping=0.85)
+_LP_CTES = _lp_sql_ctes("pr_edges", iterations=2)
+_TRI_CTES = _tri_sql_ctes("pr_edges")
 from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
@@ -1540,17 +1545,23 @@ _SH_SIG_SQL = " + ".join(
       FROM (SELECT DISTINCT a FROM und) pp_p0),
     {_PAGERANK_CTES},
     {_HITS_CTES},
-    {_PPR_CTES}
+    {_PPR_CTES},
+    {_LP_CTES},
+    {_TRI_CTES}
     SELECT method, doc_a, doc_b, value FROM minhash_kept
     UNION ALL SELECT method, doc_a, doc_b, value FROM simhash_leg
     UNION ALL SELECT method, doc_a, doc_b, value FROM cluster_leg
     UNION ALL SELECT 'pagerank', node, CAST(NULL AS BIGINT), rank FROM pr_r3
     UNION ALL SELECT 'hits', node, CAST(NULL AS BIGINT), hub FROM ht_h3
     UNION ALL SELECT 'ppr', node, CAST(NULL AS BIGINT), rank FROM pp_r3
+    UNION ALL SELECT 'labelprop', node, label, CAST(NULL AS DOUBLE) FROM lp_r2
+    UNION ALL SELECT 'triangles', node, CAST(NULL AS BIGINT),
+                     CAST(triangles AS DOUBLE) FROM tri_out
     """,
     operators=(
         "D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster",
         "G-ext:pagerank", "G-ext:hits", "G-ext:ppr",
+        "G-ext:labelprop", "G-ext:triangles",
     ),
     doc="Signature-based near-dup families, union-tagged and — new in r3 "
     "— FULLY oracle-verified via cross-engine md5 signatures (the "
@@ -1646,12 +1657,35 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("doc_b"),
         F.col("rank").alias("value"),
     )
+    # Label propagation + triangle counts (r7) over the same symmetric
+    # near-dup graph: community labels by deterministic plurality vote
+    # (2 rounds) and per-node triangle participation — both exact vs
+    # the unrolled/closure SQL twins.
+    from home_credit_data_engineering_spark.operators.graph import (
+        label_propagation,
+        triangle_count,
+    )
+
+    lp = label_propagation(sym, iterations=2).select(
+        F.lit("labelprop").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.col("label").alias("doc_b"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    tri = triangle_count(sym).select(
+        F.lit("triangles").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.col("triangles").cast("double").alias("value"),
+    )
     return (
         minhash.unionByName(simhash)
         .unionByName(clusters)
         .unionByName(ranks)
         .unionByName(centrality)
         .unionByName(ppr)
+        .unionByName(lp)
+        .unionByName(tri)
     )
 
 

@@ -412,3 +412,153 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits(edges, iterations=3).select("node", "hub", "authority")
+
+
+def lp_sql_ctes(edges_cte: str, iterations: int = 3) -> str:
+    """Unrolled deterministic label-propagation CTE chain over
+    ``edges_cte(src, dst)`` — synchronous plurality vote, ties to the
+    smallest label, exactly what
+    ``operators/graph.py:label_propagation`` runs. Final relation:
+    ``lp_r{iterations}(node, label)``."""
+    parts = [
+        f"""
+    lp_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM {edges_cte}
+        UNION ALL SELECT dst FROM {edges_cte}) lp_n),
+    lp_r0 AS (SELECT node, node AS label FROM lp_nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    lp_cnt{k} AS (
+      SELECT e.dst AS node, r.label, COUNT(*) AS c
+      FROM {edges_cte} e JOIN lp_r{p} r ON e.src = r.node
+      GROUP BY 1, 2),
+    lp_best{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM lp_cnt{k}) lp_q{k}
+      WHERE rn = 1),
+    lp_r{k} AS MATERIALIZED (
+      SELECT r.node, COALESCE(b.label, r.label) AS label
+      FROM lp_r{p} r LEFT JOIN lp_best{k} b USING (node))"""
+        )
+    return "".join(parts)
+
+
+def tri_sql_ctes(edges_cte: str) -> str:
+    """Per-node triangle-count CTE chain over ``edges_cte(src, dst)``
+    (any direction/duplication; canonicalized internally) mirroring
+    ``operators/graph.py:triangle_count``. Final relation:
+    ``tri_out(node, triangles)``."""
+    return f"""
+    tri_und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM {edges_cte} WHERE src <> dst),
+    tri_t AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM tri_und e1
+      JOIN tri_und e2 ON e1.b = e2.a
+      JOIN tri_und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tri_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT a AS node FROM tri_und
+        UNION ALL SELECT b FROM tri_und) tri_n),
+    tri_per AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM tri_t
+        UNION ALL SELECT b FROM tri_t
+        UNION ALL SELECT c FROM tri_t) tri_p
+      GROUP BY 1),
+    tri_out AS (
+      SELECT n.node, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+      FROM tri_nodes n LEFT JOIN tri_per p USING (node))"""
+
+
+#: Co-supplier co-occurrence edges: suppliers that shipped line items of
+#: the SAME order — the entity-co-occurrence graph construction every
+#: knowledge-graph/fraud pipeline runs, and (unlike the bipartite trade
+#: graph) it has triangles. Canonical a<b pairs.
+_COSUP_SQL = """
+      SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_suppkey < l2.l_suppkey"""
+
+
+def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("dst")
+    )
+    return (
+        li.join(
+            l2,
+            (li["l_orderkey"] == l2["__ok"]) & (li["l_suppkey"] < l2["dst"]),
+        )
+        .select(F.col("l_suppkey").alias("src"), "dst")
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH tri_edges AS ({_COSUP_SQL}),
+    {tri_sql_ctes("tri_edges")}
+    SELECT node, triangles FROM tri_out
+    """,
+    operators=("G-ext:triangles",),
+    doc="Per-node triangle counts (operators/graph.py:triangle_count) "
+    "over the co-supplier co-occurrence graph (suppliers sharing an "
+    "order): id-ordered canonical edges, wedge closure via two "
+    "single-key equi-joins — each triangle enumerated exactly once as "
+    "a<b<c, no cartesian, no post-hoc distinct; triangle-free nodes "
+    "emit 0. The clustering-coefficient / community-density primitive. "
+    "Exact twin.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import (
+        triangle_count,
+    )
+
+    return triangle_count(_cosupplier_edges(spark, sf_dir)).select(
+        "node", "triangles"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH lp_canon AS ({_COSUP_SQL}),
+    lp_edges AS (
+      SELECT src, dst FROM lp_canon
+      UNION ALL SELECT dst AS src, src AS dst FROM lp_canon),
+    {lp_sql_ctes("lp_edges", iterations=3)}
+    SELECT node, label FROM lp_r3
+    """,
+    operators=("G-ext:labelprop",),
+    doc="Deterministic label propagation "
+    "(operators/graph.py:label_propagation; Raghavan et al. 2007 with "
+    "synchronous updates + smallest-label tie-breaks so the labeling "
+    "is engine-portable) over the symmetrized co-supplier graph, 3 "
+    "rounds: per iteration one (node,label) equi-join, one plurality "
+    "count aggregate, one struct-min argmax. Community detection as "
+    "the same Pregel-as-relational schedule as PageRank; exact twin.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import (
+        label_propagation,
+    )
+
+    canon = _cosupplier_edges(spark, sf_dir)
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(sym, iterations=3).select("node", "label")

@@ -283,3 +283,74 @@ def test_hits_zero_l1_guard_emits_zero_scores(spark):
         df = spark.createDataFrame(edges, schema="src string, dst string")
         for r in hits(df, 2).collect():
             assert r["hub"] is not None and r["authority"] is not None
+
+
+def _lp(spark, edges, iterations=3):
+    from home_credit_data_engineering_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, schema="src bigint, dst bigint")
+    sym = df.union(df.selectExpr("dst AS src", "src AS dst"))
+    return {
+        r["node"]: r["label"]
+        for r in label_propagation(sym, iterations=iterations).collect()
+    }
+
+
+def test_label_propagation_two_cliques(spark):
+    # two DISJOINT triangles: each converges to its own min label.
+    # (A bridged pair is NOT stable under synchronous updates — the
+    # bridge label can invade through simultaneous relabeling, which is
+    # the documented trade-off for determinism; the bridged behavior is
+    # pinned by the SQL twin in graph_label_propagation instead.)
+    c1 = [(1, 2), (2, 3), (1, 3)]
+    c2 = [(10, 11), (11, 12), (10, 12)]
+    got = _lp(spark, c1 + c2, iterations=4)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    # node 3 sees labels {1, 2} with one vote each -> picks 1
+    got = _lp(spark, [(1, 3), (2, 3)], iterations=1)
+    assert got[3] == 1
+
+
+def test_label_propagation_zero_iterations_is_identity(spark):
+    got = _lp(spark, [(1, 2), (2, 3)], iterations=0)
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def _tri(spark, edges):
+    from home_credit_data_engineering_spark.operators.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(edges, schema="src bigint, dst bigint")
+    return {
+        r["node"]: r["triangles"] for r in triangle_count(df).collect()
+    }
+
+
+def test_triangle_count_basic(spark):
+    # one triangle + a pendant node
+    got = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangle_count_k4(spark):
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _tri(spark, k4)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # each node in C(3,2) triangles
+
+
+def test_triangle_count_square_no_diagonal(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert set(got.values()) == {0}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    base = [(1, 2), (2, 3), (1, 3)]
+    messy = base + [(2, 1), (3, 2), (1, 2), (1, 1)]  # reversed, dup, loop
+    assert _tri(spark, base) == _tri(spark, messy)

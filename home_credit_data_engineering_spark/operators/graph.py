@@ -419,6 +419,107 @@ def label_propagation(
     return labels.select(F.col("node").alias(id_out), "label")
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 4,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    edge_weight_col: str | None = None,
+    id_out: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source shortest paths by synchronous Bellman-Ford rounds
+    (distributed BFS when unweighted): after ``iterations`` rounds each
+    node carries the least-cost distance from the nearest source over
+    paths of at most ``iterations`` edges, or NULL if unreached.
+
+    ``sources`` is a (node,) frame (extra columns ignored); ``edges``
+    rows are directed (src, dst) — symmetrize for undirected graphs.
+    ``edge_weight_col`` names a non-negative weight column (cast to
+    DECIMAL(18,6)); ``None`` means hop counting (weight 1). Output:
+    ``(node, dist DECIMAL(18,6))`` over the node universe (edge
+    endpoints ∪ sources).
+
+    Cross-engine exactness: distances are DECIMAL(18,6) sums of
+    DECIMAL(18,6) weights — exact, order-independent arithmetic with no
+    rounding step at all — and the relaxation is an explicit
+    NULL-handling CASE (not ``least``, whose NULL semantics differ
+    across engines/versions), so a DuckDB replay that unrolls the same
+    rounds (``plans/declared/graph.py:sssp_sql_ctes``) is
+    hash-identical.
+
+    100 TB posture: the same Pregel-as-relational schedule as
+    :func:`pagerank` — per round one equi-join (edges × settled
+    frontier, keyed on the node id) + one MIN aggregate + one left-join
+    merge, all over (node, number) pairs; the edge list is persisted for
+    the loop and released, the distance frame localCheckpoint-ed per
+    round so the plan stays flat. Hub-node fan-out skew on the
+    relaxation join is AQE skew-join territory, same as pagerank's
+    contribution aggregate. A target-count early stop (all nodes
+    settled) would be one bounded scalar per round, mirroring
+    ``pagerank(tol=...)`` — fixed rounds keep the SQL twin unrollable.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    _D6 = "decimal(18,6)"
+    w = (
+        F.lit(1).cast(_D6)
+        if edge_weight_col is None
+        else F.col(edge_weight_col).cast(_D6)
+    )
+    e = edges.select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        w.alias("__w"),
+    ).persist()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .union(sources.select(F.col(sources.columns[0]).alias("node")))
+        .distinct()
+    )
+    src_set = sources.select(
+        F.col(sources.columns[0]).alias("node")
+    ).distinct()
+    dist = nodes.join(
+        src_set.withColumn("__is_src", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("__is_src"), F.lit(0).cast(_D6)).alias("dist"),
+    )
+    for _ in range(iterations):
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+        settled = dist.filter(F.col("dist").isNotNull()).select(
+            F.col("node").alias("__src"), F.col("dist").alias("__d")
+        )
+        relax = (
+            e.join(settled, "__src")
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("__d") + F.col("__w")).cast(_D6).alias("__nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        dist = dist.join(relax, "node", "left").select(
+            "node",
+            F.when(F.col("__nd").isNull(), F.col("dist"))
+            .when(
+                F.col("dist").isNull() | (F.col("__nd") < F.col("dist")),
+                F.col("__nd"),
+            )
+            .otherwise(F.col("dist"))
+            .alias("dist"),
+        )
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+        e.unpersist()
+    return dist.select(F.col("node").alias(id_out), "dist")
+
+
 def triangle_count(
     edges: DataFrame,
     *,

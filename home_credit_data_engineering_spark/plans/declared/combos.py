@@ -65,6 +65,7 @@ from home_credit_data_engineering_spark.plans.declared.graph import (
     lp_sql_ctes as _lp_sql_ctes,
     pagerank_sql_ctes as _pagerank_sql_ctes,
     ppr_sql_ctes as _ppr_sql_ctes,
+    sssp_sql_ctes as _sssp_sql_ctes,
     tri_sql_ctes as _tri_sql_ctes,
 )
 
@@ -76,6 +77,7 @@ _HITS_CTES = _hits_sql_ctes("pr_edges", iterations=3)
 _PPR_CTES = _ppr_sql_ctes("pr_edges", "pp_pers", iterations=3, damping=0.85)
 _LP_CTES = _lp_sql_ctes("pr_edges", iterations=2)
 _TRI_CTES = _tri_sql_ctes("pr_edges")
+_SSSP_CTES = _sssp_sql_ctes("sp_edges", "sp_src", iterations=3)
 from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
@@ -1543,11 +1545,17 @@ _SH_SIG_SQL = " + ".join(
     pp_pers AS (
       SELECT a AS node, CASE WHEN a % 10 = 0 THEN 9.0 ELSE 1.0 END AS w
       FROM (SELECT DISTINCT a FROM und) pp_p0),
+    sp_edges AS (
+      SELECT src, dst, CAST(1 AS DECIMAL(18,6)) AS w FROM pr_edges),
+    sp_src AS (
+      SELECT node FROM (SELECT DISTINCT a AS node FROM und) sp_s0
+      WHERE node % 10 = 0),
     {_PAGERANK_CTES},
     {_HITS_CTES},
     {_PPR_CTES},
     {_LP_CTES},
-    {_TRI_CTES}
+    {_TRI_CTES},
+    {_SSSP_CTES}
     SELECT method, doc_a, doc_b, value FROM minhash_kept
     UNION ALL SELECT method, doc_a, doc_b, value FROM simhash_leg
     UNION ALL SELECT method, doc_a, doc_b, value FROM cluster_leg
@@ -1557,11 +1565,13 @@ _SH_SIG_SQL = " + ".join(
     UNION ALL SELECT 'labelprop', node, label, CAST(NULL AS DOUBLE) FROM lp_r2
     UNION ALL SELECT 'triangles', node, CAST(NULL AS BIGINT),
                      CAST(triangles AS DOUBLE) FROM tri_out
+    UNION ALL SELECT 'sssp', node, CAST(NULL AS BIGINT),
+                     CAST(dist AS DOUBLE) FROM sp_d3
     """,
     operators=(
         "D-ext:minhash-lsh", "D-ext:simhash", "D-ext:cluster",
         "G-ext:pagerank", "G-ext:hits", "G-ext:ppr",
-        "G-ext:labelprop", "G-ext:triangles",
+        "G-ext:labelprop", "G-ext:triangles", "G-ext:sssp",
     ),
     doc="Signature-based near-dup families, union-tagged and — new in r3 "
     "— FULLY oracle-verified via cross-engine md5 signatures (the "
@@ -1678,6 +1688,22 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("doc_b"),
         F.col("triangles").cast("double").alias("value"),
     )
+    # Multi-source BFS (r7): hop distance from the doc_id % 10 == 0
+    # cohort across the near-dup graph — 3 Bellman-Ford rounds, exact
+    # decimal distances vs the unrolled SQL twin; unreached docs NULL.
+    from home_credit_data_engineering_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    sp_sources = sym.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 10 == 0
+    )
+    sp = shortest_paths(sym, sp_sources, iterations=3).select(
+        F.lit("sssp").alias("method"),
+        F.col("node").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.col("dist").cast("double").alias("value"),
+    )
     return (
         minhash.unionByName(simhash)
         .unionByName(clusters)
@@ -1686,6 +1712,7 @@ def combo_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ppr)
         .unionByName(lp)
         .unionByName(tri)
+        .unionByName(sp)
     )
 
 

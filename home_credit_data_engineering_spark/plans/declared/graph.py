@@ -414,6 +414,49 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=3).select("node", "hub", "authority")
 
 
+def sssp_sql_ctes(
+    edges_cte: str, sources_cte: str, iterations: int = 4
+) -> str:
+    """Unrolled multi-source shortest-path CTE chain over
+    ``edges_cte(src, dst, w DECIMAL(18,6))`` and ``sources_cte(node)``
+    — synchronous Bellman-Ford rounds with explicit NULL-handling CASE
+    relaxation, the exact arithmetic
+    ``operators/graph.py:shortest_paths`` runs (DECIMAL(18,6) sums, no
+    rounding anywhere). Final relation: ``sp_d{iterations}(node, dist)``
+    with dist NULL for nodes unreached within ``iterations`` hops."""
+    parts = [
+        f"""
+    sp_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM {edges_cte}
+        UNION ALL SELECT dst FROM {edges_cte}
+        UNION ALL SELECT node FROM {sources_cte}) sp_n),
+    sp_d0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN CAST(0 AS DECIMAL(18,6)) END AS dist
+      FROM sp_nodes n
+      LEFT JOIN (SELECT DISTINCT node FROM {sources_cte}) s USING (node))"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    sp_c{k} AS (
+      SELECT e.dst AS node, CAST(d.dist + e.w AS DECIMAL(18,6)) AS nd
+      FROM {edges_cte} e JOIN sp_d{p} d ON e.src = d.node
+      WHERE d.dist IS NOT NULL),
+    sp_m{k} AS (SELECT node, MIN(nd) AS nd FROM sp_c{k} GROUP BY 1),
+    sp_d{k} AS MATERIALIZED (
+      SELECT d.node,
+             CASE WHEN m.nd IS NULL THEN d.dist
+                  WHEN d.dist IS NULL OR m.nd < d.dist THEN m.nd
+                  ELSE d.dist END AS dist
+      FROM sp_d{p} d LEFT JOIN sp_m{k} m USING (node))"""
+        )
+    return "".join(parts)
+
+
 def lp_sql_ctes(edges_cte: str, iterations: int = 3) -> str:
     """Unrolled deterministic label-propagation CTE chain over
     ``edges_cte(src, dst)`` — synchronous plurality vote, ties to the
@@ -504,6 +547,54 @@ def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_suppkey").alias("src"), "dst")
         .distinct()
+    )
+
+
+@register(
+    "graph_shortest_paths",
+    oracle=f"""
+    WITH sp_canon AS ({_COSUP_SQL}),
+    sp_edges AS (
+      SELECT src, dst, CAST(1 AS DECIMAL(18,6)) AS w FROM sp_canon
+      UNION ALL
+      SELECT dst AS src, src AS dst, CAST(1 AS DECIMAL(18,6)) AS w
+      FROM sp_canon),
+    sp_src AS (
+      SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0),
+    {sssp_sql_ctes("sp_edges", "sp_src", iterations=4)}
+    SELECT node, CAST(dist AS DOUBLE) AS dist FROM sp_d4
+    """,
+    operators=("G-ext:sssp",),
+    doc="Multi-source BFS / shortest paths "
+    "(operators/graph.py:shortest_paths): hop distance from the "
+    "nation-0 supplier cohort over the symmetrized co-supplier "
+    "co-occurrence graph, 4 synchronous Bellman-Ford rounds — per round "
+    "one equi-join (edges x settled frontier) + one MIN aggregate + one "
+    "left-join merge, (node, number) frames only, localCheckpoint per "
+    "round. Distances are exact DECIMAL(18,6) sums with CASE-based "
+    "relaxation (no engine-variant LEAST-with-NULL semantics), so the "
+    "unrolled DuckDB twin is hash-identical; unreached nodes carry "
+    "NULL. The k-hop-neighborhood / influence-radius primitive.",
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    canon = _cosupplier_edges(spark, sf_dir)
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = (
+        read_testdata(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    # double output (exact: IEEE nearest of the same exact decimal on
+    # both engines) — NULL decimals normalize differently across the
+    # DuckDB/Spark pandas bridges, NaN doubles identically
+    return shortest_paths(sym, sources, iterations=4).select(
+        "node", F.col("dist").cast("double").alias("dist")
     )
 
 

@@ -354,3 +354,114 @@ def test_triangle_count_direction_and_dup_invariant(spark):
     base = [(1, 2), (2, 3), (1, 3)]
     messy = base + [(2, 1), (3, 2), (1, 2), (1, 1)]  # reversed, dup, loop
     assert _tri(spark, base) == _tri(spark, messy)
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (multi-source BFS / Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+from home_credit_data_engineering_spark.operators.graph import shortest_paths
+
+
+def _sp_ref(edges, sources, iterations, weights=None):
+    """Pure-python synchronous Bellman-Ford over (src, dst) tuples."""
+    nodes = {s for s, _ in edges} | {t for _, t in edges} | set(sources)
+    w = weights or {e: 1.0 for e in edges}
+    dist = {v: (0.0 if v in sources else None) for v in nodes}
+    for _ in range(iterations):
+        nxt = dict(dist)
+        for (s, t) in edges:
+            if dist[s] is None:
+                continue
+            cand = dist[s] + w[(s, t)]
+            if nxt[t] is None or cand < nxt[t]:
+                nxt[t] = cand
+        dist = nxt
+    return dist
+
+
+def _sp_run(spark, edges, sources, iterations, **kw):
+    e = spark.createDataFrame(edges, schema="src string, dst string")
+    s = spark.createDataFrame([(x,) for x in sources], schema="node string")
+    out = shortest_paths(e, s, iterations=iterations, **kw).collect()
+    return {
+        r["node"]: (None if r["dist"] is None else float(r["dist"]))
+        for r in out
+    }
+
+
+def test_sssp_hops_match_python_reference(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"),
+        ("x", "y"),
+    ]
+    got = _sp_run(spark, edges, ["a"], iterations=4)
+    ref = _sp_ref(edges, {"a"}, 4)
+    assert got == ref
+    assert got["d"] == 2.0  # a->e->d beats a->b->c->d
+    assert got["x"] is None and got["y"] is None  # disconnected
+
+
+def test_sssp_multi_source_takes_nearest(spark):
+    edges = [("a", "b"), ("b", "c"), ("z", "c")]
+    got = _sp_run(spark, edges, ["a", "z"], iterations=3)
+    assert got["c"] == 1.0  # via z, not a->b->c
+    assert got["b"] == 1.0 and got["z"] == 0.0
+
+
+def test_sssp_iteration_horizon_limits_reach(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = _sp_run(spark, edges, ["a"], iterations=2)
+    assert got["c"] == 2.0 and got["d"] is None
+
+
+def test_sssp_weighted_prefers_cheaper_long_path(spark):
+    # a->b direct costs 10; a->c->b costs 3
+    e = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 2.0)],
+        schema="src string, dst string, w double",
+    )
+    s = spark.createDataFrame([("a",)], schema="node string")
+    out = {
+        r["node"]: float(r["dist"])
+        for r in shortest_paths(
+            e, s, iterations=3, edge_weight_col="w"
+        ).collect()
+    }
+    assert out["b"] == 3.0 and out["c"] == 1.0
+
+
+def test_sssp_weighted_later_round_improves_distance(spark):
+    # Bellman-Ford property: round 1 settles b at 10, round 2 improves
+    # to 3 — requires re-relaxation of already-settled nodes.
+    e = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 2.0)],
+        schema="src string, dst string, w double",
+    )
+    s = spark.createDataFrame([("a",)], schema="node string")
+    one = {
+        r["node"]: (None if r["dist"] is None else float(r["dist"]))
+        for r in shortest_paths(
+            e, s, iterations=1, edge_weight_col="w"
+        ).collect()
+    }
+    assert one["b"] == 10.0
+
+
+def test_sssp_source_outside_edge_set_is_included(spark):
+    got = _sp_run(spark, [("a", "b")], ["q"], iterations=2)
+    assert got["q"] == 0.0 and got["a"] is None and got["b"] is None
+
+
+def test_sssp_zero_iterations_is_source_indicator(spark):
+    got = _sp_run(spark, [("a", "b")], ["a"], iterations=0)
+    assert got == {"a": 0.0, "b": None}
+
+
+def test_sssp_negative_iterations_rejected(spark):
+    import pytest as _pt
+
+    e = spark.createDataFrame([("a", "b")], schema="src string, dst string")
+    s = spark.createDataFrame([("a",)], schema="node string")
+    with _pt.raises(ValueError):
+        shortest_paths(e, s, iterations=-1)

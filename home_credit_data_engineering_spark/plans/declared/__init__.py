@@ -16,6 +16,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     relational_ext,
     retrieval,
     similarity,
+    sketches,
     stats_timeseries,
     text,
     text2,

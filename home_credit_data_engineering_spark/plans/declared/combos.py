@@ -82,6 +82,10 @@ from home_credit_data_engineering_spark.plans.declared.retrieval import (
     BM25_PANEL_VALUES as _BM25_PANEL_VALUES,
     BM25_SQL_CTES as _BM25_CTES,
 )
+from home_credit_data_engineering_spark.plans.declared.sketches import (
+    cms_sql_ctes as _cms_sql_ctes,
+    kmv_sql_ctes as _kmv_sql_ctes,
+)
 from home_credit_data_engineering_spark.plans.declared.io_roundtrip import (
     _FP_ENC_SQL,
 )
@@ -285,7 +289,13 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantiles at q ± 0.05 — 500x the guarantee). The oracle computes
     # the exact counts and asserts the verdicts — r4, closing the last
     # rows-only slots (VERDICT r3 #3).
-    oracle="""
+    oracle=f"""
+    WITH {_kmv_sql_ctes("ck", "orders", "o_custkey", 256)},
+    ck_exact AS (SELECT COUNT(DISTINCT o_custkey) AS ex FROM orders),
+    cm2_toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS item
+      FROM documents),
+    {_cms_sql_ctes("cm2", "cm2_toks", depth=4, width=512, panel_k=5)}
     SELECT o_orderstatus AS key, 'approx_customers' AS metric,
            CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS exact_value,
            TRUE AS within_bound
@@ -310,8 +320,21 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT item, COUNT(*) AS n
       FROM hh_toks CROSS JOIN hh_tot
       GROUP BY item, n_tot HAVING COUNT(*) * 11 > n_tot) hh_heavy
+    UNION ALL
+    SELECT 'o_custkey' AS key, 'kmv_distinct' AS metric,
+           CAST(ex AS DOUBLE) AS exact_value,
+           ABS(est - ex) <= 0.25 * ex AS within_bound
+    FROM ck_out CROSS JOIN ck_exact
+    UNION ALL
+    SELECT item AS key, 'cms_freq' AS metric,
+           CAST(exact_cnt AS DOUBLE) AS exact_value,
+           overcount_ok AS within_bound
+    FROM cm2_res
     """,
-    operators=("A-ext:approx", "A-ext:approx-percentile", "A-ext:heavy-hitters"),
+    operators=(
+        "A-ext:approx", "A-ext:approx-percentile", "A-ext:heavy-hitters",
+        "A-ext:kmv", "A-ext:cms",
+    ),
     doc="Approximate sketches with a DETERMINISTIC accuracy certificate, "
     "long form (key, metric, exact_value, within_bound): HLL "
     "approx_count_distinct within 15% of the exact distinct count "
@@ -322,8 +345,14 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "summaries over the planted-hot-items token stream) certified by "
     "containment + the n - N/(k+1) undercount envelope against exact "
     "counts. Estimates are engine-specific; the boolean verdicts are "
-    "oracle-verified. Combo slot for approx_distinct + "
-    "stats_approx_percentiles + text_heavy_hitters_mg.",
+    "oracle-verified. r7 adds the DETERMINISTIC sketches — KMV "
+    "distinct (k=256 over o_custkey, 4-sigma rel-error verdict vs the "
+    "exact distinct) and Count-Min frequency (4x512 grid over the "
+    "documents token stream, top-5 panel, overcount-only verdict) — "
+    "whose md5-slice hashing lets the oracle recompute the ESTIMATES "
+    "themselves, not just the bounds. Combo slot for approx_distinct + "
+    "stats_approx_percentiles + text_heavy_hitters_mg + "
+    "stats_kmv_distinct + text_cms_token_freq.",
 )
 def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.sketch import (
@@ -360,7 +389,48 @@ def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_bound"),
     )
 
+    # KMV + Count-Min legs (r7): DETERMINISTIC sketches — unlike
+    # HLL/GK, the estimates themselves are engine-portable, so the
+    # oracle recomputes (not just bounds) them; within_bound stays a
+    # real verdict on both sides.
+    from home_credit_data_engineering_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+        kmv_distinct,
+    )
+
     orders = _t(spark, sf_dir, "orders")
+    kmv = kmv_distinct(orders, "o_custkey", k=256)
+    kmv_exact = orders.agg(F.countDistinct("o_custkey").alias("__ex"))
+    kmv_leg = kmv.crossJoin(F.broadcast(kmv_exact)).select(
+        F.lit("o_custkey").alias("key"),
+        F.lit("kmv_distinct").alias("metric"),
+        F.col("__ex").cast("double").alias("exact_value"),
+        (
+            F.abs(F.col("est") - F.col("__ex")) <= 0.25 * F.col("__ex")
+        ).alias("within_bound"),
+    )
+    plain_toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item")
+    )
+    cms_exact = plain_toks.groupBy("item").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    cms_panel = cms_exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("item")
+    ).limit(5)
+    cms_grid = cms_counters(plain_toks, "item", depth=4, width=512)
+    cms_leg = (
+        cms_estimate(cms_grid, cms_panel, "item", depth=4, width=512)
+        .join(cms_panel, "item")
+        .select(
+            F.col("item").alias("key"),
+            F.lit("cms_freq").alias("metric"),
+            F.col("exact_cnt").cast("double").alias("exact_value"),
+            (F.col("est") >= F.col("exact_cnt")).alias("within_bound"),
+        )
+    )
+
     agged = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").cast("double").alias("approx_customers"),
         F.round(
@@ -388,7 +458,7 @@ def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  approx_p90_price >= __p85 AND approx_p90_price <= __p95"
             ") AS (metric, exact_value, within_bound)"
         ),
-    ).unionByName(mg_leg)
+    ).unionByName(mg_leg).unionByName(kmv_leg).unionByName(cms_leg)
 
 
 # ---------------------------------------------------------------------------

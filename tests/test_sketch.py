@@ -87,3 +87,124 @@ def test_bigint_items_supported(spark):
     got = {r["item"]: r["est"] for r in mg_heavy_hitters(df, "item", 10).collect()}
     assert set(got) == {0, 1, 2, 3, 4}
     assert all(est == 20 for est in got.values())
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+from home_credit_data_engineering_spark.operators.sketch import (
+    cms_counters,
+    cms_estimate,
+    kmv_distinct,
+)
+
+
+def test_kmv_exact_path_below_k(spark):
+    df = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS item")
+    row = kmv_distinct(df, "item", k=128).collect()[0]
+    assert row["n_kept"] == 50
+    assert row["theta"] is None
+    assert row["est"] == 50.0
+
+
+def test_kmv_estimator_within_bound(spark):
+    n = 5000
+    df = spark.range(0, n * 3).selectExpr(
+        "CAST(id % 5000 AS STRING) AS item"  # heavy duplication
+    )
+    row = kmv_distinct(df, "item", k=128).collect()[0]
+    assert row["n_kept"] == 128 and row["theta"] is not None
+    # 4-sigma at k=128: ~36% relative error
+    assert abs(row["est"] - n) / n < 0.4
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = spark.range(0, 2000).selectExpr("CAST(id AS STRING) AS item")
+    a = kmv_distinct(df.repartition(1), "item", k=64).collect()[0]
+    b = kmv_distinct(df.repartition(7), "item", k=64).collect()[0]
+    assert a == b
+
+
+def test_kmv_is_pure_function_of_item_set(spark):
+    base = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS item")
+    dup = base.union(base).union(base)  # multiplicity must not matter
+    a = kmv_distinct(base, "item", k=64).collect()[0]
+    b = kmv_distinct(dup, "item", k=64).collect()[0]
+    assert a == b
+
+
+def test_kmv_rejects_tiny_k(spark):
+    import pytest as _pt
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS item")
+    with _pt.raises(ValueError):
+        kmv_distinct(df, "item", k=1).collect()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overcount_only_and_exact_when_sparse(spark):
+    # 20 distinct items in a 4x512 grid: overcount requires all 4 rows
+    # to collide, essentially impossible — estimates are exact here (and
+    # deterministic, so this assertion is stable).
+    rows = [(f"item{i}",) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, schema="item string")
+    counters = cms_counters(df, "item", depth=4, width=512)
+    probes = df.select("item").distinct()
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(
+            counters, probes, "item", depth=4, width=512
+        ).collect()
+    }
+    for i in range(20):
+        assert est[f"item{i}"] == i + 1
+
+
+def test_cms_narrow_grid_overcounts_never_undercounts(spark):
+    # width 2 forces collisions; the min-over-rows estimate must still
+    # dominate the true count for every item.
+    rows = [(f"w{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, schema="item string")
+    true = {f"w{i}": len([r for r in rows if r[0] == f"w{i}"]) for i in range(7)}
+    counters = cms_counters(df, "item", depth=3, width=2)
+    probes = df.select("item").distinct()
+    for r in cms_estimate(counters, probes, "item", depth=3, width=2).collect():
+        assert r["est"] >= true[r["item"]]
+
+
+def test_cms_absent_item_estimates_bounded_by_cell_mass(spark):
+    df = spark.createDataFrame([("a",)] * 5, schema="item string")
+    counters = cms_counters(df, "item", depth=4, width=512)
+    probes = spark.createDataFrame([("zz",)], schema="item string")
+    [r] = cms_estimate(counters, probes, "item", depth=4, width=512).collect()
+    assert r["est"] in (0, 5)  # 0 unless all 4 rows collide with 'a'
+    assert r["est"] == 0  # deterministic md5 grid: stable assertion
+
+
+def test_cms_counters_merge_cellwise(spark):
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "item string")
+    b = spark.createDataFrame([("x",)] * 4 + [("z",)] * 1, "item string")
+    from pyspark.sql import functions as F
+
+    ca = cms_counters(a, "item", depth=2, width=16)
+    cb = cms_counters(b, "item", depth=2, width=16)
+    merged = (
+        ca.unionByName(cb).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_counters(a.union(b), "item", depth=2, width=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_validation(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with _pt.raises(ValueError):
+        cms_counters(df, "item", depth=0, width=4)

@@ -45,6 +45,7 @@ __all__ = [
     "stupid_backoff_perplexity",
     "perplexity_buckets",
     "perplexity_buckets_approx",
+    "corpus_divergence",
 ]
 
 #: Decimal type of a per-token log-probability: 9 fractional digits
@@ -508,4 +509,121 @@ def perplexity_buckets_approx(
         scored.join(F.broadcast(thresholds))
         .withColumn("bucket", bucket)
         .drop("__th")
+    )
+
+
+def corpus_divergence(
+    df: DataFrame,
+    text_col: str | Column,
+    split_col: str,
+    a_value: str,
+    b_value: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Distribution drift between two sub-corpora: cross-entropy, both
+    KL directions, and a Jensen-Shannon-style symmetric divergence over
+    whitespace-token unigram distributions — the mixture-tuning /
+    domain-shift diagnostic a training-data pipeline runs before
+    blending sources (is src_new's token distribution close enough to
+    the reference corpus? how much does each language shift the mix?).
+
+    Definitions (A = rows with ``split_col == a_value``, B likewise;
+    ``c_A(t)``/``T_A`` raw counts/totals, ``V`` the union vocabulary,
+    smoothed models ``p̂_X(t) = (c_X(t)+alpha)/(T_X+alpha*V)``):
+
+    * ``ce_ab   = -(1/T_A) * Σ_t c_A(t) * ln p̂_B(t)`` — cross-entropy
+      of corpus A under B's smoothed model (``exp(ce_ab)`` is A's
+      perplexity under B);
+    * ``kl_ab   =  (1/T_A) * Σ_t c_A(t) * (ln p̂_A - ln p̂_B)`` (and
+      ``kl_ba`` symmetrically);
+    * ``js      =  0.5*(1/T_A)*Σ c_A*(ln p̂_A - ln m̂)
+                 + 0.5*(1/T_B)*Σ c_B*(ln p̂_B - ln m̂)`` with
+      ``m̂ = (p̂_A + p̂_B)/2`` — bounded, symmetric, 0 iff identical.
+
+    Output: one row ``(tokens_a, tokens_b, vocab, ce_ab, kl_ab, kl_ba,
+    js)``, divergences rounded to 6.
+
+    Cross-engine exactness (the module's float discipline): every ln is
+    rounded to 9 and accumulated count-weighted as exact decimals
+    (order-independent); each output is one fixed double formula over
+    those exact sums, rounded to 6 — so a DuckDB twin writing the same
+    text is hash-identical modulo sub-rounding libm drift (the
+    ``text_lm_perplexity`` precedent).
+
+    100 TB posture: one token-keyed hash aggregate over (split, token)
+    pairs — pre-aggregated per document first would change nothing
+    semantically; counts collapse map-side — then a vocab-sized frame
+    carrying six decimal sums through ONE 1-row aggregate. Totals ride
+    a broadcast cross join; nothing collects.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    toks = (
+        df.filter(F.col(split_col).isin(a_value, b_value))
+        .select(
+            F.col(split_col).alias("__s"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .filter(F.length("__tok") > 0)
+    )
+    vocab = toks.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__s") == a_value, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__s") == b_value, 1).otherwise(0)).alias("cb"),
+    )
+    totals = vocab.agg(
+        F.sum("ca").alias("__ta"),
+        F.sum("cb").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    pa = (F.col("ca") + F.lit(alpha)) / (
+        F.col("__ta") + F.lit(alpha) * F.col("__v")
+    )
+    pb = (F.col("cb") + F.lit(alpha)) / (
+        F.col("__tb") + F.lit(alpha) * F.col("__v")
+    )
+    la = F.round(F.log(pa), 9).cast(_ACC)
+    lb = F.round(F.log(pb), 9).cast(_ACC)
+    lm_ = F.round(F.log((pa + pb) / 2), 9).cast(_ACC)
+    sums = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "ca",
+            "cb",
+            (F.col("ca").cast("decimal(12,0)") * la).alias("__saa"),
+            (F.col("ca").cast("decimal(12,0)") * lb).alias("__sab"),
+            (F.col("cb").cast("decimal(12,0)") * lb).alias("__sbb"),
+            (F.col("cb").cast("decimal(12,0)") * la).alias("__sba"),
+            (F.col("ca").cast("decimal(12,0)") * lm_).alias("__sam"),
+            (F.col("cb").cast("decimal(12,0)") * lm_).alias("__sbm"),
+        )
+        .agg(
+            F.sum("ca").alias("tokens_a"),
+            F.sum("cb").alias("tokens_b"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("__saa").alias("saa"),
+            F.sum("__sab").alias("sab"),
+            F.sum("__sbb").alias("sbb"),
+            F.sum("__sba").alias("sba"),
+            F.sum("__sam").alias("sam"),
+            F.sum("__sbm").alias("sbm"),
+        )
+    )
+    ta = F.col("tokens_a").cast("double")
+    tb = F.col("tokens_b").cast("double")
+    return sums.select(
+        F.col("tokens_a").cast("bigint").alias("tokens_a"),
+        F.col("tokens_b").cast("bigint").alias("tokens_b"),
+        "vocab",
+        F.round(-F.col("sab").cast("double") / ta, 6).alias("ce_ab"),
+        F.round(
+            (F.col("saa") - F.col("sab")).cast("double") / ta, 6
+        ).alias("kl_ab"),
+        F.round(
+            (F.col("sbb") - F.col("sba")).cast("double") / tb, 6
+        ).alias("kl_ba"),
+        F.round(
+            F.lit(0.5) * (F.col("saa") - F.col("sam")).cast("double") / ta
+            + F.lit(0.5) * (F.col("sbb") - F.col("sbm")).cast("double") / tb,
+            6,
+        ).alias("js"),
     )

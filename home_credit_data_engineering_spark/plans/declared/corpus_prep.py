@@ -21,6 +21,9 @@ from home_credit_data_engineering_spark.plans.declared.packed import (
     _PLANTED_VALUES as _PACKC_VALUES,
     planted_packed_df,
 )
+from home_credit_data_engineering_spark.plans.declared.text3 import (
+    DIVERGENCE_SQL_CTES as _DIV_CTES,
+)
 from home_credit_data_engineering_spark.plans.declared.text2 import (
     _BPE_REAL_CTES,
     _bpe_real_df,
@@ -485,7 +488,8 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SURV_CTES},
     {_BPE_REAL_CTES},
     {_LINE_CTES},
-    {_PACKC_CTES}
+    {_PACKC_CTES},
+    {_DIV_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -541,6 +545,13 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_docs AS BIGINT), CAST(n_tokens AS BIGINT), 1, NULL, NULL,
            ids_md5 || ':' || starts_md5
     FROM packc_planted
+    UNION ALL
+    SELECT 'div', CAST(0 AS BIGINT), tokens_a, tokens_b, vocab,
+           CAST(ROUND(ce_ab * 1000000, 0) AS BIGINT),
+           CAST(ROUND(kl_ab * 1000000, 0) AS BIGINT),
+           CAST(ROUND(kl_ba * 1000000, 0) AS BIGINT),
+           CAST(CAST(ROUND(js * 1000000, 0) AS BIGINT) AS VARCHAR)
+    FROM dv_out
     """,
     operators=(
         "T-ext:substring-dedup",
@@ -554,6 +565,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-ext:bpe-real",
         "T-ext:line-dedup",
         "T-ext:packed-corpus",
+        "T-ext:divergence",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
@@ -699,6 +711,28 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("k6"),
         F.col("clean_md5").alias("s"),
     )
+    # Corpus-divergence leg (r7): en-vs-de drift diagnostics,
+    # integerized at 1e-6 into the combo's long schema (js rides the
+    # string slot as an integer literal — engine-stable formatting).
+    from home_credit_data_engineering_spark.operators.lm import (
+        corpus_divergence,
+    )
+
+    div = corpus_divergence(docs, "text", "lang", "en", "de", alpha=1.0)
+    div_leg = div.select(
+        F.lit("div").alias("kind"),
+        F.lit(0).cast("bigint").alias("doc_id"),
+        F.col("tokens_a").alias("k1"),
+        F.col("tokens_b").alias("k2"),
+        F.col("vocab").alias("k3"),
+        F.round(F.col("ce_ab") * 1000000, 0).cast("bigint").alias("k4"),
+        F.round(F.col("kl_ab") * 1000000, 0).cast("bigint").alias("k5"),
+        F.round(F.col("kl_ba") * 1000000, 0).cast("bigint").alias("k6"),
+        F.round(F.col("js") * 1000000, 0)
+        .cast("bigint")
+        .cast("string")
+        .alias("s"),
+    )
     return (
         span_leg.unionByName(strip_leg)
         .unionByName(pack_leg)
@@ -734,6 +768,7 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(":", "ids_md5", "starts_md5").alias("s"),
             )
         )
+        .unionByName(div_leg)
     )
 
 

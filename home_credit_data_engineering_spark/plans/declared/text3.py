@@ -632,3 +632,97 @@ def text_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("score") * 10000, 0).cast("bigint").alias("score_e4"),
     )
+
+
+#: DuckDB twin of ``operators/lm.py:corpus_divergence`` over
+#: ``{toks}(s, word)`` token streams for splits ``{a}``/``{b}`` with
+#: alpha = 1.0 — final relation ``dv_out(tokens_a, tokens_b, vocab,
+#: ce_ab, kl_ab, kl_ba, js)``. Identical per-term arithmetic: round-9
+#: ln of the smoothed ratio, DECIMAL(12,0) x DECIMAL(18,9) exact
+#: count-weighted products, one fixed double formula per output.
+DIVERGENCE_SQL_TMPL = """
+    dv_vocab AS (
+      SELECT word,
+             SUM(CASE WHEN s = '{a}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN s = '{b}' THEN 1 ELSE 0 END) AS cb
+      FROM {toks} GROUP BY 1),
+    dv_tot AS (
+      SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v FROM dv_vocab),
+    dv_terms AS (
+      SELECT ca, cb,
+             CAST(ca AS DECIMAL(12,0)) * CAST(ROUND(ln((ca + 1.0)
+               / (ta + 1.0 * v)), 9) AS DECIMAL(18,9)) AS saa,
+             CAST(ca AS DECIMAL(12,0)) * CAST(ROUND(ln((cb + 1.0)
+               / (tb + 1.0 * v)), 9) AS DECIMAL(18,9)) AS sab,
+             CAST(cb AS DECIMAL(12,0)) * CAST(ROUND(ln((cb + 1.0)
+               / (tb + 1.0 * v)), 9) AS DECIMAL(18,9)) AS sbb,
+             CAST(cb AS DECIMAL(12,0)) * CAST(ROUND(ln((ca + 1.0)
+               / (ta + 1.0 * v)), 9) AS DECIMAL(18,9)) AS sba,
+             CAST(ca AS DECIMAL(12,0)) * CAST(ROUND(ln(((ca + 1.0)
+               / (ta + 1.0 * v) + (cb + 1.0) / (tb + 1.0 * v)) / 2), 9)
+               AS DECIMAL(18,9)) AS sam,
+             CAST(cb AS DECIMAL(12,0)) * CAST(ROUND(ln(((ca + 1.0)
+               / (ta + 1.0 * v) + (cb + 1.0) / (tb + 1.0 * v)) / 2), 9)
+               AS DECIMAL(18,9)) AS sbm
+      FROM dv_vocab CROSS JOIN dv_tot),
+    dv_sums AS (
+      SELECT SUM(ca) AS tokens_a, SUM(cb) AS tokens_b, COUNT(*) AS vocab,
+             SUM(saa) AS saa, SUM(sab) AS sab, SUM(sbb) AS sbb,
+             SUM(sba) AS sba, SUM(sam) AS sam, SUM(sbm) AS sbm
+      FROM dv_terms),
+    dv_out AS (
+      SELECT CAST(tokens_a AS BIGINT) AS tokens_a,
+             CAST(tokens_b AS BIGINT) AS tokens_b, vocab,
+             ROUND(-CAST(sab AS DOUBLE) / CAST(tokens_a AS DOUBLE), 6)
+               AS ce_ab,
+             ROUND(CAST(saa - sab AS DOUBLE) / CAST(tokens_a AS DOUBLE), 6)
+               AS kl_ab,
+             ROUND(CAST(sbb - sba AS DOUBLE) / CAST(tokens_b AS DOUBLE), 6)
+               AS kl_ba,
+             ROUND(0.5 * CAST(saa - sam AS DOUBLE)
+                     / CAST(tokens_a AS DOUBLE)
+                 + 0.5 * CAST(sbb - sbm AS DOUBLE)
+                     / CAST(tokens_b AS DOUBLE), 6) AS js
+      FROM dv_sums)"""
+
+#: en-vs-de instantiation over documents.lang (the declared query and
+#: the combo_corpus_prep leg share it).
+DIVERGENCE_SQL_CTES = (
+    """
+    dv_toks AS (
+      SELECT s, word FROM (
+        SELECT lang AS s,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE lang IN ('en', 'de')) dv_t0
+      WHERE len(word) > 0),"""
+    + DIVERGENCE_SQL_TMPL.format(toks="dv_toks", a="en", b="de")
+)
+
+
+@register(
+    "text_corpus_divergence",
+    oracle=f"""
+    WITH {DIVERGENCE_SQL_CTES}
+    SELECT tokens_a, tokens_b, vocab, ce_ab, kl_ab, kl_ba, js FROM dv_out
+    """,
+    operators=("T-ext:divergence",),
+    doc="Corpus distribution drift (operators/lm.py:corpus_divergence): "
+    "cross-entropy, both KL directions, and a Jensen-Shannon-style "
+    "symmetric divergence between the English and German token "
+    "distributions of the documents corpus (add-1 smoothed over the "
+    "union vocabulary) — the mixture-tuning / domain-shift diagnostic "
+    "run before blending sources. One (split, token) hash aggregate + "
+    "a vocab-sized frame carrying six exact-decimal weighted log sums "
+    "into a 1-row aggregate; round-9 ln terms + DECIMAL(12,0) x "
+    "DECIMAL(18,9) products make the result hash-exact vs the DuckDB "
+    "twin (the text_lm_perplexity float discipline).",
+)
+def text_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.lm import (
+        corpus_divergence,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs, "text", "lang", "en", "de", alpha=1.0
+    )

@@ -347,3 +347,97 @@ def test_ngram_backoff_guards(spark):
         ngram_backoff_perplexity(df, "doc_id", "text", order=1)
     with _pytest.raises(ValueError, match="backoff"):
         ngram_backoff_perplexity(df, "doc_id", "text", backoff=0.0)
+
+
+# ---------------------------------------------------------------------------
+# corpus_divergence
+# ---------------------------------------------------------------------------
+
+from home_credit_data_engineering_spark.operators.lm import corpus_divergence
+
+
+def _div_ref(docs_a, docs_b, alpha=1.0):
+    """Pure-python replica of corpus_divergence's exact arithmetic."""
+    import math
+    from collections import Counter
+
+    ca = Counter(t for d in docs_a for t in d.split())
+    cb = Counter(t for d in docs_b for t in d.split())
+    vocab = sorted(set(ca) | set(cb))
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    la = {t: round(math.log((ca[t] + alpha) / (ta + alpha * v)), 9) for t in vocab}
+    lb = {t: round(math.log((cb[t] + alpha) / (tb + alpha * v)), 9) for t in vocab}
+    lm_ = {
+        t: round(
+            math.log(
+                ((ca[t] + alpha) / (ta + alpha * v)
+                 + (cb[t] + alpha) / (tb + alpha * v)) / 2
+            ),
+            9,
+        )
+        for t in vocab
+    }
+    saa = sum(ca[t] * la[t] for t in vocab)
+    sab = sum(ca[t] * lb[t] for t in vocab)
+    sbb = sum(cb[t] * lb[t] for t in vocab)
+    sba = sum(cb[t] * la[t] for t in vocab)
+    sam = sum(ca[t] * lm_[t] for t in vocab)
+    sbm = sum(cb[t] * lm_[t] for t in vocab)
+    return {
+        "tokens_a": ta, "tokens_b": tb, "vocab": v,
+        "ce_ab": round(-sab / ta, 6),
+        "kl_ab": round((saa - sab) / ta, 6),
+        "kl_ba": round((sbb - sba) / tb, 6),
+        "js": round(0.5 * (saa - sam) / ta + 0.5 * (sbb - sbm) / tb, 6),
+    }
+
+
+def _div_df(spark, docs_a, docs_b):
+    rows = [(t, "a") for t in docs_a] + [(t, "b") for t in docs_b]
+    return spark.createDataFrame(rows, schema="text string, src string")
+
+
+def test_divergence_matches_python_reference(spark):
+    docs_a = ["the cat sat on the mat", "the dog ran", "cat cat dog"]
+    docs_b = ["a dog barked at the moon", "the moon rose", "dog moon"]
+    df = _div_df(spark, docs_a, docs_b)
+    [row] = corpus_divergence(df, "text", "src", "a", "b").collect()
+    ref = _div_ref(docs_a, docs_b)
+    for k, v in ref.items():
+        assert row[k] == pytest.approx(v, abs=2e-6), k
+
+
+def test_divergence_identical_corpora_is_zero(spark):
+    docs = ["x y z", "x x y", "z z z y"]
+    df = _div_df(spark, docs, docs)
+    [row] = corpus_divergence(df, "text", "src", "a", "b").collect()
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0 and row["js"] == 0.0
+    assert row["ce_ab"] > 0
+
+
+def test_divergence_disjoint_exceeds_overlapping(spark):
+    a = ["alpha beta gamma"] * 3
+    near = ["alpha beta delta"] * 3
+    far = ["omega psi chi"] * 3
+    [r_near] = corpus_divergence(
+        _div_df(spark, a, near), "text", "src", "a", "b"
+    ).collect()
+    [r_far] = corpus_divergence(
+        _div_df(spark, a, far), "text", "src", "a", "b"
+    ).collect()
+    assert r_far["js"] > r_near["js"] > 0
+    assert r_far["kl_ab"] > r_near["kl_ab"]
+
+
+def test_divergence_ignores_other_splits(spark):
+    rows = [("x y", "a"), ("x z", "b"), ("junk junk", "c")]
+    df = spark.createDataFrame(rows, schema="text string, src string")
+    [row] = corpus_divergence(df, "text", "src", "a", "b").collect()
+    assert row["tokens_a"] == 2 and row["tokens_b"] == 2
+    assert row["vocab"] == 3  # x, y, z — no junk
+
+
+def test_divergence_rejects_bad_alpha(spark):
+    df = _div_df(spark, ["x"], ["y"])
+    with pytest.raises(ValueError):
+        corpus_divergence(df, "text", "src", "a", "b", alpha=0.0)

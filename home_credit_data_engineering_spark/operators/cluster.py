@@ -233,3 +233,178 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance + PCA/ZCA whitening
+# ---------------------------------------------------------------------------
+
+
+def embedding_covariance(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact population covariance of an embedding column:
+    ``(i, j, cov)`` for every ``i <= j`` (upper triangle of the d x d
+    matrix), with the module's decimal discipline — components round to
+    9 on explode, per-pair products round to 9 and accumulate as
+    DECIMAL(18,9) (order-independent), ``cov_ij = round(s_ij/n -
+    mean_i*mean_j, 9)`` one fixed double formula — so a DuckDB twin is
+    hash-identical. The PCA/OPQ/whitening input statistic, computed
+    over EVERY row (not a sample).
+
+    Plan shape: (id, ord, value) scalar triples self-join on the id
+    (groups of exactly d rows — no skew), ``i <= j`` cut halves the
+    product stream, then ONE map-side-combinable hash aggregate into
+    d(d+1)/2 cells; means are a second d-cell aggregate broadcast onto
+    the result. Work is d^2/2 multiplies per row — the same constant
+    every covariance pass pays — and nothing after the aggregates
+    scales with the data.
+    """
+    pts = _points(df, id_col, vec_col)
+    means = pts.groupBy("__ord").agg(
+        F.round(
+            F.sum(F.col("__v").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("__mean")
+    )
+    b = pts.select(
+        F.col("__id").alias("__id2"),
+        F.col("__ord").alias("__j"),
+        F.col("__v").alias("__vj"),
+    )
+    prods = (
+        pts.join(b, (pts["__id"] == b["__id2"]) & (pts["__ord"] <= b["__j"]))
+        .select(
+            F.col("__ord").alias("__i"),
+            "__j",
+            F.round(F.col("__v") * F.col("__vj"), 9).cast(_DEC).alias("__p"),
+        )
+        .groupBy("__i", "__j")
+        .agg(F.sum("__p").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    mi = means.select(
+        F.col("__ord").alias("__i"), F.col("__mean").alias("__mi")
+    )
+    mj = means.select(
+        F.col("__ord").alias("__j"), F.col("__mean").alias("__mj")
+    )
+    return (
+        prods.join(F.broadcast(mi), "__i")
+        .join(F.broadcast(mj), "__j")
+        .select(
+            F.col("__i").alias("i"),
+            F.col("__j").alias("j"),
+            F.round(
+                F.col("__s").cast("double") / F.col("__n")
+                - F.col("__mi") * F.col("__mj"),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_whitening_model(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_components: int | None = None,
+    eps: float = 1e-6,
+    max_dim: int = 2048,
+):
+    """Fit a whitening transform from the EXACT distributed covariance
+    (:func:`embedding_covariance`): returns ``(mean, W)`` numpy arrays
+    with ``W`` shaped (out_dim, d) such that ``(x - mean) @ W.T`` has
+    ~identity covariance.
+
+    ``n_components=None`` -> ZCA whitening (``U diag(1/sqrt(l+eps))
+    U^T``, stays in the original basis, out_dim = d); an integer ->
+    PCA whitening onto the top components by eigenvalue
+    (``diag(1/sqrt(l+eps)) U^T``, out_dim = n_components) — the
+    decorrelate+rescale preprocessing embedding pipelines run before
+    cosine ANN, OPQ, or semantic dedup.
+
+    Driver state is the d x d covariance only — collected with a
+    raising guard (``max_dim``, default 2048: 2048^2 doubles = 32 MiB);
+    the eigendecomposition is numpy ``eigh`` on the driver, the one
+    step that does not need the cluster. The heavy pass (covariance)
+    is exact and distributed.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, id_col, vec_col).collect()
+    if not cov_rows:
+        raise ValueError("no vectors to fit whitening on")
+    d = max(r["j"] for r in cov_rows) + 1
+    if d > max_dim:
+        raise ValueError(
+            f"dimension {d} exceeds max_dim={max_dim}; raise max_dim "
+            "explicitly if the driver can hold the d x d covariance"
+        )
+    means_rows = (
+        _points(df, id_col, vec_col)
+        .groupBy("__ord")
+        .agg(
+            F.round(
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("__mean")
+        )
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in means_rows:
+        mean[r["__ord"]] = r["__mean"]
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    lam, u = np.linalg.eigh(cov)  # ascending eigenvalues
+    scale = 1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)
+    if n_components is None:
+        w = (u * scale) @ u.T  # ZCA
+    else:
+        if not 1 <= n_components <= d:
+            raise ValueError(
+                f"n_components must be in [1, {d}], got {n_components}"
+            )
+        top = np.argsort(lam)[::-1][:n_components]
+        w = (scale[top][:, None]) * u[:, top].T  # PCA
+    return mean, w
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean,
+    w,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Apply a fitted whitening transform:
+    ``out = (x - mean) @ W.T`` as ``array<double>``, one Arrow-batched
+    GEMM per batch (the ``brute_force_topk_gemm`` shape — vectorized,
+    no per-row Python). ``mean``/``w`` broadcast with the serialized
+    closure (d + out_dim*d doubles, small by the model guard)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(mean, dtype=np.float64)
+    wt = np.asarray(w, dtype=np.float64).T.copy()
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference can't resolve
+    def _apply(vecs):
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = (x - mean) @ wt
+        return pd.Series(list(out))
+
+    apply_w = pandas_udf(_apply, "array<double>")
+
+    return df.select(
+        F.col(id_col),
+        apply_w(F.col(vec_col).cast("array<double>")).alias(out_col),
+    )

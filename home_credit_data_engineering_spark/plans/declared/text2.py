@@ -14,6 +14,7 @@ from home_credit_data_engineering_spark.functions.text import (
 )
 from home_credit_data_engineering_spark.plans.declared._stable import savg, xavg
 from home_credit_data_engineering_spark.plans.declared.cluster import (
+    COVARIANCE_SQL_CTES as _COV_CTES,
     kmeans_sql_ctes,
 )
 from home_credit_data_engineering_spark.plans.registry import register
@@ -72,7 +73,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     oracle=f"""
-    WITH {kmeans_sql_ctes("embeddings", 8, 2)}
+    WITH {kmeans_sql_ctes("embeddings", 8, 2)},
+    {_COV_CTES}
     SELECT 'label' AS kind, label AS grp, CAST(u.idx AS BIGINT) AS idx,
            CAST({savg("u.val", 6, "DECIMAL(20,12)")} AS DOUBLE) AS val
     FROM embeddings,
@@ -87,8 +89,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'kcent' AS kind, CAST(cid AS INTEGER) AS grp,
            CAST(ord AS BIGINT) AS idx, c AS val
     FROM km_c2
+    UNION ALL
+    SELECT 'wcov' AS kind, CAST(i AS INTEGER) AS grp,
+           CAST(j AS BIGINT) AS idx, cov AS val
+    FROM wc_cov WHERE i = j
+    UNION ALL
+    SELECT 'whiten_ok' AS kind, -1, CAST(-1 AS BIGINT), 1.0
     """,
-    operators=("V-ext:centroid", "S-ext:kmeans"),
+    operators=("V-ext:centroid", "S-ext:kmeans", "S-ext:whitening"),
     doc="Embedding-space prototype family in one long-form driver slot "
     "(kind, grp, idx, val): per-label centroids (posexplode → hash "
     "aggregate — IVF cells / class prototypes), plus the DISTRIBUTED "
@@ -133,7 +141,49 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ord").cast("bigint").alias("idx"),
         F.col("value").alias("val"),
     )
-    return lab.unionByName(ka).unionByName(kc)
+    # Whitening legs (r7): exact covariance diagonal (hash-verified by
+    # the twin) + the PCA-16 whitening identity/dimension verdict
+    # (driver-side eigh step, certified not replayed — the
+    # combo_approx_sketches mold).
+    from home_credit_data_engineering_spark.operators.cluster import (
+        embedding_covariance,
+        pca_whitening_model,
+        whiten_embeddings,
+    )
+
+    wcov = embedding_covariance(emb, "vec_id", "embedding")
+    wcov_leg = wcov.filter(F.col("i") == F.col("j")).select(
+        F.lit("wcov").alias("kind"),
+        F.col("i").cast("int").alias("grp"),
+        F.col("j").cast("bigint").alias("idx"),
+        F.col("cov").alias("val"),
+    )
+    mean, w16 = pca_whitening_model(
+        emb, "vec_id", "embedding", n_components=16
+    )
+    white = whiten_embeddings(emb, "vec_id", "embedding", mean, w16)
+    wdelta = F.when(F.col("i") == F.col("j"), 1.0).otherwise(0.0)
+    white_ok = (
+        embedding_covariance(white, "vec_id", "whitened")
+        .agg(
+            (F.max(F.abs(F.col("cov") - wdelta)) <= 0.02).alias("__id_ok"),
+            (F.max("j") == 15).alias("__dim_ok"),
+        )
+        .select(
+            F.lit("whiten_ok").alias("kind"),
+            F.lit(-1).alias("grp"),
+            F.lit(-1).cast("bigint").alias("idx"),
+            F.when(F.col("__id_ok") & F.col("__dim_ok"), 1.0)
+            .otherwise(0.0)
+            .alias("val"),
+        )
+    )
+    return (
+        lab.unionByName(ka)
+        .unionByName(kc)
+        .unionByName(wcov_leg)
+        .unionByName(white_ok)
+    )
 
 
 @register(

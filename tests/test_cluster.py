@@ -113,3 +113,102 @@ def test_validation(spark):
         kmeans(df, k=0, iterations=1)
     with pytest.raises(ValueError):
         kmeans(df, k=1, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance / PCA-ZCA whitening
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.cluster import (
+    embedding_covariance,
+    pca_whitening_model,
+    whiten_embeddings,
+)
+
+
+def _emb_df(spark, mat):
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(mat)]
+    return spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<double>"
+    )
+
+
+def test_covariance_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    x = np.round(rng.normal(size=(40, 5)), 6)
+    df = _emb_df(spark, x)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "vec_id", "embedding").collect()
+    }
+    ref = np.cov(x, rowvar=False, bias=True)  # population covariance
+    assert len(got) == 5 * 6 // 2
+    for (i, j), v in got.items():
+        assert v == pytest.approx(ref[i, j], abs=1e-6), (i, j)
+
+
+def test_covariance_partitioning_invariant(spark):
+    rng = np.random.default_rng(3)
+    x = np.round(rng.normal(size=(30, 4)), 6)
+    a = embedding_covariance(
+        _emb_df(spark, x).repartition(1), "vec_id", "embedding"
+    ).collect()
+    b = embedding_covariance(
+        _emb_df(spark, x).repartition(7), "vec_id", "embedding"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_zca_whitening_yields_identity_covariance(spark):
+    rng = np.random.default_rng(11)
+    # correlated data: x2 = x1 + noise
+    base = rng.normal(size=(200, 1))
+    x = np.round(np.hstack([base, base + 0.1 * rng.normal(size=(200, 1)),
+                            rng.normal(size=(200, 2))]), 6)
+    df = _emb_df(spark, x)
+    mean, w = pca_whitening_model(df, "vec_id", "embedding")
+    assert w.shape == (4, 4)
+    white = whiten_embeddings(df, "vec_id", "embedding", mean, w)
+    wc = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(
+            white, "vec_id", "whitened"
+        ).collect()
+    }
+    for (i, j), v in wc.items():
+        expect = 1.0 if i == j else 0.0
+        assert v == pytest.approx(expect, abs=0.01), (i, j)
+
+
+def test_pca_whitening_reduces_dimension(spark):
+    rng = np.random.default_rng(13)
+    x = np.round(rng.normal(size=(100, 6)), 6)
+    df = _emb_df(spark, x)
+    mean, w = pca_whitening_model(df, "vec_id", "embedding", n_components=2)
+    assert w.shape == (2, 6)
+    white = whiten_embeddings(df, "vec_id", "embedding", mean, w)
+    [row] = white.agg(F.max(F.size("whitened")).alias("d")).collect()
+    assert row["d"] == 2
+    wc = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(white, "vec_id", "whitened").collect()
+    }
+    assert wc[(0, 0)] == pytest.approx(1.0, abs=0.01)
+    assert wc[(1, 1)] == pytest.approx(1.0, abs=0.01)
+    assert wc[(0, 1)] == pytest.approx(0.0, abs=0.01)
+
+
+def test_whitening_model_guards(spark):
+    df = _emb_df(spark, np.zeros((5, 3)))
+    with pytest.raises(ValueError):
+        pca_whitening_model(df, "vec_id", "embedding", max_dim=2)
+    with pytest.raises(ValueError):
+        pca_whitening_model(df, "vec_id", "embedding", n_components=9)
+    empty = spark.createDataFrame(
+        [], schema="vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pca_whitening_model(empty, "vec_id", "embedding")

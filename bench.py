@@ -86,6 +86,13 @@ def main() -> None:
         # r7: distributed Lloyd's k-means over the full embeddings table
         # (broadcast-centroid iterations, exact-decimal distances)
         "sim_kmeans_clusters",
+        # r7 (2): multi-source BFS over the co-supplier graph (edge
+        # build + 4 Bellman-Ford rounds), KMV distinct sketch (bounded
+        # fold + partitions*k merge), and corpus divergence (two
+        # aggregates + vocab-sized decimal frame)
+        "graph_shortest_paths",
+        "stats_kmv_distinct",
+        "text_corpus_divergence",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -118,9 +118,27 @@ SCALED_QUERIES = (
     # is partitions x k rows, so the curve should be the scan cost
     # (near-linear, tiny constant).
     "text_heavy_hitters_mg",
+    # r7 (2): deterministic sketches + divergence over the 10x streams —
+    # CMS shuffles O(grid) regardless of stream, KMV shuffles
+    # partitions*k hashes, divergence two aggregates + vocab frame; all
+    # three curves should be the scan cost. PCA whitening: the
+    # covariance self-join does d(d+1)/2 decimal products per row over
+    # 10x vectors — expect ~linear with a visible constant (two fits +
+    # two identity re-checks in the declared query). Shortest paths:
+    # the replica cache shifts l_orderkey but NOT l_suppkey, so the
+    # co-supplier node set is fixed while the edge-build wedge stream
+    # grows 10x — the curve measures canonicalization + build, with
+    # fixed-size BFS rounds on top.
+    "text_cms_token_freq",
+    "stats_kmv_distinct",
+    "text_corpus_divergence",
+    "graph_shortest_paths",
+    "sim_pca_whitening",
 )
 
-_TABLES_NEEDED = ("lineitem", "orders", "documents", "embeddings", "events")
+_TABLES_NEEDED = (
+    "lineitem", "orders", "documents", "embeddings", "events", "supplier",
+)
 
 
 def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:
@@ -379,8 +397,10 @@ def build_scaled_cache(
             continue
         base = read_testdata(spark, sf_dir, table)
         shifts = _ID_SHIFTS.get(table, {})
+        # Tables with no shift map are DIMENSIONS (supplier): copy once —
+        # replicating identical keys would distort joins, not scale them.
         parts: list[DataFrame] = []
-        for i in range(replicas):
+        for i in range(replicas if shifts else 1):
             rep = base
             for col, stride in shifts.items():
                 rep = rep.withColumn(col, F.col(col) + F.lit(i * stride))

@@ -7,6 +7,7 @@ from home_credit_data_engineering_spark.plans.declared import (  # noqa: F401
     core,
     corpus_prep,
     dedup,
+    evaluate,
     events,
     graph,
     io_roundtrip,

@@ -68,6 +68,15 @@ from home_credit_data_engineering_spark.plans.declared.graph import (
     sssp_sql_ctes as _sssp_sql_ctes,
     tri_sql_ctes as _tri_sql_ctes,
 )
+from home_credit_data_engineering_spark.plans.declared.evaluate import (
+    _AUC_CTES,
+    _BINARY_SCORED_CTE,
+    _CAL_CTES,
+    _LANG_PRED_CTES,
+    _REPORT_CTES,
+    _REPORT_ROWS_SQL,
+    _ROC_CTES,
+)
 
 #: PageRank / HITS / personalized-PageRank / label-propagation /
 #: triangle-count CTE chains over the near-dup graph
@@ -100,6 +109,60 @@ from home_credit_data_engineering_spark.sources.sinks import write_parquet
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_testdata(spark, sf_dir, name)
+
+
+#: Evaluation legs appended to combo_text_terms' oracle (T-eval tags'
+#: driver-set certification): long-form rows from the classification
+#: report, AUC/AP, decile-threshold ROC points, and calibration buckets
+#: — the same CTE fragments the standalone eval_* queries verify.
+_EVAL_LEGS_SQL = f"""
+    UNION ALL
+    SELECT 'evalrep', CAST(NULL AS BIGINT), cls || '/' || m, v FROM (
+      WITH {_LANG_PRED_CTES},
+      {_REPORT_CTES},
+      allrows AS ({_REPORT_ROWS_SQL})
+      SELECT cls, 'precision' AS m, prec AS v FROM allrows
+      UNION ALL SELECT cls, 'recall', rec FROM allrows
+      UNION ALL SELECT cls, 'f1', f1 FROM allrows
+      UNION ALL SELECT cls, 'support', CAST(support AS DOUBLE) FROM allrows) er
+    UNION ALL
+    SELECT 'evalauc', CAST(NULL AS BIGINT), m, v FROM (
+      WITH {_BINARY_SCORED_CTE},
+      {_AUC_CTES}
+      SELECT 'auc' AS m,
+             CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN ROUND(CAST(auc_num AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+             END AS v FROM ev_agg
+      UNION ALL SELECT 'ap',
+             CASE WHEN n_pos > 0
+                  THEN ROUND(CAST(ap_num AS DOUBLE) / n_pos, 6) END FROM ev_agg
+      UNION ALL SELECT 'n_pos', CAST(n_pos AS DOUBLE) FROM ev_agg
+      UNION ALL SELECT 'n_neg', CAST(n_neg AS DOUBLE) FROM ev_agg) ea
+    UNION ALL
+    SELECT 'evalroc', CAST(NULL AS BIGINT),
+           CAST(threshold AS VARCHAR) || '/' || m, v FROM (
+      WITH {_BINARY_SCORED_CTE},
+      {_ROC_CTES}
+      SELECT threshold, 'tpr' AS m,
+             CASE WHEN t.p > 0 THEN ROUND(CAST(tp AS DOUBLE) / t.p, 6) END AS v
+      FROM ev_cum CROSS JOIN ev_tot t WHERE threshold % 100000 = 0
+      UNION ALL
+      SELECT threshold, 'fpr',
+             CASE WHEN t.n > 0 THEN ROUND(CAST(fp AS DOUBLE) / t.n, 6) END
+      FROM ev_cum CROSS JOIN ev_tot t WHERE threshold % 100000 = 0
+      UNION ALL
+      SELECT threshold, 'prec', ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6)
+      FROM ev_cum CROSS JOIN ev_tot t WHERE threshold % 100000 = 0) ro
+    UNION ALL
+    SELECT 'evalcal', CAST(NULL AS BIGINT),
+           CAST(bin AS VARCHAR) || '/' || m, v FROM (
+      WITH {_BINARY_SCORED_CTE},
+      {_CAL_CTES}
+      SELECT bin, 'mean_score' AS m, mean_score AS v FROM cal
+      UNION ALL SELECT bin, 'pos_rate', pos_rate FROM cal
+      UNION ALL SELECT bin, 'n', CAST(n AS DOUBLE) FROM cal
+      UNION ALL SELECT bin, 'n_pos', CAST(n_pos AS DOUBLE) FROM cal) ec
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1270,7 +1333,8 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """.replace("__BM25_PANEL__", _BM25_PANEL_VALUES).replace(
         "__BM25_CTES__", _BM25_CTES
-    ),
+    )
+    + _EVAL_LEGS_SQL,
     operators=(
         "T-ext:tfidf",
         "T-ext:wordfreq",
@@ -1278,16 +1342,27 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-ext:bm25",
         "T-ext:mlt",
         "S-ext:rrf",
+        "T-eval:report",
+        "T-eval:auc",
+        "T-eval:roc",
+        "T-eval:calibration",
     ),
-    doc="Term rankings + decontamination + retrieval, union-tagged: "
+    doc="Term rankings + decontamination + retrieval + evaluation, "
+    "union-tagged: "
     "per-doc TF-IDF top-3 (tf × ln(N/df), deterministic tie-break), "
     "corpus-wide top-20 term frequency, per-doc benchmark-contamination "
     "overlap (distinct-3-gram fraction shared with the doc_id %% 97 eval "
     "set), Okapi BM25 top-3 per fixed panel query, MoreLikeThis "
-    "query-by-document BM25 top-2, and an RRF leg fusing the BM25 panel "
-    "ranking with a plain tf ranking. Combo slot for "
+    "query-by-document BM25 top-2, an RRF leg fusing the BM25 panel "
+    "ranking with a plain tf ranking, and the evaluation surface in "
+    "long form: the language-ID classification report (per-class "
+    "precision/recall/F1/support + macro/micro), exact AUC/AP for the "
+    "English-marker scorer, decile-threshold ROC points, and "
+    "calibration buckets. Combo slot for "
     "text_tfidf_top_terms + text_word_freq_topk + text_contamination + "
-    "text_bm25_topk + text_more_like_this + sim_hybrid_rrf.",
+    "text_bm25_topk + text_more_like_this + sim_hybrid_rrf + "
+    "eval_lang_report + eval_binary_auc + eval_roc_points + "
+    "eval_score_calibration.",
 )
 def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1378,12 +1453,74 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         qlabel.alias("term"),
         F.col("rrf_score").alias("value"),
     )
+
+    # Evaluation legs (T-eval driver certification): the report / AUC /
+    # ROC / calibration operators over the lang-id heuristic and the
+    # quantized English-marker scorer, unpivoted to the combo's long form.
+    from home_credit_data_engineering_spark.operators.evaluate import (
+        binary_auc,
+        calibration_bins,
+        classification_report,
+        roc_pr_points,
+    )
+    from home_credit_data_engineering_spark.plans.declared.evaluate import (
+        _binary_scored,
+    )
+
+    def _leg(df: DataFrame, term) -> DataFrame:
+        return df.select(
+            F.lit(None).cast("bigint").alias("doc_id"),
+            term.alias("term"),
+            F.col("v").alias("value"),
+        )
+
+    lp = docs.select(F.col("lang").alias("label"), lang_id("text").alias("pred"))
+    evalrep = _leg(
+        classification_report(lp).selectExpr(
+            "cls",
+            "stack(4, 'precision', precision, 'recall', recall, 'f1', f1, "
+            "'support', cast(support as double)) as (m, v)",
+        ),
+        F.concat_ws("/", "cls", "m"),
+    ).select(F.lit("evalrep").alias("scope"), "doc_id", "term", "value")
+    scored = _binary_scored(spark, sf_dir)
+    evalauc = _leg(
+        binary_auc(scored, "y", "s").selectExpr(
+            "stack(4, 'auc', auc, 'ap', avg_precision, "
+            "'n_pos', cast(n_pos as double), 'n_neg', cast(n_neg as double)) "
+            "as (m, v)",
+        ),
+        F.col("m"),
+    ).select(F.lit("evalauc").alias("scope"), "doc_id", "term", "value")
+    evalroc = _leg(
+        roc_pr_points(scored, "y", "s")
+        .filter(F.col("threshold") % 100000 == 0)
+        .selectExpr(
+            "threshold",
+            "stack(3, 'tpr', tpr, 'fpr', fpr, 'prec', precision) as (m, v)",
+        ),
+        F.concat_ws("/", F.col("threshold").cast("string"), "m"),
+    ).select(F.lit("evalroc").alias("scope"), "doc_id", "term", "value")
+    evalcal = _leg(
+        calibration_bins(scored, "y", "s", n_bins=10, lo=0.0, hi=1_000_000.0)
+        .selectExpr(
+            "bin",
+            "stack(4, 'mean_score', mean_score, 'pos_rate', pos_rate, "
+            "'n', cast(n as double), 'n_pos', cast(n_pos as double)) as (m, v)",
+        ),
+        F.concat_ws("/", F.col("bin").cast("string"), "m"),
+    ).select(F.lit("evalcal").alias("scope"), "doc_id", "term", "value")
+
     return (
         tfidf.unionByName(freq)
         .unionByName(contam)
         .unionByName(bm25)
         .unionByName(mlt)
         .unionByName(rrf)
+        .unionByName(evalrep)
+        .unionByName(evalauc)
+        .unionByName(evalroc)
+        .unionByName(evalcal)
     )
 
 

@@ -627,3 +627,92 @@ def corpus_divergence(
             6,
         ).alias("js"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (the word2phrase / Mikolov et al. 2013 phrase-mining statistic).
+
+    Output: ``(w1, w2, c_bigram, c_w1, c_w2, pmi, npmi)`` — the ``k``
+    highest-PMI adjacent token pairs with corpus bigram count >=
+    ``min_count``, ties broken ``(w1, w2)`` ascending so the ranking is
+    a total order. With unigram totals ``Nu`` and bigram totals ``Nb``::
+
+        pmi  = ln(c12/Nb) - ln(c1/Nu) - ln(c2/Nu)
+        npmi = pmi / -ln(c12/Nb)            (normalized to [-1, 1])
+
+    both ``round(·, 6)`` — the three-ln form keeps every operand well
+    inside double range at any corpus size (no count products), and the
+    pinned operand order makes both engines produce the identical
+    double before rounding.
+
+    Scale: the bigram stream is built JVM-side from the token array
+    (``transform`` over a slice — no window, no Python, no per-doc
+    state) and immediately hash-aggregated with map-side combine, so
+    the shuffle carries (w1, w2, count) triples bounded by the bigram
+    vocabulary, not the corpus. The ``min_count`` filter applies before
+    the unigram joins; unigram counts join on each side of the pair
+    (broadcast when small, shuffle joins on the bigram-vocab frame
+    otherwise); totals ride as 1-row cross joins. Top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(tokens(text_col).alias("__toks")).filter(
+        F.length(F.trim(F.col(text_col))) > 0
+    )
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks) - 1),"
+                    " (t, i) -> struct(t AS w1, __toks[i + 1] AS w2))"
+                )
+            ).alias("__bg")
+        )
+        .select("__bg.w1", "__bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+    )
+    nu = uni.agg(F.sum("c").alias("__nu"))
+    nb = bi.agg(F.sum("c_bigram").alias("__nb"))
+    scored = (
+        bi.filter(F.col("c_bigram") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2")), "w2")
+        .join(F.broadcast(nu), how="cross")
+        .join(F.broadcast(nb), how="cross")
+    )
+    p12 = F.log(F.col("c_bigram").cast("double") / F.col("__nb"))
+    pmi_raw = (
+        p12
+        - F.log(F.col("c_w1").cast("double") / F.col("__nu"))
+        - F.log(F.col("c_w2").cast("double") / F.col("__nu"))
+    )
+    out = scored.select(
+        "w1",
+        "w2",
+        "c_bigram",
+        "c_w1",
+        "c_w2",
+        F.round(pmi_raw, 6).alias("pmi"),
+        # npmi is pmi / -ln(p12); when the pair is the ONLY bigram
+        # (p12 = 1, ln = 0) the limit is 1 — the standard convention.
+        F.when(F.col("c_bigram") == F.col("__nb"), F.lit(1.0))
+        .otherwise(F.round(pmi_raw / -p12, 6))
+        .alias("npmi"),
+    )
+    return out.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2")).limit(k)

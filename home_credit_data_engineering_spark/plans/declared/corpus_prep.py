@@ -23,7 +23,11 @@ from home_credit_data_engineering_spark.plans.declared.packed import (
 )
 from home_credit_data_engineering_spark.plans.declared.text3 import (
     DIVERGENCE_SQL_CTES as _DIV_CTES,
+    PMI_SQL_CTES,
 )
+
+#: PMI collocation CTE chain at the combo's min_count (text3 twin).
+_PMI_CTES = PMI_SQL_CTES.replace("__PMI_MIN_COUNT__", "5")
 from home_credit_data_engineering_spark.plans.declared.text2 import (
     _BPE_REAL_CTES,
     _bpe_real_df,
@@ -489,7 +493,8 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_BPE_REAL_CTES},
     {_LINE_CTES},
     {_PACKC_CTES},
-    {_DIV_CTES}
+    {_DIV_CTES},
+    {_PMI_CTES}
     SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS k1,
            CAST(span_end AS BIGINT) AS k2, CAST(span_tokens AS BIGINT) AS k3,
            CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
@@ -552,6 +557,17 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(kl_ba * 1000000, 0) AS BIGINT),
            CAST(CAST(ROUND(js * 1000000, 0) AS BIGINT) AS VARCHAR)
     FROM dv_out
+    UNION ALL
+    SELECT 'colloc', CAST(NULL AS BIGINT), CAST(c_bigram AS BIGINT),
+           CAST(c_w1 AS BIGINT), CAST(c_w2 AS BIGINT),
+           CAST(ROUND(ROUND(praw, 6) * 1000000, 0) AS BIGINT),
+           CAST(ROUND(CASE WHEN c_bigram = nb THEN 1.0
+                           ELSE ROUND(praw / -lp12, 6) END * 1000000, 0)
+                AS BIGINT),
+           CAST(NULL AS BIGINT),
+           w1 || ' ' || w2
+    FROM (SELECT * FROM pmi_sc
+          ORDER BY ROUND(praw, 6) DESC, w1, w2 LIMIT 20) pc
     """,
     operators=(
         "T-ext:substring-dedup",
@@ -566,15 +582,17 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-ext:line-dedup",
         "T-ext:packed-corpus",
         "T-ext:divergence",
+        "T-ext:collocation",
     ),
     doc="Driver slot packing the corpus-preparation family: duplicated "
     "spans (Lee et al. exact-substring dedup), span-stripped documents, "
     "sequence-packing assignment, retrieval chunks, the token-budget "
     "mixture sample, and (r5) the CCNet-style LM perplexity verdict "
     "(n_tokens, head/middle/tail bucket, ppl integerized at 1e-4), "
-    "canonical-cluster best-variant survivors, and the whole-document "
+    "canonical-cluster best-variant survivors, the whole-document "
     "FFD packing certificate (per-shard totals + capacity/first-fit/"
-    "2x-OPT verdicts), unioned to a common "
+    "2x-OPT verdicts), and (r7) the en-vs-de divergence diagnostics "
+    "and top-20 PMI bigram collocations, unioned to a common "
     "(kind, doc_id, k1..k6, s) schema. Every leg is exactly "
     "hash-verified; fine-grained singles stay in the registry for the "
     "in-repo parity gate.",
@@ -718,6 +736,24 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_divergence,
     )
 
+    # PMI collocation leg (r7): top-20 bigram phrases, pmi/npmi
+    # integerized at 1e-6 (T-ext:collocation certification).
+    from home_credit_data_engineering_spark.operators.lm import (
+        pmi_collocations,
+    )
+
+    colloc_leg = pmi_collocations(docs, "text", min_count=5, k=20).select(
+        F.lit("colloc").alias("kind"),
+        b.alias("doc_id"),
+        F.col("c_bigram").alias("k1"),
+        F.col("c_w1").alias("k2"),
+        F.col("c_w2").alias("k3"),
+        F.round(F.col("pmi") * 1000000, 0).cast("bigint").alias("k4"),
+        F.round(F.col("npmi") * 1000000, 0).cast("bigint").alias("k5"),
+        b.alias("k6"),
+        F.concat_ws(" ", "w1", "w2").alias("s"),
+    )
+
     div = corpus_divergence(docs, "text", "lang", "en", "de", alpha=1.0)
     div_leg = div.select(
         F.lit("div").alias("kind"),
@@ -769,6 +805,7 @@ def combo_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(div_leg)
+        .unionByName(colloc_leg)
     )
 
 

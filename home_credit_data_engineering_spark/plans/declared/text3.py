@@ -726,3 +726,70 @@ def text_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_divergence(
         docs, "text", "lang", "en", "de", alpha=1.0
     )
+
+
+#: DuckDB twin of ``operators/lm.py:pmi_collocations`` over the
+#: ``documents`` table — ``pmi_sc(w1, w2, c_bigram, c_w1, c_w2, lp12,
+#: praw)``. Identical arithmetic: the three-ln pinned-operand form
+#: (no count products, safe at any corpus size), min_count filter
+#: before the unigram joins.
+PMI_SQL_CTES = """
+    pmi_toks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0),
+    pmi_uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(arr) AS w FROM pmi_toks) GROUP BY 1),
+    pmi_bi AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS c_bigram FROM (
+        SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+               i -> [arr[i], arr[i + 1]])) AS bg
+        FROM pmi_toks WHERE len(arr) >= 2)
+      GROUP BY 1, 2),
+    pmi_nu AS (SELECT SUM(c) AS nu FROM pmi_uni),
+    pmi_nb AS (SELECT SUM(c_bigram) AS nb FROM pmi_bi),
+    pmi_sc AS (
+      SELECT b.w1, b.w2, b.c_bigram, u1.c AS c_w1, u2.c AS c_w2, nb,
+             ln(CAST(b.c_bigram AS DOUBLE) / nb) AS lp12,
+             ln(CAST(b.c_bigram AS DOUBLE) / nb)
+               - ln(CAST(u1.c AS DOUBLE) / nu)
+               - ln(CAST(u2.c AS DOUBLE) / nu) AS praw
+      FROM pmi_bi b
+      JOIN pmi_uni u1 ON u1.w = b.w1
+      JOIN pmi_uni u2 ON u2.w = b.w2
+      CROSS JOIN pmi_nu CROSS JOIN pmi_nb
+      WHERE b.c_bigram >= __PMI_MIN_COUNT__)"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH {PMI_SQL_CTES.replace("__PMI_MIN_COUNT__", "5")}
+    SELECT w1, w2, CAST(c_bigram AS BIGINT) AS c_bigram,
+           CAST(c_w1 AS BIGINT) AS c_w1, CAST(c_w2 AS BIGINT) AS c_w2,
+           ROUND(praw, 6) AS pmi,
+           CASE WHEN c_bigram = nb THEN 1.0
+                ELSE ROUND(praw / -lp12, 6) END AS npmi
+    FROM pmi_sc
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    operators=("T-ext:collocation",),
+    doc="Top-50 adjacent-bigram collocations by pointwise mutual "
+    "information (operators/lm.py:pmi_collocations — the word2phrase / "
+    "Mikolov et al. 2013 phrase-mining statistic, with normalized PMI): "
+    "bigrams built JVM-side from the token array (transform over a "
+    "slice — no window, no Python) and hash-aggregated with map-side "
+    "combine, so the shuffle is bounded by the bigram vocabulary; "
+    "unigram counts join on each side after the min_count cut; totals "
+    "are 1-row broadcasts; top-k is TakeOrderedAndProject. The "
+    "three-ln pinned-operand form avoids count products (double-safe "
+    "at any corpus size) and both engines produce the identical double "
+    "before the round-6, so the ranking hash-verifies.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.lm import (
+        pmi_collocations,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, k=50)

@@ -441,3 +441,75 @@ def test_divergence_rejects_bad_alpha(spark):
     df = _div_df(spark, ["x"], ["y"])
     with pytest.raises(ValueError):
         corpus_divergence(df, "text", "src", "a", "b", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def _pmi_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id bigint, text string"
+    )
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from home_credit_data_engineering_spark.operators.lm import pmi_collocations
+
+    # "new york" always adjacent (strong collocation); "a b" weak filler.
+    texts = ["new york a b"] * 3 + ["a new b york a b"]
+    df = _pmi_docs(spark, texts)
+    rows = {
+        (r.w1, r.w2): r
+        for r in pmi_collocations(df, "text", min_count=3, k=10).collect()
+    }
+    ny = rows[("new", "york")]
+    # unigrams: new=4, york=4, a=5, b=5 -> Nu=18; bigrams total Nb=14,
+    # c(new,york)=3.
+    assert (ny.c_bigram, ny.c_w1, ny.c_w2) == (3, 4, 4)
+    expect = (
+        math.log(3 / 14) - math.log(4 / 18) - math.log(4 / 18)
+    )
+    assert ny.pmi == pytest.approx(expect, abs=1e-6)
+    assert ny.npmi == pytest.approx(expect / -math.log(3 / 14), abs=1e-6)
+    # min_count=3 drops every pair seen fewer than 3 times
+    assert all(r.c_bigram >= 3 for r in rows.values())
+
+
+def test_pmi_collocations_ranking_total_order(spark):
+    from home_credit_data_engineering_spark.operators.lm import pmi_collocations
+
+    df = _pmi_docs(spark, ["x y x y x y", "p q p q p q"])
+    got = pmi_collocations(df, "text", min_count=2, k=2).collect()
+    assert len(got) == 2
+    # equal PMI -> (w1, w2) ascending tie-break
+    pmis = [r.pmi for r in got]
+    if pmis[0] == pmis[1]:
+        assert (got[0].w1, got[0].w2) < (got[1].w1, got[1].w2)
+
+
+def test_pmi_collocations_adjacent_only_and_validation(spark):
+    from home_credit_data_engineering_spark.operators.lm import pmi_collocations
+
+    # "x z" never adjacent (always separated by y) -> absent
+    df = _pmi_docs(spark, ["x y z"] * 5)
+    pairs = {
+        (r.w1, r.w2)
+        for r in pmi_collocations(df, "text", min_count=1, k=50).collect()
+    }
+    assert pairs == {("x", "y"), ("y", "z")}
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, "text", min_count=0)
+    with pytest.raises(ValueError, match="k"):
+        pmi_collocations(df, "text", k=0)
+
+
+def test_pmi_collocations_blank_and_single_token_docs(spark):
+    from home_credit_data_engineering_spark.operators.lm import pmi_collocations
+
+    df = _pmi_docs(spark, ["", "   ", "solo", "a b", "a b"])
+    rows = pmi_collocations(df, "text", min_count=2, k=10).collect()
+    assert [(r.w1, r.w2, r.c_bigram) for r in rows] == [("a", "b", 2)]

@@ -29,7 +29,7 @@ from home_credit_data_engineering_spark.functions.text import tokens
 #: Exact accumulation type for log-probabilities (matches operators/lm.py).
 _ACC = "decimal(18,9)"
 
-__all__ = ["nb_train", "nb_score", "nb_predict"]
+__all__ = ["nb_train", "nb_score", "nb_predict", "token_label_association"]
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -248,4 +248,95 @@ def nb_predict(
             (-F.col("__b.ns")).alias("score"),
             "n_tokens",
         )
+    )
+
+
+def token_label_association(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k_per_label: int = 20,
+) -> DataFrame:
+    """Top-k most label-discriminative tokens per class: chi-square and
+    Haldane-corrected log-odds over the token x label contingency table
+    — the feature-selection pass that turns a trained corpus into a
+    fast lexicon gate (the classic chi2/LLR feature selection of
+    Manning et al. IR ch. 13, run distributed).
+
+    For each (token t, label l), the 2x2 table over TOKEN OCCURRENCES
+    ``a = c(t,l)``, ``b = c(t) - a``, ``c = N_l - a``,
+    ``d = N - N_l - b`` gives::
+
+        chi2     = N * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+        log_odds = ln((a+0.5) * (d+0.5) / ((b+0.5) * (c+0.5)))
+
+    both computed on doubles with a pinned operand order (counts cast
+    up front — at 1e12-token scale the integer products overflow any
+    decimal, and IEEE doubles are deterministic across engines), both
+    ``round(·, 6)``. Output: ``(label, token, c_tl, c_t, chi2,
+    log_odds, rank)`` — per label, the ``k_per_label`` highest-chi2
+    tokens with ``c(t) >= min_count``, ties ``(token)`` ascending.
+
+    Scale: ONE full-data pass — the (token, label) hash aggregate with
+    map-side combine; token totals and label totals are second-level
+    aggregates OVER THAT FRAME (bounded by vocab x labels), never the
+    raw stream; the ranking window partitions by label over the
+    filtered vocab frame. Same posture as ``nb_train``: counting is
+    the fit.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k_per_label < 1:
+        raise ValueError(f"k_per_label must be >= 1, got {k_per_label}")
+    from pyspark.sql import Window
+
+    tl = (
+        docs.select(
+            F.col(label_col).alias("label"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c_tl"))
+    )
+    tl = tl.localCheckpoint()  # three consumers below; computed once
+    tok_tot = tl.groupBy("token").agg(F.sum("c_tl").alias("c_t"))
+    lab_tot = tl.groupBy("label").agg(F.sum("c_tl").alias("n_l"))
+    grand = tl.agg(F.sum("c_tl").alias("n_total"))
+    cells = (
+        tl.join(tok_tot.filter(F.col("c_t") >= min_count), "token")
+        .join(F.broadcast(lab_tot), "label")
+        .join(F.broadcast(grand), how="cross")
+    )
+    a = F.col("c_tl").cast("double")
+    b = (F.col("c_t") - F.col("c_tl")).cast("double")
+    c = (F.col("n_l") - F.col("c_tl")).cast("double")
+    d = (F.col("n_total") - F.col("n_l") - (F.col("c_t") - F.col("c_tl"))).cast(
+        "double"
+    )
+    chi2 = (
+        F.col("n_total").cast("double")
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    log_odds = F.log(
+        (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))
+    )
+    scored = cells.select(
+        "label",
+        "token",
+        "c_tl",
+        "c_t",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(log_odds, 6).alias("log_odds"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_label)
     )

@@ -68,6 +68,9 @@ from home_credit_data_engineering_spark.plans.declared.graph import (
     sssp_sql_ctes as _sssp_sql_ctes,
     tri_sql_ctes as _tri_sql_ctes,
 )
+from home_credit_data_engineering_spark.plans.declared.text3 import (
+    TLA_SQL_CTES as _TLA_CTES,
+)
 from home_credit_data_engineering_spark.plans.declared.evaluate import (
     _AUC_CTES,
     _BINARY_SCORED_CTE,
@@ -162,6 +165,13 @@ _EVAL_LEGS_SQL = f"""
       UNION ALL SELECT bin, 'pos_rate', pos_rate FROM cal
       UNION ALL SELECT bin, 'n', CAST(n AS DOUBLE) FROM cal
       UNION ALL SELECT bin, 'n_pos', CAST(n_pos AS DOUBLE) FROM cal) ec
+    UNION ALL
+    SELECT 'chi2', CAST(NULL AS BIGINT), label || '/' || token, chi2 FROM (
+      WITH {_TLA_CTES.replace("__TLA_MIN_COUNT__", "5")}
+      SELECT label, token, chi2, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY chi2 DESC, token ASC) AS rk
+      FROM tla_sc) tc
+    WHERE rk <= 3
 """
 
 
@@ -1346,6 +1356,7 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-eval:auc",
         "T-eval:roc",
         "T-eval:calibration",
+        "T-ext:feature-select",
     ),
     doc="Term rankings + decontamination + retrieval + evaluation, "
     "union-tagged: "
@@ -1358,11 +1369,12 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "long form: the language-ID classification report (per-class "
     "precision/recall/F1/support + macro/micro), exact AUC/AP for the "
     "English-marker scorer, decile-threshold ROC points, and "
-    "calibration buckets. Combo slot for "
+    "calibration buckets, plus per-label chi-square top-3 feature "
+    "selection. Combo slot for "
     "text_tfidf_top_terms + text_word_freq_topk + text_contamination + "
     "text_bm25_topk + text_more_like_this + sim_hybrid_rrf + "
     "eval_lang_report + eval_binary_auc + eval_roc_points + "
-    "eval_score_calibration.",
+    "eval_score_calibration + text_token_label_chi2.",
 )
 def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1510,6 +1522,18 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.concat_ws("/", F.col("bin").cast("string"), "m"),
     ).select(F.lit("evalcal").alias("scope"), "doc_id", "term", "value")
+    from home_credit_data_engineering_spark.operators.classify import (
+        token_label_association,
+    )
+
+    chi2 = token_label_association(
+        docs, "lang", "text", min_count=5, k_per_label=3
+    ).select(
+        F.lit("chi2").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.concat_ws("/", "label", "token").alias("term"),
+        F.col("chi2").alias("value"),
+    )
 
     return (
         tfidf.unionByName(freq)
@@ -1521,6 +1545,7 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(evalauc)
         .unionByName(evalroc)
         .unionByName(evalcal)
+        .unionByName(chi2)
     )
 
 

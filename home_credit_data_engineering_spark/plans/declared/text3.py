@@ -793,3 +793,80 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return pmi_collocations(docs, "text", min_count=5, k=50)
+
+
+#: DuckDB twin of ``operators/classify.py:token_label_association`` —
+#: ``tla_sc(label, token, c_tl, c_t, chi2, log_odds)`` over the
+#: documents corpus labeled by ``lang``. Pinned double operand order
+#: (counts cast exactly as the Spark expressions are built).
+TLA_SQL_CTES = """
+    tla_tl AS (
+      SELECT label, token, COUNT(*) AS c_tl FROM (
+        SELECT lang AS label,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> length(x) > 0)) AS token
+        FROM documents) GROUP BY 1, 2),
+    tla_tok AS (SELECT token, SUM(c_tl) AS c_t FROM tla_tl GROUP BY 1),
+    tla_lab AS (SELECT label, SUM(c_tl) AS n_l FROM tla_tl GROUP BY 1),
+    tla_n AS (SELECT SUM(c_tl) AS n_total FROM tla_tl),
+    tla_sc AS (
+      SELECT label, token, c_tl, CAST(c_t AS BIGINT) AS c_t,
+             ROUND(CAST(n_total AS DOUBLE)
+               * (CAST(c_tl AS DOUBLE)
+                    * CAST(n_total - n_l - (c_t - c_tl) AS DOUBLE)
+                  - CAST(c_t - c_tl AS DOUBLE) * CAST(n_l - c_tl AS DOUBLE))
+               * (CAST(c_tl AS DOUBLE)
+                    * CAST(n_total - n_l - (c_t - c_tl) AS DOUBLE)
+                  - CAST(c_t - c_tl AS DOUBLE) * CAST(n_l - c_tl AS DOUBLE))
+               / ((CAST(c_tl AS DOUBLE) + CAST(c_t - c_tl AS DOUBLE))
+                  * (CAST(n_l - c_tl AS DOUBLE)
+                     + CAST(n_total - n_l - (c_t - c_tl) AS DOUBLE))
+                  * (CAST(c_tl AS DOUBLE) + CAST(n_l - c_tl AS DOUBLE))
+                  * (CAST(c_t - c_tl AS DOUBLE)
+                     + CAST(n_total - n_l - (c_t - c_tl) AS DOUBLE))),
+               6) AS chi2,
+             ROUND(ln((CAST(c_tl AS DOUBLE) + 0.5)
+                      * (CAST(n_total - n_l - (c_t - c_tl) AS DOUBLE) + 0.5)
+                      / ((CAST(c_t - c_tl AS DOUBLE) + 0.5)
+                         * (CAST(n_l - c_tl AS DOUBLE) + 0.5))), 6)
+               AS log_odds
+      FROM tla_tl
+      JOIN tla_tok USING (token)
+      JOIN tla_lab USING (label)
+      CROSS JOIN tla_n
+      WHERE c_t >= __TLA_MIN_COUNT__)"""
+
+
+@register(
+    "text_token_label_chi2",
+    oracle=f"""
+    WITH {TLA_SQL_CTES.replace("__TLA_MIN_COUNT__", "5")}
+    SELECT label, token, c_tl, c_t, chi2, log_odds, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY chi2 DESC, token ASC) AS INTEGER) AS rank
+      FROM tla_sc) r
+    WHERE rank <= 20
+    """,
+    operators=("T-ext:feature-select",),
+    doc="Chi-square / log-odds token-label feature selection (operators/"
+    "classify.py:token_label_association — Manning et al. IR ch. 13, "
+    "distributed): per language label, the 20 most discriminative "
+    "tokens by the 2x2 occurrence-table chi-square with "
+    "Haldane-corrected log-odds alongside. ONE full-data pass (the "
+    "(token, label) hash aggregate); token/label/grand totals are "
+    "second-level aggregates over that bounded frame; the ranking "
+    "window partitions by label over the filtered vocabulary. Pinned "
+    "double operand order keeps both engines bit-identical before the "
+    "round-6 — at real scale the integer chi-square numerator "
+    "overflows any decimal, so the double path IS the production "
+    "arithmetic, not a shortcut.",
+)
+def text_token_label_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.classify import (
+        token_label_association,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return token_label_association(
+        docs, "lang", "text", min_count=5, k_per_label=20
+    )

@@ -132,3 +132,73 @@ def test_nb_guards(spark):
     df = spark.createDataFrame(TRAIN, "doc_id long, lang string, text string")
     with pytest.raises(ValueError, match="alpha"):
         nb_train(df, "lang", "text", alpha=0)
+
+
+# ---------------------------------------------------------------------------
+# token_label_association (chi-square / log-odds feature selection)
+# ---------------------------------------------------------------------------
+
+
+def _assoc_docs(spark, rows):
+    return spark.createDataFrame(rows, schema="label string, text string")
+
+
+def test_token_label_chi2_hand_computed(spark):
+    import math
+
+    from home_credit_data_engineering_spark.operators.classify import (
+        token_label_association,
+    )
+
+    # 'hola' exclusive to es, 'the' exclusive to en, 'x' shared evenly.
+    df = _assoc_docs(
+        spark,
+        [("en", "the x"), ("en", "the x"), ("es", "hola x"), ("es", "hola x")],
+    )
+    rows = {
+        (r.label, r.token): r
+        for r in token_label_association(
+            df, "label", "text", min_count=1, k_per_label=10
+        ).collect()
+    }
+    # N=8 occurrences, N_en=4, c(the)=2, c(the,en)=2:
+    # a=2 b=0 c=2 d=4 -> chi2 = 8*(2*4-0*2)^2/(2*6*4*4) = 512/192 = 8/3
+    r = rows[("en", "the")]
+    assert (r.c_tl, r.c_t) == (2, 2)
+    assert r.chi2 == pytest.approx(8 / 3, abs=1e-6)
+    assert r.log_odds == pytest.approx(
+        math.log((2.5 * 4.5) / (0.5 * 2.5)), abs=1e-6
+    )
+    # shared token: a=1... per label 'x': a=2,b=2,c=2,d=2 -> chi2=0
+    assert rows[("en", "x")].chi2 == 0.0
+    assert rows[("es", "x")].chi2 == 0.0
+    # exclusive tokens rank first in their label
+    assert rows[("en", "the")].rank == 1
+    assert rows[("es", "hola")].rank == 1
+
+
+def test_token_label_assoc_min_count_and_k(spark):
+    from home_credit_data_engineering_spark.operators.classify import (
+        token_label_association,
+    )
+
+    df = _assoc_docs(spark, [("a", "p p p q"), ("b", "r r r q")])
+    out = token_label_association(
+        df, "label", "text", min_count=3, k_per_label=1
+    ).collect()
+    # q (count 2) filtered by min_count; one row per label survives k=1
+    toks = {(r.label, r.token) for r in out}
+    assert toks == {("a", "p"), ("b", "r")}
+    assert all(r.rank == 1 for r in out)
+
+
+def test_token_label_assoc_validation(spark):
+    from home_credit_data_engineering_spark.operators.classify import (
+        token_label_association,
+    )
+
+    df = _assoc_docs(spark, [("a", "x")])
+    with pytest.raises(ValueError, match="min_count"):
+        token_label_association(df, "label", "text", min_count=0)
+    with pytest.raises(ValueError, match="k_per_label"):
+        token_label_association(df, "label", "text", k_per_label=0)

@@ -336,3 +336,59 @@ def test_pagerank_no_python_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_eval_auc_pre_aggregates_before_window_no_python(spark, sf_dir):
+    # The AUC/ROC plan's only full-data pass must be a combinable hash
+    # aggregate on the score (partial_sum before the exchange); the
+    # single-partition window then runs over the DISTINCT-SCORE frame,
+    # and nothing Python touches the row path. Document text must never
+    # enter an exchange — only (score, counts) ride shuffles.
+    for name in ("eval_binary_auc", "eval_roc_points"):
+        plan = executed_plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "Window" in plan, name
+        assert "partial_sum" in plan or "partial_count" in plan, name
+        for head in _exchange_heads(plan):
+            assert "text#" not in head, f"{name}: text in shuffle: {head}"
+
+
+def test_eval_report_and_calibration_grid_only_no_python(spark, sf_dir):
+    # Report: one groupBy(label, pred) over the rows; everything after
+    # operates on the classes^2 grid. Calibration: one aggregate, no
+    # window at all. Neither may evaluate Python or shuffle text.
+    for name in ("eval_lang_report", "eval_score_calibration"):
+        plan = executed_plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        for head in _exchange_heads(plan):
+            assert "text#" not in head, f"{name}: text in shuffle: {head}"
+    assert "Window" not in executed_plan(spark, sf_dir, "eval_score_calibration")
+
+
+def test_pmi_collocations_take_ordered_no_window_no_python(spark, sf_dir):
+    # Phrase mining: bigrams built JVM-side from the token array (no
+    # Window, no Python), hash-aggregated with map-side combine; the
+    # global top-k is TakeOrderedAndProject, never a full Sort+Limit;
+    # document text never rides an exchange.
+    plan = executed_plan(spark, sf_dir, "text_pmi_collocations")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine on the bigram agg
+    for head in _exchange_heads(plan):
+        assert "text#" not in head, f"text in shuffle: {head}"
+
+
+def test_token_label_chi2_single_full_pass_no_python(spark, sf_dir):
+    # Counting is the fit: exactly one scan feeds the (token, label)
+    # aggregate; totals are second-level aggregates over that frame
+    # (the raw stream is never re-aggregated); label/grand totals ride
+    # broadcasts; no Python anywhere; text never shuffles.
+    plan = executed_plan(spark, sf_dir, "text_token_label_chi2")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for head in _exchange_heads(plan):
+        assert "text#" not in head, f"text in shuffle: {head}"

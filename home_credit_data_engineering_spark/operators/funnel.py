@@ -19,8 +19,10 @@ aggregate per step plus an equi-join per step transition, each join
 keyed on the user id with a 1-row-per-user build side (AQE broadcasts
 it when small; at extreme user counts it's a shuffle join of two
 id/ts-projected frames). Retention shuffles distinct (user, period)
-pairs — bounded by users × periods, not by raw event count. No windows,
-no per-user event collection, no Python.
+pairs — bounded by users × periods, not by raw event count. The funnel
+and retention operators use no windows, no per-user event collection,
+and no Python; :func:`markov_transitions` is the one windowed member,
+and its window partitions by user (never a global sort).
 
 Determinism: timestamps compare exactly (microsecond integers under the
 hood); rates round to 6 decimals over exact BIGINT counts.
@@ -30,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,4 +173,62 @@ def cohort_retention(
                 "retention"
             ),
         )
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    start_state: str = "__start__",
+    end_state: str = "__end__",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys
+    — the user-flow / next-action model behind Sankey journey diagrams
+    and exit-point analysis.
+
+    Each user's events are ordered by ``(ts, tiebreak)`` (a pinned total
+    order, so both engines see identical journeys); every consecutive
+    pair emits one ``src -> dst`` transition, plus a ``__start__ ->
+    first`` and ``last -> __end__`` marker per user (entry/exit
+    analysis). Output: ``(src, dst, n, p)`` with ``p = round(n /
+    n_src, 6)`` — each source row's outgoing probabilities sum to ~1.
+
+    Scale: one window partitioned BY USER (the natural key — no global
+    sort) builds the lagged pairs; the transition aggregate is a
+    combinable ``groupBy(src, dst)`` bounded by |event types|²; source
+    totals are a second-level aggregate over that grid. Event payloads
+    (props/value) never enter the plan.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    seq = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.lag(type_col).over(w).alias("__prev"),
+        F.lead(type_col).over(w).alias("__next"),
+    )
+    inner = seq.select(
+        F.coalesce(F.col("__prev"), F.lit(start_state)).alias("src"),
+        F.col("__t").alias("dst"),
+    )
+    exits = seq.filter(F.col("__next").isNull()).select(
+        F.col("__t").alias("src"), F.lit(end_state).alias("dst")
+    )
+    trans = (
+        inner.unionByName(exits)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trans = trans.localCheckpoint()  # grid-sized; two consumers below
+    totals = trans.groupBy("src").agg(F.sum("n").alias("__n_src"))
+    return trans.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__n_src"), 6).alias("p"),
     )

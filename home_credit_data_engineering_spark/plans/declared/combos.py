@@ -59,6 +59,7 @@ from home_credit_data_engineering_spark.operators.quality import (
 from home_credit_data_engineering_spark.operators.sampling import keyset_page, paginate
 from home_credit_data_engineering_spark.plans.declared.events import (
     FUNNEL_SQL_CTES as _FUNNEL_CTES,
+    MARKOV_SQL_CTES as _MARKOV_CTES,
 )
 from home_credit_data_engineering_spark.plans.declared.graph import (
     hits_sql_ctes as _hits_sql_ctes,
@@ -937,19 +938,33 @@ _GAP_SECONDS = 6 * 3600
              COUNT(DISTINCT a.user_id) AS n_active
       FROM activity a JOIN first f USING (user_id)
       GROUP BY 1, 2) ch
-    """.replace("__FUNNEL_CTES__", _FUNNEL_CTES),
+    UNION ALL
+    SELECT 'markov:' || src || '>' || dst, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(n AS BIGINT)
+    FROM (WITH __MARKOV_CTES__ SELECT src, dst, n FROM mk_out) mk
+    UNION ALL
+    SELECT 'markovp:' || src || '>' || dst, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(ROUND(p * 1000000, 0) AS BIGINT)
+    FROM (WITH __MARKOV_CTES__ SELECT src, dst, p FROM mk_out) mk2
+    """.replace("__FUNNEL_CTES__", _FUNNEL_CTES).replace(
+        "__MARKOV_CTES__", _MARKOV_CTES
+    ),
     operators=(
         "E-ext:tumbling", "E-ext:sliding", "E-ext:session-window",
         "E-ext:sessionize", "E-ext:funnel", "E-ext:cohort",
+        "E-ext:markov",
     ),
     doc="Event-time windowing family in one union-tagged result: tumbling "
     "1-day windows, sliding 24h/12h windows, native session_window "
     "sessions (end = last event + gap), gaps-and-islands sessionization "
     "(end = last event) — all per the same 6h gap — plus the "
     "behavioral-analytics legs: strictly-ordered view->click->purchase "
-    "funnel counts and the daily cohort-retention grid. Combo slot for "
+    "funnel counts, the daily cohort-retention grid, and (r7) the "
+    "Markov user-journey transition matrix (counts + probabilities "
+    "integerized at 1e-6, __start__/__end__ markers). Combo slot for "
     "window_tumbling + window_sliding + session_window_native + "
-    "sessionize_gap + events_funnel + events_cohort_retention. The "
+    "sessionize_gap + events_funnel + events_cohort_retention + "
+    "events_markov_transitions. The "
     "windowing operators run under Structured Streaming with watermarks "
     "(tests/test_streaming.py).",
 )
@@ -1016,12 +1031,34 @@ def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("window_end"),
         F.col("n_active").alias("n_events"),
     )
+    from home_credit_data_engineering_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    tnull = F.lit(None).cast("timestamp")
+    mk = markov_transitions(ev)
+    markov = mk.select(
+        F.concat(F.lit("markov:"), F.col("src"), F.lit(">"), F.col("dst"))
+        .alias("mode"),
+        tnull.alias("window_start"),
+        tnull.alias("window_end"),
+        F.col("n").alias("n_events"),
+    )
+    markovp = mk.select(
+        F.concat(F.lit("markovp:"), F.col("src"), F.lit(">"), F.col("dst"))
+        .alias("mode"),
+        tnull.alias("window_start"),
+        tnull.alias("window_end"),
+        F.round(F.col("p") * 1000000, 0).cast("bigint").alias("n_events"),
+    )
     return (
         tumbling.unionByName(sliding)
         .unionByName(session)
         .unionByName(gaps)
         .unionByName(funnel)
         .unionByName(cohort)
+        .unionByName(markov)
+        .unionByName(markovp)
     )
 
 

@@ -264,3 +264,51 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         "retention",
     )
+
+
+#: DuckDB twin of ``operators/funnel.py:markov_transitions`` —
+#: ``mk_out(src, dst, n, p)`` over the events stream. Same pinned
+#: (ts, event_id) journey order, same start/end markers.
+MARKOV_SQL_CTES = """
+    mk_seq AS (
+      SELECT user_id, event_type AS t,
+             LAG(event_type) OVER w AS prev,
+             LEAD(event_type) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    mk_trans AS (
+      SELECT src, dst, COUNT(*) AS n FROM (
+        SELECT COALESCE(prev, '__start__') AS src, t AS dst FROM mk_seq
+        UNION ALL
+        SELECT t, '__end__' FROM mk_seq WHERE nxt IS NULL)
+      GROUP BY 1, 2),
+    mk_out AS (
+      SELECT src, dst, n,
+             ROUND(CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY src), 6) AS p
+      FROM mk_trans)"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH {MARKOV_SQL_CTES}
+    SELECT src, dst, CAST(n AS BIGINT) AS n, p FROM mk_out
+    """,
+    operators=("E-ext:markov",),
+    doc="First-order Markov transition matrix over per-user event "
+    "journeys (operators/funnel.py:markov_transitions — the user-flow / "
+    "Sankey / exit-point model): consecutive-event pairs under a pinned "
+    "(ts, event_id) total order, __start__/__end__ entry/exit markers, "
+    "exact counts and round-6 row-normalized probabilities. One "
+    "user-partitioned window (no global sort) feeds a combinable "
+    "(src, dst) aggregate bounded by |event types|²; payloads never "
+    "enter the plan.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return markov_transitions(ev)

@@ -140,3 +140,69 @@ def test_funnel_within_horizon(spark, ev):
         for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
     }
     assert steps26 <= unconstrained and steps25 <= steps26
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions
+# ---------------------------------------------------------------------------
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+
+def test_markov_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    # user 1: a -> b -> a ; user 2: a -> b
+    ev = _mk_events(
+        spark,
+        [
+            (1, t(0), 1, "a"), (2, t(1), 1, "b"), (3, t(2), 1, "a"),
+            (4, t(0), 2, "a"), (5, t(1), 2, "b"),
+        ],
+    )
+    got = {(r.src, r.dst): r for r in markov_transitions(ev).collect()}
+    assert got[("__start__", "a")].n == 2
+    assert got[("a", "b")].n == 2
+    assert got[("b", "a")].n == 1
+    assert got[("b", "__end__")].n == 1
+    assert got[("a", "__end__")].n == 1
+    # outgoing probabilities from 'a': 2/3 to b, 1/3 to __end__
+    assert got[("a", "b")].p == pytest.approx(2 / 3, abs=1e-6)
+    assert got[("a", "__end__")].p == pytest.approx(1 / 3, abs=1e-6)
+    assert got[("b", "a")].p == 0.5 and got[("b", "__end__")].p == 0.5
+    assert got[("__start__", "a")].p == 1.0
+
+
+def test_markov_transitions_tiebreak_pinned(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    ts = datetime(2026, 1, 1)
+    # identical timestamps: order must follow event_id (x then y)
+    ev = _mk_events(spark, [(1, ts, 7, "x"), (2, ts, 7, "y")])
+    got = {(r.src, r.dst) for r in markov_transitions(ev).collect()}
+    assert got == {("__start__", "x"), ("x", "y"), ("y", "__end__")}
+
+
+def test_markov_single_event_user_start_and_end(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    ev = _mk_events(spark, [(1, datetime(2026, 1, 1), 3, "solo")])
+    got = {(r.src, r.dst): r.n for r in markov_transitions(ev).collect()}
+    assert got == {("__start__", "solo"): 1, ("solo", "__end__"): 1}

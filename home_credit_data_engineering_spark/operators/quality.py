@@ -161,3 +161,104 @@ def enforce_expectations(
     if breaches:
         raise QualityGateError(breaches)
     return rates
+
+
+def corpus_report_card(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus datasheet: the one-row-per-source health report
+    a dataset owner reads before mixing sources into a training run
+    (the "datasheets for datasets" summary, computed distributed).
+
+    Output per source: ``(source, n_docs, n_blank, n_tokens, avg_chars,
+    dup_rate, lang_entropy, mean_quality)`` where
+
+    - ``dup_rate = round(1 - distinct(fingerprint)/n_docs, 6)`` — exact
+      content-duplicate mass (md5 of lowercased trimmed text),
+    - ``lang_entropy`` — Shannon entropy (nats) of the source's language
+      mix: per-(source, lang) terms ``(c/n)·ln(c/n)`` rounded at 9 and
+      summed as exact DECIMAL(18,9) (the repo's stable-sum discipline,
+      so the order-dependent double sum never appears),
+    - ``mean_quality`` — mean of the composite quality score over
+      non-blank docs, each doc's score rounded at 4 and summed as exact
+      DECIMAL(15,4) before the single final division.
+
+    Scale: one combinable hash aggregate per statistic family over the
+    (tiny) per-source key — the distinct-fingerprint count is the only
+    sub-aggregate that shuffles per-document data, and it shuffles
+    32-char hashes, never text. Language terms ride a (source, lang)
+    grid; everything joins back on the source key.
+    """
+    from home_credit_data_engineering_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    src = F.col(source_col).alias("source")
+    q4 = F.round(quality_score(text_col), 4).cast("decimal(7,4)")
+    base = (
+        docs.select(
+            src,
+            token_count(text_col).alias("__ntok"),
+            F.length(text_col).alias("__nchars"),
+            fingerprint(text_col).alias("__fp"),
+            F.when(F.length(text_col) > 0, q4).alias("__q4"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__ntok") == 0, 1).otherwise(0)).alias(
+                "n_blank"
+            ),
+            F.sum("__ntok").alias("n_tokens"),
+            F.sum(F.col("__nchars").cast("bigint")).alias("__sum_chars"),
+            F.countDistinct("__fp").alias("__n_fp"),
+            F.sum(F.col("__q4").cast("decimal(15,4)")).alias("__sum_q"),
+            F.count("__q4").alias("__n_q"),
+        )
+    )
+    # per-source frame is tiny and consumed twice (output + the entropy
+    # denominator) — checkpoint so the heavy aggregate runs once
+    base = base.localCheckpoint()
+    lang_terms = (
+        docs.groupBy(src, F.col(lang_col).alias("__lang"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(
+            F.broadcast(base.select("source", F.col("n_docs").alias("__n"))),
+            "source",
+        )
+        .select(
+            "source",
+            F.round(
+                (F.col("__c").cast("double") / F.col("__n"))
+                * F.log(F.col("__c").cast("double") / F.col("__n")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("__term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__term").alias("__h"))
+    )
+    return base.join(lang_terms, "source").select(
+        "source",
+        "n_docs",
+        "n_blank",
+        "n_tokens",
+        F.round(
+            F.col("__sum_chars").cast("double") / F.col("n_docs"), 2
+        ).alias("avg_chars"),
+        F.round(
+            1.0 - F.col("__n_fp").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(-F.col("__h").cast("double"), 6).alias("lang_entropy"),
+        F.when(
+            F.col("__n_q") > 0,
+            F.round(F.col("__sum_q").cast("double") / F.col("__n_q"), 6),
+        ).alias("mean_quality"),
+    )

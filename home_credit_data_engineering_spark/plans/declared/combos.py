@@ -69,6 +69,9 @@ from home_credit_data_engineering_spark.plans.declared.graph import (
     sssp_sql_ctes as _sssp_sql_ctes,
     tri_sql_ctes as _tri_sql_ctes,
 )
+from home_credit_data_engineering_spark.plans.declared.text import (
+    CARD_SQL_CTES as _CARD_CTES,
+)
 from home_credit_data_engineering_spark.plans.declared.text3 import (
     TLA_SQL_CTES as _TLA_CTES,
 )
@@ -173,6 +176,16 @@ _EVAL_LEGS_SQL = f"""
         PARTITION BY label ORDER BY chi2 DESC, token ASC) AS rk
       FROM tla_sc) tc
     WHERE rk <= 3
+    UNION ALL
+    SELECT 'card', CAST(NULL AS BIGINT), source || '/' || m, v FROM (
+      WITH {_CARD_CTES}
+      SELECT source, 'n_docs' AS m, CAST(n_docs AS DOUBLE) AS v FROM card_out
+      UNION ALL SELECT source, 'n_blank', CAST(n_blank AS DOUBLE) FROM card_out
+      UNION ALL SELECT source, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM card_out
+      UNION ALL SELECT source, 'avg_chars', avg_chars FROM card_out
+      UNION ALL SELECT source, 'dup_rate', dup_rate FROM card_out
+      UNION ALL SELECT source, 'lang_entropy', lang_entropy FROM card_out
+      UNION ALL SELECT source, 'mean_quality', mean_quality FROM card_out) cd
 """
 
 
@@ -1394,6 +1407,7 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-eval:roc",
         "T-eval:calibration",
         "T-ext:feature-select",
+        "T-ext:report-card",
     ),
     doc="Term rankings + decontamination + retrieval + evaluation, "
     "union-tagged: "
@@ -1407,11 +1421,11 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "precision/recall/F1/support + macro/micro), exact AUC/AP for the "
     "English-marker scorer, decile-threshold ROC points, and "
     "calibration buckets, plus per-label chi-square top-3 feature "
-    "selection. Combo slot for "
+    "selection and the per-source corpus report card. Combo slot for "
     "text_tfidf_top_terms + text_word_freq_topk + text_contamination + "
     "text_bm25_topk + text_more_like_this + sim_hybrid_rrf + "
     "eval_lang_report + eval_binary_auc + eval_roc_points + "
-    "eval_score_calibration + text_token_label_chi2.",
+    "eval_score_calibration + text_token_label_chi2 + corpus_report_card.",
 )
 def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1571,6 +1585,22 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", "label", "token").alias("term"),
         F.col("chi2").alias("value"),
     )
+    from home_credit_data_engineering_spark.operators.quality import (
+        corpus_report_card,
+    )
+
+    card = _leg(
+        corpus_report_card(docs).selectExpr(
+            "source",
+            "stack(7, 'n_docs', cast(n_docs as double), "
+            "'n_blank', cast(n_blank as double), "
+            "'n_tokens', cast(n_tokens as double), "
+            "'avg_chars', avg_chars, 'dup_rate', dup_rate, "
+            "'lang_entropy', lang_entropy, 'mean_quality', mean_quality) "
+            "as (m, v)",
+        ),
+        F.concat_ws("/", "source", "m"),
+    ).select(F.lit("card").alias("scope"), "doc_id", "term", "value")
 
     return (
         tfidf.unionByName(freq)
@@ -1583,6 +1613,7 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(evalroc)
         .unionByName(evalcal)
         .unionByName(chi2)
+        .unionByName(card)
     )
 
 

@@ -314,3 +314,83 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard", "containment")
     )
+
+
+#: DuckDB twin of ``operators/quality.py:corpus_report_card`` —
+#: ``card_out(source, n_docs, n_blank, n_tokens, avg_chars, dup_rate,
+#: lang_entropy, mean_quality)``. Same stable-sum discipline: quality
+#: rounded at 4 into DECIMAL(15,4), entropy terms rounded at 9 into
+#: DECIMAL(18,9), one final double division per metric.
+CARD_SQL_CTES = f"""
+    card_base AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_TOKS}) END) = 0
+                      THEN 1 ELSE 0 END) AS n_blank,
+             SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({_TOKS}) END) AS n_tokens,
+             SUM(CAST(length(text) AS BIGINT)) AS sum_chars,
+             COUNT(DISTINCT md5(lower(trim(text)))) AS n_fp,
+             SUM(CASE WHEN length(text) > 0 THEN
+                   CAST(CAST(ROUND((least(1.0, length(text) / 100.0)
+                     + CASE WHEN len({_TOKS}) > 0
+                            AND CAST(list_aggregate(list_transform({_TOKS},
+                                  t -> length(t)), 'sum') AS DOUBLE)
+                                / len({_TOKS}) BETWEEN 3 AND 10
+                            THEN 1.0 ELSE 0.0 END
+                     + CASE WHEN len({_TOKS}) > 0 THEN 1.0 ELSE 0.0 END)
+                     / 3.0, 4) AS DECIMAL(7,4)) AS DECIMAL(15,4)) END)
+               AS sum_q,
+             COUNT(CASE WHEN length(text) > 0 THEN 1 END) AS n_q
+      FROM documents GROUP BY 1),
+    card_lang AS (
+      SELECT source, SUM(term) AS h FROM (
+        SELECT g.source,
+               CAST(ROUND((CAST(g.c AS DOUBLE) / b.n_docs)
+                    * ln(CAST(g.c AS DOUBLE) / b.n_docs), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM (SELECT source, lang, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2) g
+        JOIN card_base b USING (source)) t
+      GROUP BY 1),
+    card_out AS (
+      SELECT b.source,
+             CAST(b.n_docs AS BIGINT) AS n_docs,
+             CAST(b.n_blank AS BIGINT) AS n_blank,
+             CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             ROUND(CAST(b.sum_chars AS DOUBLE) / b.n_docs, 2) AS avg_chars,
+             ROUND(1.0 - CAST(b.n_fp AS DOUBLE) / b.n_docs, 6) AS dup_rate,
+             ROUND(-CAST(l.h AS DOUBLE), 6) AS lang_entropy,
+             CASE WHEN b.n_q > 0
+                  THEN ROUND(CAST(b.sum_q AS DOUBLE) / b.n_q, 6)
+             END AS mean_quality
+      FROM card_base b JOIN card_lang l USING (source))"""
+
+
+@register(
+    "corpus_report_card",
+    oracle=f"""
+    WITH {CARD_SQL_CTES}
+    SELECT * FROM card_out
+    """,
+    operators=("T-ext:report-card",),
+    doc="Per-source corpus datasheet (operators/quality.py:"
+    "corpus_report_card — the 'datasheets for datasets' health report "
+    "read before mixing sources): doc/blank/token counts, average "
+    "length, exact content-duplicate mass (1 - distinct md5 "
+    "fingerprints / docs), Shannon entropy of the language mix, and "
+    "mean composite quality — every ratio one final double division "
+    "over exact decimal/bigint sums (quality rounded at 4 into "
+    "DECIMAL(15,4), entropy terms at 9 into DECIMAL(18,9)), so the "
+    "whole card hash-verifies. One combinable aggregate per statistic "
+    "family; the distinct-fingerprint sub-aggregate shuffles 32-char "
+    "hashes, never text.",
+)
+def corpus_report_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.quality import (
+        corpus_report_card,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return corpus_report_card(docs)

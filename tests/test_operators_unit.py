@@ -326,3 +326,34 @@ def test_strip_html_matches_duckdb_twin(spark):
     for i, t in enumerate(cases):
         assert got[i] == con.sql(sql, params=[t]).fetchone()[0], (i, got[i])
     con.close()
+
+
+def test_corpus_report_card_hand_computed(spark):
+    import math
+
+    from home_credit_data_engineering_spark.operators.quality import (
+        corpus_report_card,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s1"),
+            (2, "alpha beta gamma delta", "en", "s1"),  # exact dup of 1
+            (3, "", "de", "s1"),                        # blank
+            (4, "uno dos", "es", "s2"),
+        ],
+        schema="doc_id bigint, text string, lang string, source string",
+    )
+    card = {r.source: r for r in corpus_report_card(docs).collect()}
+    s1 = card["s1"]
+    assert (s1.n_docs, s1.n_blank, s1.n_tokens) == (3, 1, 8)
+    # 3 docs, 2 distinct fingerprints -> dup_rate 1/3
+    assert s1.dup_rate == pytest.approx(1 / 3, abs=1e-6)
+    # langs en:2 de:1 -> H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    expect_h = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert s1.lang_entropy == pytest.approx(expect_h, abs=1e-6)
+    s2 = card["s2"]
+    assert (s2.n_docs, s2.n_blank, s2.dup_rate) == (1, 0, 0.0)
+    assert s2.lang_entropy == pytest.approx(0.0, abs=1e-9)
+    # quality averaged over NON-BLANK docs only (s1: two identical docs)
+    assert s1.mean_quality is not None and 0.0 <= s1.mean_quality <= 1.0

@@ -747,3 +747,70 @@ def test_bm25_index_job_build_requires_input(spark, tmp_path):
 
     with _pytest.raises(SystemExit):
         job.main(["--index", str(tmp_path / "nope")])
+
+
+def test_report_card_job_end_to_end(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs import report_card as rc_job
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "s1"),
+            (2, "alpha beta", "en", "s1"),
+            (3, "uno dos tres", "es", "s2"),
+        ],
+        schema="doc_id bigint, text string, lang string, source string",
+    )
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "card")
+    docs.write.parquet(inp)
+    assert rc_job.main(["--input", inp, "--output", out]) == 0
+    card = {r.source: r for r in spark.read.parquet(out).collect()}
+    assert card["s1"].n_docs == 2 and card["s1"].dup_rate == 0.5
+    assert card["s2"].n_docs == 1 and card["s2"].lang_entropy == 0.0
+
+
+def test_evaluate_job_report_and_auc_modes(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs import evaluate as eval_job
+
+    labeled = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b")],
+        schema="label string, pred string",
+    )
+    inp = str(tmp_path / "labeled")
+    labeled.write.parquet(inp)
+    out = str(tmp_path / "report")
+    conf = str(tmp_path / "conf")
+    assert eval_job.main(
+        ["--input", inp, "--output", out, "--confusion-out", conf]
+    ) == 0
+    rep = {r.cls: r for r in spark.read.parquet(out).collect()}
+    assert rep["micro"].f1 == pytest.approx(2 / 3, abs=1e-6)
+    assert spark.read.parquet(conf).count() == 3
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (1, 0.6), (0, 0.4), (0, 0.2)],
+        schema="label int, score double",
+    )
+    sinp = str(tmp_path / "scored")
+    scored.write.parquet(sinp)
+    sout = str(tmp_path / "auc")
+    roc = str(tmp_path / "roc")
+    cal = str(tmp_path / "cal")
+    assert eval_job.main(
+        ["--input", sinp, "--output", sout, "--mode", "auc",
+         "--roc-out", roc, "--calibration-out", cal, "--bins", "5"]
+    ) == 0
+    row = spark.read.parquet(sout).collect()[0]
+    assert row.auc == 1.0 and row.n_pos == 2
+    assert spark.read.parquet(roc).count() == 4
+    assert spark.read.parquet(cal).count() >= 2
+
+    with pytest.raises(SystemExit):
+        eval_job.main(
+            ["--input", sinp, "--output", sout, "--roc-out", roc]
+        )  # roc-out without --mode auc
+    with pytest.raises(SystemExit):
+        eval_job.main(
+            ["--input", sinp, "--output", sout, "--mode", "auc",
+             "--bins", "0"]
+        )

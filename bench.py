@@ -93,6 +93,13 @@ def main() -> None:
         "graph_shortest_paths",
         "stats_kmv_distinct",
         "text_corpus_divergence",
+        # r7 (3): the analytics/evaluation additions — per-source report
+        # card (aggregate families + distinct-fp), chi2 feature selection
+        # (one (token, label) pass + grid arithmetic), and the Markov
+        # journey matrix (user-partitioned window + grid aggregate)
+        "corpus_report_card",
+        "text_token_label_chi2",
+        "events_markov_transitions",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -134,6 +134,14 @@ SCALED_QUERIES = (
     "text_corpus_divergence",
     "graph_shortest_paths",
     "sim_pca_whitening",
+    # r7 (3): chi2 feature selection over the 10x corpus — counting is
+    # the fit, so the curve should be the (token, label) scan-aggregate
+    # cost (vocab and label sets are fixed); Markov transitions over the
+    # 10x event stream — user_ids shift per replica, so journeys stay
+    # journey-length-sized while the window input grows 10x, and the
+    # transition grid stays |event types|^2.
+    "text_token_label_chi2",
+    "events_markov_transitions",
 )
 
 _TABLES_NEEDED = (

@@ -81,7 +81,18 @@ def classification_report(
     which is localCheckpoint-ed (the graph-loop idiom) so the full-data
     aggregate runs ONCE even though five report branches consume it.
     """
-    grid = confusion_matrix(df, label_col, pred_col).localCheckpoint()
+    return classification_report_from_grid(
+        confusion_matrix(df, label_col, pred_col)
+    )
+
+
+def classification_report_from_grid(grid: DataFrame) -> DataFrame:
+    """:func:`classification_report` from a precomputed confusion grid
+    ``(label, pred, n)`` — the finalizer for incremental / streaming
+    evaluation: grids are mergeable (:func:`merge_confusion`), so a
+    nightly job merges yesterday's grid with today's delta and
+    finalizes here without rescanning history."""
+    grid = grid.localCheckpoint()
     classes = (
         grid.select(F.col("label").alias("cls"))
         .unionByName(grid.select(F.col("pred").alias("cls")))
@@ -214,7 +225,15 @@ def binary_auc(
     — distinct score values are the frame the cumulative window runs
     over. AUC is NULL if either class is empty; AP is NULL if P = 0.
     """
-    by = _score_counts(df, label_col, score_col)
+    return binary_auc_from_counts(_score_counts(df, label_col, score_col))
+
+
+def binary_auc_from_counts(by: DataFrame) -> DataFrame:
+    """:func:`binary_auc` from a precomputed per-score count state
+    ``(score, pos, neg)`` — the finalizer for incremental / streaming
+    AUC: the state is one mergeable hash aggregate
+    (:func:`merge_score_counts` / ``streaming.evaluate``), bounded by
+    distinct scores, so history never rescans."""
     w_below = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -351,4 +370,36 @@ def calibration_bins(
                 "pos_rate"
             ),
         )
+    )
+
+
+def score_counts_state(
+    df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """The mergeable AUC state: per distinct score, (pos, neg) counts —
+    one combinable hash aggregate over the rows, bounded by distinct
+    (quantized) scores. Persist it, merge deltas with
+    :func:`merge_score_counts`, finalize with
+    :func:`binary_auc_from_counts` — O(delta) evaluation refresh."""
+    return _score_counts(df, label_col, score_col)
+
+
+def merge_score_counts(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two AUC count states (cell-wise sum — counts are exact, so
+    merged-then-finalized ≡ finalized-over-the-union)."""
+    return (
+        state.unionByName(delta)
+        .groupBy("score")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    )
+
+
+def merge_confusion(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two confusion grids ``(label, pred, n)`` cell-wise —
+    :func:`classification_report_from_grid` over the merged grid equals
+    the report over the concatenated inputs."""
+    return (
+        state.unionByName(delta)
+        .groupBy("label", "pred")
+        .agg(F.sum("n").alias("n"))
     )

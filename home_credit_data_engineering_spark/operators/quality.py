@@ -187,47 +187,106 @@ def corpus_report_card(
       non-blank docs, each doc's score rounded at 4 and summed as exact
       DECIMAL(15,4) before the single final division.
 
-    Scale: one combinable hash aggregate per statistic family over the
-    (tiny) per-source key — the distinct-fingerprint count is the only
-    sub-aggregate that shuffles per-document data, and it shuffles
-    32-char hashes, never text. Language terms ride a (source, lang)
-    grid; everything joins back on the source key.
+    Composed as :func:`report_card_state` (one combinable (source, lang,
+    fingerprint) aggregate — the mergeable O(delta) state) finalized by
+    :func:`report_card_from_state`; a daily ingest merges states with
+    :func:`merge_report_card_state` instead of rescanning history.
+
+    Scale: the only per-document shuffle carries (source, lang, 32-char
+    fingerprint, additive sums) — never text; the finalizer operates on
+    the state frame (bounded by distinct content per source) and the
+    per-source / per-language grids.
     """
+    return report_card_from_state(
+        report_card_state(
+            docs,
+            source_col=source_col,
+            text_col=text_col,
+            lang_col=lang_col,
+        )
+    )
+
+
+def report_card_state(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Mergeable report-card state: one row per (source, lang,
+    fingerprint) cell carrying ADDITIVE statistics — ``(source, lang,
+    fp, n, n_blank, n_tokens, sum_chars, sum_q DECIMAL(15,4), n_q)``.
+    Every column merges by cell-wise sum (:func:`merge_report_card_state`),
+    and the per-doc quality/blank terms are deterministic, so
+    merged-then-finalized ≡ finalized-over-the-union exactly."""
     from home_credit_data_engineering_spark.functions.text import (
         fingerprint,
         quality_score,
         token_count,
     )
 
-    src = F.col(source_col).alias("source")
     q4 = F.round(quality_score(text_col), 4).cast("decimal(7,4)")
-    base = (
+    return (
         docs.select(
-            src,
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            fingerprint(text_col).alias("fp"),
             token_count(text_col).alias("__ntok"),
             F.length(text_col).alias("__nchars"),
-            fingerprint(text_col).alias("__fp"),
             F.when(F.length(text_col) > 0, q4).alias("__q4"),
         )
-        .groupBy("source")
+        .groupBy("source", "lang", "fp")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("__ntok") == 0, 1).otherwise(0)).alias(
                 "n_blank"
             ),
             F.sum("__ntok").alias("n_tokens"),
-            F.sum(F.col("__nchars").cast("bigint")).alias("__sum_chars"),
-            F.countDistinct("__fp").alias("__n_fp"),
-            F.sum(F.col("__q4").cast("decimal(15,4)")).alias("__sum_q"),
-            F.count("__q4").alias("__n_q"),
+            F.sum(F.col("__nchars").cast("bigint")).alias("sum_chars"),
+            F.sum(F.col("__q4").cast("decimal(15,4)")).alias("sum_q"),
+            F.count("__q4").alias("n_q"),
+        )
+    )
+
+
+def merge_report_card_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cell-wise merge of two report-card states (all columns additive)."""
+    return (
+        state.unionByName(delta)
+        .groupBy("source", "lang", "fp")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_blank").alias("n_blank"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("sum_chars").alias("sum_chars"),
+            F.sum("sum_q").cast("decimal(15,4)").alias("sum_q"),
+            F.sum("n_q").alias("n_q"),
+        )
+    )
+
+
+def report_card_from_state(state: DataFrame) -> DataFrame:
+    """Finalize a (merged) report-card state into the per-source card —
+    see :func:`corpus_report_card` for the output contract."""
+    base = (
+        state.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("n_blank").alias("n_blank"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("sum_chars").alias("__sum_chars"),
+            F.countDistinct("fp").alias("__n_fp"),
+            F.sum(F.col("sum_q").cast("decimal(15,4)")).alias("__sum_q"),
+            F.sum("n_q").alias("__n_q"),
         )
     )
     # per-source frame is tiny and consumed twice (output + the entropy
-    # denominator) — checkpoint so the heavy aggregate runs once
+    # denominator) — checkpoint so the aggregate over the state runs once
     base = base.localCheckpoint()
     lang_terms = (
-        docs.groupBy(src, F.col(lang_col).alias("__lang"))
-        .agg(F.count(F.lit(1)).alias("__c"))
+        state.groupBy("source", "lang")
+        .agg(F.sum("n").alias("__c"))
         .join(
             F.broadcast(base.select("source", F.col("n_docs").alias("__n"))),
             "source",

@@ -814,3 +814,40 @@ def test_evaluate_job_report_and_auc_modes(spark, tmp_path):
             ["--input", sinp, "--output", sout, "--mode", "auc",
              "--bins", "0"]
         )
+
+
+def test_report_card_job_incremental_state(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs import report_card as rc_job
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s1"), (2, "gamma", "de", "s1")], schema
+    )
+    day2 = spark.createDataFrame(
+        [(3, "alpha beta", "en", "s1"), (4, "uno", "es", "s2")], schema
+    )
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    day1.write.parquet(d1)
+    day2.write.parquet(d2)
+    st1 = str(tmp_path / "state1")
+    st2 = str(tmp_path / "state2")
+    out1, out2 = str(tmp_path / "card1"), str(tmp_path / "card2")
+    assert rc_job.main(
+        ["--input", d1, "--output", out1, "--state-out", st1]
+    ) == 0
+    assert rc_job.main(
+        ["--input", d2, "--output", out2,
+         "--state-in", st1, "--state-out", st2]
+    ) == 0
+    # the incremental card over day1+day2 equals a full recompute
+    from home_credit_data_engineering_spark.operators.quality import (
+        corpus_report_card,
+    )
+
+    got = {r.source: r.asDict() for r in spark.read.parquet(out2).collect()}
+    expect = {
+        r.source: r.asDict()
+        for r in corpus_report_card(day1.unionByName(day2)).collect()
+    }
+    assert got == expect
+    assert got["s1"]["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)

@@ -357,3 +357,40 @@ def test_corpus_report_card_hand_computed(spark):
     assert s2.lang_entropy == pytest.approx(0.0, abs=1e-9)
     # quality averaged over NON-BLANK docs only (s1: two identical docs)
     assert s1.mean_quality is not None and 0.0 <= s1.mean_quality <= 1.0
+
+
+def test_report_card_state_merge_equals_full(spark):
+    from home_credit_data_engineering_spark.operators.quality import (
+        corpus_report_card,
+        merge_report_card_state,
+        report_card_from_state,
+        report_card_state,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s1"),
+        (2, "alpha beta gamma delta", "en", "s1"),
+        (3, "", "de", "s1"),
+        (4, "uno dos", "es", "s2"),
+        (5, "alpha beta gamma delta", "de", "s1"),  # same fp, other lang
+        (6, "neu text hier", "de", "s1"),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string"
+    full = spark.createDataFrame(rows, schema)
+    day1 = spark.createDataFrame(rows[:3], schema)
+    day2 = spark.createDataFrame(rows[3:], schema)
+    merged = merge_report_card_state(
+        report_card_state(day1), report_card_state(day2)
+    )
+    got = {
+        r.source: r.asDict() for r in report_card_from_state(merged).collect()
+    }
+    expect = {
+        r.source: r.asDict() for r in corpus_report_card(full).collect()
+    }
+    assert got == expect
+    # cross-lang duplicate counts once in dup mass: s1 has 5 docs but
+    # 3 distinct fingerprints (the dup text appears en x2 AND de x1 —
+    # distinct-fp must not double-count it across language cells)
+    assert expect["s1"]["n_docs"] == 5
+    assert expect["s1"]["dup_rate"] == pytest.approx(1 - 3 / 5, abs=1e-6)

@@ -299,3 +299,55 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min("__cell").alias("est"))
     )
+
+
+def hll_sketch_state(
+    df: DataFrame,
+    item_col: str,
+    keys: tuple[str, ...] = (),
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable HLL distinct-count state (Apache DataSketches via
+    Spark's ``hll_sketch_agg``): per key group, one binary sketch column
+    — the production COUNT(DISTINCT) path at 100 TB, complementing
+    :func:`kmv_distinct` (which trades mergeability knobs for an
+    oracle-recomputable estimate).
+
+    The state is a first-class column: persist it per partition/day,
+    merge with :func:`merge_hll_states` (register-wise union — the
+    merged sketch covers exactly the union item set, because registers
+    depend only on the hashed item SET), estimate with
+    :func:`hll_state_estimate`. Estimator caveat: a ONE-PASS sketch
+    reports through DataSketches' HIP estimator while a union must fall
+    back to the composite estimator, so merged and direct ESTIMATES can
+    differ by a fraction of the error bound (observed ~0.5% at 1k
+    distinct) even though the register state is equivalent — both stay
+    inside the lgk-configured bounds. One combinable aggregate; state
+    size is 2^lgk registers per group regardless of data volume.
+    """
+    gb = df.groupBy(*keys) if keys else df.groupBy()
+    return gb.agg(
+        F.hll_sketch_agg(F.col(item_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def merge_hll_states(
+    state: DataFrame, delta: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two HLL states key-wise (``hll_union_agg``): exact on the
+    item-set level — merged(s(A), s(B)) covers s(A ∪ B) — with the HIP
+    vs composite estimator caveat documented on
+    :func:`hll_sketch_state` (merged estimates match one-pass estimates
+    to within a fraction of the error bound, not bit-exactly)."""
+    both = state.unionByName(delta)
+    gb = both.groupBy(*keys) if keys else both.groupBy()
+    return gb.agg(F.hll_union_agg("sketch").alias("sketch"))
+
+
+def hll_state_estimate(
+    state: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Estimate distinct counts from an HLL state frame."""
+    return state.select(
+        *keys, F.hll_sketch_estimate("sketch").alias("estimate")
+    )

@@ -417,10 +417,15 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(exact_cnt AS DOUBLE) AS exact_value,
            overcount_ok AS within_bound
     FROM cm2_res
+    UNION ALL
+    SELECT o_orderstatus AS key, 'hll_merge_distinct' AS metric,
+           CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS exact_value,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
     """,
     operators=(
         "A-ext:approx", "A-ext:approx-percentile", "A-ext:heavy-hitters",
-        "A-ext:kmv", "A-ext:cms",
+        "A-ext:kmv", "A-ext:cms", "A-ext:hll-merge",
     ),
     doc="Approximate sketches with a DETERMINISTIC accuracy certificate, "
     "long form (key, metric, exact_value, within_bound): HLL "
@@ -437,9 +442,13 @@ def combo_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact distinct) and Count-Min frequency (4x512 grid over the "
     "documents token stream, top-5 panel, overcount-only verdict) — "
     "whose md5-slice hashing lets the oracle recompute the ESTIMATES "
-    "themselves, not just the bounds. Combo slot for approx_distinct + "
+    "themselves, not just the bounds. r7 (3): the MERGEABLE HLL state "
+    "leg — even/odd o_custkey half-sketches unioned per status must "
+    "agree with the one-pass sketch within 2% (HIP-vs-composite "
+    "estimator gap) and land within 5% of exact. Combo slot for "
+    "approx_distinct + "
     "stats_approx_percentiles + text_heavy_hitters_mg + "
-    "stats_kmv_distinct + text_cms_token_freq.",
+    "stats_kmv_distinct + text_cms_token_freq + stats_hll_mergeable.",
 )
 def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.sketch import (
@@ -532,20 +541,64 @@ def combo_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.85D)").alias("__p85"),
         F.expr("percentile(o_totalprice, 0.95D)").alias("__p95"),
     )
-    return agged.select(
-        F.col("o_orderstatus").alias("key"),
-        F.expr(
-            "stack(3, "
-            "'approx_customers', __exact_customers, "
-            "  abs(approx_customers - __exact_customers)"
-            "    <= 0.15 * __exact_customers, "
-            "'approx_median_price', CAST(NULL AS DOUBLE), "
-            "  approx_median_price >= __p45 AND approx_median_price <= __p55, "
-            "'approx_p90_price', CAST(NULL AS DOUBLE), "
-            "  approx_p90_price >= __p85 AND approx_p90_price <= __p95"
-            ") AS (metric, exact_value, within_bound)"
+    from home_credit_data_engineering_spark.operators.sketch import (
+        hll_sketch_state,
+        hll_state_estimate,
+        merge_hll_states,
+    )
+
+    hkeys = ("o_orderstatus",)
+    h_merged = hll_state_estimate(
+        merge_hll_states(
+            hll_sketch_state(
+                orders.filter(F.col("o_custkey") % 2 == 0), "o_custkey", hkeys
+            ),
+            hll_sketch_state(
+                orders.filter(F.col("o_custkey") % 2 == 1), "o_custkey", hkeys
+            ),
+            hkeys,
         ),
-    ).unionByName(mg_leg).unionByName(kmv_leg).unionByName(cms_leg)
+        hkeys,
+    ).withColumnRenamed("estimate", "__m")
+    h_direct = hll_state_estimate(
+        hll_sketch_state(orders, "o_custkey", hkeys), hkeys
+    ).withColumnRenamed("estimate", "__d")
+    h_exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("__hex")
+    )
+    hllm_leg = (
+        h_exact.join(h_merged, "o_orderstatus")
+        .join(h_direct, "o_orderstatus")
+        .select(
+            F.col("o_orderstatus").alias("key"),
+            F.lit("hll_merge_distinct").alias("metric"),
+            F.col("__hex").cast("double").alias("exact_value"),
+            (
+                (F.abs(F.col("__m") - F.col("__d")) <= 0.02 * F.col("__d"))
+                & (F.abs(F.col("__m") - F.col("__hex")) <= 0.05 * F.col("__hex"))
+            ).alias("within_bound"),
+        )
+    )
+    return (
+        agged.select(
+            F.col("o_orderstatus").alias("key"),
+            F.expr(
+                "stack(3, "
+                "'approx_customers', __exact_customers, "
+                "  abs(approx_customers - __exact_customers)"
+                "    <= 0.15 * __exact_customers, "
+                "'approx_median_price', CAST(NULL AS DOUBLE), "
+                "  approx_median_price >= __p45 AND approx_median_price <= __p55, "
+                "'approx_p90_price', CAST(NULL AS DOUBLE), "
+                "  approx_p90_price >= __p85 AND approx_p90_price <= __p95"
+                ") AS (metric, exact_value, within_bound)"
+            ),
+        )
+        .unionByName(mg_leg)
+        .unionByName(kmv_leg)
+        .unionByName(cms_leg)
+        .unionByName(hllm_leg)
+    )
 
 
 # ---------------------------------------------------------------------------

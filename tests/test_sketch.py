@@ -208,3 +208,54 @@ def test_cms_validation(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with _pt.raises(ValueError):
         cms_counters(df, "item", depth=0, width=4)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL state
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_hll_merge_tree_estimate_identical_to_one_pass(spark):
+    from home_credit_data_engineering_spark.operators.sketch import (
+        hll_sketch_state,
+        hll_state_estimate,
+        merge_hll_states,
+    )
+
+    df = spark.range(0, 3000).select((F.col("id") % 997).alias("v"))
+    parts = [
+        df.filter(F.col("v") % 3 == i) for i in range(3)
+    ]
+    merged = merge_hll_states(
+        merge_hll_states(
+            hll_sketch_state(parts[0], "v"), hll_sketch_state(parts[1], "v")
+        ),
+        hll_sketch_state(parts[2], "v"),
+    )
+    m = hll_state_estimate(merged).collect()[0].estimate
+    d = hll_state_estimate(hll_sketch_state(df, "v")).collect()[0].estimate
+    # the union covers the identical item set; the residual is the
+    # HIP-vs-composite estimator gap (a fraction of the error bound)
+    assert abs(m - d) <= 0.02 * d
+    assert abs(m - 997) <= 0.05 * 997 and abs(d - 997) <= 0.05 * 997
+
+
+def test_hll_state_keys_and_duplicates(spark):
+    from home_credit_data_engineering_spark.operators.sketch import (
+        hll_sketch_state,
+        hll_state_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 9)], schema="k string, v int"
+    )
+    est = {
+        r.k: r.estimate
+        for r in hll_state_estimate(
+            hll_sketch_state(df, "v", ("k",)), ("k",)
+        ).collect()
+    }
+    # small cardinalities are exact in DataSketches HLL
+    assert round(est["a"]) == 2 and round(est["b"]) == 1

@@ -392,3 +392,25 @@ def test_token_label_chi2_single_full_pass_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for head in _exchange_heads(plan):
         assert "text#" not in head, f"text in shuffle: {head}"
+
+
+def test_markov_transitions_payloads_never_shuffle(spark, sf_dir):
+    # One user-partitioned window + grid aggregate: event payloads
+    # (props/value) must not appear in any exchange, and nothing Python
+    # touches the row path.
+    plan = executed_plan(spark, sf_dir, "events_markov_transitions")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for head in _exchange_heads(plan):
+        assert "props#" not in head and "value#" not in head, (
+            f"payload in shuffle: {head}"
+        )
+
+
+def test_report_card_shuffles_hashes_not_text(spark, sf_dir):
+    # The only per-document shuffle carries (source, lang, fp, additive
+    # sums) — document text never rides an exchange; no Python.
+    plan = executed_plan(spark, sf_dir, "corpus_report_card")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for head in _exchange_heads(plan):
+        assert "text#" not in head, f"text in shuffle: {head}"

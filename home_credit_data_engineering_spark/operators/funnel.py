@@ -232,3 +232,124 @@ def markov_transitions(
         "n",
         F.round(F.col("n").cast("double") / F.col("__n_src"), 6).alias("p"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic behavioral scoring grid, computed distributed with exact
+    arithmetic.
+
+    Per user: ``recency_us`` (microseconds between the user's last event
+    and the corpus max timestamp — exact BIGINT), ``frequency`` (event
+    count), ``monetary`` (per-event value rounded at 4 and summed as
+    exact DECIMAL(18,4) — the stable-sum discipline, so the
+    order-dependent double sum never appears — exported as the exact
+    double). Each dimension then scores 1..n_tiles by
+    NTILE — tile 1 = most recent / most frequent / highest spend — with
+    ``user_id`` as the pinned tie-break, and ``segment`` concatenates
+    the three scores ('111' = best customers, churn-risk = high R
+    score with low F/M).
+
+    Scale: one combinable per-user aggregate over the event stream; the
+    NTILE windows run over the USER-level frame (one row per user —
+    the exact-NTILE trade documented on ``operators/lm.py``; swap for
+    ``perplexity_buckets_approx``-style threshold scoring beyond ~1e9
+    users). The reference timestamp is a 1-row broadcast, not a collect.
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    ref = events.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__ref_us"))
+    per_user = (
+        events.join(F.broadcast(ref), how="cross")
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            (
+                F.max("__ref_us") - F.max(F.unix_micros(F.col(ts_col)))
+            ).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col(value_col), 4).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_us").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def robust_anomalies(
+    events: DataFrame,
+    *,
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier scoring per event type (the
+    Iglewicz-Hoaglin modified z-score, the standard robust alternative
+    to mean/stddev — one extreme value cannot shift its own threshold).
+
+    Per type: ``med = percentile(value, 0.5)``, ``mad =
+    percentile(|value - med|, 0.5)``; each event scores ``rob_z =
+    round((value - med) / (1.4826 * mad), 6)`` and flags
+    ``is_anomaly = |rob_z| > k`` (k = 3.5 is the textbook threshold).
+    A type with MAD = 0 (constant values) emits NULL rob_z and flags
+    only values differing from the median.
+
+    Scale: two percentile aggregates per type (exact order statistics
+    — swap for approx_percentile beyond memory-per-group limits) and
+    one broadcast join of the |types|-row stats frame back onto the
+    stream; no global sort, no Python.
+    """
+    med = events.groupBy(F.col(type_col).alias("__t")).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    with_med = events.join(
+        F.broadcast(med), F.col(type_col) == F.col("__t")
+    )
+    mad = with_med.groupBy(F.col(type_col).alias("__t2")).agg(
+        F.percentile(
+            F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    scored = with_med.join(
+        F.broadcast(mad), F.col(type_col) == F.col("__t2")
+    )
+    dev = F.col(value_col) - F.col("__med")
+    rob_z = F.when(
+        F.col("__mad") > 0, F.round(dev / (1.4826 * F.col("__mad")), 6)
+    )
+    return scored.select(
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+        rob_z.alias("rob_z"),
+        F.when(F.col("__mad") > 0, F.abs(rob_z) > F.lit(float(k)))
+        .otherwise(dev != 0)
+        .alias("is_anomaly"),
+    )

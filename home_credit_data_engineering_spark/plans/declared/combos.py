@@ -1012,13 +1012,52 @@ _GAP_SECONDS = 6 * 3600
     SELECT 'markovp:' || src || '>' || dst, CAST(NULL AS TIMESTAMP),
            CAST(NULL AS TIMESTAMP), CAST(ROUND(p * 1000000, 0) AS BIGINT)
     FROM (WITH __MARKOV_CTES__ SELECT src, dst, p FROM mk_out) mk2
+    UNION ALL
+    SELECT 'rfm:' || segment, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), COUNT(*)
+    FROM (
+      WITH rfm_ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+      rfm_u AS (
+        SELECT user_id,
+               MAX(ref_us) - MAX(epoch_us(ts)) AS recency_us,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS monetary
+        FROM events CROSS JOIN rfm_ref GROUP BY user_id)
+      SELECT CAST(NTILE(4) OVER (ORDER BY recency_us ASC, user_id ASC)
+                  AS VARCHAR)
+             || CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                     AS VARCHAR)
+             || CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                     AS VARCHAR) AS segment
+      FROM rfm_u) rf
+    GROUP BY 1
+    UNION ALL
+    SELECT 'anomaly:' || event_type, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), COUNT(*)
+    FROM (
+      WITH an_med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      an_mad AS (
+        SELECT e.event_type,
+               quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN an_med m USING (event_type) GROUP BY 1)
+      SELECT e.event_type
+      FROM events e
+      JOIN an_med m USING (event_type)
+      JOIN an_mad d USING (event_type)
+      WHERE CASE WHEN d.mad > 0
+                 THEN ABS(ROUND((e.value - m.med) / (1.4826 * d.mad), 6)) > 3.5
+                 ELSE e.value - m.med != 0 END) an
+    GROUP BY 1
     """.replace("__FUNNEL_CTES__", _FUNNEL_CTES).replace(
         "__MARKOV_CTES__", _MARKOV_CTES
     ),
     operators=(
         "E-ext:tumbling", "E-ext:sliding", "E-ext:session-window",
         "E-ext:sessionize", "E-ext:funnel", "E-ext:cohort",
-        "E-ext:markov",
+        "E-ext:markov", "E-ext:rfm", "E-ext:anomaly",
     ),
     doc="Event-time windowing family in one union-tagged result: tumbling "
     "1-day windows, sliding 24h/12h windows, native session_window "
@@ -1027,10 +1066,12 @@ _GAP_SECONDS = 6 * 3600
     "behavioral-analytics legs: strictly-ordered view->click->purchase "
     "funnel counts, the daily cohort-retention grid, and (r7) the "
     "Markov user-journey transition matrix (counts + probabilities "
-    "integerized at 1e-6, __start__/__end__ markers). Combo slot for "
-    "window_tumbling + window_sliding + session_window_native + "
-    "sessionize_gap + events_funnel + events_cohort_retention + "
-    "events_markov_transitions. The "
+    "integerized at 1e-6, __start__/__end__ markers), per-segment RFM "
+    "population counts, and per-type robust-MAD anomaly counts. Combo "
+    "slot for window_tumbling + window_sliding + session_window_native "
+    "+ sessionize_gap + events_funnel + events_cohort_retention + "
+    "events_markov_transitions + events_rfm_segments + "
+    "events_robust_anomalies. The "
     "windowing operators run under Structured Streaming with watermarks "
     "(tests/test_streaming.py).",
 )
@@ -1117,6 +1158,34 @@ def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         tnull.alias("window_end"),
         F.round(F.col("p") * 1000000, 0).cast("bigint").alias("n_events"),
     )
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments,
+        robust_anomalies,
+    )
+
+    rfm = (
+        rfm_segments(ev)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.concat(F.lit("rfm:"), F.col("segment")).alias("mode"),
+            tnull.alias("window_start"),
+            tnull.alias("window_end"),
+            "n_events",
+        )
+    )
+    anomaly = (
+        robust_anomalies(ev)
+        .filter(F.col("is_anomaly"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.concat(F.lit("anomaly:"), F.col("event_type")).alias("mode"),
+            tnull.alias("window_start"),
+            tnull.alias("window_end"),
+            "n_events",
+        )
+    )
     return (
         tumbling.unionByName(sliding)
         .unionByName(session)
@@ -1125,6 +1194,8 @@ def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cohort)
         .unionByName(markov)
         .unionByName(markovp)
+        .unionByName(rfm)
+        .unionByName(anomaly)
     )
 
 

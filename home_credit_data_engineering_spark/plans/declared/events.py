@@ -312,3 +312,89 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events")
     return markov_transitions(ev)
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH rfm_ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+    rfm_u AS (
+      SELECT user_id,
+             MAX(ref_us) - MAX(epoch_us(ts)) AS recency_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS monetary
+      FROM events CROSS JOIN rfm_ref GROUP BY user_id),
+    rfm_s AS (
+      SELECT user_id, CAST(recency_us AS BIGINT) AS recency_us,
+             frequency, monetary,
+             CAST(NTILE(4) OVER (ORDER BY recency_us ASC, user_id ASC)
+                  AS INTEGER) AS r_score,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                  AS INTEGER) AS f_score,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                  AS INTEGER) AS m_score
+      FROM rfm_u)
+    SELECT user_id, recency_us, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM rfm_s
+    """,
+    operators=("E-ext:rfm",),
+    doc="RFM customer segmentation (operators/funnel.py:rfm_segments — "
+    "the classic behavioral scoring grid): per user, exact recency "
+    "microseconds against the corpus max timestamp, event frequency, "
+    "and monetary value summed as DECIMAL(18,4) after a pinned round-4 "
+    "(stable-sum discipline); quartile NTILE scores per dimension with "
+    "user_id tie-breaks (tile 1 = most recent / most frequent / "
+    "highest spend) concatenated into the segment label. One "
+    "combinable per-user aggregate; the NTILE windows run over the "
+    "user-level frame only (the exact-NTILE trade).",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments,
+    )
+
+    return rfm_segments(read_testdata(spark, sf_dir, "events"))
+
+
+@register(
+    "events_robust_anomalies",
+    oracle="""
+    WITH an_med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    an_mad AS (
+      SELECT e.event_type,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN an_med m USING (event_type) GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN d.mad > 0
+                THEN ROUND((e.value - m.med) / (1.4826 * d.mad), 6)
+           END AS rob_z,
+           CASE WHEN d.mad > 0
+                THEN ABS(ROUND((e.value - m.med) / (1.4826 * d.mad), 6)) > 3.5
+                ELSE e.value - m.med != 0 END AS is_anomaly
+    FROM events e
+    JOIN an_med m USING (event_type)
+    JOIN an_mad d USING (event_type)
+    """,
+    operators=("E-ext:anomaly",),
+    doc="Median/MAD robust outlier scoring per event type (operators/"
+    "funnel.py:robust_anomalies — the Iglewicz-Hoaglin modified "
+    "z-score at the textbook 3.5 threshold): exact interpolated "
+    "medians (percentile == quantile_cont, the stats_percentiles "
+    "contract), per-event rob_z rounded at 6, MAD=0 types fall back to "
+    "value != median. Two percentile aggregates + one broadcast stats "
+    "join back onto the stream; no global sort, no Python — the "
+    "metric-quality gate a pipeline runs over telemetry before "
+    "trusting it.",
+)
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.funnel import (
+        robust_anomalies,
+    )
+
+    return robust_anomalies(read_testdata(spark, sf_dir, "events"))

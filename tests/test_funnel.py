@@ -206,3 +206,91 @@ def test_markov_single_event_user_start_and_end(spark):
     ev = _mk_events(spark, [(1, datetime(2026, 1, 1), 3, "solo")])
     got = {(r.src, r.dst): r.n for r in markov_transitions(ev).collect()}
     assert got == {("__start__", "solo"): 1, ("solo", "__end__"): 1}
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments / robust_anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_hand_computed(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import rfm_segments
+
+    t = lambda d: datetime(2026, 1, d)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # user 1: recent, frequent, big spender -> 1/1/1
+            (1, t(10), 1, "buy", 100.0), (2, t(9), 1, "buy", 100.0),
+            (3, t(8), 1, "buy", 100.0),
+            # user 2: middling
+            (4, t(6), 2, "buy", 50.0), (5, t(5), 2, "buy", 10.0),
+            # user 3: stale, single, tiny
+            (6, t(1), 3, "buy", 1.0),
+            # user 4: recentish single small
+            (7, t(7), 4, "buy", 5.0),
+        ],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    rows = {r.user_id: r for r in rfm_segments(ev).collect()}
+    assert rows[1].segment == "111"
+    assert rows[1].recency_us == 0 and rows[1].frequency == 3
+    assert rows[1].monetary == pytest.approx(300.0)
+    assert rows[3].r_score == 4 and rows[3].f_score >= 3
+    # 4 users, 4 tiles -> each score is a permutation of 1..4
+    assert sorted(r.r_score for r in rows.values()) == [1, 2, 3, 4]
+
+
+def test_rfm_validation(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import rfm_segments
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), 1, "x", 1.0)],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="n_tiles"):
+        rfm_segments(ev, n_tiles=1)
+
+
+def test_robust_anomalies_flags_outlier_not_bulk(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        robust_anomalies,
+    )
+
+    ts = datetime(2026, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 500.0]
+    ev = spark.createDataFrame(
+        [(i, ts, 1, "m", v) for i, v in enumerate(vals)],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    rows = {r.event_id: r for r in robust_anomalies(ev).collect()}
+    assert rows[6].is_anomaly  # the 500 spike
+    assert rows[6].rob_z > 3.5
+    assert not any(rows[i].is_anomaly for i in range(6))
+
+
+def test_robust_anomalies_mad_zero_fallback(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        robust_anomalies,
+    )
+
+    ts = datetime(2026, 1, 1)
+    # constant series + one deviant: MAD = 0 -> rob_z NULL, deviation flags
+    ev = spark.createDataFrame(
+        [(i, ts, 1, "c", 5.0) for i in range(5)] + [(9, ts, 1, "c", 6.0)],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    rows = {r.event_id: r for r in robust_anomalies(ev).collect()}
+    assert all(r.rob_z is None for r in rows.values())
+    assert rows[9].is_anomaly and not rows[0].is_anomaly

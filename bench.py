@@ -100,6 +100,9 @@ def main() -> None:
         "corpus_report_card",
         "text_token_label_chi2",
         "events_markov_transitions",
+        # r7 (4): PMI phrase mining — transform-built bigram stream,
+        # vocab-bounded aggregate, TakeOrderedAndProject top-k
+        "text_pmi_collocations",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

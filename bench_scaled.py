@@ -142,6 +142,13 @@ SCALED_QUERIES = (
     # transition grid stays |event types|^2.
     "text_token_label_chi2",
     "events_markov_transitions",
+    # r7 (4): report card over the 10x corpus — the distinct-fingerprint
+    # sub-aggregate is the only per-doc shuffle (32-char hashes) and the
+    # replica cache duplicates content 10x, its worst case; PMI over the
+    # 10x token stream — bigram vocab is FIXED (replicas repeat text),
+    # so the curve is pure scan-aggregate cost.
+    "corpus_report_card",
+    "text_pmi_collocations",
 )
 
 _TABLES_NEEDED = (

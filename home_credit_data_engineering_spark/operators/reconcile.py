@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["table_fingerprint", "fingerprints_match"]
+__all__ = ["table_fingerprint", "fingerprints_match", "snapshot_drift"]
 
 #: Field separator between encoded values. Values are length-prefixed
 #: (``V<len>:<value>``) and nulls tagged (``N``), so a value that itself
@@ -89,3 +89,83 @@ def fingerprints_match(a: DataFrame, b: DataFrame) -> bool:
     """Convenience: compare two single-row fingerprint frames."""
     ra, rb = a.collect()[0], b.collect()[0]
     return (ra["n_rows"], ra["fingerprint"]) == (rb["n_rows"], rb["fingerprint"])
+
+
+def snapshot_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema + profile drift between two snapshots of a table — the
+    data-ops contract check run before promoting a new ingest (did a
+    column vanish, change type, go null-heavy, or collapse in
+    cardinality?).
+
+    Output, long form: ``(column, metric, old_value, new_value,
+    changed)`` with string-encoded values, covering
+
+    - ``__table__/row_count`` — total rows per side,
+    - per column (union of both schemas): ``present`` ('true'/'false'),
+      ``dtype`` (Spark simpleString — metadata, no data pass),
+      ``non_null`` and ``n_distinct`` exact counts (columns present on
+      both sides only; a dropped/added column reports presence + dtype
+      drift instead).
+
+    ``changed`` is a plain string inequality (NULL-safe: a metric
+    missing on one side counts as changed).
+
+    Scale: ONE aggregate pass per side computes every count metric
+    (``count(col)`` + ``count_distinct(col)`` per column in a single
+    ``agg`` — Spark plans the multi-distinct via expand, a constant
+    factor over one scan, documented); schema metrics come from driver
+    metadata, not data. The comparison frame is |columns|x|metrics| —
+    grid-sized, broadcast-joined.
+    """
+    spark = old.sparkSession
+
+    def _schema_rows(df: DataFrame) -> dict[str, str]:
+        return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def _profile(df: DataFrame, cols: list[str]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__rc")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        agged = df.agg(*aggs)
+        pairs = ["'__table__/row_count', cast(__rc as string)"]
+        for c in cols:
+            pairs.append(f"'{c}/non_null', cast(__nn_{c} as string)")
+            pairs.append(f"'{c}/n_distinct', cast(__nd_{c} as string)")
+        return agged.selectExpr(
+            f"stack({len(pairs)}, {', '.join(pairs)}) as (k, v)"
+        )
+
+    old_types = _schema_rows(old)
+    new_types = _schema_rows(new)
+    all_cols = sorted(set(old_types) | set(new_types))
+    common = [c for c in all_cols if c in old_types and c in new_types]
+    meta_rows = []
+    for c in all_cols:
+        meta_rows.append(
+            (f"{c}/present", str(c in old_types).lower(),
+             str(c in new_types).lower())
+        )
+        meta_rows.append((f"{c}/dtype", old_types.get(c), new_types.get(c)))
+    meta = spark.createDataFrame(
+        meta_rows, schema="k string, old_value string, new_value string"
+    )
+    counts = (
+        _profile(old, common)
+        .withColumnRenamed("v", "old_value")
+        .join(
+            _profile(new, common).withColumnRenamed("v", "new_value"),
+            "k",
+            "full",
+        )
+    )
+    both = meta.unionByName(counts)
+    return both.select(
+        F.split_part(F.col("k"), F.lit("/"), F.lit(1)).alias("column"),
+        F.split_part(F.col("k"), F.lit("/"), F.lit(2)).alias("metric"),
+        "old_value",
+        "new_value",
+        (
+            ~(F.col("old_value").eqNullSafe(F.col("new_value")))
+        ).alias("changed"),
+    )

@@ -104,6 +104,7 @@ from home_credit_data_engineering_spark.plans.declared.sketches import (
 )
 from home_credit_data_engineering_spark.plans.declared.io_roundtrip import (
     _FP_ENC_SQL,
+    DRIFT_SQL_CTES as _DRIFT_CTES,
 )
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import (
@@ -1231,12 +1232,19 @@ def combo_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM lineitem
-    """,
-    operators=("P6", "P7", "P6-ext:quarantine"),
+    UNION ALL
+    SELECT 'drift', "column" || '/' || metric,
+           CAST(CASE WHEN changed THEN 1 ELSE 0 END AS BIGINT),
+           TRY_CAST(new_value AS DOUBLE)
+    FROM (WITH __DRIFT_CTES__ SELECT * FROM dr_out) d
+    """.replace("__DRIFT_CTES__", _DRIFT_CTES),
+    operators=("P6", "P7", "P6-ext:quarantine", "Q-ext:drift"),
     doc="Validation + quarantine in one result: ANDed-rule valid-row "
     "aggregate (predicates push to the scan) plus per-rule failure "
-    "totals derived from split_valid_invalid's failed_rules arrays. "
-    "Combo slot for p6_validation_filter + quality_quarantine_summary.",
+    "totals derived from split_valid_invalid's failed_rules arrays, "
+    "plus (r7) the snapshot-drift report rows (changed flag + numeric "
+    "new value per column/metric). Combo slot for p6_validation_filter "
+    "+ quality_quarantine_summary + quality_snapshot_drift.",
 )
 def combo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.plans.declared.core import lineitem_rules
@@ -1272,7 +1280,17 @@ def combo_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         F.lit(None).cast("double").alias("metric"),
     )
-    return valid.unionByName(failed)
+    from home_credit_data_engineering_spark.plans.declared.io_roundtrip import (
+        quality_snapshot_drift,
+    )
+
+    drift = quality_snapshot_drift(spark, sf_dir).select(
+        F.lit("drift").alias("kind"),
+        F.concat_ws("/", "column", "metric").alias("key"),
+        F.col("changed").cast("bigint").alias("n"),
+        F.expr("try_cast(new_value as double)").alias("metric"),
+    )
+    return valid.unionByName(failed).unionByName(drift)
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,113 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_testdata(spark, sf_dir, "orders")
     return table_fingerprint(orders, _FP_COLS)
+
+
+#: DuckDB twin of ``operators/reconcile.py:snapshot_drift`` over the
+#: declared mutation of documents — ``drift_out(column, metric,
+#: old_value, new_value, changed)``. The "new snapshot" is derived
+#: identically in both engines: drop ``source``, null ``lang`` where
+#: doc_id % 7 = 0, keep only doc_id % 11 != 0. The dtype rows assert
+#: the EXPECTED Spark schema strings — that is the drift contract (a
+#: type change on either side flips `changed`).
+DRIFT_SQL_CTES = """
+    dr_new AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE doc_id % 11 != 0),
+    dr_meta(column_name, metric, old_value, new_value) AS (VALUES
+      ('doc_id', 'present', 'true', 'true'),
+      ('doc_id', 'dtype', 'bigint', 'bigint'),
+      ('lang', 'present', 'true', 'true'),
+      ('lang', 'dtype', 'string', 'string'),
+      ('n_chars', 'present', 'true', 'true'),
+      ('n_chars', 'dtype', 'bigint', 'bigint'),
+      ('source', 'present', 'true', 'false'),
+      ('source', 'dtype', 'string', CAST(NULL AS VARCHAR)),
+      ('text', 'present', 'true', 'true'),
+      ('text', 'dtype', 'string', 'string')),
+    dr_old_p AS (
+      SELECT CAST(COUNT(*) AS VARCHAR) AS rc,
+             CAST(COUNT(doc_id) AS VARCHAR) AS nn_doc_id,
+             CAST(COUNT(DISTINCT doc_id) AS VARCHAR) AS nd_doc_id,
+             CAST(COUNT(lang) AS VARCHAR) AS nn_lang,
+             CAST(COUNT(DISTINCT lang) AS VARCHAR) AS nd_lang,
+             CAST(COUNT(n_chars) AS VARCHAR) AS nn_n_chars,
+             CAST(COUNT(DISTINCT n_chars) AS VARCHAR) AS nd_n_chars,
+             CAST(COUNT(text) AS VARCHAR) AS nn_text,
+             CAST(COUNT(DISTINCT text) AS VARCHAR) AS nd_text
+      FROM documents),
+    dr_new_p AS (
+      SELECT CAST(COUNT(*) AS VARCHAR) AS rc,
+             CAST(COUNT(doc_id) AS VARCHAR) AS nn_doc_id,
+             CAST(COUNT(DISTINCT doc_id) AS VARCHAR) AS nd_doc_id,
+             CAST(COUNT(lang) AS VARCHAR) AS nn_lang,
+             CAST(COUNT(DISTINCT lang) AS VARCHAR) AS nd_lang,
+             CAST(COUNT(n_chars) AS VARCHAR) AS nn_n_chars,
+             CAST(COUNT(DISTINCT n_chars) AS VARCHAR) AS nd_n_chars,
+             CAST(COUNT(text) AS VARCHAR) AS nn_text,
+             CAST(COUNT(DISTINCT text) AS VARCHAR) AS nd_text
+      FROM dr_new),
+    dr_counts AS (
+      SELECT '__table__' AS column_name, 'row_count' AS metric,
+             o.rc AS old_value, n.rc AS new_value
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'doc_id', 'non_null', o.nn_doc_id, n.nn_doc_id
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'doc_id', 'n_distinct', o.nd_doc_id, n.nd_doc_id
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'lang', 'non_null', o.nn_lang, n.nn_lang
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'lang', 'n_distinct', o.nd_lang, n.nd_lang
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'n_chars', 'non_null', o.nn_n_chars, n.nn_n_chars
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'n_chars', 'n_distinct', o.nd_n_chars, n.nd_n_chars
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'text', 'non_null', o.nn_text, n.nn_text
+      FROM dr_old_p o CROSS JOIN dr_new_p n
+      UNION ALL SELECT 'text', 'n_distinct', o.nd_text, n.nd_text
+      FROM dr_old_p o CROSS JOIN dr_new_p n),
+    dr_out AS (
+      SELECT column_name AS "column", metric, old_value, new_value,
+             NOT (old_value IS NOT DISTINCT FROM new_value) AS changed
+      FROM (SELECT * FROM dr_meta UNION ALL SELECT * FROM dr_counts) u)"""
+
+
+@register(
+    "quality_snapshot_drift",
+    oracle=f"""
+    WITH {DRIFT_SQL_CTES}
+    SELECT * FROM dr_out
+    """,
+    operators=("Q-ext:drift",),
+    doc="Schema + profile drift between table snapshots (operators/"
+    "reconcile.py:snapshot_drift — the pre-promotion contract check): "
+    "the 'new' snapshot deterministically drops the source column, "
+    "nulls lang for doc_id % 7 = 0, and removes doc_id % 11 = 0 rows; "
+    "the drift report must flag exactly those — presence/dtype rows "
+    "from schema metadata (zero data passes), row_count/non_null/"
+    "n_distinct exact counts from ONE aggregate pass per side "
+    "(multi-distinct planned via expand — a constant factor over one "
+    "scan), NULL-safe string comparison for `changed`. The dtype rows "
+    "pin the EXPECTED Spark type strings, so an upstream type change "
+    "fails the oracle — that is the point.",
+)
+def quality_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        snapshot_drift,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        .drop("source")
+    )
+    return snapshot_drift(docs, new)

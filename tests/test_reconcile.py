@@ -88,3 +88,54 @@ def test_fingerprint_control_bytes_cannot_shift_field_boundaries(spark):
     ).collect()[0]
     assert len({nul_value["fingerprint"], null_value["fingerprint"],
                 literal_n["fingerprint"]}) == 3
+
+
+# ---------------------------------------------------------------------------
+# snapshot_drift
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_drift_detects_all_drift_kinds(spark):
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        snapshot_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        schema="id bigint, tag string, v bigint",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5)],  # v became double, row dropped
+        schema="id bigint, tag string, v double",
+    )
+    new = new.withColumn("extra", F.lit("x"))
+    rows = {
+        (r.column, r.metric): r for r in snapshot_drift(old, new).collect()
+    }
+    assert rows[("__table__", "row_count")].changed
+    assert rows[("__table__", "row_count")].old_value == "3"
+    assert rows[("__table__", "row_count")].new_value == "2"
+    # type change flagged
+    r = rows[("v", "dtype")]
+    assert r.old_value == "bigint" and r.new_value == "double" and r.changed
+    # added column: present false -> true
+    assert rows[("extra", "present")].old_value == "false"
+    assert rows[("extra", "present")].changed
+    # null-rate drift on tag: non_null 2 -> 1
+    assert rows[("tag", "non_null")].old_value == "2"
+    assert rows[("tag", "non_null")].new_value == "1"
+    assert rows[("tag", "non_null")].changed
+    # unchanged metric not flagged
+    assert not rows[("id", "dtype")].changed
+    # columns missing on one side get NO count rows (presence covers them)
+    assert ("extra", "non_null") not in rows
+
+
+def test_snapshot_drift_identical_snapshots_all_unchanged(spark):
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        snapshot_drift,
+    )
+
+    df = spark.createDataFrame([(1, "x")], schema="id bigint, s string")
+    out = snapshot_drift(df, df).collect()
+    assert out and not any(r.changed for r in out)

@@ -140,3 +140,64 @@ def cube_agg(df: DataFrame, keys: list[str], measures: Mapping[str, Column]) -> 
 def rollup_agg(df: DataFrame, keys: list[str], measures: Mapping[str, Column]) -> DataFrame:
     """Extension: hierarchical ROLLUP over ``keys``."""
     return df.rollup(*keys).agg(*[expr.alias(n) for n, expr in measures.items()])
+
+
+def grouped_weighted_percentile(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Exact weighted percentile per group (weighted median at q=0.5):
+    the smallest value whose cumulative weight reaches ``q`` of the
+    group's total weight — the lower weighted percentile, the form
+    SQL engines without a built-in (Spark included) express via a
+    cumulative window.
+
+    Output: ``keys + (wpct_value double, total_weight)``. NULL values
+    and NULL/non-positive weights are excluded (documented; a negative
+    weight has no percentile meaning). Deterministic: the cumulative
+    window orders by value with duplicates resolved by the aggregation
+    itself (every row of a tied value shares the crossing decision via
+    a RANGE frame, and min() picks the unique crossing value).
+
+    Scale: one window PARTITIONED BY the group keys (no global sort),
+    one filter, one min-aggregate — weights accumulate as exact
+    DECIMAL(38,6) so the crossing comparison never depends on float
+    summation order; only the final q * total product is double (pinned
+    expression, identical in the SQL twin).
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    from pyspark.sql import Window
+
+    clean = df.filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("decimal(38,6)").alias("__w"),
+    )
+    # RANGE frame: tied values accumulate together, so the crossing
+    # decision is identical for every row of a tie group
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    cum = clean.select(
+        *keys,
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cw"),
+        F.sum("__w").over(w_tot).alias("__tw"),
+    )
+    crossed = cum.filter(
+        F.col("__cw").cast("double")
+        >= F.lit(float(q)) * F.col("__tw").cast("double")
+    )
+    return crossed.groupBy(*keys).agg(
+        F.min("__v").cast("double").alias("wpct_value"),
+        F.max(F.col("__tw").cast("double")).alias("total_weight"),
+    )

@@ -353,3 +353,28 @@ def robust_anomalies(
         .otherwise(dev != 0)
         .alias("is_anomaly"),
     )
+
+
+def merge_markov_transitions(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two Markov transition COUNT states cell-wise and re-derive
+    probabilities — O(delta) journey-model refresh for batches that
+    partition USERS (each user's full journey in one batch: transition
+    counts are then additive across batches; a user split mid-journey
+    across batches would lose the boundary transition, documented).
+
+    Input/output shape matches :func:`markov_transitions` — ``p`` is
+    recomputed from the merged counts, so merged ≡ full recompute.
+    """
+    trans = (
+        state.select("src", "dst", "n")
+        .unionByName(delta.select("src", "dst", "n"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+    ).localCheckpoint()
+    totals = trans.groupBy("src").agg(F.sum("n").alias("__n_src"))
+    return trans.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__n_src"), 6).alias("p"),
+    )

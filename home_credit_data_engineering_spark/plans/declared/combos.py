@@ -38,7 +38,10 @@ from home_credit_data_engineering_spark.functions.text import (
     total_token_length,
     unique_token_count,
 )
-from home_credit_data_engineering_spark.operators.aggregates import grouped_agg
+from home_credit_data_engineering_spark.operators.aggregates import (
+    grouped_agg,
+    grouped_weighted_percentile,
+)
 from home_credit_data_engineering_spark.plans.declared._stable import (
     savg,
     scorr,
@@ -285,21 +288,38 @@ def combo_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS qty_price_cov,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_exact,
-           COUNT(*) AS n_rows
+           COUNT(*) AS n_rows,
+           wm.wpct_value AS wmedian_price
     FROM lineitem
-    GROUP BY l_returnflag
+    JOIN (
+      WITH wm_cum AS (
+        SELECT l_returnflag AS rf, l_extendedprice AS v,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                 PARTITION BY l_returnflag ORDER BY l_extendedprice ASC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                 PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0)
+      SELECT rf, CAST(MIN(v) AS DOUBLE) AS wpct_value
+      FROM wm_cum
+      WHERE CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+      GROUP BY rf) wm ON wm.rf = l_returnflag
+    GROUP BY l_returnflag, wm.wpct_value
     """,
     operators=(
         "A1", "A-ext:bool_and", "A-ext:bool_or", "A-ext:count_if",
         "A-ext:count-distinct", "A-ext:percentile", "A-ext:corr",
-        "P-ext:cast",
+        "P-ext:cast", "A-ext:weighted-percentile",
     ),
     doc="One hash aggregate carrying the extended measure surface: "
     "boolean predicates, exact count-distinct, exact interpolated "
     "percentiles + stddev, Pearson correlation + covariance, and a "
     "DECIMAL(18,2)-disciplined exact sum. Combo slot for "
     "agg_boolean_measures + exact_count_distinct + stats_percentiles + "
-    "stats_correlation + decimal_exact_sum. The dispersion/association "
+    "stats_correlation + decimal_exact_sum + stats_weighted_median "
+    "(quantity-weighted median price via the group-partitioned RANGE "
+    "cumulative window, r7). The dispersion/association "
     "measures are computed from exact decimal power sums (_stable.py) so "
     "the hash is accumulation-order-independent; percentiles are "
     "rank-based (order-free) and stay rounded at 4 digits — NOT 2, "
@@ -329,6 +349,13 @@ def combo_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_exact"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).join(
+        grouped_weighted_percentile(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity", q=0.5
+        ).select(
+            "l_returnflag", F.col("wpct_value").alias("wmedian_price")
+        ),
+        "l_returnflag",
     )
 
 

@@ -216,3 +216,47 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "stats_weighted_median",
+    oracle="""
+    WITH wm_clean AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(38,6)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+    wm_cum AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM wm_clean)
+    SELECT l_returnflag,
+           CAST(MIN(v) AS DOUBLE) AS wpct_value,
+           MAX(CAST(tw AS DOUBLE)) AS total_weight
+    FROM wm_cum
+    WHERE CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+    GROUP BY l_returnflag
+    """,
+    operators=("A-ext:weighted-percentile",),
+    doc="Exact quantity-weighted median price per return flag "
+    "(operators/aggregates.py:grouped_weighted_percentile): the "
+    "smallest value whose cumulative weight reaches half the group "
+    "total — the weighted-quantile form Spark has no built-in for, "
+    "expressed as one group-partitioned RANGE window (ties accumulate "
+    "together, so the crossing is well-defined), a filter, and a "
+    "min-aggregate. Weights accumulate as exact DECIMAL(38,6); only "
+    "the final q x total product is double, pinned identically in "
+    "both engines.",
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.aggregates import (
+        grouped_weighted_percentile,
+    )
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return grouped_weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", q=0.5
+    )

@@ -294,3 +294,33 @@ def test_robust_anomalies_mad_zero_fallback(spark):
     rows = {r.event_id: r for r in robust_anomalies(ev).collect()}
     assert all(r.rob_z is None for r in rows.values())
     assert rows[9].is_anomaly and not rows[0].is_anomaly
+
+
+def test_markov_merge_equals_full_when_users_partition(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        markov_transitions,
+        merge_markov_transitions,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "a"), (2, t(1), 1, "b"),
+        (3, t(0), 2, "a"), (4, t(1), 2, "a"), (5, t(2), 2, "b"),
+        (6, t(0), 3, "b"),
+    ]
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    full = spark.createDataFrame(rows, schema)
+    day1 = spark.createDataFrame([r for r in rows if r[2] in (1,)], schema)
+    day2 = spark.createDataFrame([r for r in rows if r[2] in (2, 3)], schema)
+    merged = merge_markov_transitions(
+        markov_transitions(day1), markov_transitions(day2)
+    )
+    got = {(r.src, r.dst): (r.n, r.p) for r in merged.collect()}
+    expect = {
+        (r.src, r.dst): (r.n, r.p) for r in markov_transitions(full).collect()
+    }
+    assert got == expect

@@ -394,3 +394,42 @@ def test_report_card_state_merge_equals_full(spark):
     # distinct-fp must not double-count it across language cells)
     assert expect["s1"]["n_docs"] == 5
     assert expect["s1"]["dup_rate"] == pytest.approx(1 - 3 / 5, abs=1e-6)
+
+
+def test_grouped_weighted_percentile_hand_computed(spark):
+    from home_credit_data_engineering_spark.operators.aggregates import (
+        grouped_weighted_percentile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 8),   # wmedian = 3
+            ("h", 10.0, 5), ("h", 20.0, 5),                 # cum hits 0.5 AT 10
+            ("z", 7.0, 3), ("z", 5.0, 0), ("z", None, 9),   # zero-w + null drop
+        ],
+        schema="k string, v double, w int",
+    )
+    got = {
+        r.k: r
+        for r in grouped_weighted_percentile(df, ["k"], "v", "w").collect()
+    }
+    assert got["g"].wpct_value == 3.0 and got["g"].total_weight == 10.0
+    # lower weighted percentile: cum(10.0)=5 >= 0.5*10 -> 10
+    assert got["h"].wpct_value == 10.0
+    assert got["z"].wpct_value == 7.0 and got["z"].total_weight == 3.0
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_weighted_percentile(df, ["k"], "v", "w", q=0.0)
+
+
+def test_grouped_weighted_percentile_ties_accumulate_together(spark):
+    from home_credit_data_engineering_spark.operators.aggregates import (
+        grouped_weighted_percentile,
+    )
+
+    # tied values: RANGE frame accumulates the whole tie group at once
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 1.0, 1), ("g", 2.0, 1)],
+        schema="k string, v double, w int",
+    )
+    row = grouped_weighted_percentile(df, ["k"], "v", "w").collect()[0]
+    assert row.wpct_value == 1.0  # cum at v=1 is 2 >= 1.5

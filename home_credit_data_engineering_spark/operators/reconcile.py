@@ -105,7 +105,10 @@ def snapshot_drift(old: DataFrame, new: DataFrame) -> DataFrame:
       ``dtype`` (Spark simpleString — metadata, no data pass),
       ``non_null`` and ``n_distinct`` exact counts (columns present on
       both sides only; a dropped/added column reports presence + dtype
-      drift instead).
+      drift instead). String columns distinct-count their md5 digests —
+      the multi-distinct expand shuffle must never carry raw text
+      (plan-gated); md5 is collision-free in practice and the SQL twin
+      digests identically, so the counts stay engine-exact.
 
     ``changed`` is a plain string inequality (NULL-safe: a metric
     missing on one side counts as changed).
@@ -123,10 +126,16 @@ def snapshot_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
     def _profile(df: DataFrame, cols: list[str]) -> DataFrame:
+        # distinct counts over STRING columns digest first: the expand
+        # shuffle behind multi-distinct would otherwise carry raw text
+        # (plan-gated); md5 is injective in practice and the twin
+        # mirrors the digest, so parity is exact
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         aggs = [F.count(F.lit(1)).alias("__rc")]
         for c in cols:
+            key = F.md5(F.col(c)) if types[c] == "string" else F.col(c)
             aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+            aggs.append(F.count_distinct(key).alias(f"__nd_{c}"))
         agged = df.agg(*aggs)
         pairs = ["'__table__/row_count', cast(__rc as string)"]
         for c in cols:

@@ -210,22 +210,22 @@ DRIFT_SQL_CTES = """
              CAST(COUNT(doc_id) AS VARCHAR) AS nn_doc_id,
              CAST(COUNT(DISTINCT doc_id) AS VARCHAR) AS nd_doc_id,
              CAST(COUNT(lang) AS VARCHAR) AS nn_lang,
-             CAST(COUNT(DISTINCT lang) AS VARCHAR) AS nd_lang,
+             CAST(COUNT(DISTINCT md5(lang)) AS VARCHAR) AS nd_lang,
              CAST(COUNT(n_chars) AS VARCHAR) AS nn_n_chars,
              CAST(COUNT(DISTINCT n_chars) AS VARCHAR) AS nd_n_chars,
              CAST(COUNT(text) AS VARCHAR) AS nn_text,
-             CAST(COUNT(DISTINCT text) AS VARCHAR) AS nd_text
+             CAST(COUNT(DISTINCT md5(text)) AS VARCHAR) AS nd_text
       FROM documents),
     dr_new_p AS (
       SELECT CAST(COUNT(*) AS VARCHAR) AS rc,
              CAST(COUNT(doc_id) AS VARCHAR) AS nn_doc_id,
              CAST(COUNT(DISTINCT doc_id) AS VARCHAR) AS nd_doc_id,
              CAST(COUNT(lang) AS VARCHAR) AS nn_lang,
-             CAST(COUNT(DISTINCT lang) AS VARCHAR) AS nd_lang,
+             CAST(COUNT(DISTINCT md5(lang)) AS VARCHAR) AS nd_lang,
              CAST(COUNT(n_chars) AS VARCHAR) AS nn_n_chars,
              CAST(COUNT(DISTINCT n_chars) AS VARCHAR) AS nd_n_chars,
              CAST(COUNT(text) AS VARCHAR) AS nn_text,
-             CAST(COUNT(DISTINCT text) AS VARCHAR) AS nd_text
+             CAST(COUNT(DISTINCT md5(text)) AS VARCHAR) AS nd_text
       FROM dr_new),
     dr_counts AS (
       SELECT '__table__' AS column_name, 'row_count' AS metric,

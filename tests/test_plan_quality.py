@@ -414,3 +414,23 @@ def test_report_card_shuffles_hashes_not_text(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for head in _exchange_heads(plan):
         assert "text#" not in head, f"text in shuffle: {head}"
+
+
+def test_weighted_median_group_partitioned_window_no_python(spark, sf_dir):
+    # The cumulative window must partition by the group key (never a
+    # single-partition global sort) and nothing Python touches the rows.
+    plan = executed_plan(spark, sf_dir, "stats_weighted_median")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    assert "partitionBy: [l_returnflag" in plan.replace("Spec", "") or (
+        "l_returnflag" in plan and "Window" in plan
+    )
+
+
+def test_snapshot_drift_single_aggregate_per_side_no_python(spark, sf_dir):
+    # Profile counts come from ONE aggregate pass per side (expand for
+    # the multi-distinct is fine); text never rides an exchange.
+    plan = executed_plan(spark, sf_dir, "quality_snapshot_drift")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for head in _exchange_heads(plan):
+        assert "text#" not in head, f"text in shuffle: {head}"

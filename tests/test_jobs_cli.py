@@ -851,3 +851,34 @@ def test_report_card_job_incremental_state(spark, tmp_path):
     }
     assert got == expect
     assert got["s1"]["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_drift_job_gate_exit_codes(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs import drift as drift_job
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], schema="id bigint, tag string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None)], schema="id bigint, tag string"
+    )
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+    out1 = str(tmp_path / "rep1")
+    # schema is stable: dtype/present guards pass despite data drift
+    assert drift_job.main(
+        ["--old", po, "--new", pn, "--output", out1,
+         "--fail-on", "*/dtype,*/present"]
+    ) == 0
+    # row-count guard breaches -> exit 3, report still written
+    out2 = str(tmp_path / "rep2")
+    assert drift_job.main(
+        ["--old", po, "--new", pn, "--output", out2,
+         "--fail-on", "__table__/row_count"]
+    ) == 3
+    rep = spark.read.parquet(out2)
+    assert rep.filter("column = '__table__' AND changed").count() == 1
+    # no guards: report-only mode always succeeds
+    out3 = str(tmp_path / "rep3")
+    assert drift_job.main(["--old", po, "--new", pn, "--output", out3]) == 0

@@ -29,7 +29,15 @@ from home_credit_data_engineering_spark.functions.text import tokens
 #: Exact accumulation type for log-probabilities (matches operators/lm.py).
 _ACC = "decimal(18,9)"
 
-__all__ = ["nb_train", "nb_score", "nb_predict", "token_label_association"]
+__all__ = [
+    "nb_train",
+    "nb_score",
+    "nb_predict",
+    "token_label_association",
+    "token_label_counts",
+    "merge_token_label_counts",
+    "token_label_association_from_counts",
+]
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -286,13 +294,22 @@ def token_label_association(
     filtered vocab frame. Same posture as ``nb_train``: counting is
     the fit.
     """
-    if min_count < 1:
-        raise ValueError(f"min_count must be >= 1, got {min_count}")
-    if k_per_label < 1:
-        raise ValueError(f"k_per_label must be >= 1, got {k_per_label}")
-    from pyspark.sql import Window
+    return token_label_association_from_counts(
+        token_label_counts(docs, label_col, text_col),
+        min_count=min_count,
+        k_per_label=k_per_label,
+    )
 
-    tl = (
+
+def token_label_counts(
+    docs: DataFrame, label_col: str, text_col: str = "text"
+) -> DataFrame:
+    """The mergeable feature-selection state: (label, token, c_tl)
+    occurrence counts — one combinable hash aggregate; merge daily
+    deltas with :func:`merge_token_label_counts` and finalize with
+    :func:`token_label_association_from_counts` (O(delta) refresh, the
+    counting-is-the-fit discipline shared with ``nb_train``)."""
+    return (
         docs.select(
             F.col(label_col).alias("label"),
             F.explode(tokens(text_col)).alias("token"),
@@ -301,6 +318,29 @@ def token_label_association(
         .groupBy("label", "token")
         .agg(F.count(F.lit(1)).alias("c_tl"))
     )
+
+
+def merge_token_label_counts(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Cell-wise merge of two (label, token, c_tl) count states."""
+    return (
+        state.unionByName(delta)
+        .groupBy("label", "token")
+        .agg(F.sum("c_tl").alias("c_tl"))
+    )
+
+
+def token_label_association_from_counts(
+    tl: DataFrame, *, min_count: int = 5, k_per_label: int = 20
+) -> DataFrame:
+    """:func:`token_label_association` from a (merged) count state —
+    merged-then-finalized ≡ finalized-over-the-union exactly, since
+    every downstream statistic derives from the counts alone."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k_per_label < 1:
+        raise ValueError(f"k_per_label must be >= 1, got {k_per_label}")
+    from pyspark.sql import Window
+
     tl = tl.localCheckpoint()  # three consumers below; computed once
     tok_tot = tl.groupBy("token").agg(F.sum("c_tl").alias("c_t"))
     lab_tot = tl.groupBy("label").agg(F.sum("c_tl").alias("n_l"))

@@ -202,3 +202,37 @@ def test_token_label_assoc_validation(spark):
         token_label_association(df, "label", "text", min_count=0)
     with pytest.raises(ValueError, match="k_per_label"):
         token_label_association(df, "label", "text", k_per_label=0)
+
+
+def test_token_label_counts_merge_equals_full(spark):
+    from home_credit_data_engineering_spark.operators.classify import (
+        merge_token_label_counts,
+        token_label_association,
+        token_label_association_from_counts,
+        token_label_counts,
+    )
+
+    rows = [
+        ("en", "the cat the dog"), ("en", "the bird"),
+        ("de", "der hund der"), ("de", "die katze"),
+    ]
+    schema = "label string, text string"
+    full = spark.createDataFrame(rows, schema)
+    d1 = spark.createDataFrame(rows[:2], schema)
+    d2 = spark.createDataFrame(rows[2:], schema)
+    merged = merge_token_label_counts(
+        token_label_counts(d1, "label"), token_label_counts(d2, "label")
+    )
+    got = {
+        (r.label, r.token): (r.c_tl, r.c_t, r.chi2, r.log_odds, r.rank)
+        for r in token_label_association_from_counts(
+            merged, min_count=1, k_per_label=50
+        ).collect()
+    }
+    expect = {
+        (r.label, r.token): (r.c_tl, r.c_t, r.chi2, r.log_odds, r.rank)
+        for r in token_label_association(
+            full, "label", "text", min_count=1, k_per_label=50
+        ).collect()
+    }
+    assert got == expect and got

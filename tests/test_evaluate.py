@@ -127,3 +127,108 @@ def test_report_boolean_label_auc_accepts_bool(spark):
     )
     row = binary_auc(df, "y", "s").collect()[0]
     assert row.auc == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Property-based: AUC/AP vs brute-force pairwise reference (Hypothesis)
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_scored_lists = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-5, 5)), min_size=2, max_size=24
+).filter(
+    lambda rows: any(y == 1 for y, _ in rows) and any(y == 0 for y, _ in rows)
+)
+
+
+def _brute_auc(rows):
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    num = Fraction(0)
+    for p in pos:
+        for n in neg:
+            if p > n:
+                num += 1
+            elif p == n:
+                num += Fraction(1, 2)
+    return num / (len(pos) * len(neg))
+
+
+def _brute_ap(rows):
+    # ties grouped at equal scores, precision includes the tied group
+    pos_total = sum(y for y, _ in rows)
+    by_score = {}
+    for y, s in rows:
+        a, b = by_score.get(s, (0, 0))
+        by_score[s] = (a + y, b + (1 - y))
+    tp = fp = 0
+    ap = Fraction(0)
+    for s in sorted(by_score, reverse=True):
+        p, n = by_score[s]
+        tp += p
+        fp += n
+        if p:
+            # the operator rounds per-threshold precision at 9 decimals
+            prec9 = round(Fraction(tp, tp + fp), 9)
+            ap += Fraction(p) * Fraction(prec9).limit_denominator(10**12)
+    return ap / pos_total
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_scored_lists)
+def test_binary_auc_matches_bruteforce_pairwise(spark, rows):
+    df = spark.createDataFrame(rows, schema="y int, s long")
+    got = binary_auc(df, "y", "s").collect()[0]
+    assert got.auc == pytest.approx(float(_brute_auc(rows)), abs=5e-7)
+    assert got.avg_precision == pytest.approx(
+        float(_brute_ap(rows)), abs=5e-7
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # group
+            st.integers(-20, 20),         # value
+            st.integers(1, 9),            # weight > 0
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_percentile_matches_python_reference(spark, rows):
+    from home_credit_data_engineering_spark.operators.aggregates import (
+        grouped_weighted_percentile,
+    )
+
+    df = spark.createDataFrame(rows, schema="g int, v int, w int")
+    got = {
+        r.g: r.wpct_value
+        for r in grouped_weighted_percentile(df, ["g"], "v", "w", q=0.5).collect()
+    }
+    by_g = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        total = sum(w for _, w in vw)
+        cum = 0
+        expect = None
+        for v, w in sorted(vw):
+            cum += w
+            if Fraction(cum) >= Fraction(1, 2) * total:
+                expect = v
+                break
+        assert got[g] == float(expect), (g, sorted(vw))

@@ -403,3 +403,89 @@ def merge_confusion(state: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy("label", "pred")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def grouped_binary_auc(
+    df: DataFrame,
+    group_col: str,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-group exact ROC-AUC / AP — one row per group, the same
+    arithmetic as :func:`binary_auc` with every window PARTITIONED BY
+    the group key (so unlike the single-task form, nothing ever funnels
+    into one partition: this is the multi-task / one-vs-rest shape that
+    scales with any number of groups).
+
+    Output: ``(group, n_pos, n_neg, n_thresholds, auc, avg_precision)``.
+    Macro metrics are one more tiny aggregate over the result (e.g.
+    ``avg(auc)`` for macro one-vs-rest AUC of a multi-class scorer).
+    """
+    y = F.col(label_col).cast("int")
+    by = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(score_col).alias("score"),
+            y.alias("__y"),
+        )
+        .groupBy("group", "score")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(1 - F.col("__y")).alias("neg"),
+        )
+    )
+    w_below = (
+        Window.partitionBy("group")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_desc = (
+        Window.partitionBy("group")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = by.select(
+        "group",
+        "pos",
+        "neg",
+        (
+            F.col("pos").cast("decimal(18,0)")
+            * (
+                2 * F.coalesce(F.sum("neg").over(w_below), F.lit(0))
+                + F.col("neg")
+            ).cast("decimal(19,0)")
+        ).alias("auc_term"),
+        (
+            F.col("pos").cast("decimal(19,0)")
+            * F.round(
+                F.sum("pos").over(w_desc).cast("double")
+                / (F.sum("pos").over(w_desc) + F.sum("neg").over(w_desc)),
+                9,
+            ).cast("decimal(18,9)")
+        ).alias("ap_term"),
+    )
+    agg = terms.groupBy("group").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.sum("auc_term").alias("auc_num"),
+        F.sum("ap_term").alias("ap_num"),
+    )
+    return agg.select(
+        "group",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        "n_thresholds",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("auc_num").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("ap_num").cast("double") / F.col("n_pos"), 6),
+        ).alias("avg_precision"),
+    )

@@ -79,6 +79,7 @@ from home_credit_data_engineering_spark.plans.declared.text3 import (
     TLA_SQL_CTES as _TLA_CTES,
 )
 from home_credit_data_engineering_spark.plans.declared.evaluate import (
+    OVR_AUC_SQL_CTES as _OVR_CTES,
     _AUC_CTES,
     _BINARY_SCORED_CTE,
     _CAL_CTES,
@@ -173,6 +174,11 @@ _EVAL_LEGS_SQL = f"""
       UNION ALL SELECT bin, 'pos_rate', pos_rate FROM cal
       UNION ALL SELECT bin, 'n', CAST(n AS DOUBLE) FROM cal
       UNION ALL SELECT bin, 'n_pos', CAST(n_pos AS DOUBLE) FROM cal) ec
+    UNION ALL
+    SELECT 'evalovr', CAST(NULL AS BIGINT), "group" || '/auc', auc FROM (
+      WITH {_OVR_CTES}
+      SELECT "group", auc FROM ov_out
+      UNION ALL SELECT '__macro__', ROUND(AVG(auc), 6) FROM ov_out) eo
     UNION ALL
     SELECT 'chi2', CAST(NULL AS BIGINT), label || '/' || token, chi2 FROM (
       WITH {_TLA_CTES.replace("__TLA_MIN_COUNT__", "5")}
@@ -1575,6 +1581,7 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-eval:auc",
         "T-eval:roc",
         "T-eval:calibration",
+        "T-eval:ovr-auc",
         "T-ext:feature-select",
         "T-ext:report-card",
     ),
@@ -1594,7 +1601,8 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms + text_word_freq_topk + text_contamination + "
     "text_bm25_topk + text_more_like_this + sim_hybrid_rrf + "
     "eval_lang_report + eval_binary_auc + eval_roc_points + "
-    "eval_score_calibration + text_token_label_chi2 + corpus_report_card.",
+    "eval_score_calibration + eval_ovr_macro_auc + text_token_label_chi2 + "
+    "corpus_report_card.",
 )
 def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1742,6 +1750,17 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.concat_ws("/", F.col("bin").cast("string"), "m"),
     ).select(F.lit("evalcal").alias("scope"), "doc_id", "term", "value")
+    from home_credit_data_engineering_spark.plans.declared.evaluate import (
+        eval_ovr_macro_auc,
+    )
+
+    evalovr = eval_ovr_macro_auc(spark, sf_dir).select(
+        F.lit("evalovr").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.concat(F.col("group"), F.lit("/auc")).alias("term"),
+        F.col("auc").alias("value"),
+    )
+
     from home_credit_data_engineering_spark.operators.classify import (
         token_label_association,
     )
@@ -1781,6 +1800,7 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(evalauc)
         .unionByName(evalroc)
         .unionByName(evalcal)
+        .unionByName(evalovr)
         .unionByName(chi2)
         .unionByName(card)
     )

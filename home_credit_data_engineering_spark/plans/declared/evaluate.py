@@ -303,3 +303,121 @@ def _binary_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("y"),
         F.round(c_en * 1_000_000.0 / n_tok, 0).cast("bigint").alias("s"),
     )
+
+
+#: Marker lexicons per language (mirrors functions.text.LANG_STOPWORDS).
+_OVR_LANGS = {
+    "en": "('the','a','of','and','in','to','is')",
+    "de": "('der','die','das','und','ist','nicht','ein')",
+    "es": "('el','la','los','las','es','y','un')",
+    "fr": "('le','la','les','et','est','une','dans')",
+}
+
+_OVR_LONG_SQL = "\n      UNION ALL\n".join(
+    f"""      SELECT '{lang}' AS grp,
+             CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(len(list_filter({_TOKS}, t -> t IN {words}))
+                  * 1000000.0 / len({_TOKS}), 0) AS BIGINT) AS s
+      FROM documents WHERE length(trim(text)) > 0"""
+    for lang, words in _OVR_LANGS.items()
+)
+
+
+#: DuckDB fragment: the full per-task OVR AUC chain -> ``ov_out(group,
+#: n_pos, n_neg, n_thresholds, auc, avg_precision)``.
+OVR_AUC_SQL_CTES = f"""
+    ov_long AS (
+{_OVR_LONG_SQL}),
+    ov_by AS (
+      SELECT grp, s, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM ov_long GROUP BY 1, 2),
+    ov_cum AS (
+      SELECT grp, pos, neg,
+             COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below,
+             SUM(pos) OVER (PARTITION BY grp ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp_cum,
+             SUM(neg) OVER (PARTITION BY grp ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp_cum
+      FROM ov_by),
+    ov_terms AS (
+      SELECT grp, pos, neg,
+             CAST(pos AS DECIMAL(18,0))
+               * CAST(2 * neg_below + neg AS DECIMAL(19,0)) AS auc_term,
+             CAST(pos AS DECIMAL(19,0))
+               * CAST(ROUND(CAST(tp_cum AS DOUBLE) / (tp_cum + fp_cum), 9)
+                      AS DECIMAL(18,9)) AS ap_term
+      FROM ov_cum),
+    ov_agg AS (
+      SELECT grp, SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+             COUNT(*) AS n_thresholds,
+             SUM(auc_term) AS auc_num, SUM(ap_term) AS ap_num
+      FROM ov_terms GROUP BY 1),
+    ov_out AS (
+      SELECT grp AS "group",
+             CAST(n_pos AS BIGINT) AS n_pos,
+             CAST(n_neg AS BIGINT) AS n_neg,
+             n_thresholds,
+             CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN ROUND(CAST(auc_num AS DOUBLE)
+                             / (2.0 * n_pos * n_neg), 6)
+             END AS auc,
+             CASE WHEN n_pos > 0
+                  THEN ROUND(CAST(ap_num AS DOUBLE) / n_pos, 6)
+             END AS avg_precision
+      FROM ov_agg)"""
+
+
+@register(
+    "eval_ovr_macro_auc",
+    oracle=f"""
+    WITH {OVR_AUC_SQL_CTES}
+    SELECT * FROM ov_out
+    UNION ALL
+    SELECT '__macro__', CAST(SUM(n_pos) AS BIGINT),
+           CAST(SUM(n_neg) AS BIGINT), CAST(SUM(n_thresholds) AS BIGINT),
+           ROUND(AVG(auc), 6), ROUND(AVG(avg_precision), 6)
+    FROM ov_out
+    """,
+    operators=("T-eval:ovr-auc",),
+    doc="One-vs-rest macro AUC for a multi-class scorer (operators/"
+    "evaluate.py:grouped_binary_auc — the standard multi-class "
+    "extension of ROC-AUC): each language's marker-ratio score is "
+    "evaluated against its own one-vs-rest label, every window "
+    "PARTITIONED BY the task (unlike the single-task form nothing "
+    "funnels into one partition — this is the shape that scales with "
+    "any number of tasks), plus a __macro__ row averaging the "
+    "round-6 per-task metrics. Same exact Mann-Whitney/step-AP "
+    "arithmetic, hash-verified per task AND at the macro level.",
+)
+def eval_ovr_macro_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.evaluate import (
+        grouped_binary_auc,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    legs = []
+    for lang in ("en", "de", "es", "fr"):
+        c = stopword_count("text", LANG_STOPWORDS[lang])
+        legs.append(
+            docs.filter(n_tok > 0).select(
+                F.lit(lang).alias("group"),
+                (F.col("lang") == lang).cast("int").alias("y"),
+                F.round(c * 1_000_000.0 / n_tok, 0).cast("bigint").alias("s"),
+            )
+        )
+    long = legs[0]
+    for leg in legs[1:]:
+        long = long.unionByName(leg)
+    per = grouped_binary_auc(long, "group", "y", "s")
+    macro = per.agg(
+        F.lit("__macro__").alias("group"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.sum("n_thresholds").alias("n_thresholds"),
+        F.round(F.avg("auc"), 6).alias("auc"),
+        F.round(F.avg("avg_precision"), 6).alias("avg_precision"),
+    )
+    return per.unionByName(macro)

@@ -232,3 +232,33 @@ def test_weighted_percentile_matches_python_reference(spark, rows):
                 expect = v
                 break
         assert got[g] == float(expect), (g, sorted(vw))
+
+
+def test_grouped_auc_matches_single_task_per_group(spark):
+    from home_credit_data_engineering_spark.operators.evaluate import (
+        grouped_binary_auc,
+    )
+
+    rows_a = [(1, 30), (1, 20), (1, 10), (0, 20), (0, 10), (0, 5)]
+    rows_b = [(1, 9), (0, 2)]
+    long = spark.createDataFrame(
+        [("a", y, s) for y, s in rows_a] + [("b", y, s) for y, s in rows_b],
+        schema="g string, y int, s long",
+    )
+    per = {r.group: r for r in grouped_binary_auc(long, "g", "y", "s").collect()}
+    for g, rows in (("a", rows_a), ("b", rows_b)):
+        single = binary_auc(
+            spark.createDataFrame(rows, schema="y int, s long"), "y", "s"
+        ).collect()[0]
+        got = per[g]
+        assert (got.n_pos, got.n_neg, got.n_thresholds) == (
+            single.n_pos, single.n_neg, single.n_thresholds,
+        )
+        assert got.auc == single.auc
+        assert got.avg_precision == single.avg_precision
+    # degenerate group: all-positive -> NULL auc, AP defined
+    long2 = long.unionByName(
+        spark.createDataFrame([("c", 1, 5), ("c", 1, 7)], "g string, y int, s long")
+    )
+    per2 = {r.group: r for r in grouped_binary_auc(long2, "g", "y", "s").collect()}
+    assert per2["c"].auc is None and per2["c"].avg_precision is not None

@@ -247,6 +247,18 @@ def main() -> None:
     )
     with open(out_path, "w", encoding="utf-8") as fh:
         fh.write(line + "\n")
+    # ADVICE r8: the driver's BENCH_r{N}.json keeps only a 2000-char stdout
+    # tail, so the committed per-round snapshot truncates the full result
+    # line (parsed: null) and the evidence the verdict cites lives only in
+    # the gitignored bench_result.json until the next run overwrites it.
+    # This TRACKED copy makes the full object durable: the driver's
+    # round-end bench run leaves it dirty, and the next round's first
+    # commit lands it in history as self-contained evidence.
+    tracked = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
+    )
+    with open(tracked, "w", encoding="utf-8") as fh:
+        fh.write(line + "\n")
     print(line)
 
 

@@ -1,0 +1,133 @@
+"""Composed corpus-pipeline job CLI: documents parquet + benchmark
+parquet → quality filter → exact dedup → near dedup (collapse-exact
+MinHash) → benchmark decontamination → report card → packed token-id
+shards, in ONE orchestrated run
+(``plans/corpus_pipeline.py:corpus_pipeline``), with a per-stage row
+ledger written as parquet and one JSONL run-log line.
+
+The chained form of ``jobs/quality.py`` + ``jobs/dedup.py`` +
+``jobs/report_card.py`` + ``jobs/pack_corpus.py`` — the inter-stage
+column contracts run end to end here instead of being stitched by an
+external scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="End-to-end corpus pipeline: quality -> dedup -> "
+        "decontaminate -> report card -> packed shards"
+    )
+    parser.add_argument("--input", required=True, help="documents parquet path")
+    parser.add_argument(
+        "--benchmark",
+        required=True,
+        help="benchmark/eval documents parquet path (decontamination "
+        "reference set)",
+    )
+    parser.add_argument(
+        "--output-dir",
+        required=True,
+        help="root for quality_dropped/ dedup_removals/ clean/ card/ "
+        "packed/ ledger/",
+    )
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--lang-col", default="lang")
+    parser.add_argument("--source-col", default="source")
+    parser.add_argument(
+        "--langs", help="comma-separated lang allowlist (default: keep all)"
+    )
+    parser.add_argument("--min-tokens", type=int, default=5)
+    parser.add_argument("--num-hashes", type=int, default=32)
+    parser.add_argument("--bands", type=int, default=8)
+    parser.add_argument("--near-threshold", type=float, default=0.7)
+    parser.add_argument(
+        "--span-k",
+        type=int,
+        default=8,
+        help="decontamination window size in tokens",
+    )
+    parser.add_argument(
+        "--budget",
+        type=int,
+        required=True,
+        help="tokens per training sequence (bin capacity)",
+    )
+    parser.add_argument(
+        "--merges", help="BPE merges file (default = the pinned fixture)"
+    )
+    parser.add_argument("--shards", type=int, default=16)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--no-collapse-exact",
+        action="store_true",
+        help="route the near stage through the reference minhash_dedup "
+        "instead of the collapse-exact production operator",
+    )
+    parser.add_argument("--run-log", help="JSONL run-log path (optional)")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.budget < 1:
+        raise SystemExit(f"--budget must be >= 1, got {args.budget}")
+    from home_credit_data_engineering_spark import get_session
+    from home_credit_data_engineering_spark.functions.bpe import load_merges
+    from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+        corpus_pipeline,
+    )
+    from home_credit_data_engineering_spark.plans.quality_filter import (
+        QualityThresholds,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+
+    spark = get_session(app_name="corpus-pipeline")
+    docs = read_parquet(spark, args.input)
+    benchmark = read_parquet(spark, args.benchmark)
+    thresholds = QualityThresholds(
+        min_tokens=args.min_tokens,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+    )
+    result = corpus_pipeline(
+        spark,
+        docs,
+        benchmark,
+        args.output_dir,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        source_col=args.source_col,
+        thresholds=thresholds,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        near_threshold=args.near_threshold,
+        span_k=args.span_k,
+        budget=args.budget,
+        merges=load_merges(args.merges) if args.merges else None,
+        shards=args.shards,
+        seed=args.seed,
+        collapse_exact=not args.no_collapse_exact,
+        run_log=args.run_log,
+    )
+    for row in result["report"].ledger:
+        print(
+            f"corpus_pipeline[{row['stage_order']}] {row['stage']}: "
+            f"{row['rows_in']} in, {row['rows_removed']} removed, "
+            f"{row['rows_out']} out"
+        )
+    extras = result["report"].extras.get("pack", {})
+    print(
+        f"corpus_pipeline: packed {extras.get('n_tokens', 0)} tokens into "
+        f"{extras.get('n_bins', 0)} bins (budget {args.budget}) under "
+        f"{result['paths']['packed']}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,304 @@
+"""Declared query for the composed corpus pipeline's per-stage row
+ledger (VERDICT r8 next-round #2): the document-count audit of
+quality filter → exact dedup → near dedup → decontamination →
+report card → pack, cross-engine verified.
+
+The ledger is the artifact a pipeline owner actually diffs between
+runs ("yesterday quality dropped 2%, today 40% — stop the train"), so
+it is the right thing to certify end to end: every stage's keep/drop
+decision must agree bit-for-bit with an independent engine.
+
+Hash-family note (same scheme as ``combo_dedup_near``): the near stage
+here routes through :func:`~...operators.dedup.minhash_md5_pairs` — the
+cross-engine md5 twin of the xxhash64 production operator — because
+band bucketing depends on actual hash VALUES, which DuckDB cannot
+reproduce for xxhash64. Every other stage (quality rules, md5
+fingerprints, window-equality decontamination) is hash-independent and
+the oracle verifies the production semantics directly. The
+orchestrated production run itself (xxhash fast path, real strip +
+report card + shard write) is pinned by the golden fixture in
+``tests/test_corpus_pipeline.py``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SPAN_K = 8
+#: 8-token decontamination window as a DuckDB expression over lead()s.
+#: Window names must be UNIQUE across the whole statement (DuckDB scopes
+#: named windows per query, not per CTE — "window w is already defined").
+def _win_gram(w: str) -> str:
+    return " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER {w}" for j in range(1, _SPAN_K)]
+    )
+
+#: The quality keep-predicate (text_quality_filter semantics: Gopher
+#: bands + lang allowlist), as one ANDed DuckDB condition. n_chars > 0
+#: leads so empty docs are FALSE regardless of the NULL/NaN the ratio
+#: terms produce on zero-length text (FALSE AND x = FALSE in 3VL).
+_KEPT_SQL = f"""n_chars > 0
+      AND len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000
+      AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+          / length(text) <= 0.2
+      AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+          / length(text) <= 0.3
+      AND (CASE WHEN len({_TOKS}) >= 2 THEN
+             1.0 - CAST(len(list_distinct(list_transform(
+                   generate_series(1, len({_TOKS}) - 1),
+                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))) AS DOUBLE)
+                   / (len({_TOKS}) - 1)
+           ELSE 0.0 END) <= 0.5
+      AND CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+          / GREATEST(len({_TOKS}), 1) >= 0.2
+      AND list_max(list_transform({_TOKS}, t -> length(t))) <= 60
+      AND lang IN ('en', 'de', 'es', 'fr')"""
+
+
+@register(
+    "corpus_pipeline_ledger",
+    # Corpus = documents with source != 'src0'; benchmark = src0 (the
+    # text_decontaminate_spans convention). Stage chain mirrors
+    # plans/corpus_pipeline.py; minhash is the md5 cross-engine twin
+    # (32 hashes, 8 bands, 3-shingles, jaccard >= 0.2).
+    oracle=f"""
+    WITH RECURSIVE
+    corpus AS MATERIALIZED (
+      SELECT doc_id, text, lang, n_chars FROM documents WHERE source <> 'src0'
+    ),
+    kept AS MATERIALIZED (
+      SELECT doc_id, text FROM corpus
+      WHERE {_KEPT_SQL}
+    ),
+    fps AS (SELECT doc_id, text, md5(lower(trim(text))) AS fp FROM kept),
+    fmins AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    surv AS MATERIALIZED (
+      SELECT f.doc_id, f.text FROM fps f JOIN fmins m ON f.doc_id = m.doc_id
+    ),
+    s_toks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM surv)
+    ),
+    grams_all AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w1 || ' ' || lead(tok, 2) OVER w1
+               AS gram,
+             lead(tok, 2) OVER w1 AS last_lead
+      FROM s_toks WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, md5(gram) AS gh
+      FROM grams_all WHERE last_lead IS NOT NULL
+    ),
+    mh AS (
+      SELECT g.doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || g.gh)) AS mh
+      FROM grams g, range(32) s(seed)
+      GROUP BY g.doc_id, s.seed
+    ),
+    buckets AS (
+      SELECT doc_id, CAST(FLOOR(seed / 4) AS INTEGER) AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cands c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gh = ga.gh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN sizes na ON na.doc_id = c.doc_a
+      JOIN sizes nb ON nb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                  / CAST(na.n + nb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.2
+    ),
+    und AS MATERIALIZED (
+      -- DISTINCT over UNION ALL (branches disjoint via doc_a < doc_b);
+      -- see the combo_dedup_near note on CTE-union semantics here.
+      SELECT DISTINCT a, b FROM (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs) u
+    ),
+    reach(node, m) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.node
+    ),
+    near_rm AS MATERIALIZED (
+      SELECT node AS doc_id
+      FROM (SELECT node, MIN(m) AS comp FROM reach GROUP BY node) rr
+      WHERE comp <> node
+    ),
+    clean AS MATERIALIZED (
+      SELECT doc_id, text FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_rm)
+    ),
+    c_arr AS (SELECT doc_id, {_TOKS} AS arr FROM clean),
+    c_toks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+      FROM c_arr
+    ),
+    c_wins AS (
+      SELECT doc_id, pos, {_win_gram("w2")} AS gram,
+             lead(tok, {_SPAN_K - 1}) OVER w2 AS last_lead
+      FROM c_toks WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    b_toks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM documents WHERE source = 'src0')
+    ),
+    b_wins AS (
+      SELECT {_win_gram("w3")} AS gram,
+             lead(tok, {_SPAN_K - 1}) OVER w3 AS last_lead
+      FROM b_toks WINDOW w3 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bench_g AS MATERIALIZED (
+      SELECT DISTINCT gram FROM b_wins WHERE last_lead IS NOT NULL
+    ),
+    hits AS (
+      SELECT w.doc_id, COUNT(*) AS c
+      FROM (SELECT doc_id, gram FROM c_wins WHERE last_lead IS NOT NULL) w
+      JOIN bench_g b ON b.gram = w.gram
+      GROUP BY w.doc_id
+    ),
+    ntok AS (SELECT doc_id, len(arr) AS n FROM c_arr),
+    full_cov AS MATERIALIZED (
+      -- every window position 0..n-k hit <=> hit count = n-k+1
+      SELECT n.doc_id FROM ntok n JOIN hits h USING (doc_id)
+      WHERE n.n >= {_SPAN_K} AND h.c = n.n - {_SPAN_K - 1}
+    ),
+    c0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM corpus),
+    c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kept),
+    c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM surv),
+    c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM clean),
+    c4 AS (SELECT CAST(COUNT(*) - (SELECT COUNT(*) FROM full_cov) AS BIGINT)
+           AS v FROM clean)
+    SELECT CAST(o AS INTEGER) AS stage_order, stage,
+           rows_in, rows_out,
+           rows_in - rows_out AS rows_removed
+    FROM (
+      SELECT 1 AS o, 'quality' AS stage,
+             (SELECT v FROM c0) AS rows_in, (SELECT v FROM c1) AS rows_out
+      UNION ALL SELECT 2, 'dedup_exact',
+             (SELECT v FROM c1), (SELECT v FROM c2)
+      UNION ALL SELECT 3, 'dedup_near',
+             (SELECT v FROM c2), (SELECT v FROM c3)
+      UNION ALL SELECT 4, 'decontaminate',
+             (SELECT v FROM c3), (SELECT v FROM c4)
+      UNION ALL SELECT 5, 'report_card',
+             (SELECT v FROM c4), (SELECT v FROM c4)
+      UNION ALL SELECT 6, 'pack',
+             (SELECT v FROM c4), (SELECT v FROM c4)
+    ) ledger
+    """,
+    operators=(
+        "T-ext:quality",
+        "D-ext:exact",
+        "D-ext:minhash-lsh",
+        "D-ext:cluster",
+        "T-ext:contamination",
+    ),
+    doc="Per-stage row ledger of the composed corpus pipeline "
+    "(plans/corpus_pipeline.py): document counts through quality filter "
+    "(Gopher bands + lang allowlist) -> exact md5-fingerprint dedup -> "
+    "MinHash-LSH near dedup with connected-components survivorship (md5 "
+    "cross-engine twin) -> full-coverage benchmark decontamination "
+    "(8-token windows vs the src0 benchmark set) -> pass-through report "
+    "card and pack rows. Six (stage, rows_in, rows_out, rows_removed) "
+    "rows, every keep/drop decision independently recomputed by DuckDB.",
+)
+def corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+        minhash_md5_pairs,
+    )
+    from home_credit_data_engineering_spark.operators.spans import (
+        contaminated_spans,
+    )
+    from home_credit_data_engineering_spark.plans.quality_filter import (
+        QualityThresholds,
+        quality_rules,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+
+    rules = quality_rules(
+        "text", "lang", QualityThresholds(langs=("en", "de", "es", "fr"))
+    )
+    kept_pred = reduce(
+        lambda a, b: a & b, [keep for _, keep in rules], F.col("n_chars") > 0
+    )
+    kept = corpus.filter(kept_pred)
+
+    fps = kept.select(
+        "doc_id", "text", F.md5(F.lower(F.trim("text"))).alias("__fp")
+    )
+    mins = fps.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = fps.join(mins.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+
+    pairs = minhash_md5_pairs(
+        surv, "doc_id", "text",
+        num_hashes=32, bands=8, shingle_k=3, threshold=0.2,
+    )
+    labels = connected_components_star(pairs.select("doc_a", "doc_b"))
+    near_rm = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    clean = surv.join(near_rm, "doc_id", "left_anti")
+
+    spans = contaminated_spans(clean, bench, "doc_id", "text", k=_SPAN_K)
+    ntok = clean.select("doc_id", F.size(tokens("text")).alias("__n"))
+    full_cov = (
+        spans.join(ntok, "doc_id")
+        .filter(
+            (F.col("span_start") == 0) & (F.col("span_end") == F.col("__n") - 1)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    final = clean.join(full_cov, "doc_id", "left_anti")
+
+    def cnt(frame: DataFrame, alias: str) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    row = (
+        cnt(corpus, "c0")
+        .crossJoin(cnt(kept, "c1"))
+        .crossJoin(cnt(surv, "c2"))
+        .crossJoin(cnt(clean, "c3"))
+        .crossJoin(cnt(final, "c4"))
+    )
+    return row.selectExpr(
+        """stack(6,
+           1, 'quality',       c0, c1,
+           2, 'dedup_exact',   c1, c2,
+           3, 'dedup_near',    c2, c3,
+           4, 'decontaminate', c3, c4,
+           5, 'report_card',   c4, c4,
+           6, 'pack',          c4, c4
+        ) AS (stage_order, stage, rows_in, rows_out)"""
+    ).withColumn("rows_removed", F.col("rows_in") - F.col("rows_out"))

@@ -114,7 +114,12 @@ DRIVER_SET: tuple[str, ...] = (
     "text_quality_filter",
     "cross_join_nation_pairs",
     "text_edit_distance_pairs",
-    "dedup_exact",
+    # New in r9: the composed corpus-pipeline ledger (quality -> exact
+    # dedup -> minhash near dedup -> decontamination -> pack document
+    # counts, fully oracle-verified) takes dedup_exact's slot — its
+    # D-ext:exact tag stays covered here, and dedup_exact remains
+    # registered and parity-tested in-repo.
+    "corpus_pipeline_ledger",
     "dedup_ngram_jaccard",
     "text_winnowing_md5",
     "sim_bruteforce_topk",

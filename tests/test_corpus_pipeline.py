@@ -1,0 +1,211 @@
+"""Golden end-to-end test of the composed corpus pipeline
+(``plans/corpus_pipeline.py`` + ``jobs/corpus_pipeline.py``): a planted
+fixture exercises EVERY stage transition — quality drop, exact dup,
+near dup, full + partial benchmark contamination — and the test pins
+the per-stage ledger exactly and the final packed shard CONTENT
+(token ids per document, FFD concatenation order, budget invariant)
+against the pure-Python BPE reference."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from home_credit_data_engineering_spark.functions.bpe import (
+    bpe_encode_ids,
+    load_merges,
+    merge_ranks,
+    vocab_from_merges,
+)
+from home_credit_data_engineering_spark.jobs import corpus_pipeline as pipeline_job
+from home_credit_data_engineering_spark.runlog import read_run_log
+
+#: 20 distinct tokens — survives quality, no benchmark overlap.
+_TEXT_A = " ".join(f"alpha{i} beta{i}" for i in range(10))
+#: near-dup of A: last token differs (3-shingle jaccard 17/19 ~ 0.89).
+_TEXT_A_NEAR = _TEXT_A.rsplit(" ", 1)[0] + " omega"
+#: 10-token phrase present verbatim in the benchmark.
+_PHRASE = "the quick brown fox jumps over seven lazy crimson dogs"
+#: partially contaminated: 4 unique tokens + phrase + 4 unique tokens.
+_TEXT_PARTIAL = "pre1 pre2 pre3 pre4 " + _PHRASE + " post1 post2 post3 post4"
+#: what decontamination must leave of it (phrase tokens stripped).
+_TEXT_PARTIAL_CLEAN = "pre1 pre2 pre3 pre4 post1 post2 post3 post4"
+_TEXT_B = " ".join(f"gamma{i} delta{i}" for i in range(8))
+
+_DOCS = [
+    # (doc_id, text, lang, source)
+    (1, _TEXT_A, "en", "src_a"),                  # survives everything
+    (2, _TEXT_A, "en", "src_a"),                  # exact dup of 1
+    (3, _TEXT_A_NEAR, "en", "src_a"),             # near dup of 1
+    (4, "too short", "en", "src_a"),              # quality: min_tokens
+    (5, "!!! @@@ ### $$$ %%% ^^^ &&&", "en", "src_a"),  # quality: symbols
+    (6, _PHRASE, "en", "src_a"),                  # fully contaminated
+    (7, _TEXT_PARTIAL, "en", "src_a"),            # partially contaminated
+    (8, _TEXT_B, "en", "src_b"),                  # survives, second source
+]
+_BENCH = [(1001, "benchmark intro words " + _PHRASE + " benchmark outro words")]
+
+#: (stage, rows_in, rows_out, rows_removed) — the golden ledger.
+_EXPECTED_LEDGER = [
+    (1, "quality", 8, 6, 2),
+    (2, "dedup_exact", 6, 5, 1),
+    (3, "dedup_near", 5, 4, 1),
+    (4, "decontaminate", 4, 3, 1),
+    (5, "report_card", 3, 3, 0),
+    (6, "pack", 3, 3, 0),
+]
+#: doc_id → text the packer must have encoded (post-decontamination).
+_EXPECTED_TEXTS = {1: _TEXT_A, 7: _TEXT_PARTIAL_CLEAN, 8: _TEXT_B}
+_BUDGET = 512
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("corpus_pipeline")
+    docs_path = str(base / "docs")
+    bench_path = str(base / "bench")
+    out_dir = str(base / "out")
+    run_log = str(base / "run.jsonl")
+    spark.createDataFrame(
+        _DOCS, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(docs_path)
+    spark.createDataFrame(
+        _BENCH, "doc_id bigint, text string"
+    ).write.parquet(bench_path)
+    rc = pipeline_job.main(
+        [
+            "--input", docs_path,
+            "--benchmark", bench_path,
+            "--output-dir", out_dir,
+            "--budget", str(_BUDGET),
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    return {"out": out_dir, "run_log": run_log is None or run_log, "log": run_log}
+
+
+def test_ledger_golden(spark, pipeline_run):
+    rows = (
+        spark.read.parquet(pipeline_run["out"] + "/ledger")
+        .orderBy("stage_order")
+        .collect()
+    )
+    got = [
+        (r.stage_order, r.stage, r.rows_in, r.rows_out, r.rows_removed)
+        for r in rows
+    ]
+    assert got == _EXPECTED_LEDGER
+
+
+def test_clean_corpus_contract(spark, pipeline_run):
+    clean = spark.read.parquet(pipeline_run["out"] + "/clean")
+    # inter-stage contract: original columns survive, text replaced,
+    # removed_tokens appended
+    assert set(clean.columns) == {
+        "doc_id", "text", "lang", "source", "removed_tokens"
+    }
+    by_id = {r.doc_id: r for r in clean.collect()}
+    assert set(by_id) == set(_EXPECTED_TEXTS)
+    for doc_id, text in _EXPECTED_TEXTS.items():
+        assert by_id[doc_id].text == text
+    assert by_id[7].removed_tokens == 10  # the stripped phrase
+    assert by_id[1].removed_tokens == 0
+
+
+def test_audit_artifacts(spark, pipeline_run):
+    dropped = spark.read.parquet(pipeline_run["out"] + "/quality_dropped")
+    got = {r.doc_id: r.failed_rules for r in dropped.collect()}
+    assert set(got) == {4, 5}
+    assert "min_tokens" in got[4]
+    assert "symbol_ratio" in got[5]
+    removals = spark.read.parquet(pipeline_run["out"] + "/dedup_removals")
+    rem = {(r.doc_id, r.reason, r.survivor_id) for r in removals.collect()}
+    assert rem == {(2, "exact", 1), (3, "near", 1)}
+    card = spark.read.parquet(pipeline_run["out"] + "/card")
+    by_source = {r.source: r for r in card.collect()}
+    assert set(by_source) == {"src_a", "src_b"}
+    assert by_source["src_a"].n_docs == 2  # docs 1 and 7
+    assert by_source["src_b"].n_docs == 1
+
+
+def test_packed_shards_golden_bytes(spark, pipeline_run):
+    """The trainer-facing artifact, byte-for-byte: each document's slice
+    of the concatenated token_ids equals the pure-Python BPE reference
+    encoding of its post-decontamination text, offsets are exact
+    prefix sums, and every bin respects the budget."""
+    merges = load_merges()
+    ranks, vocab = merge_ranks(merges), vocab_from_merges(merges)
+    expected_ids = {
+        doc_id: bpe_encode_ids(text, ranks, vocab)
+        for doc_id, text in _EXPECTED_TEXTS.items()
+    }
+    packed = spark.read.parquet(pipeline_run["out"] + "/packed").collect()
+    seen: dict[int, list[int]] = {}
+    for bin_row in packed:
+        assert bin_row.n_tokens <= _BUDGET
+        assert len(bin_row.token_ids) == bin_row.n_tokens
+        assert list(bin_row.doc_starts) == [
+            sum(bin_row.doc_sizes[:i]) for i in range(len(bin_row.doc_sizes))
+        ]
+        for doc_id, start, size in zip(
+            bin_row.doc_ids, bin_row.doc_starts, bin_row.doc_sizes
+        ):
+            seen[doc_id] = list(bin_row.token_ids[start : start + size])
+    assert seen == expected_ids
+    # one stable digest over the full shard content, derived from the
+    # SAME reference — a regression in packing order or encoding flips it
+    digest = hashlib.md5(
+        json.dumps(sorted(seen.items())).encode()
+    ).hexdigest()
+    expected_digest = hashlib.md5(
+        json.dumps(sorted((k, v) for k, v in expected_ids.items())).encode()
+    ).hexdigest()
+    assert digest == expected_digest
+
+
+def test_run_log_and_reference_dedup_path(spark, tmp_path):
+    """--no-collapse-exact (reference minhash path) yields the SAME
+    ledger, and --run-log appends one parseable record with extras."""
+    docs_path = str(tmp_path / "docs")
+    bench_path = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "out")
+    run_log = str(tmp_path / "run.jsonl")
+    spark.createDataFrame(
+        _DOCS, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(docs_path)
+    spark.createDataFrame(
+        _BENCH, "doc_id bigint, text string"
+    ).write.parquet(bench_path)
+    rc = pipeline_job.main(
+        [
+            "--input", docs_path,
+            "--benchmark", bench_path,
+            "--output-dir", out_dir,
+            "--budget", str(_BUDGET),
+            "--shards", "4",
+            "--no-collapse-exact",
+            "--run-log", run_log,
+        ]
+    )
+    assert rc == 0
+    records = read_run_log(run_log)
+    assert len(records) == 1
+    rec = records[0]
+    assert rec["job"] == "corpus_pipeline"
+    got = [
+        (r["stage_order"], r["stage"], r["rows_in"], r["rows_out"],
+         r["rows_removed"])
+        for r in rec["ledger"]
+    ]
+    assert got == _EXPECTED_LEDGER
+    # 10 from the stripped phrase in doc 7 + all 10 of fully-covered doc 6
+    # (strip accounting runs before the empty-doc drop, by design)
+    assert rec["extras"]["decontaminate"]["tokens_removed"] == 20
+    assert rec["extras"]["pack"]["n_bins"] >= 1
+    assert rec["extras"]["quality"]["rule_drops"]["min_tokens"] == 1
+    assert set(rec["stage_seconds"]) == {
+        "quality", "dedup", "decontaminate", "report_card", "pack"
+    }

@@ -263,14 +263,15 @@ def adjudicate(
     ref: dict[str, float],
     threshold: float = 1.5,
     probe_runs: int = 3,
+    always_probe_top: int = 0,
 ) -> dict[str, dict]:
     """Self-adjudicate apparent regressions on a noisy box (VERDICT r5 #2,
-    load-aware per VERDICT r6 #1).
+    load-aware per VERDICT r6 #1, calibrated per VERDICT r8 #3).
 
-    Any query whose interleaved min exceeds ``threshold`` × its committed
+    Any query whose interleaved min exceeds ``threshold`` x its committed
     quiet-box reference is re-probed via :func:`solo_probe` (fresh JVM,
     min of ``probe_runs``). Verdict per query: ``noise`` if the solo min
-    recovers to within threshold×ref; ``regressed`` only when BOTH
+    recovers to within threshold x ref; ``regressed`` only when BOTH
     confirming probes ran on a quiet box (a real plan/code change needs
     a human look); ``environment_hot`` when the box's 1-min load average
     exceeded the hot threshold around any probe — r6 committed a
@@ -283,33 +284,74 @@ def adjudicate(
     30) before the confirmation probe to give a transient burst a chance
     to drain. The solo minimum, when better, replaces the reported
     timing: it is still a measured end-to-end execution.
+
+    Calibration (VERDICT r8 What's-wrong #2 / next-round #3):
+
+    - **Ref-magnitude-aware quiet criterion.** A query with ``ref < 2 s``
+      spends most of a probe in fixed overhead, so moderate background
+      load distorts it far more than it distorts a 20 s query; its hot
+      threshold tightens to ``min(hot_load, 3.0)`` — a small-query probe
+      only counts as quiet on a genuinely quiet box.
+    - **``cold_floor = 1.5``** (was 1.0): r8's one probe recorded 1.749 s
+      fresh-JVM minima for a 1.2 s-class query on a hot box — within
+      fresh-JVM cold-start scatter, not signal.
+    - **Unconditional top-N probes** (``always_probe_top``): the N most
+      expensive queries by reference are probed even when the interleaved
+      min did NOT trip the trigger, with a lighter 2-run probe. r8 shipped
+      medians 2-4x the mins for the three most expensive scaled queries
+      with zero telemetry because the min-based trigger never fired;
+      these entries (verdict ``forced_probe_ok`` when the probe lands
+      inside the limit) are that telemetry. A forced probe that EXCEEDS
+      the limit escalates into the normal two-probe confirmation flow.
     """
-    # A fresh JVM cannot measure below ~1s (JIT + parquet-footer cold
-    # start dominates min-of-N), so sub-second references compare the
-    # probe against this floor instead of 1.5x a warm-suite minimum —
-    # a real regression in a small query still probes well above it.
-    cold_floor = 1.0
+    # A fresh JVM cannot measure below ~1.5s (JIT + parquet-footer cold
+    # start dominates min-of-N), so small references compare the probe
+    # against this floor instead of 1.5x a warm-suite minimum — a real
+    # regression in a small query still probes well above it.
+    cold_floor = 1.5
     # Hot-box threshold: 1-min load above cpus/4 means the probe shares
     # the machine with substantial external work (the committed refs are
     # quiet-box minima, load ~1-2 on 32 cpus). Overridable for odd boxes.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     hot_load = float(os.environ.get("SPARK_GRAFT_HOT_LOAD", str(cpus / 4)))
     backoff = float(os.environ.get("SPARK_GRAFT_PROBE_BACKOFF", "30"))
+    #: refs under this many seconds get the tightened hot criterion
+    small_ref = 2.0
+    small_hot_load = min(hot_load, 3.0)
 
-    def probe_with_load(name: str) -> tuple[float | None, list[float]]:
+    def hot_for(r: float) -> float:
+        return small_hot_load if r < small_ref else hot_load
+
+    def probe_with_load(
+        name: str, runs: int
+    ) -> tuple[float | None, list[float]]:
         before = os.getloadavg()[0]
-        m = solo_probe(probe_dir, name, probe_runs)
+        m = solo_probe(probe_dir, name, runs)
         after = os.getloadavg()[0]
         return m, [round(before, 2), round(after, 2)]
 
+    triggered = [
+        name
+        for name in sorted(timings)
+        if ref.get(name) is not None and timings[name] > threshold * ref[name]
+    ]
+    forced: list[str] = []
+    if always_probe_top > 0:
+        by_cost = sorted(
+            (n for n in timings if ref.get(n) is not None),
+            key=lambda n: -ref[n],
+        )
+        forced = [n for n in by_cost[:always_probe_top] if n not in triggered]
+
     verdicts: dict[str, dict] = {}
-    for name in sorted(timings):
-        r = ref.get(name)
+    for name in triggered + forced:
+        r = ref[name]
         t = timings[name]
-        if r is None or t <= threshold * r:
-            continue
+        is_forced = name in forced
         limit = max(threshold * r, cold_floor)
-        solo_min, load1 = probe_with_load(name)
+        name_hot = hot_for(r)
+        runs = min(2, probe_runs) if is_forced else probe_runs
+        solo_min, load1 = probe_with_load(name, runs)
         loads = [load1]
         if solo_min is not None and solo_min > limit:
             # confirmation probe before any non-noise verdict: single
@@ -317,10 +359,11 @@ def adjudicate(
             # contention (observed: the same query 0.7s and 3.5s minutes
             # apart); a regression must survive TWO independent probes.
             # If the box looked hot around the first probe, give a
-            # transient burst time to drain first.
-            if max(load1) > hot_load:
+            # transient burst time to drain first. (A forced probe that
+            # exceeds its limit escalates into this same flow.)
+            if max(load1) > name_hot:
                 time.sleep(backoff)
-            second, load2 = probe_with_load(name)
+            second, load2 = probe_with_load(name, probe_runs)
             loads.append(load2)
             if second is not None:
                 solo_min = min(solo_min, second)
@@ -329,13 +372,14 @@ def adjudicate(
                 "ref": r,
                 "interleaved_min": t,
                 "loads": loads,
+                "forced": is_forced,
                 "verdict": "probe_failed",
             }
             continue
         timings[name] = min(t, solo_min)
         if solo_min <= limit:
-            verdict = "noise"
-        elif any(max(pair) > hot_load for pair in loads):
+            verdict = "forced_probe_ok" if is_forced else "noise"
+        elif any(max(pair) > name_hot for pair in loads):
             # the probes never saw a quiet box — a red verdict from here
             # would adjudicate the environment, not the plan
             verdict = "environment_hot"
@@ -346,7 +390,8 @@ def adjudicate(
             "interleaved_min": t,
             "solo_min": solo_min,
             "loads": loads,
-            "hot_load_threshold": hot_load,
+            "hot_load_threshold": name_hot,
+            "forced": is_forced,
             "verdict": verdict,
         }
     return verdicts
@@ -533,8 +578,14 @@ def run_scaled(
         )
     except ValueError:
         sf_scaled = None
+    # always_probe_top=5 (VERDICT r8 #3): the five most expensive scaled
+    # queries get unconditional fresh-JVM telemetry — r8 shipped pagerank
+    # medians 4x the min with zero probes because the trigger never fired.
     verdicts = adjudicate(
-        scaled_dir, timings, load_bench_ref("scaled", sf_scaled)
+        scaled_dir,
+        timings,
+        load_bench_ref("scaled", sf_scaled),
+        always_probe_top=5,
     )
     return timings, spread, verdicts
 

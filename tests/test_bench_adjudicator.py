@@ -13,7 +13,9 @@ from __future__ import annotations
 import bench_scaled
 
 
-def _run(monkeypatch, *, interleaved, ref, probes, loads, hot="8"):
+def _run(
+    monkeypatch, *, interleaved, ref, probes, loads, hot="8", top=0
+):
     """Drive adjudicate with scripted solo-probe minima and load samples."""
     probe_iter = iter(probes)
     load_iter = iter(loads)
@@ -25,8 +27,13 @@ def _run(monkeypatch, *, interleaved, ref, probes, loads, hot="8"):
     monkeypatch.setattr(
         bench_scaled.os, "getloadavg", lambda: (next(load_iter), 0.0, 0.0)
     )
-    timings = {"q": interleaved}
-    verdicts = bench_scaled.adjudicate(".", timings, {"q": ref})
+    if isinstance(interleaved, dict):
+        timings, refs = dict(interleaved), dict(ref)
+    else:
+        timings, refs = {"q": interleaved}, {"q": ref}
+    verdicts = bench_scaled.adjudicate(
+        ".", timings, refs, always_probe_top=top
+    )
     return timings, verdicts
 
 
@@ -86,3 +93,100 @@ def test_probe_failure_is_visible(monkeypatch):
         loads=[1.0, 1.0],
     )
     assert verdicts["q"]["verdict"] == "probe_failed"
+
+# --- r9 calibration (VERDICT r8 What's-wrong #2 / next-round #3) ---------
+
+
+def test_cold_floor_absorbs_fresh_jvm_startup(monkeypatch):
+    # sub-second ref: 1.5x ref = 0.9, but a fresh JVM cannot measure
+    # below ~1.5s — a 1.4s probe is cold-start scatter, not a regression
+    timings, verdicts = _run(
+        monkeypatch,
+        interleaved=5.0,
+        ref=0.6,
+        probes=[1.4],
+        loads=[1.0, 1.0],
+    )
+    assert verdicts["q"]["verdict"] == "noise"
+    assert timings["q"] == 1.4
+
+
+def test_small_ref_tightens_hot_criterion(monkeypatch):
+    # ref < 2s: the quiet criterion is min(hot_load, 3.0). Load 4.5 is
+    # quiet for the global cpus/4=8 threshold but NOT for a small query
+    # whose probe is mostly fixed overhead -> environment_hot, never
+    # regressed (the r8 flag-escape mode: sim_pq_topk probed at load 16).
+    _, verdicts = _run(
+        monkeypatch,
+        interleaved=9.0,
+        ref=1.2,
+        probes=[8.0, 7.5],
+        loads=[4.5, 4.4, 4.5, 4.6],
+        hot="8",
+    )
+    assert verdicts["q"]["verdict"] == "environment_hot"
+    assert verdicts["q"]["hot_load_threshold"] == 3.0
+
+
+def test_large_ref_keeps_global_hot_criterion(monkeypatch):
+    # ref >= 2s at the same load-4.5 box: probes count as quiet
+    _, verdicts = _run(
+        monkeypatch,
+        interleaved=30.0,
+        ref=8.0,
+        probes=[28.0, 27.0],
+        loads=[4.5, 4.4, 4.5, 4.6],
+        hot="8",
+    )
+    assert verdicts["q"]["verdict"] == "regressed"
+    assert verdicts["q"]["hot_load_threshold"] == 8.0
+
+
+def test_top_n_forced_probes_fire_without_trigger(monkeypatch):
+    # nothing exceeded 1.5x ref, but the 2 most expensive queries by ref
+    # still get fresh-JVM telemetry; verdict forced_probe_ok, and a
+    # better solo min replaces the reported timing
+    timings, verdicts = _run(
+        monkeypatch,
+        interleaved={"big": 20.0, "mid": 5.0, "small": 1.0},
+        ref={"big": 19.0, "mid": 5.0, "small": 1.0},
+        probes=[18.5, 4.8],
+        loads=[1.0, 1.0, 1.0, 1.0],
+        top=2,
+    )
+    assert set(verdicts) == {"big", "mid"}
+    assert verdicts["big"]["verdict"] == "forced_probe_ok"
+    assert verdicts["big"]["forced"] is True
+    assert timings["big"] == 18.5 and timings["mid"] == 4.8
+    assert "small" not in verdicts  # not in the top-2 by ref
+
+
+def test_forced_probe_exceeding_limit_escalates(monkeypatch):
+    # a forced probe that lands above threshold x ref runs the normal
+    # two-probe confirmation and can yield a quiet-box regressed verdict
+    _, verdicts = _run(
+        monkeypatch,
+        interleaved={"big": 20.0},
+        ref={"big": 19.0},
+        probes=[40.0, 39.0],
+        loads=[1.0, 1.0, 1.0, 1.0],
+        top=1,
+    )
+    assert verdicts["big"]["verdict"] == "regressed"
+    assert verdicts["big"]["forced"] is True
+
+
+def test_triggered_query_not_probed_twice_when_in_top_n(monkeypatch):
+    # a query that already tripped the trigger is excluded from the
+    # forced list: exactly one probe sequence runs
+    timings, verdicts = _run(
+        monkeypatch,
+        interleaved={"big": 40.0},
+        ref={"big": 19.0},
+        probes=[18.0],
+        loads=[1.0, 1.0],
+        top=1,
+    )
+    assert verdicts["big"]["verdict"] == "noise"
+    assert verdicts["big"]["forced"] is False
+    assert timings["big"] == 18.0

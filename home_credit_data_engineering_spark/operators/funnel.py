@@ -265,22 +265,7 @@ def rfm_segments(
     """
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
-    ref = events.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__ref_us"))
-    per_user = (
-        events.join(F.broadcast(ref), how="cross")
-        .groupBy(F.col(user_col).alias("user_id"))
-        .agg(
-            (
-                F.max("__ref_us") - F.max(F.unix_micros(F.col(ts_col)))
-            ).alias("recency_us"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(
-                F.round(F.col(value_col), 4).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("monetary"),
-        )
-    )
+    per_user = _rfm_per_user(events, user_col, ts_col, value_col)
     w_r = Window.orderBy(F.col("recency_us").asc(), F.col("user_id").asc())
     w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
     w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
@@ -299,6 +284,124 @@ def rfm_segments(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def _rfm_per_user(
+    events: DataFrame, user_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """The shared per-user RFM aggregate: exact BIGINT recency vs the
+    1-row broadcast corpus-max timestamp, event count, and stable-sum
+    DECIMAL(18,4) monetary exported as double."""
+    ref = events.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__ref_us"))
+    return (
+        events.join(F.broadcast(ref), how="cross")
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            (
+                F.max("__ref_us") - F.max(F.unix_micros(F.col(ts_col)))
+            ).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col(value_col), 4).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+
+
+def rfm_segments_approx(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 4,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """:func:`rfm_segments` past the exact-NTILE scale limit (the swap
+    the r7/r8 docstrings promised): scores come from
+    ``percentile_approx`` THRESHOLDS instead of global NTILE windows,
+    so NOTHING ever funnels into one partition — the scale path beyond
+    ~1e9 users.
+
+    Per dimension the n_tiles-1 quantile boundaries are ONE 1-row
+    GK-sketch aggregate over the user frame (rank error ≤ users/
+    ``accuracy``); each user's score is 1 + the number of boundaries it
+    crosses, via a broadcast of the 1-row threshold frame — same
+    direction convention as the exact form (score 1 = most recent /
+    most frequent / highest spend).
+
+    Semantics vs :func:`rfm_segments` (documented approximation, bound
+    by the verdict slot ``events_rfm_approx_verdict``): threshold
+    scoring assigns EQUAL-VALUE users the same score (exact NTILE can
+    split ties across tiles to force equal-count tiles), and boundary
+    users may land one tile off by the sketch's rank error. Scores
+    remain in [1, n_tiles] and monotone in the underlying dimension by
+    construction.
+
+    Plan shape: one combinable per-user aggregate → one 1-row
+    percentile_approx aggregate (mergeable sketch, map-side combined) →
+    one broadcast nested-loop-free crossJoin of the 1-row thresholds →
+    a scan-local projection. Zero windows, zero sorts, zero Python.
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    if accuracy < 100:
+        raise ValueError(f"accuracy must be >= 100, got {accuracy}")
+    per_user = _rfm_per_user(events, user_col, ts_col, value_col)
+    asc_qs = [i / n_tiles for i in range(1, n_tiles)]
+    desc_qs = [1.0 - q for q in asc_qs]
+    thresholds = per_user.agg(
+        F.percentile_approx(
+            "recency_us", F.array(*[F.lit(q) for q in asc_qs]), accuracy
+        ).alias("__r_q"),
+        F.percentile_approx(
+            "frequency", F.array(*[F.lit(q) for q in desc_qs]), accuracy
+        ).alias("__f_q"),
+        F.percentile_approx(
+            "monetary", F.array(*[F.lit(q) for q in desc_qs]), accuracy
+        ).alias("__m_q"),
+    )
+
+    def asc_score(col: str, qs: str) -> F.Column:
+        # ascending dimension (recency): score 1 = below every boundary
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(qs), lambda q: F.col(col) > q))
+        ).cast("int")
+
+    def desc_score(col: str, qs: str) -> F.Column:
+        # descending dimension (frequency/monetary): score 1 = above all
+        # boundaries. <= (not <) because the GK boundary at quantile
+        # (n-i)/n IS the last member of tile i+1 under NTILE's
+        # equal-count split — on distinct values the two forms then
+        # agree tile-for-tile (pinned in test_funnel).
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(qs), lambda q: F.col(col) <= q))
+        ).cast("int")
+
+    return (
+        per_user.join(F.broadcast(thresholds), how="cross")
+        .select(
+            "user_id",
+            "recency_us",
+            "frequency",
+            "monetary",
+            asc_score("recency_us", "__r_q").alias("r_score"),
+            desc_score("frequency", "__f_q").alias("f_score"),
+            desc_score("monetary", "__m_q").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
     )
 
 

@@ -398,3 +398,117 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return robust_anomalies(read_testdata(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rfm_approx_verdict",
+    # The approx form's scores are GK-sketch-derived (engine-specific),
+    # so per-user values are not cross-engine reproducible; the slot
+    # emits deterministic VERDICTS (the combo_approx_sketches /
+    # stats_kmv_distinct mold): exact-NTILE agreement above a fixed
+    # bound, score-vs-dimension monotonicity, and score-range bounds —
+    # plus the exactly-checkable user count. Exact agreement semantics
+    # are pinned in tests/test_funnel.py on planted data.
+    oracle="""
+    WITH rfa_u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+                   FROM events)
+    SELECT 'recency' AS dim, n AS n_users, TRUE AS agreement_ok,
+           TRUE AS monotone_ok, TRUE AS bounds_ok FROM rfa_u
+    UNION ALL SELECT 'frequency', n, TRUE, TRUE, TRUE FROM rfa_u
+    UNION ALL SELECT 'monetary', n, TRUE, TRUE, TRUE FROM rfa_u
+    """,
+    operators=("E-ext:rfm", "A-ext:approx-percentile"),
+    doc="rfm_segments_approx vs exact rfm_segments (VERDICT r8 #5 — the "
+    "beyond-1e9-users swap the r7 docstrings promised): "
+    "percentile_approx-threshold scores joined per user against the "
+    "exact NTILE grid, emitting per-dimension verdicts — agreement "
+    ">= 0.85 at >= 100 users, 0.6 below (measured 0.73-1.0 at "
+    "sf0.001-0.01; ties are the documented divergence: threshold "
+    "scoring keeps equal values in one tile, NTILE splits them to "
+    "force equal counts), score monotone in the dimension "
+    "(adjacent-tile ranges must not overlap), and scores within "
+    "[1, n_tiles]. Zero windows in the approx plan — nothing funnels "
+    "into one partition.",
+)
+def events_rfm_approx_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments,
+        rfm_segments_approx,
+    )
+
+    n_tiles = 4
+    events = read_testdata(spark, sf_dir, "events")
+    exact = rfm_segments(events, n_tiles=n_tiles)
+    appr = rfm_segments_approx(events, n_tiles=n_tiles)
+    dims = {
+        "recency": ("recency_us", 1),   # ascending dimension
+        "frequency": ("frequency", -1),  # descending
+        "monetary": ("monetary", -1),
+    }
+    joined = (
+        exact.select(
+            "user_id",
+            F.col("r_score").alias("__er"),
+            F.col("f_score").alias("__ef"),
+            F.col("m_score").alias("__em"),
+        )
+        .join(appr, "user_id")
+    )
+    score_col = {"recency": "r_score", "frequency": "f_score",
+                 "monetary": "m_score"}
+    exact_col = {"recency": "__er", "frequency": "__ef", "monetary": "__em"}
+    legs = []
+    for dim, (val_col, sign) in dims.items():
+        s = score_col[dim]
+        # per-tile value ranges: adjacent tiles must not overlap (the
+        # threshold construction guarantees it; this certifies the code)
+        tiles = appr.groupBy(F.col(s).alias("__t")).agg(
+            F.min(val_col).alias("__lo"), F.max(val_col).alias("__hi")
+        )
+        a, b = tiles.alias("a"), tiles.alias("b")
+        overlap = a.join(
+            b, F.col("a.__t") + 1 == F.col("b.__t")
+        ).agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("a.__hi") > F.col("b.__lo"))
+                        if sign == 1
+                        else (F.col("a.__lo") < F.col("b.__hi"))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("__overlaps")
+        )
+        stats = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.avg(
+                (F.col(exact_col[dim]) == F.col(s)).cast("double")
+            ).alias("__agree"),
+            F.min(s).alias("__smin"),
+            F.max(s).alias("__smax"),
+        )
+        legs.append(
+            stats.crossJoin(F.broadcast(overlap)).select(
+                F.lit(dim).alias("dim"),
+                "n_users",
+                # n-aware bound: at tiny user counts one tie group is a
+                # double-digit fraction of all users (sf0.001 has 15
+                # users; measured f-agreement 0.73 there vs 0.94-1.0 at
+                # sf0.01's 150), so the bound relaxes below 100 users
+                (
+                    F.col("__agree")
+                    >= F.when(F.col("n_users") >= 100, F.lit(0.85)).otherwise(
+                        F.lit(0.6)
+                    )
+                ).alias("agreement_ok"),
+                (F.col("__overlaps") == 0).alias("monotone_ok"),
+                (
+                    (F.col("__smin") >= 1) & (F.col("__smax") <= n_tiles)
+                ).alias("bounds_ok"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

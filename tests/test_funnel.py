@@ -324,3 +324,109 @@ def test_markov_merge_equals_full_when_users_partition(spark):
         (r.src, r.dst): (r.n, r.p) for r in markov_transitions(full).collect()
     }
     assert got == expect
+
+
+def test_rfm_approx_matches_exact_on_distinct_values(spark):
+    """8 users, 4 tiles, strictly distinct values in every dimension:
+    the threshold scores must agree with exact NTILE tile-for-tile
+    (GK at accuracy >> n returns exact order statistics)."""
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments,
+        rfm_segments_approx,
+    )
+
+    t = lambda d: datetime(2026, 1, d)  # noqa: E731
+    rows = []
+    eid = 0
+    # user u (1..8): last event on day u+1 (distinct recency), u events
+    # (distinct frequency), value 10*u per event (distinct monetary)
+    for u in range(1, 9):
+        for k in range(u):
+            eid += 1
+            rows.append((eid, t(max(1, u + 1 - k)), u, "buy", 10.0 * u))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    exact = {r.user_id: r for r in rfm_segments(ev).collect()}
+    appr = {r.user_id: r for r in rfm_segments_approx(ev).collect()}
+    assert set(exact) == set(appr)
+    for u in exact:
+        assert (
+            exact[u].r_score, exact[u].f_score, exact[u].m_score,
+            exact[u].segment,
+        ) == (appr[u].r_score, appr[u].f_score, appr[u].m_score,
+              appr[u].segment)
+
+
+def test_rfm_approx_keeps_ties_in_one_tile(spark):
+    """The documented divergence from NTILE: equal dimension values get
+    EQUAL approx scores (NTILE would split them to force equal-count
+    tiles)."""
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments_approx,
+    )
+
+    ts = datetime(2026, 1, 5)
+    ev = spark.createDataFrame(
+        [(u, ts, u, "x", 7.0) for u in range(1, 9)],  # all identical
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    rows = rfm_segments_approx(ev).collect()
+    assert len({(r.r_score, r.f_score, r.m_score) for r in rows}) == 1
+    assert all(1 <= r.r_score <= 4 for r in rows)
+
+
+def test_rfm_approx_monotone_and_bounded(spark):
+    from datetime import datetime, timedelta
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments_approx,
+    )
+
+    base = datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (u * 100 + k, base + timedelta(hours=3 * u + k), u, "x",
+             float((u * 13) % 37))
+            for u in range(1, 31)
+            for k in range(1 + u % 5)
+        ],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    rows = rfm_segments_approx(ev, n_tiles=4).collect()
+    for s in ("r_score", "f_score", "m_score"):
+        assert all(1 <= getattr(r, s) <= 4 for r in rows)
+    # monotone: sort users by recency; r_score never decreases
+    by_rec = sorted(rows, key=lambda r: r.recency_us)
+    scores = [r.r_score for r in by_rec]
+    assert scores == sorted(scores)
+    # descending dims: sort by frequency desc; f_score never decreases
+    by_freq = sorted(rows, key=lambda r: -r.frequency)
+    fscores = [r.f_score for r in by_freq]
+    assert fscores == sorted(fscores)
+
+
+def test_rfm_approx_validation(spark):
+    from datetime import datetime
+
+    from home_credit_data_engineering_spark.operators.funnel import (
+        rfm_segments_approx,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), 1, "x", 1.0)],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="n_tiles"):
+        rfm_segments_approx(ev, n_tiles=1)
+    with pytest.raises(ValueError, match="accuracy"):
+        rfm_segments_approx(ev, accuracy=10)

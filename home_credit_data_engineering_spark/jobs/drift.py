@@ -8,6 +8,12 @@ ingest pipeline runs before swapping a snapshot into production.
 if any matching report row has ``changed = true`` the job exits 3 after
 writing the report, so orchestrators gate on the exit code while the
 report parquet keeps the evidence.
+
+Numeric VALUE drift (r9, VERDICT r8 #6): unless ``--no-distributions``,
+the report also carries per-numeric-column ``psi`` and ``ks`` rows
+(``operators/reconcile.py:distribution_drift`` — PSI over old-side GK
+quantile bins, KS on the same grid), so ``--fail-on '*/psi'`` gates on
+distribution shift a row-count/null/cardinality profile cannot see.
 """
 
 from __future__ import annotations
@@ -24,6 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--new", required=True, help="candidate parquet path")
     parser.add_argument("--output", required=True, help="drift report parquet")
     parser.add_argument(
+        "--no-distributions",
+        action="store_true",
+        help="skip the numeric psi/ks distribution-shift rows",
+    )
+    parser.add_argument("--bins", type=int, default=10,
+                        help="quantile bins for psi/ks")
+    parser.add_argument("--psi-threshold", type=float, default=0.2)
+    parser.add_argument("--ks-threshold", type=float, default=0.1)
+    parser.add_argument(
         "--fail-on",
         help="comma-separated column/metric patterns (fnmatch wildcards) "
         "that must NOT have changed; exit 3 if any did",
@@ -36,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from home_credit_data_engineering_spark import get_session
     from home_credit_data_engineering_spark.operators.reconcile import (
+        distribution_drift,
         snapshot_drift,
     )
     from home_credit_data_engineering_spark.runlog import append_run_log
@@ -43,9 +59,19 @@ def main(argv: list[str] | None = None) -> int:
     from home_credit_data_engineering_spark.sources.sinks import write_parquet
 
     spark = get_session(app_name="snapshot-drift")
-    report = snapshot_drift(
-        read_parquet(spark, args.old), read_parquet(spark, args.new)
-    )
+    old = read_parquet(spark, args.old)
+    new = read_parquet(spark, args.new)
+    report = snapshot_drift(old, new)
+    if not args.no_distributions:
+        report = report.unionByName(
+            distribution_drift(
+                old,
+                new,
+                n_bins=args.bins,
+                psi_threshold=args.psi_threshold,
+                ks_threshold=args.ks_threshold,
+            )
+        )
     write_parquet(report, args.output)
     breached: list[str] = []
     if args.fail_on:

@@ -178,3 +178,144 @@ def snapshot_drift(old: DataFrame, new: DataFrame) -> DataFrame:
             ~(F.col("old_value").eqNullSafe(F.col("new_value")))
         ).alias("changed"),
     )
+
+
+#: Numeric Spark simpleString types distribution_drift profiles.
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float")
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Numeric distribution-shift metrics between two snapshots — the
+    leg :func:`snapshot_drift` cannot see (VERDICT r8 #6): a column can
+    keep its row count, null rate, and cardinality while its VALUES
+    drift. Emits the same long-form report schema ``(column, metric,
+    old_value, new_value, changed)`` so the ``jobs/drift.py --fail-on``
+    promotion gate consumes it unchanged (``--fail-on '*/psi'``).
+
+    Per common numeric column (or ``columns``):
+
+    - **psi** — Population Stability Index over ``n_bins`` quantile bins
+      of the OLD side (the industry-standard banding; bin edges come
+      from ONE ``percentile_approx`` GK-sketch aggregate — the engine's
+      quantile state, mergeable and map-side combined). Fractions clamp
+      at 1e-4 before the log so empty bins stay finite.
+      ``changed = psi > psi_threshold`` (0.2 = the conventional
+      "significant shift" bound; 0.1-0.2 is "monitor").
+    - **ks** — the Kolmogorov-Smirnov statistic evaluated on the same
+      quantile grid: max |CDF_old - CDF_new| over bin boundaries (a
+      lower bound on the continuous KS, exact in the grid limit).
+      ``changed = ks > ks_threshold``.
+
+    ``old_value`` is the no-shift ideal '0'; ``new_value`` carries the
+    measured statistic rounded at 6. A side with zero non-null rows
+    reports NULL statistics and ``changed = (non-null counts differ)``.
+
+    Scale: ONE 1-row quantile aggregate over the old side, then ONE
+    aggregate pass per side computing every column's per-bin counts
+    against broadcast literal edges (|cols| x n_bins conditional sums,
+    map-side combined — the same single-pass discipline as
+    :func:`snapshot_drift`); all PSI/KS arithmetic runs driver-side on
+    the |cols| x n_bins grid.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if accuracy < 100:
+        raise ValueError(f"accuracy must be >= 100, got {accuracy}")
+    spark = old.sparkSession
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    numeric = [
+        c
+        for c, t in old_types.items()
+        if (t in _NUMERIC_TYPES or t.startswith("decimal"))
+        and new_types.get(c) == t
+    ]
+    cols = [c for c in (columns or numeric) if c in numeric]
+    if columns is not None and set(columns) - set(cols):
+        missing = sorted(set(columns) - set(cols))
+        raise ValueError(
+            f"columns not numeric on both sides: {missing}"
+        )
+    empty = spark.createDataFrame(
+        [],
+        "column string, metric string, old_value string, "
+        "new_value string, changed boolean",
+    )
+    if not cols:
+        return empty
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edge_row = old.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(q) for q in qs]),
+                accuracy,
+            ).alias(c)
+            for c in cols
+        ]
+    ).first()
+
+    def _bin_counts(df: DataFrame) -> dict[str, list[int]]:
+        aggs = []
+        for c in cols:
+            edges = edge_row[c] or []
+            v = F.col(c).cast("double")
+            bin_expr = F.lit(0)
+            for e in edges:
+                bin_expr = bin_expr + (v > F.lit(float(e))).cast("int")
+            for i in range(len(edges) + 1):
+                aggs.append(
+                    F.sum(
+                        (v.isNotNull() & (bin_expr == i)).cast("long")
+                    ).alias(f"__{c}__{i}")
+                )
+        row = df.agg(*aggs).first()
+        return {
+            c: [
+                int(row[f"__{c}__{i}"] or 0)
+                for i in range(len(edge_row[c] or []) + 1)
+            ]
+            for c in cols
+        }
+
+    old_counts = _bin_counts(old)
+    new_counts = _bin_counts(new)
+    rows = []
+    for c in cols:
+        oc, nc = old_counts[c], new_counts[c]
+        on, nn = sum(oc), sum(nc)
+        if on == 0 or nn == 0:
+            ch = on != nn
+            rows.append((c, "psi", "0", None, ch))
+            rows.append((c, "ks", "0", None, ch))
+            continue
+        import math
+
+        psi = 0.0
+        cum_o = cum_n = 0.0
+        ks = 0.0
+        for o, n in zip(oc, nc):
+            p = max(o / on, 1e-4)
+            q = max(n / nn, 1e-4)
+            psi += (q - p) * math.log(q / p)
+            cum_o += o / on
+            cum_n += n / nn
+            ks = max(ks, abs(cum_o - cum_n))
+        rows.append(
+            (c, "psi", "0", str(round(psi, 6)), psi > psi_threshold)
+        )
+        rows.append((c, "ks", "0", str(round(ks, 6)), ks > ks_threshold))
+    return spark.createDataFrame(
+        rows,
+        "column string, metric string, old_value string, "
+        "new_value string, changed boolean",
+    )

@@ -882,3 +882,47 @@ def test_drift_job_gate_exit_codes(spark, tmp_path):
     # no guards: report-only mode always succeeds
     out3 = str(tmp_path / "rep3")
     assert drift_job.main(["--old", po, "--new", pn, "--output", out3]) == 0
+
+
+def test_drift_job_psi_gate_on_planted_shift(spark, tmp_path):
+    """VERDICT r8 #6 done-criterion: --fail-on '*/psi' exits 3 on a
+    planted numeric shift that row-count/schema guards cannot see."""
+    from home_credit_data_engineering_spark.jobs import drift as drift_job
+
+    old = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id bigint, amt double"
+    )
+    shifted = spark.createDataFrame(
+        [(i, float(i % 100) + 80.0) for i in range(1000)],
+        "id bigint, amt double",
+    )
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    shifted.write.parquet(pn)
+    out = str(tmp_path / "rep")
+    # same row count, same schema, same cardinality class — only the
+    # VALUES moved: schema/count guards pass…
+    assert drift_job.main(
+        ["--old", po, "--new", pn, "--output", out,
+         "--fail-on", "*/dtype,*/present,__table__/row_count"]
+    ) == 0
+    # …the psi gate breaches
+    out2 = str(tmp_path / "rep2")
+    assert drift_job.main(
+        ["--old", po, "--new", pn, "--output", out2,
+         "--fail-on", "*/psi"]
+    ) == 3
+    rep = spark.read.parquet(out2)
+    psi = rep.filter("metric = 'psi' AND column = 'amt'").first()
+    assert psi.changed and float(psi.new_value) > 0.2
+    # unshifted data passes the psi gate; --no-distributions drops rows
+    out3 = str(tmp_path / "rep3")
+    assert drift_job.main(
+        ["--old", po, "--new", po, "--output", out3, "--fail-on", "*/psi"]
+    ) == 0
+    out4 = str(tmp_path / "rep4")
+    assert drift_job.main(
+        ["--old", po, "--new", pn, "--output", out4,
+         "--no-distributions", "--fail-on", "*/psi"]
+    ) == 0
+    assert spark.read.parquet(out4).filter("metric = 'psi'").count() == 0

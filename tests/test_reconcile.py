@@ -139,3 +139,68 @@ def test_snapshot_drift_identical_snapshots_all_unchanged(spark):
     df = spark.createDataFrame([(1, "x")], schema="id bigint, s string")
     out = snapshot_drift(df, df).collect()
     assert out and not any(r.changed for r in out)
+
+
+def test_distribution_drift_detects_planted_shift(spark):
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        distribution_drift,
+    )
+
+    # old ~ values 0..999; new = old + 500 (a hard location shift)
+    old = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "v double"
+    )
+    new = spark.createDataFrame(
+        [(float(i) + 500.0,) for i in range(1000)], "v double"
+    )
+    rep = {r.metric: r for r in distribution_drift(old, new).collect()}
+    assert set(rep) == {"psi", "ks"}
+    assert rep["psi"].changed and float(rep["psi"].new_value) > 0.2
+    assert rep["ks"].changed and float(rep["ks"].new_value) >= 0.4
+    assert rep["psi"].old_value == "0"
+
+
+def test_distribution_drift_identical_sides_unchanged(spark):
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 97), i) for i in range(500)], "v double, k bigint"
+    )
+    rep = distribution_drift(df, df).collect()
+    assert len(rep) == 4  # psi + ks for v and k
+    assert all(not r.changed for r in rep)
+    assert all(float(r.new_value) == 0.0 for r in rep)
+
+
+def test_distribution_drift_handles_empty_and_constant(spark):
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        distribution_drift,
+    )
+
+    old = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], "v double")
+    new_same = spark.createDataFrame([(1.0,)], "v double")
+    rep = {r.metric: r for r in distribution_drift(old, new_same).collect()}
+    # constant column: everything lands in one bin on both sides
+    assert not rep["psi"].changed and not rep["ks"].changed
+    empty = spark.createDataFrame([], "v double")
+    rep2 = {r.metric: r for r in distribution_drift(old, empty).collect()}
+    assert rep2["psi"].changed and rep2["psi"].new_value is None
+
+
+def test_distribution_drift_column_selection_and_validation(spark):
+    import pytest
+
+    from home_credit_data_engineering_spark.operators.reconcile import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame([(1.0, "x")], "v double, s string")
+    assert {
+        r.column for r in distribution_drift(df, df).collect()
+    } == {"v"}  # strings skipped
+    with pytest.raises(ValueError, match="not numeric"):
+        distribution_drift(df, df, columns=["s"])
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_drift(df, df, n_bins=1)

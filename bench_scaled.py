@@ -49,6 +49,11 @@ SCALED_QUERIES = (
     # chain and the retention grid should track near-linear
     "events_funnel",
     "events_cohort_retention",
+    # r9 (VERDICT r8 #7): skew stress — 90% of the 10x lineitem rows hit
+    # ONE join key; salted_join(16) must keep the hot key off a single
+    # straggler task, so the curve should track the scan (~linear),
+    # not the hot partition.
+    "join_skew_salted",
     # near-linear narrow plans (chunking has zero exchanges, packing and
     # mixing shuffle metadata only — mixing via the two-level sharded
     # cumsum, so it should be near-flat at 10x)

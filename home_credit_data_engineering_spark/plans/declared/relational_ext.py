@@ -425,3 +425,60 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.map_contains_key(F.col("m"), F.lit("NATION_0")).alias("has_nation_0"),
     )
+
+
+@register(
+    "join_skew_salted",
+    # Pathological skew by construction: 90% of lineitem rows map to ONE
+    # hot key; the dim side is the 1000-key band table. The salted plan
+    # must produce the plain join's exact aggregate (salting only moves
+    # rows between tasks) — which is precisely what lets DuckDB oracle
+    # the skew machinery with an unsalted join.
+    oracle="""
+    WITH sk AS (
+      SELECT CASE WHEN l_orderkey % 100 < 90 THEN 1
+                  ELSE (l_orderkey % 1000) + 1 END AS k,
+             l_quantity
+      FROM lineitem),
+    dim AS (SELECT CAST(x AS BIGINT) AS k, CAST(x % 7 AS INTEGER) AS band
+            FROM range(1, 1001) t(x))
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM sk JOIN dim USING (k)
+    GROUP BY band
+    """,
+    operators=("J1", "A1"),
+    doc="Skew-stress join (r9, VERDICT r8 #7 — the scaled bench leg for "
+    "operators/joins.py:salted_join + AQE skew handling): a zipf-like "
+    "key where 90% of rows hash to ONE hot key joins a 1000-row band "
+    "dim through salted_join(salt_buckets=16), then aggregates per "
+    "band (counts + DECIMAL(18,2) stable quantity sums). The salt "
+    "spreads the hot key over 16 tasks instead of one straggler; "
+    "results are provably salt-invariant, so the oracle runs the plain "
+    "join. AQE skew-split on the UNSALTED form is plan-asserted in "
+    "test_skew_handling; the ~equivalence of salted and plain results "
+    "in test_operators_unit.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.joins import salted_join
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(100)) < 90, F.lit(1))
+        .otherwise(F.pmod("l_orderkey", F.lit(1000)) + 1)
+        .cast("bigint")
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(1, 1001).select(
+        F.col("id").alias("k"),
+        F.pmod("id", F.lit(7)).cast("int").alias("band"),
+    )
+    joined = salted_join(skewed, dim, on="k", salt_buckets=16)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -270,7 +270,14 @@ def test_serving_related_documents_uses_index(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "serving_idx")
     build_bm25_index(docs, idx, n_buckets=8)
     qdocs = docs.filter(F.col("doc_id") == 0)
-    rows = related_documents(spark, idx, qdocs, k=3, n_buckets=8).collect()
+    endpoint = related_documents(spark, idx, qdocs, k=3, n_buckets=8)
+    rows = endpoint.collect()
+    # VERDICT r8 #9: the plan assert AT THE SERVING CALL SITE — the
+    # postings scan must partition-prune to the query terms' buckets
+    # (serving cost tracks |query-term buckets|, not corpus size)
+    plan = endpoint._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
     assert 0 < len(rows) <= 3
     assert all(r["doc_id"] != 0 for r in rows), "self-match dropped"
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(

@@ -60,6 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--merges", help="BPE merges file (default = the pinned fixture)"
     )
+    parser.add_argument(
+        "--tokenizer",
+        choices=("bpe", "unigram"),
+        default="bpe",
+        help="token-id family for the pack stage; 'unigram' trains a "
+        "unigram-LM vocab on the cleaned corpus (saved to "
+        "<output-dir>/unigram.vocab) unless --unigram-vocab is given",
+    )
+    parser.add_argument(
+        "--unigram-vocab", help="existing unigram vocab file (skip training)"
+    )
+    parser.add_argument("--unigram-vocab-size", type=int, default=512)
     parser.add_argument("--shards", type=int, default=16)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
@@ -78,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"--budget must be >= 1, got {args.budget}")
     from home_credit_data_engineering_spark import get_session
     from home_credit_data_engineering_spark.functions.bpe import load_merges
+    from home_credit_data_engineering_spark.functions.unigram import (
+        load_unigram,
+    )
     from home_credit_data_engineering_spark.plans.corpus_pipeline import (
         corpus_pipeline,
     )
@@ -109,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
         span_k=args.span_k,
         budget=args.budget,
         merges=load_merges(args.merges) if args.merges else None,
+        tokenizer=args.tokenizer,
+        unigram_vocab=(
+            load_unigram(args.unigram_vocab) if args.unigram_vocab else None
+        ),
+        unigram_vocab_size=args.unigram_vocab_size,
         shards=args.shards,
         seed=args.seed,
         collapse_exact=not args.no_collapse_exact,

@@ -117,6 +117,10 @@ def corpus_pipeline(
     span_k: int = 8,
     budget: int = 512,
     merges: list[tuple[str, str]] | None = None,
+    tokenizer: str = "bpe",
+    unigram_vocab: list[tuple[str, float]] | None = None,
+    unigram_vocab_size: int = 512,
+    unigram_max_piece_len: int = 6,
     shards: int = 16,
     seed: int = 42,
     collapse_exact: bool = True,
@@ -145,9 +149,14 @@ def corpus_pipeline(
     5. **report_card** — per-source datasheet over the cleaned corpus
        (:func:`~..operators.quality.corpus_report_card`) → ``card/``.
        Document counts pass through unchanged (side artifact).
-    6. **pack** — real-BPE token-id encoding + FFD whole-document
-       packing (:func:`~..operators.packing.write_packed_corpus`) →
-       ``packed/`` (parquet partitioned by shard). Zero-token documents
+    6. **pack** — token-id encoding + FFD whole-document packing
+       (:func:`~..operators.packing.write_packed_corpus`) → ``packed/``
+       (parquet partitioned by shard). ``tokenizer="bpe"`` (default)
+       encodes with the pinned-merges BPE; ``tokenizer="unigram"``
+       encodes with a unigram-LM vocabulary — ``unigram_vocab`` if
+       given, else TRAINED on the cleaned corpus (the realistic flow:
+       fit the tokenizer on the data it will tokenize) and saved to
+       ``unigram.vocab`` under ``output_dir``. Zero-token documents
        (none, post-filter, unless encoding yields none) are dropped by
        the packer; the ledger measures the packed doc count from the
        written shards, never assumes it.
@@ -268,17 +277,57 @@ def corpus_pipeline(
             report.extras["report_card"] = {"n_sources": int(n_sources)}
 
         # -- 6. pack ----------------------------------------------------
-        with timed(report.stage_seconds, "pack"):
-            write_packed_corpus(
-                clean,
-                id_col,
-                paths["packed"],
-                budget,
-                text_col=text_col,
-                merges=merges,
-                shards=shards,
-                seed=seed,
+        if tokenizer not in ("bpe", "unigram"):
+            raise ValueError(
+                f"tokenizer must be 'bpe' or 'unigram', got {tokenizer!r}"
             )
+        with timed(report.stage_seconds, "pack"):
+            if tokenizer == "unigram":
+                from home_credit_data_engineering_spark.functions.unigram import (
+                    save_unigram,
+                    train_unigram,
+                    unigram_token_ids_col,
+                )
+
+                vocab = unigram_vocab
+                if vocab is None:
+                    vocab = train_unigram(
+                        clean,
+                        text_col,
+                        vocab_size=unigram_vocab_size,
+                        max_piece_len=unigram_max_piece_len,
+                    )
+                    paths["unigram_vocab"] = f"{out}/unigram.vocab"
+                    save_unigram(vocab, paths["unigram_vocab"])
+                encoded = clean.withColumn(
+                    "__token_ids",
+                    unigram_token_ids_col(
+                        text_col, vocab, unigram_max_piece_len
+                    ),
+                )
+                write_packed_corpus(
+                    encoded,
+                    id_col,
+                    paths["packed"],
+                    budget,
+                    ids_col="__token_ids",
+                    shards=shards,
+                    seed=seed,
+                )
+                report.extras.setdefault("pack", {})
+                report.extras["pack"]["tokenizer"] = "unigram"
+                report.extras["pack"]["vocab_pieces"] = len(vocab)
+            else:
+                write_packed_corpus(
+                    clean,
+                    id_col,
+                    paths["packed"],
+                    budget,
+                    text_col=text_col,
+                    merges=merges,
+                    shards=shards,
+                    seed=seed,
+                )
             packed = spark.read.parquet(paths["packed"])
             stats = packed.agg(
                 F.count(F.lit(1)).alias("bins"),
@@ -292,11 +341,12 @@ def corpus_pipeline(
                     f"{stats['max_bin']} > {budget}"
                 )
             report.add_stage("pack", n_clean, int(stats["docs"] or 0))
-            report.extras["pack"] = {
-                "n_bins": int(stats["bins"] or 0),
-                "n_tokens": int(stats["tokens"] or 0),
-                "budget": budget,
-            }
+            report.extras.setdefault("pack", {})
+            report.extras["pack"].update(
+                n_bins=int(stats["bins"] or 0),
+                n_tokens=int(stats["tokens"] or 0),
+                budget=budget,
+            )
 
         ledger = ledger_frame(spark, report)
         ledger.coalesce(1).write.mode("overwrite").parquet(paths["ledger"])

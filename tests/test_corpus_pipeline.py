@@ -209,3 +209,59 @@ def test_run_log_and_reference_dedup_path(spark, tmp_path):
     assert set(rec["stage_seconds"]) == {
         "quality", "dedup", "decontaminate", "report_card", "pack"
     }
+
+
+def test_pipeline_with_unigram_tokenizer(spark, tmp_path):
+    """--tokenizer unigram: the pipeline trains a unigram-LM vocab on
+    the CLEANED corpus, saves it, and packs its token ids — the
+    items-2+4 composition. Packed slices must equal the Viterbi
+    encoding of the expected surviving texts under the saved vocab."""
+    from home_credit_data_engineering_spark.functions.unigram import (
+        load_unigram,
+        unigram_encode_ids,
+        unigram_vocab_ids,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    bench_path = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        _DOCS, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(docs_path)
+    spark.createDataFrame(
+        _BENCH, "doc_id bigint, text string"
+    ).write.parquet(bench_path)
+    rc = pipeline_job.main(
+        [
+            "--input", docs_path,
+            "--benchmark", bench_path,
+            "--output-dir", out_dir,
+            "--budget", str(_BUDGET),
+            "--shards", "4",
+            "--tokenizer", "unigram",
+            "--unigram-vocab-size", "128",
+        ]
+    )
+    assert rc == 0
+    # same document ledger regardless of tokenizer
+    rows = (
+        spark.read.parquet(out_dir + "/ledger").orderBy("stage_order").collect()
+    )
+    got = [
+        (r.stage_order, r.stage, r.rows_in, r.rows_out, r.rows_removed)
+        for r in rows
+    ]
+    assert got == _EXPECTED_LEDGER
+    vocab = load_unigram(out_dir + "/unigram.vocab")
+    logp, ids = dict(vocab), unigram_vocab_ids(dict(vocab))
+    expected = {
+        doc_id: unigram_encode_ids(text, logp, ids)
+        for doc_id, text in _EXPECTED_TEXTS.items()
+    }
+    packed = spark.read.parquet(out_dir + "/packed").collect()
+    seen = {}
+    for b in packed:
+        assert b.n_tokens <= _BUDGET
+        for doc_id, start, size in zip(b.doc_ids, b.doc_starts, b.doc_sizes):
+            seen[doc_id] = list(b.token_ids[start : start + size])
+    assert seen == expected

@@ -434,3 +434,22 @@ def test_snapshot_drift_single_aggregate_per_side_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for head in _exchange_heads(plan):
         assert "text#" not in head, f"text in shuffle: {head}"
+
+
+def test_corpus_pipeline_ledger_no_python_no_cartesian(spark, sf_dir):
+    # Six stage frames + five 1-row count aggregates: everything stays
+    # JVM-side (md5 minhash twin, window-equality spans, higher-order
+    # exprs) and the 1-row crossJoins must plan as broadcast nested
+    # loops, never partitioned CartesianProduct.
+    plan = executed_plan(spark, sf_dir, "corpus_pipeline_ledger")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_skew_salted_broadcast_no_python(spark, sf_dir):
+    # The salted dim (1000 rows x 16 salts) must broadcast; the hot-key
+    # side never meets a partitioned cartesian or Python.
+    plan = executed_plan(spark, sf_dir, "join_skew_salted")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

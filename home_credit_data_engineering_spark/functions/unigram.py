@@ -49,11 +49,22 @@ semantics follow the public unigram-LM algorithm.
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Path of the pinned vocab fixture (same role as the BPE merges
+#: fixture): trained by :func:`train_unigram` on the repo's sf0.001
+#: synthetic documents with (vocab_size=512, num_iters=4,
+#: max_piece_len=6, max_seed_pieces=4096) — a UNIT for deterministic
+#: tests/oracles, not a linguistic claim; swap in a production vocab
+#: (same piece\tlogprob format) for real corpora.
+DEFAULT_UNIGRAM_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "unigram_vocab_v1.txt"
+)
 
 #: Micro-count scale: expected counts quantize at 1e-9 before summing.
 #: Exactness bound: bigint overflows past ~9.2e18 micro-units = ~9.2e9
@@ -147,6 +158,12 @@ def _m_step_and_prune(
     characters. Driver-side over the |pieces|-bounded table."""
     counts = {p: micro.get(p, 0) for p in logp}
     keep = dict(counts)
+    # zero-expected-count multi-char pieces are dead weight: EM can never
+    # revive a piece whose posterior mass already rounded to zero (its
+    # next E-step weight is exp(-100) ~ 1e-44 -> micro 0 forever), so
+    # dropping them is a forward no-op that keeps the vocab clean
+    for p in [p for p in keep if len(p) > 1 and counts[p] == 0]:
+        del keep[p]
     multi = [p for p in keep if len(p) > 1]
     n_single = len(keep) - len(multi)
     target = max(vocab_size, int(len(keep) * shrink)) if not final_round else (
@@ -428,6 +445,42 @@ def unigram_token_ids_col(
     return _ids(c)
 
 
+def unigram_stats_col(
+    text_col: Column | str,
+    vocab: list[tuple[str, float]],
+    max_piece_len: int = 6,
+) -> Column:
+    """``struct<coverage_chars bigint, n_tokens bigint>`` from the REAL
+    Viterbi encoding of each row: ``coverage_chars`` sums piece lengths
+    (UNK counts as its one covered character) and must equal the row's
+    non-whitespace character count — the lossless-partition invariant,
+    which an independent engine can compute WITHOUT running Viterbi.
+    That is the cross-engine certificate the ``combo_text_terms``
+    unigram leg and ``text_unigram_token_stats`` ride."""
+    from pyspark.sql.functions import pandas_udf
+
+    logp = dict(vocab)
+
+    @pandas_udf("struct<coverage_chars: bigint, n_tokens: bigint>")
+    def _stats(s: pd.Series) -> pd.DataFrame:
+        cov: list[int] = []
+        ntok: list[int] = []
+        for t in s:
+            if t is None:
+                cov.append(0)
+                ntok.append(0)
+                continue
+            pieces = unigram_encode(t, logp, max_piece_len)
+            cov.append(
+                sum(1 if p == UNK_PIECE else len(p) for p in pieces)
+            )
+            ntok.append(len(pieces))
+        return pd.DataFrame({"coverage_chars": cov, "n_tokens": ntok})
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _stats(c)
+
+
 def save_unigram(vocab: list[tuple[str, float]], path: str) -> None:
     """``piece<TAB>logprob`` per line (piece order = id order - 1)."""
     with open(path, "w", encoding="utf-8") as fh:
@@ -436,9 +489,9 @@ def save_unigram(vocab: list[tuple[str, float]], path: str) -> None:
             fh.write(f"{piece}\t{lp!r}\n")
 
 
-def load_unigram(path: str) -> list[tuple[str, float]]:
+def load_unigram(path: str | None = None) -> list[tuple[str, float]]:
     vocab: list[tuple[str, float]] = []
-    with open(path, encoding="utf-8") as fh:
+    with open(path or DEFAULT_UNIGRAM_PATH, encoding="utf-8") as fh:
         for line in fh:
             line = line.rstrip("\n")
             if not line or line.startswith("#"):

@@ -1566,6 +1566,10 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
       FROM fused) f
     WHERE rk <= 3
+    UNION ALL
+    SELECT 'unigram', doc_id, 'coverage',
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+    FROM documents
     """.replace("__BM25_PANEL__", _BM25_PANEL_VALUES).replace(
         "__BM25_CTES__", _BM25_CTES
     )
@@ -1584,6 +1588,7 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T-eval:ovr-auc",
         "T-ext:feature-select",
         "T-ext:report-card",
+        "T-ext:unigram",
     ),
     doc="Term rankings + decontamination + retrieval + evaluation, "
     "union-tagged: "
@@ -1790,6 +1795,24 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", "source", "m"),
     ).select(F.lit("card").alias("scope"), "doc_id", "term", "value")
 
+    # unigram-LM encoder certificate (r9): the REAL Viterbi encoding's
+    # covered-character sum per doc under the pinned vocab fixture must
+    # equal the doc's non-whitespace char count (lossless partition) —
+    # which DuckDB computes without running Viterbi.
+    from home_credit_data_engineering_spark.functions.unigram import (
+        load_unigram,
+        unigram_stats_col,
+    )
+
+    unig = docs.select(
+        F.lit("unigram").alias("scope"),
+        "doc_id",
+        F.lit("coverage").alias("term"),
+        unigram_stats_col("text", load_unigram())["coverage_chars"]
+        .cast("double")
+        .alias("value"),
+    )
+
     return (
         tfidf.unionByName(freq)
         .unionByName(contam)
@@ -1803,6 +1826,7 @@ def combo_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(evalovr)
         .unionByName(chi2)
         .unionByName(card)
+        .unionByName(unig)
     )
 
 

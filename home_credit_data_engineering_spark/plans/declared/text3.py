@@ -870,3 +870,50 @@ def text_token_label_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_label_association(
         docs, "lang", "text", min_count=5, k_per_label=20
     )
+
+
+@register(
+    "text_unigram_token_stats",
+    # Viterbi token counts are engine-specific (the segmentation needs
+    # the vocab's log-probs), but the encoding's COVERAGE is not: a
+    # lossless partition of each whitespace unit means the covered
+    # character sum equals the document's non-whitespace char count,
+    # which DuckDB computes directly. token_bound_ok is the verdict
+    # column (every piece covers 1..max_piece_len chars, so n_tokens is
+    # bracketed by ceil(coverage/6) and coverage).
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+             AS coverage_chars,
+           TRUE AS token_bound_ok
+    FROM documents
+    """,
+    operators=("T-ext:unigram",),
+    doc="Unigram-LM encoder stats under the pinned vocab fixture "
+    "(functions/unigram.py, VERDICT r8 #4): per document, the real "
+    "Viterbi encoding's covered-character sum — oracle-verified against "
+    "the non-whitespace char count (the lossless-partition certificate; "
+    "a lossy or overlapping segmentation flips the hash) — plus the "
+    "token-count bracket verdict ceil(coverage/max_piece_len) <= "
+    "n_tokens <= coverage. Trainer exactness (distributed EM == "
+    "pure-Python reference, bit-equal) is pinned in tests/test_unigram.",
+)
+def text_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.unigram import (
+        load_unigram,
+        unigram_stats_col,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    st = unigram_stats_col("text", load_unigram(), 6)
+    return docs.select("doc_id", st.alias("__s")).select(
+        "doc_id",
+        F.col("__s.coverage_chars").alias("coverage_chars"),
+        (
+            (F.col("__s.n_tokens") <= F.col("__s.coverage_chars"))
+            & (
+                F.col("__s.n_tokens")
+                >= F.ceil(F.col("__s.coverage_chars") / F.lit(6.0))
+            )
+        ).alias("token_bound_ok"),
+    )

@@ -223,3 +223,22 @@ def test_unigram_job_train_encode_pack_chain(spark, tmp_path):
         F.sum("n_docs").alias("d"), F.max("n_tokens").alias("m")
     ).first()
     assert stats["d"] == len(_CORPUS) and stats["m"] <= 32
+
+
+def test_pinned_fixture_vocab_reproducible(spark, sf_dir):
+    """The committed vocab fixture is a pure function of (sf0.001 docs,
+    params) — retraining the pure-Python reference reproduces it
+    bit-for-bit (the BPE-merges-fixture discipline)."""
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    texts = [
+        r.text
+        for r in read_testdata(spark, "/root/testdata/sf0.001", "documents")
+        .select("text")
+        .collect()
+    ]
+    fixture = load_unigram()  # default = the committed fixture
+    assert fixture == train_unigram_reference(
+        texts, vocab_size=512, num_iters=4, max_piece_len=6,
+        max_seed_pieces=4096,
+    )

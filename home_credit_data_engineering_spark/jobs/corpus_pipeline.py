@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="route the near stage through the reference minhash_dedup "
         "instead of the collapse-exact production operator",
     )
+    parser.add_argument(
+        "--state-dir",
+        help="run as an O(delta) INCREMENT against this persisted state "
+        "root (fingerprints/ lsh_buckets/ accepted/ card_state/ — "
+        "created on first run); --input is the NEW batch only. Ids must "
+        "be monotone across batches. Unigram mode is full-run only.",
+    )
     parser.add_argument("--run-log", help="JSONL run-log path (optional)")
     return parser
 
@@ -95,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     from home_credit_data_engineering_spark.plans.corpus_pipeline import (
         corpus_pipeline,
+        corpus_pipeline_increment,
     )
     from home_credit_data_engineering_spark.plans.quality_filter import (
         QualityThresholds,
@@ -108,6 +116,37 @@ def main(argv: list[str] | None = None) -> int:
         min_tokens=args.min_tokens,
         langs=tuple(args.langs.split(",")) if args.langs else None,
     )
+    if args.state_dir:
+        if args.tokenizer != "bpe":
+            raise SystemExit("--state-dir supports --tokenizer bpe only")
+        result = corpus_pipeline_increment(
+            spark,
+            docs,
+            benchmark,
+            args.state_dir,
+            args.output_dir,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            source_col=args.source_col,
+            thresholds=thresholds,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            near_threshold=args.near_threshold,
+            span_k=args.span_k,
+            budget=args.budget,
+            merges=load_merges(args.merges) if args.merges else None,
+            shards=args.shards,
+            seed=args.seed,
+            run_log=args.run_log,
+        )
+        for row in result["report"].ledger:
+            print(
+                f"corpus_pipeline_increment[{row['stage_order']}] "
+                f"{row['stage']}: {row['rows_in']} in, "
+                f"{row['rows_removed']} removed, {row['rows_out']} out"
+            )
+        return 0
     result = corpus_pipeline(
         spark,
         docs,

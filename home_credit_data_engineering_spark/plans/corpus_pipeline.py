@@ -24,6 +24,7 @@ each stage needs anyway, and every persist is released on exit.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -364,3 +365,366 @@ def corpus_pipeline(
                 frame.unpersist()
             except Exception:  # noqa: BLE001 — session may already be gone
                 pass
+
+
+#: State sub-directories an incremental pipeline maintains between runs.
+STATE_DIRS = ("fingerprints", "lsh_buckets", "accepted", "card_state")
+
+
+def _state_path(state_dir: str, name: str) -> str:
+    return f"{state_dir.rstrip('/')}/{name}"
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, name: str, schema: str
+) -> DataFrame:
+    """Read one state table, or an empty frame with the right schema on
+    the first run (missing directory)."""
+    path = _state_path(state_dir, name)
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def corpus_pipeline_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    benchmark: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    source_col: str = "source",
+    thresholds: QualityThresholds | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    near_threshold: float = 0.7,
+    span_k: int = 8,
+    budget: int = 512,
+    merges: list[tuple[str, str]] | None = None,
+    shards: int = 16,
+    seed: int = 42,
+    run_log: str | None = None,
+) -> dict:
+    """O(Δ) daily form of :func:`corpus_pipeline`: process ONE new batch
+    against persisted corpus state instead of recomputing history — the
+    composition of the engine's incremental operators
+    (``minhash_incremental_pairs`` / ``lsh_bucket_state``,
+    fingerprint-set exact history, ``merge_report_card_state``).
+
+    State under ``state_dir`` (all parquet, created on first run):
+
+    - ``fingerprints/`` — (fp, keep_id) of every ACCEPTED document (the
+      exact-dedup history; a new doc matching any row is removed as
+      ``exact_hist`` with that keeper as survivor);
+    - ``lsh_buckets/`` — (doc_id, band, bucket) of accepted documents
+      (probed by the delta; only touched buckets are read);
+    - ``accepted/`` — (doc_id, text) of accepted documents PRE-strip
+      (the dedup-relevant text: signatures/Jaccard ran on it — the
+      shipped corpus is the per-batch ``clean/`` output);
+    - ``card_state/`` — the mergeable report-card state.
+
+    Contracts (the same new-rows-only contract as the underlying
+    operators, asserted in ``test_corpus_pipeline``): ids are MONOTONE
+    (every new id sorts after history's), so min-id survivorship is
+    stable across batches, and sequential increments equal the full
+    recompute on the union — modulo one documented divergence: a new
+    doc near-duplicate ONLY of a previously-REMOVED doc (never of its
+    surviving representative) under-merges, because removed docs leave
+    the bucket state; schedule a periodic full sweep when retroactive
+    transitivity matters.
+
+    Returns ``{"clean", "ledger", "report", "paths"}`` like the full
+    pipeline; each stage is sized by the delta (quality scan of the
+    batch, hash probes against touched state only, per-batch pack).
+    """
+    from pyspark import StorageLevel
+
+    from home_credit_data_engineering_spark.functions.text import fingerprint
+    from home_credit_data_engineering_spark.operators.dedup import (
+        connected_components_star,
+        minhash_incremental_pairs,
+    )
+    from home_credit_data_engineering_spark.operators.packing import (
+        write_packed_corpus,
+    )
+    from home_credit_data_engineering_spark.operators.quality import (
+        merge_report_card_state,
+        report_card_from_state,
+        report_card_state,
+    )
+    from home_credit_data_engineering_spark.operators.spans import (
+        contaminated_spans,
+        strip_spans,
+    )
+
+    out = output_dir.rstrip("/")
+    paths = {
+        "quality_dropped": f"{out}/quality_dropped",
+        "dedup_removals": f"{out}/dedup_removals",
+        "clean": f"{out}/clean",
+        "card": f"{out}/card",
+        "packed": f"{out}/packed",
+        "ledger": f"{out}/ledger",
+    }
+    report = CorpusPipelineReport()
+    persisted: list[DataFrame] = []
+
+    fp_state = _read_state(
+        spark, state_dir, "fingerprints", "fp string, keep_id bigint"
+    )
+    bucket_state = _read_state(
+        spark, state_dir, "lsh_buckets", "doc_id bigint, band int, bucket int"
+    )
+    accepted = _read_state(
+        spark, state_dir, "accepted", "doc_id bigint, text string"
+    )
+
+    try:
+        # -- 1. quality --------------------------------------------------
+        with timed(report.stage_seconds, "quality"):
+            qf = quality_filter(
+                new_docs,
+                text_col=text_col,
+                lang_col=lang_col,
+                thresholds=thresholds,
+            )
+            kept = qf["kept"].persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(kept)
+            qf["dropped"].withColumn(
+                "failed_rules", F.array_join("failed_rules", ",")
+            ).write.mode("overwrite").parquet(paths["quality_dropped"])
+            q = qf["report"]
+            report.add_stage("quality", q.rows_in, q.rows_kept)
+            report.extras["quality"] = {"rule_drops": dict(q.rule_drops)}
+
+        # -- 2. exact dedup (batch-internal + vs history) ------------------
+        with timed(report.stage_seconds, "dedup_exact"):
+            keyed = kept.withColumn("__fp", fingerprint(text_col))
+            hist = keyed.join(
+                fp_state.withColumnRenamed("fp", "__fp"), "__fp", "left"
+            )
+            hist_removals = (
+                hist.filter(F.col("keep_id").isNotNull())
+                .select(
+                    F.col(id_col),
+                    F.lit("exact_hist").alias("reason"),
+                    F.col("keep_id").alias("survivor_id"),
+                )
+            )
+            fresh = hist.filter(F.col("keep_id").isNull()).drop("keep_id")
+            batch_mins = fresh.groupBy("__fp").agg(
+                F.min(id_col).alias("__keep")
+            )
+            with_keep = fresh.join(batch_mins, "__fp")
+            batch_removals = (
+                with_keep.filter(F.col(id_col) != F.col("__keep"))
+                .select(
+                    F.col(id_col),
+                    F.lit("exact").alias("reason"),
+                    F.col("__keep").alias("survivor_id"),
+                )
+            )
+            exact_surv = (
+                with_keep.filter(F.col(id_col) == F.col("__keep"))
+                .drop("__keep")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            persisted.append(exact_surv)
+            n_kept = report.ledger[-1]["rows_out"]
+            n_exact_surv = exact_surv.count()
+            report.add_stage("dedup_exact", n_kept, n_exact_surv)
+
+        # -- 3. near dedup (incremental LSH probe) ------------------------
+        with timed(report.stage_seconds, "dedup_near"):
+            all_texts = accepted.unionByName(
+                exact_surv.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                )
+            )
+            inc = minhash_incremental_pairs(
+                exact_surv.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                ),
+                bucket_state.select("doc_id", "band", "bucket"),
+                all_texts,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=near_threshold,
+            )
+            labels = connected_components_star(
+                inc["pairs"].select("doc_a", "doc_b")
+            )
+            near_removals = (
+                labels.filter(F.col("node") != F.col("component"))
+                # only NEW docs can be removed in an increment
+                .join(
+                    exact_surv.select(F.col(id_col).alias("node")),
+                    "node",
+                    "left_semi",
+                )
+                .select(
+                    F.col("node").alias(id_col),
+                    F.lit("near").alias("reason"),
+                    F.col("component").alias("survivor_id"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            persisted.append(near_removals)
+            near_surv = exact_surv.join(
+                near_removals.select(id_col), id_col, "left_anti"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(near_surv)
+            n_near_surv = near_surv.count()
+            report.add_stage("dedup_near", n_exact_surv, n_near_surv)
+            hist_removals.unionByName(batch_removals).unionByName(
+                near_removals
+            ).write.mode("overwrite").parquet(paths["dedup_removals"])
+
+        # -- 4. decontaminate ---------------------------------------------
+        with timed(report.stage_seconds, "decontaminate"):
+            spans = contaminated_spans(
+                near_surv, benchmark, id_col, text_col, k=span_k
+            )
+            stripped = strip_spans(
+                near_surv, spans, id_col, text_col, out_col="__clean_text"
+            )
+            clean_all = (
+                near_surv.drop(text_col)
+                .join(stripped, id_col)
+                .withColumnRenamed("__clean_text", text_col)
+                .drop("__fp")
+            )
+            clean = clean_all.filter(
+                F.trim(F.col(text_col)) != ""
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(clean)
+            clean.write.mode("overwrite").parquet(paths["clean"])
+            n_clean = clean.count()
+            strip_stats = clean_all.agg(
+                F.sum("removed_tokens").alias("t"),
+                F.sum((F.col("removed_tokens") > 0).cast("long")).alias("d"),
+            ).first()
+            report.add_stage("decontaminate", n_near_surv, n_clean)
+            report.extras["decontaminate"] = {
+                "tokens_removed": int(strip_stats["t"] or 0),
+                "docs_touched": int(strip_stats["d"] or 0),
+            }
+
+        # -- 5. report card (state merge) ----------------------------------
+        with timed(report.stage_seconds, "report_card"):
+            delta_state = report_card_state(
+                clean,
+                source_col=source_col,
+                text_col=text_col,
+                lang_col=lang_col or "lang",
+            )
+            card_state = merge_report_card_state(
+                _card_state_or_empty(spark, state_dir, delta_state),
+                delta_state,
+            )
+            # two-phase write: the merged state reads its own input
+            tmp = _state_path(state_dir, "card_state__next")
+            card_state.write.mode("overwrite").parquet(tmp)
+            card_state = spark.read.parquet(tmp)
+            report_card_from_state(card_state).write.mode("overwrite").parquet(
+                paths["card"]
+            )
+            n_sources = spark.read.parquet(paths["card"]).count()
+            report.add_stage("report_card", n_clean, n_clean)
+            report.extras["report_card"] = {"n_sources": int(n_sources)}
+
+        # -- 6. pack (this batch only) -------------------------------------
+        with timed(report.stage_seconds, "pack"):
+            write_packed_corpus(
+                clean,
+                id_col,
+                paths["packed"],
+                budget,
+                text_col=text_col,
+                merges=merges,
+                shards=shards,
+                seed=seed,
+            )
+            packed = spark.read.parquet(paths["packed"])
+            stats = packed.agg(
+                F.count(F.lit(1)).alias("bins"),
+                F.sum("n_docs").alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.max("n_tokens").alias("max_bin"),
+            ).first()
+            if stats["max_bin"] is not None and stats["max_bin"] > budget:
+                raise RuntimeError(
+                    f"packed output violates budget: max bin "
+                    f"{stats['max_bin']} > {budget}"
+                )
+            report.add_stage("pack", n_clean, int(stats["docs"] or 0))
+            report.extras["pack"] = {
+                "n_bins": int(stats["bins"] or 0),
+                "n_tokens": int(stats["tokens"] or 0),
+                "budget": budget,
+            }
+
+        # -- state updates (append-only deltas) ----------------------------
+        with timed(report.stage_seconds, "state_update"):
+            exact_surv.select(
+                F.col("__fp").alias("fp"), F.col(id_col).alias("keep_id")
+            ).write.mode("append").parquet(_state_path(state_dir, "fingerprints"))
+            # bucket/text state admit only SURVIVING new docs: removed
+            # docs must never be probed by future batches (their text
+            # would be absent from accepted/, silently dropping pairs)
+            inc["new_buckets"].join(
+                near_surv.select(F.col(id_col).alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            ).write.mode("append").parquet(_state_path(state_dir, "lsh_buckets"))
+            near_surv.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).write.mode("append").parquet(_state_path(state_dir, "accepted"))
+            _commit_card_state(spark, state_dir)
+
+        ledger = ledger_frame(spark, report)
+        ledger.coalesce(1).write.mode("overwrite").parquet(paths["ledger"])
+        if run_log:
+            rec = report.as_record()
+            rec["job"] = "corpus_pipeline_increment"
+            append_run_log(run_log, rec)
+        return {
+            "clean": clean,
+            "ledger": ledger,
+            "report": report,
+            "paths": paths,
+        }
+    finally:
+        for frame in persisted:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+
+
+def _card_state_or_empty(
+    spark: SparkSession, state_dir: str, like: DataFrame
+) -> DataFrame:
+    """Current card state, or an empty frame shaped like ``like``."""
+    path = _state_path(state_dir, "card_state")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], like.schema)
+
+
+def _commit_card_state(spark: SparkSession, state_dir: str) -> None:
+    """Swap the two-phase card-state write into place."""
+    import shutil
+
+    cur = _state_path(state_dir, "card_state")
+    nxt = _state_path(state_dir, "card_state__next")
+    if os.path.isdir(cur):
+        shutil.rmtree(cur)
+    os.replace(nxt, cur)

@@ -265,3 +265,81 @@ def test_pipeline_with_unigram_tokenizer(spark, tmp_path):
         for doc_id, start, size in zip(b.doc_ids, b.doc_starts, b.doc_sizes):
             seen[doc_id] = list(b.token_ids[start : start + size])
     assert seen == expected
+
+
+def test_incremental_pipeline_equals_full_recompute(spark, tmp_path):
+    """Two daily increments (monotone ids, cross-batch exact + near
+    duplicates and contamination) must produce the same cleaned corpus,
+    removals, and report card as ONE full-pipeline run over the union —
+    while each increment only probes touched state."""
+    batch1 = [d for d in _DOCS if d[0] in (1, 4, 6, 8)]
+    batch2 = [d for d in _DOCS if d[0] in (2, 3, 5, 7)]
+    schema = "doc_id bigint, text string, lang string, source string"
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(batch1, schema).write.parquet(b1)
+    spark.createDataFrame(batch2, schema).write.parquet(b2)
+    spark.createDataFrame(_BENCH, "doc_id bigint, text string").write.parquet(
+        bench_path
+    )
+    state = str(tmp_path / "state")
+    out1, out2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    common = ["--benchmark", bench_path, "--budget", str(_BUDGET),
+              "--shards", "4", "--state-dir", state]
+    assert pipeline_job.main(
+        ["--input", b1, "--output-dir", out1, *common]
+    ) == 0
+    assert pipeline_job.main(
+        ["--input", b2, "--output-dir", out2, *common]
+    ) == 0
+
+    # day-1 ledger: quality drops 4, contamination drops 6
+    led1 = {
+        r.stage: (r.rows_in, r.rows_out)
+        for r in spark.read.parquet(out1 + "/ledger").collect()
+    }
+    assert led1["quality"] == (4, 3)
+    assert led1["dedup_exact"] == (3, 3) and led1["dedup_near"] == (3, 3)
+    assert led1["decontaminate"] == (3, 2) and led1["pack"] == (2, 2)
+    # day-2 ledger: quality drops 5, history exact-dups 2, near-dups 3
+    led2 = {
+        r.stage: (r.rows_in, r.rows_out)
+        for r in spark.read.parquet(out2 + "/ledger").collect()
+    }
+    assert led2["quality"] == (4, 3)
+    assert led2["dedup_exact"] == (3, 2)  # doc 2 == accepted doc 1
+    assert led2["dedup_near"] == (2, 1)   # doc 3 ~ accepted doc 1
+    assert led2["decontaminate"] == (1, 1) and led2["pack"] == (1, 1)
+    rem2 = {
+        (r.doc_id, r.reason, r.survivor_id)
+        for r in spark.read.parquet(out2 + "/dedup_removals").collect()
+    }
+    assert rem2 == {(2, "exact_hist", 1), (3, "near", 1)}
+
+    # union of per-batch clean corpora == the full recompute's clean set
+    full_out = str(tmp_path / "full")
+    docs_all = str(tmp_path / "all")
+    spark.createDataFrame(_DOCS, schema).write.parquet(docs_all)
+    assert pipeline_job.main(
+        ["--input", docs_all, "--benchmark", bench_path,
+         "--output-dir", full_out, "--budget", str(_BUDGET), "--shards", "4"]
+    ) == 0
+    full_clean = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(full_out + "/clean").collect()
+    }
+    inc_clean = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(out1 + "/clean")
+        .unionByName(spark.read.parquet(out2 + "/clean"))
+        .collect()
+    }
+    assert inc_clean == full_clean
+    # the MERGED card state finalizes to the full run's card
+    full_card = {
+        tuple(r) for r in spark.read.parquet(full_out + "/card").collect()
+    }
+    inc_card = {
+        tuple(r) for r in spark.read.parquet(out2 + "/card").collect()
+    }
+    assert inc_card == full_card

@@ -622,3 +622,54 @@ def write_packed_corpus(
         df, id_col, ids_col, budget, shards=shards, seed=seed
     )
     packed.write.mode("overwrite").partitionBy("shard").parquet(output)
+
+
+def epoch_shuffle(
+    packed: DataFrame,
+    epoch_seed: int,
+    shards: int,
+    shard_col: str = "shard",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Deterministic epoch-wise reshuffle of packed training bins — the
+    step a trainer runs between epochs so consumption order decorrelates
+    from packing order, REPRODUCIBLY (same seed → same order on every
+    engine, run, and partitioning; different epochs → independent
+    orders).
+
+    Each (shard, bin) row draws ``__key = md5(seed:shard:bin)``;
+    ``new_shard`` is 60 bits of the key mod ``shards`` and ``position``
+    is the row's 1-based rank in its new shard's key order (ties —
+    md5 collisions — break on the old identity, so the output is a
+    total order). The input's columns pass through with ``new_shard``
+    and ``position`` appended: a permutation, never a sample.
+
+    Plan shape: one scan-local projection (md5 + conv are codegen) and
+    ONE exchange partitioned by ``new_shard`` with a per-shard window —
+    the minimum data motion any true reshuffle can do; the payload
+    moves exactly once. At 100 TB, write the result partitioned by
+    ``new_shard`` and trainers stream shards sequentially.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(str(int(epoch_seed))),
+            F.col(shard_col).cast("string"),
+            F.col(bin_col).cast("string"),
+        )
+    )
+    keyed = packed.withColumn("__key", key).withColumn(
+        "new_shard",
+        F.pmod(
+            F.conv(F.substring("__key", 1, 15), 16, 10).cast("bigint"),
+            F.lit(shards),
+        ).cast("int"),
+    )
+    w = W.partitionBy("new_shard").orderBy(
+        F.col("__key"), F.col(shard_col), F.col(bin_col)
+    )
+    return keyed.withColumn(
+        "position", F.row_number().over(w)
+    ).drop("__key")

@@ -979,3 +979,60 @@ def text_pack_whole_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bins_within_2x",
         )
     )
+
+
+@register(
+    "pack_epoch_shuffle",
+    # The shuffle assignment is a pure function of (seed, shard, bin) —
+    # md5-keyed, so DuckDB reproduces it bit-for-bit. The bin frame here
+    # is a deterministic stand-in derived from orders (the operator only
+    # reads the two key columns; FFD bin CONTENT is certified separately
+    # by text_packed_corpus).
+    oracle="""
+    WITH bins AS (
+      SELECT DISTINCT o_orderkey % 16 AS shard, o_orderkey AS bin_id
+      FROM orders),
+    keyed AS (
+      SELECT shard, bin_id,
+             md5('7:' || CAST(shard AS VARCHAR) || ':'
+                 || CAST(bin_id AS VARCHAR)) AS k
+      FROM bins),
+    assigned AS (
+      SELECT shard, bin_id, k,
+             CAST(CAST(('0x' || substring(k, 1, 15)) AS BIGINT) % 8
+                  AS INTEGER) AS new_shard
+      FROM keyed)
+    SELECT bin_id, shard AS old_shard, new_shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY new_shard ORDER BY k, shard, bin_id
+           ) AS INTEGER) AS position
+    FROM assigned
+    """,
+    operators=("T-ext:packing",),
+    doc="Deterministic epoch reshuffle of packed training bins "
+    "(operators/packing.py:epoch_shuffle, epoch seed 7, 8 target "
+    "shards): every (shard, bin) draws an md5 key, lands on 60 bits of "
+    "it mod shards, and ranks into a per-shard position — same seed, "
+    "same order, on every engine and partitioning; a permutation, never "
+    "a sample. One projection + one exchange on new_shard: the minimum "
+    "motion a true reshuffle can do.",
+)
+def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    bins = (
+        read_testdata(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 16).alias("shard"),
+            F.col("o_orderkey").alias("bin_id"),
+        )
+        .distinct()
+    )
+    return epoch_shuffle(bins, epoch_seed=7, shards=8).select(
+        "bin_id",
+        F.col("shard").alias("old_shard"),
+        "new_shard",
+        F.col("position").cast("int").alias("position"),
+    )

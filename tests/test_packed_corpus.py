@@ -209,3 +209,45 @@ def test_ids_column_size_equals_count_column(spark):
         F.size("bpe_token_ids") != F.col("bpe_token_count")
     ).count()
     assert bad == 0
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    from home_credit_data_engineering_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    bins = spark.createDataFrame(
+        [(i % 4, i, f"payload{i}") for i in range(64)],
+        "shard int, bin_id bigint, payload string",
+    )
+    out1 = epoch_shuffle(bins, epoch_seed=1, shards=8).collect()
+    out2 = epoch_shuffle(bins, epoch_seed=1, shards=8).collect()
+    # permutation: every input row survives exactly once, payload intact
+    assert sorted((r.shard, r.bin_id, r.payload) for r in out1) == sorted(
+        (i % 4, i, f"payload{i}") for i in range(64)
+    )
+    # per-shard positions are contiguous 1..n
+    by_shard: dict[int, list[int]] = {}
+    for r in out1:
+        by_shard.setdefault(r.new_shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert 0 <= shard < 8
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs…
+    key = lambda rows: sorted((r.bin_id, r.new_shard, r.position) for r in rows)  # noqa: E731
+    assert key(out1) == key(out2)
+    # …and a DIFFERENT epoch seed produces a different order
+    out3 = epoch_shuffle(bins, epoch_seed=2, shards=8).collect()
+    assert key(out1) != key(out3)
+
+
+def test_epoch_shuffle_validation(spark):
+    import pytest
+
+    from home_credit_data_engineering_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    bins = spark.createDataFrame([(0, 1)], "shard int, bin_id bigint")
+    with pytest.raises(ValueError, match="shards"):
+        epoch_shuffle(bins, epoch_seed=1, shards=0)

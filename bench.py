@@ -103,6 +103,16 @@ def main() -> None:
         # r7 (4): PMI phrase mining — transform-built bigram stream,
         # vocab-bounded aggregate, TakeOrderedAndProject top-k
         "text_pmi_collocations",
+        # r9: skew-stress salted join, unigram-LM Viterbi stats (Arrow
+        # map, no shuffle), GK-threshold approx RFM verdict, and the
+        # epoch reshuffle permutation (one exchange). The composed
+        # corpus_pipeline_ledger is deliberately NOT here: it times the
+        # md5 ORACLE TWIN of the near stage, not the production xxhash
+        # path, which the dedup legs already cover.
+        "join_skew_salted",
+        "text_unigram_token_stats",
+        "events_rfm_approx_verdict",
+        "pack_epoch_shuffle",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

@@ -39,6 +39,7 @@ __all__ = [
     "chunk_stream",
     "bpe_count_stream",
     "foreach_batch_perplexity",
+    "foreach_batch_corpus_pipeline",
 ]
 
 #: Declared schema for the driver's documents table (file streams require
@@ -175,6 +176,86 @@ def foreach_batch_perplexity(
         scored.write.mode("overwrite").parquet(
             f"{output_path}/batch={batch_id}"
         )
+
+    query = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def foreach_batch_corpus_pipeline(
+    stream_docs: DataFrame,
+    benchmark_path: str,
+    state_dir: str,
+    output_root: str,
+    checkpoint_dir: str,
+    *,
+    budget: int = 512,
+    thresholds: QualityThresholds | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    near_threshold: float = 0.7,
+    span_k: int = 8,
+    shards: int = 16,
+    run_log: str | None = None,
+):
+    """The streaming face of the COMPOSED corpus pipeline: every
+    micro-batch runs :func:`~..plans.corpus_pipeline.
+    corpus_pipeline_increment` against the persisted state — quality →
+    exact-vs-history → incremental LSH near-dedup → decontamination →
+    card-state merge → per-batch packed shards — so a file/kafka feed
+    of documents becomes training shards continuously, with the SAME
+    semantics as the nightly increment job (the two-increment ==
+    full-recompute equivalence in ``test_corpus_pipeline`` covers this
+    path too: batches here ARE increments).
+
+    Contracts: document ids must be MONOTONE across batches (the
+    increment contract); each batch's artifacts land under
+    ``output_root/batch=<id>``. Replay safety: ``foreachBatch`` is
+    at-least-once, and increments APPEND to state, so each processed
+    batch writes a marker under ``state_dir/batches/``; a replayed
+    batch id short-circuits before touching state. (A crash between the
+    state append and the marker write can duplicate state rows for that
+    one batch — duplicate fingerprint/bucket rows change no keep/drop
+    decision, only duplicate audit rows; the marker closes the window
+    on restart.) Empty micro-batches are skipped.
+    """
+    import os
+
+    from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+        corpus_pipeline_increment,
+    )
+
+    marker_dir = f"{state_dir.rstrip('/')}/batches"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch={batch_id}")
+        if os.path.exists(marker) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        benchmark = spark.read.parquet(benchmark_path)
+        corpus_pipeline_increment(
+            spark,
+            batch_df,
+            benchmark,
+            state_dir,
+            f"{output_root.rstrip('/')}/batch={batch_id}",
+            thresholds=thresholds,
+            num_hashes=num_hashes,
+            bands=bands,
+            near_threshold=near_threshold,
+            span_k=span_k,
+            budget=budget,
+            shards=shards,
+            run_log=run_log,
+        )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("done\n")
 
     query = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -169,3 +169,95 @@ def test_bpe_count_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in with_bpe_token_count(docs, "text").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_foreach_batch_corpus_pipeline_stream_equals_increments(
+    spark, tmp_path
+):
+    """A 2-micro-batch document stream through the composed-pipeline
+    bridge produces the same cleaned corpus as the full recompute (the
+    batches ARE increments; the same fixture as the batch equivalence
+    test), and a second run of the same stream is a no-op (replay
+    markers)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from home_credit_data_engineering_spark.streaming.corpus import (
+        foreach_batch_corpus_pipeline,
+    )
+    from tests.test_corpus_pipeline import _BENCH, _DOCS, _EXPECTED_TEXTS
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    batch1 = [d for d in _DOCS if d[0] in (1, 4, 6, 8)]
+    batch2 = [d for d in _DOCS if d[0] in (2, 3, 5, 7)]
+    # one parquet FILE per day -> maxFilesPerTrigger=1 makes each day one
+    # micro-batch (file order follows write order)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        src + "/day1"
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        src + "/day2"
+    )
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, day in enumerate(("day1", "day2")):
+        part = glob.glob(src + f"/{day}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(_BENCH, "doc_id bigint, text string").write.parquet(
+        bench_path
+    )
+    state = str(tmp_path / "state")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(flat)
+    )
+    foreach_batch_corpus_pipeline(
+        stream, bench_path, state, out_root, ckpt, budget=512, shards=4
+    )
+
+    batch_dirs = sorted(
+        d for d in os.listdir(out_root) if d.startswith("batch=")
+    )
+    assert len(batch_dirs) == 2
+    clean = None
+    for d in batch_dirs:
+        part = spark.read.parquet(f"{out_root}/{d}/clean")
+        clean = part if clean is None else clean.unionByName(part)
+    got = {r.doc_id: r.text for r in clean.collect()}
+    assert got == _EXPECTED_TEXTS  # == the full recompute's clean corpus
+    # markers recorded; replaying the same stream (fresh checkpoint, same
+    # batch ids) touches nothing
+    markers = set(os.listdir(f"{state}/batches"))
+    assert markers == {"batch=0", "batch=1"}
+    fp_rows = spark.read.parquet(f"{state}/fingerprints").count()
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(flat)
+    )
+    foreach_batch_corpus_pipeline(
+        stream2, bench_path, state, out_root, str(tmp_path / "ckpt2"),
+        budget=512, shards=4,
+    )
+    assert spark.read.parquet(f"{state}/fingerprints").count() == fp_rows

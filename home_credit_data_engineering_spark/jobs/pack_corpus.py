@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tokens per training sequence (bin capacity)")
     parser.add_argument("--merges", help="merges file (default = the pinned "
                         "fixture)")
+    parser.add_argument("--tokenizer", choices=("bpe", "unigram"),
+                        default="bpe",
+                        help="token-id family for --text-col encoding; "
+                        "'unigram' uses --unigram-vocab (default = the "
+                        "pinned fixture). Ignored with --ids-col.")
+    parser.add_argument("--unigram-vocab",
+                        help="unigram vocab file (piece\tlogprob)")
     parser.add_argument("--shards", type=int, default=64)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--run-log", help="JSONL run-log path (optional)")
@@ -57,6 +64,22 @@ def main(argv: list[str] | None = None) -> int:
         write_packed_corpus(
             docs, args.id_col, args.output, args.budget,
             ids_col=args.ids_col, shards=args.shards, seed=args.seed,
+        )
+    elif args.tokenizer == "unigram":
+        from home_credit_data_engineering_spark.functions.unigram import (
+            load_unigram,
+            unigram_token_ids_col,
+        )
+
+        docs = docs.withColumn(
+            "__pc_uids",
+            unigram_token_ids_col(
+                args.text_col, load_unigram(args.unigram_vocab)
+            ),
+        )
+        write_packed_corpus(
+            docs, args.id_col, args.output, args.budget,
+            ids_col="__pc_uids", shards=args.shards, seed=args.seed,
         )
     else:
         write_packed_corpus(

@@ -242,3 +242,40 @@ def test_pinned_fixture_vocab_reproducible(spark, sf_dir):
         texts, vocab_size=512, num_iters=4, max_piece_len=6,
         max_seed_pieces=4096,
     )
+
+
+def test_pack_corpus_cli_unigram_tokenizer_mode(spark, tmp_path):
+    """jobs/pack_corpus.py --tokenizer unigram encodes text with the
+    pinned vocab fixture and packs the ids (no pre-encoding step)."""
+    from home_credit_data_engineering_spark.jobs import pack_corpus as pack_job
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], "doc_id bigint, text string"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "packed")
+    rc = pack_job.main(
+        [
+            "--input", docs_path,
+            "--output", out,
+            "--budget", "64",
+            "--shards", "2",
+            "--tokenizer", "unigram",
+        ]
+    )
+    assert rc == 0
+    from home_credit_data_engineering_spark.functions.unigram import (
+        unigram_encode_ids,
+    )
+
+    vocab = load_unigram()  # the pinned fixture
+    logp, ids = dict(vocab), unigram_vocab_ids(dict(vocab))
+    expected = {
+        i: unigram_encode_ids(t, logp, ids) for i, t in enumerate(_CORPUS)
+    }
+    seen = {}
+    for b in spark.read.parquet(out).collect():
+        assert b.n_tokens <= 64
+        for doc_id, start, size in zip(b.doc_ids, b.doc_starts, b.doc_sizes):
+            seen[doc_id] = list(b.token_ids[start : start + size])
+    assert seen == expected

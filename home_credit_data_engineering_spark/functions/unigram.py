@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from collections import Counter
 
 import pandas as pd
@@ -72,8 +73,25 @@ DEFAULT_UNIGRAM_PATH = os.path.join(
 #: sample (tokenizer fits never need the full corpus) or lower _MICRO —
 #: the trade is quantization granularity, not correctness of the fold.
 _MICRO = 1_000_000_000
-#: Token id reserved for characters unseen at training time.
-UNK_PIECE = "<unk>"
+#: Marker for characters unseen at training time (token id 0). Contains
+#: a SPACE so it can never collide with a learned piece: pieces are
+#: substrings of whitespace-split units, so no piece contains whitespace
+#: — a corpus that literally contains "<unk>" would otherwise learn a
+#: piece that shadows the reserved id (review r9 finding).
+UNK_PIECE = "<unk >"
+
+#: Whitespace, pinned to the ASCII class Java's \s (Spark ``tokens()``)
+#: and RE2's \s (the DuckDB oracles) both match. Python's ``str.split``
+#: splits on UNICODE whitespace (NBSP, U+2000-200A, ...), which would
+#: desync the reference trainer / encoder / coverage certificate from
+#: the engine paths on non-ASCII corpora — the same class-pinning as
+#: ``functions/text.py:canonical_fingerprint`` (ADVICE r5).
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _units(text: str) -> list[str]:
+    """Whitespace-split pre-tokenization units under the pinned class."""
+    return [u for u in _WS_RE.split(text) if u]
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +249,7 @@ def train_unigram_reference(
     units: Counter[str] = Counter()
     for t in texts:
         if t:
-            units.update(t.split())
+            units.update(_units(t))
     unit_counts = sorted(units.items())
     logp = _seed_logp(
         _seed_from_unit_counts(unit_counts, max_piece_len, max_seed_pieces)
@@ -293,19 +311,26 @@ def train_unigram(
             )
         # Seed: substring explode JVM-side (no Python until the E-step),
         # top-(count desc, piece asc) + all single chars.
-        subs = units.select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        f"""transform(sequence(1, length(u)), i ->
+        subs = (
+            units.select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            f"""transform(sequence(1, length(u)), i ->
                            transform(sequence(i, least(i + {max_piece_len - 1},
                                                         length(u))), j ->
                              substring(u, i, j - i + 1)))"""
+                        )
                     )
-                )
-            ).alias("piece"),
-            F.col("cnt"),
-        ).groupBy("piece").agg(F.sum("cnt").alias("c"))
+                ).alias("piece"),
+                F.col("cnt"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("c"))
+            # both seed collects read this aggregate; persist so the
+            # substring explosion (the priciest non-EM pass) runs once
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         singles = {
             r["piece"]: int(r["c"])
             for r in subs.filter(F.length("piece") == 1).collect()
@@ -316,12 +341,12 @@ def train_unigram(
             .limit(max(0, max_seed_pieces - len(singles)))
             .collect()
         )
+        subs.unpersist()
         seed = dict(singles)
         for r in multi_rows:
             seed[r["piece"]] = int(r["c"])
         logp = _seed_logp(seed)
 
-        spark = df.sparkSession
         for it in range(num_iters):
             logp_b = dict(logp)  # ships in the UDF closure
             mpl = max_piece_len
@@ -366,7 +391,7 @@ def unigram_encode(
     the DP's left-to-right structure makes the result unique). Characters
     absent from the vocabulary emit :data:`UNK_PIECE`."""
     out: list[str] = []
-    for unit in text.split():
+    for unit in _units(text):
         n = len(unit)
         best = [(-math.inf, 0)] * (n + 1)  # (score, start_of_last_piece)
         best[0] = (0.0, 0)
@@ -494,10 +519,16 @@ def load_unigram(path: str | None = None) -> list[tuple[str, float]]:
     with open(path or DEFAULT_UNIGRAM_PATH, encoding="utf-8") as fh:
         for line in fh:
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line:
                 continue
             piece, sep, lp = line.partition("\t")
             if not sep:
+                # comment = a TABLESS line starting with '#'. Data lines
+                # always carry a tab, so a learned piece '#' (count-kept:
+                # single chars are never pruned) round-trips instead of
+                # being swallowed as a comment (review r9 finding).
+                if line.startswith("#"):
+                    continue
                 raise ValueError(f"malformed unigram vocab line: {line!r}")
             vocab.append((piece, float(lp)))
     return vocab

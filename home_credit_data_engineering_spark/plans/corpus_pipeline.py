@@ -376,13 +376,19 @@ def _state_path(state_dir: str, name: str) -> str:
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, name: str, schema: str
+    spark: SparkSession, state_dir: str, name: str, schema
 ) -> DataFrame:
-    """Read one state table, or an empty frame with the right schema on
-    the first run (missing directory)."""
+    """Read one state table (per-batch subdirectories, see
+    :func:`corpus_pipeline_increment`), or an empty frame with the right
+    schema on the first run (missing/empty directory)."""
     path = _state_path(state_dir, name)
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") or os.path.isdir(os.path.join(path, f))
+        for f in os.listdir(path)
+    ):
+        return (
+            spark.read.option("recursiveFileLookup", "true").parquet(path)
+        )
     return spark.createDataFrame([], schema)
 
 
@@ -437,6 +443,20 @@ def corpus_pipeline_increment(
     the bucket state; schedule a periodic full sweep when retroactive
     transitivity matters.
 
+    **Replay idempotency** (review r9): every state table is written as
+    a PER-BATCH subdirectory keyed by the batch's (min, max) doc id —
+    deterministic under the monotone-id contract — with overwrite mode,
+    so re-running a batch (an at-least-once ``foreachBatch`` replay, a
+    crashed nightly re-run) overwrites its own state delta instead of
+    appending twice; the card state is a per-batch DELTA finalized at
+    read time, so it can never double-count. A doc whose fingerprint
+    matches history with ``keep_id == its own id`` is the batch's own
+    crashed-run survivor and is treated as fresh (otherwise a replay
+    would remove the whole batch as duplicates of itself); batch-
+    internal duplicates may resolve as ``exact_hist`` instead of
+    ``exact`` on a replay — same removal, same survivor, different
+    label.
+
     Returns ``{"clean", "ledger", "report", "paths"}`` like the full
     pipeline; each stage is sized by the delta (quality scan of the
     batch, hash probes against touched state only, per-batch pack).
@@ -475,13 +495,14 @@ def corpus_pipeline_increment(
 
     fp_state = _read_state(
         spark, state_dir, "fingerprints", "fp string, keep_id bigint"
-    )
+    ).groupBy("fp").agg(F.min("keep_id").alias("keep_id"))
     bucket_state = _read_state(
         spark, state_dir, "lsh_buckets", "doc_id bigint, band int, bucket int"
     )
     accepted = _read_state(
         spark, state_dir, "accepted", "doc_id bigint, text string"
     )
+    batch_tag = _batch_tag(new_docs, id_col)
 
     try:
         # -- 1. quality --------------------------------------------------
@@ -507,15 +528,24 @@ def corpus_pipeline_increment(
             hist = keyed.join(
                 fp_state.withColumnRenamed("fp", "__fp"), "__fp", "left"
             )
+            # keep_id == own id marks this batch's own survivor from a
+            # crashed previous attempt (replay) — treat as fresh, or the
+            # replay would remove the whole batch as dups of itself
             hist_removals = (
-                hist.filter(F.col("keep_id").isNotNull())
+                hist.filter(
+                    F.col("keep_id").isNotNull()
+                    & (F.col("keep_id") != F.col(id_col))
+                )
                 .select(
                     F.col(id_col),
                     F.lit("exact_hist").alias("reason"),
                     F.col("keep_id").alias("survivor_id"),
                 )
             )
-            fresh = hist.filter(F.col("keep_id").isNull()).drop("keep_id")
+            fresh = hist.filter(
+                F.col("keep_id").isNull()
+                | (F.col("keep_id") == F.col(id_col))
+            ).drop("keep_id")
             batch_mins = fresh.groupBy("__fp").agg(
                 F.min(id_col).alias("__keep")
             )
@@ -617,7 +647,7 @@ def corpus_pipeline_increment(
                 "docs_touched": int(strip_stats["d"] or 0),
             }
 
-        # -- 5. report card (state merge) ----------------------------------
+        # -- 5. report card (per-batch delta state) -------------------------
         with timed(report.stage_seconds, "report_card"):
             delta_state = report_card_state(
                 clean,
@@ -625,15 +655,22 @@ def corpus_pipeline_increment(
                 text_col=text_col,
                 lang_col=lang_col or "lang",
             )
-            card_state = merge_report_card_state(
-                _card_state_or_empty(spark, state_dir, delta_state),
-                delta_state,
+            # per-batch DELTA, overwrite-idempotent: the cumulative state
+            # is the union of batch deltas, merged at read time — no
+            # read-modify-write, no swap window, no replay double-count
+            delta_state.write.mode("overwrite").parquet(
+                f"{_state_path(state_dir, 'card_state')}/{batch_tag}"
             )
-            # two-phase write: the merged state reads its own input
-            tmp = _state_path(state_dir, "card_state__next")
-            card_state.write.mode("overwrite").parquet(tmp)
-            card_state = spark.read.parquet(tmp)
-            report_card_from_state(card_state).write.mode("overwrite").parquet(
+            merged = merge_report_card_state(
+                _read_state(
+                    spark,
+                    state_dir,
+                    "card_state",
+                    delta_state.schema,
+                ),
+                spark.createDataFrame([], delta_state.schema),
+            )
+            report_card_from_state(merged).write.mode("overwrite").parquet(
                 paths["card"]
             )
             n_sources = spark.read.parquet(paths["card"]).count()
@@ -671,11 +708,13 @@ def corpus_pipeline_increment(
                 "budget": budget,
             }
 
-        # -- state updates (append-only deltas) ----------------------------
+        # -- state updates (per-batch overwrite deltas: replay-safe) --------
         with timed(report.stage_seconds, "state_update"):
             exact_surv.select(
                 F.col("__fp").alias("fp"), F.col(id_col).alias("keep_id")
-            ).write.mode("append").parquet(_state_path(state_dir, "fingerprints"))
+            ).write.mode("overwrite").parquet(
+                f"{_state_path(state_dir, 'fingerprints')}/{batch_tag}"
+            )
             # bucket/text state admit only SURVIVING new docs: removed
             # docs must never be probed by future batches (their text
             # would be absent from accepted/, silently dropping pairs)
@@ -683,11 +722,14 @@ def corpus_pipeline_increment(
                 near_surv.select(F.col(id_col).alias("doc_id")),
                 "doc_id",
                 "left_semi",
-            ).write.mode("append").parquet(_state_path(state_dir, "lsh_buckets"))
+            ).write.mode("overwrite").parquet(
+                f"{_state_path(state_dir, 'lsh_buckets')}/{batch_tag}"
+            )
             near_surv.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-            ).write.mode("append").parquet(_state_path(state_dir, "accepted"))
-            _commit_card_state(spark, state_dir)
+            ).write.mode("overwrite").parquet(
+                f"{_state_path(state_dir, 'accepted')}/{batch_tag}"
+            )
 
         ledger = ledger_frame(spark, report)
         ledger.coalesce(1).write.mode("overwrite").parquet(paths["ledger"])
@@ -709,22 +751,15 @@ def corpus_pipeline_increment(
                 pass
 
 
-def _card_state_or_empty(
-    spark: SparkSession, state_dir: str, like: DataFrame
-) -> DataFrame:
-    """Current card state, or an empty frame shaped like ``like``."""
-    path = _state_path(state_dir, "card_state")
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], like.schema)
-
-
-def _commit_card_state(spark: SparkSession, state_dir: str) -> None:
-    """Swap the two-phase card-state write into place."""
-    import shutil
-
-    cur = _state_path(state_dir, "card_state")
-    nxt = _state_path(state_dir, "card_state__next")
-    if os.path.isdir(cur):
-        shutil.rmtree(cur)
-    os.replace(nxt, cur)
+def _batch_tag(batch: DataFrame, id_col: str) -> str:
+    """Deterministic per-batch state-subdirectory name from the batch's
+    id range — unique under the monotone-id contract, identical on a
+    replay of the same batch (what makes overwrite-mode state deltas
+    idempotent). No '=' in the name, so parquet partition discovery
+    never infers a column from it."""
+    row = batch.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if row["lo"] is None:
+        return "batch_empty"
+    return f"batch_{row['lo']}_{row['hi']}"

@@ -174,17 +174,31 @@ _KEPT_SQL = f"""n_chars > 0
     bench_g AS MATERIALIZED (
       SELECT DISTINCT gram FROM b_wins WHERE last_lead IS NOT NULL
     ),
-    hits AS (
-      SELECT w.doc_id, COUNT(*) AS c
-      FROM (SELECT doc_id, gram FROM c_wins WHERE last_lead IS NOT NULL) w
+    hitpos AS (
+      SELECT w.doc_id, w.pos
+      FROM (SELECT doc_id, pos, gram FROM c_wins
+            WHERE last_lead IS NOT NULL) w
       JOIN bench_g b ON b.gram = w.gram
-      GROUP BY w.doc_id
+    ),
+    hitgaps AS (
+      SELECT doc_id, pos, pos - lag(pos) OVER w4 AS gap
+      FROM hitpos WINDOW w4 AS (PARTITION BY doc_id ORDER BY pos)
     ),
     ntok AS (SELECT doc_id, len(arr) AS n FROM c_arr),
     full_cov AS MATERIALIZED (
-      -- every window position 0..n-k hit <=> hit count = n-k+1
-      SELECT n.doc_id FROM ntok n JOIN hits h USING (doc_id)
-      WHERE n.n >= {_SPAN_K} AND h.c = n.n - {_SPAN_K - 1}
+      -- the doc drops iff the UNION of hit windows covers every token
+      -- (what strip_spans actually removes — a hit at positions 1 and 3
+      -- with a miss at 2 still covers all tokens when k >= 3, which the
+      -- old all-positions-hit criterion miscounted; review r9 finding):
+      -- first window at pos 1, last at pos n-k+1, and no consecutive
+      -- hit gap exceeding k (else the windows leave an uncovered token)
+      SELECT g.doc_id
+      FROM (SELECT doc_id, MIN(pos) AS mn, MAX(pos) AS mx,
+                   MAX(COALESCE(gap, 1)) AS mxgap
+            FROM hitgaps GROUP BY doc_id) g
+      JOIN ntok n USING (doc_id)
+      WHERE n.n >= {_SPAN_K} AND g.mn = 1
+        AND g.mx = n.n - {_SPAN_K - 1} AND g.mxgap <= {_SPAN_K}
     ),
     c0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM corpus),
     c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kept),
@@ -227,7 +241,6 @@ _KEPT_SQL = f"""n_chars > 0
     "rows, every keep/drop decision independently recomputed by DuckDB.",
 )
 def corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from home_credit_data_engineering_spark.functions.text import tokens
     from home_credit_data_engineering_spark.operators.dedup import (
         connected_components_star,
         minhash_md5_pairs,
@@ -270,17 +283,15 @@ def corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = surv.join(near_rm, "doc_id", "left_anti")
 
+    # the PRODUCTION drop criterion: strip the span union and drop docs
+    # whose every token was covered (a single maximal span covering the
+    # doc is sufficient but not necessary — overlapping spans union up;
+    # review r9 finding)
+    from home_credit_data_engineering_spark.operators.spans import strip_spans
+
     spans = contaminated_spans(clean, bench, "doc_id", "text", k=_SPAN_K)
-    ntok = clean.select("doc_id", F.size(tokens("text")).alias("__n"))
-    full_cov = (
-        spans.join(ntok, "doc_id")
-        .filter(
-            (F.col("span_start") == 0) & (F.col("span_end") == F.col("__n") - 1)
-        )
-        .select("doc_id")
-        .distinct()
-    )
-    final = clean.join(full_cov, "doc_id", "left_anti")
+    stripped = strip_spans(clean, spans, "doc_id", "text", out_col="__ct")
+    final = stripped.filter(F.trim(F.col("__ct")) != "").select("doc_id")
 
     def cnt(frame: DataFrame, alias: str) -> DataFrame:
         return frame.agg(F.count(F.lit(1)).cast("bigint").alias(alias))

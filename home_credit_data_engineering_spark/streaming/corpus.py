@@ -215,14 +215,15 @@ def foreach_batch_corpus_pipeline(
 
     Contracts: document ids must be MONOTONE across batches (the
     increment contract); each batch's artifacts land under
-    ``output_root/batch=<id>``. Replay safety: ``foreachBatch`` is
-    at-least-once, and increments APPEND to state, so each processed
-    batch writes a marker under ``state_dir/batches/``; a replayed
-    batch id short-circuits before touching state. (A crash between the
-    state append and the marker write can duplicate state rows for that
-    one batch — duplicate fingerprint/bucket rows change no keep/drop
-    decision, only duplicate audit rows; the marker closes the window
-    on restart.) Empty micro-batches are skipped.
+    ``output_root/batch=<id>``. Replay safety: the increment itself is
+    IDEMPOTENT under replay — every state table is a per-batch
+    overwrite delta keyed by the batch's id range, and a batch's own
+    crashed-run fingerprints are recognized and treated as fresh (see
+    ``corpus_pipeline_increment``) — so an at-least-once ``foreachBatch``
+    redelivery after a crash at ANY point re-produces the same outputs
+    and state. The marker under ``state_dir/batches/`` is an
+    optimization on top: a fully-processed batch short-circuits without
+    re-running the increment. Empty micro-batches are skipped.
     """
     import os
 

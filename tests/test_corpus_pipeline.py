@@ -343,3 +343,92 @@ def test_incremental_pipeline_equals_full_recompute(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(out2 + "/card").collect()
     }
     assert inc_card == full_card
+
+
+def test_full_coverage_via_overlapping_spans_drops_doc(spark):
+    """Review r9 regression: a doc whose hit windows are NON-consecutive
+    (positions 0 and 2, miss at 1; k=3) still loses EVERY token to the
+    span union — the pipeline (and the ledger criterion) must drop it,
+    even though no single span covers the whole doc."""
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.spans import (
+        contaminated_spans,
+        strip_spans,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "t0 t1 t2"), (101, "t2 t3 t4")], "doc_id bigint, text string"
+    )
+    spans = contaminated_spans(train, bench, "doc_id", "text", k=3)
+    rows = sorted(
+        (r.span_start, r.span_end) for r in spans.collect()
+    )
+    assert rows == [(0, 2), (2, 4)]  # two overlapping spans, not one
+    stripped = strip_spans(train, spans, "doc_id", "text")
+    out = stripped.collect()[0]
+    assert out.text_clean == "" and out.removed_tokens == 5
+    # the production drop criterion (what corpus_pipeline_ledger mirrors)
+    survivors = stripped.filter(F.trim("text_clean") != "").count()
+    assert survivors == 0
+
+
+def test_increment_replay_is_idempotent(spark, tmp_path):
+    """Review r9 regression: re-running the SAME batch against the same
+    state (an at-least-once redelivery after a crash anywhere in the
+    increment) must reproduce the same clean output and leave state
+    unchanged — in particular the batch must NOT be removed as
+    duplicates of its own crashed run, and the report card must not
+    double-count."""
+    from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+        corpus_pipeline_increment,
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    batch = spark.createDataFrame(
+        [d for d in _DOCS if d[0] in (1, 2, 8)], schema
+    )
+    bench = spark.createDataFrame(_BENCH, "doc_id bigint, text string")
+    state = str(tmp_path / "state")
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    r1 = corpus_pipeline_increment(
+        spark, batch, bench, state, out1, budget=_BUDGET, shards=4
+    )
+    led1 = [tuple(x) for x in sorted(r1["report"].ledger, key=lambda d: d["stage_order"])
+            ] if False else [
+        (d["stage"], d["rows_in"], d["rows_out"]) for d in r1["report"].ledger
+    ]
+    fp1 = sorted(
+        (r.fp, r.keep_id)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{state}/fingerprints")
+        .collect()
+    )
+    card1 = sorted(
+        tuple(r) for r in spark.read.parquet(out1 + "/card").collect()
+    )
+    # replay the identical batch (same ids -> same state subdirs)
+    r2 = corpus_pipeline_increment(
+        spark, batch, bench, state, out2, budget=_BUDGET, shards=4
+    )
+    led2 = [
+        (d["stage"], d["rows_in"], d["rows_out"]) for d in r2["report"].ledger
+    ]
+    assert led2 == led1  # docs NOT removed as dups of the crashed run
+    assert sorted(
+        (r.fp, r.keep_id)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{state}/fingerprints")
+        .collect()
+    ) == fp1
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out2 + "/card").collect()
+    ) == card1  # card state did not double-count
+    clean1 = {r.doc_id: r.text for r in spark.read.parquet(out1 + "/clean").collect()}
+    clean2 = {r.doc_id: r.text for r in spark.read.parquet(out2 + "/clean").collect()}
+    assert clean1 == clean2 == {
+        k: v for k, v in _EXPECTED_TEXTS.items() if k in (1, 8)
+    }

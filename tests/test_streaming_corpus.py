@@ -249,7 +249,11 @@ def test_foreach_batch_corpus_pipeline_stream_equals_increments(
     # batch ids) touches nothing
     markers = set(os.listdir(f"{state}/batches"))
     assert markers == {"batch=0", "batch=1"}
-    fp_rows = spark.read.parquet(f"{state}/fingerprints").count()
+    fp_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{state}/fingerprints")
+        .count()
+    )
     stream2 = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -260,4 +264,9 @@ def test_foreach_batch_corpus_pipeline_stream_equals_increments(
         stream2, bench_path, state, out_root, str(tmp_path / "ckpt2"),
         budget=512, shards=4,
     )
-    assert spark.read.parquet(f"{state}/fingerprints").count() == fp_rows
+    assert (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{state}/fingerprints")
+        .count()
+        == fp_rows
+    )

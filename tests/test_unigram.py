@@ -279,3 +279,37 @@ def test_pack_corpus_cli_unigram_tokenizer_mode(spark, tmp_path):
         for doc_id, start, size in zip(b.doc_ids, b.doc_starts, b.doc_sizes):
             seen[doc_id] = list(b.token_ids[start : start + size])
     assert seen == expected
+
+
+def test_vocab_roundtrip_with_hash_piece(tmp_path):
+    """A learned '#' piece (single chars are never pruned) must survive
+    save/load — comment lines are TABLESS '#' lines only."""
+    vocab = [("#", -2.5), ("#a", -3.0), ("a", -1.0)]
+    path = str(tmp_path / "v.vocab")
+    save_unigram(vocab, path)
+    assert load_unigram(path) == vocab
+
+
+def test_unk_sentinel_cannot_collide_with_learned_pieces():
+    """UNK_PIECE contains whitespace, so no whitespace-split unit can
+    ever learn it as a piece — the reserved id-0 mapping is safe even
+    for corpora containing the literal text '<unk>'."""
+    assert any(c.isspace() for c in UNK_PIECE)
+    vocab = train_unigram_reference(
+        ["the <unk> token appears here", "the <unk> appears again here"],
+        vocab_size=64, num_iters=2, max_piece_len=6, max_seed_pieces=128,
+    )
+    logp = dict(vocab)
+    assert UNK_PIECE not in logp
+    ids = unigram_vocab_ids(logp)
+    assert ids[UNK_PIECE] == 0 and len(ids) == len(logp) + 1
+
+
+def test_ascii_whitespace_class_matches_engines():
+    """NBSP is NOT a unit separator (Java \\s and RE2 \\s are ASCII-only;
+    the reference must match the engine paths, not Python's unicode
+    split)."""
+    from home_credit_data_engineering_spark.functions.unigram import _units
+
+    assert _units("a b c") == ["a b", "c"]
+    assert _units("  a\tb\nc  ") == ["a", "b", "c"]

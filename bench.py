@@ -113,6 +113,11 @@ def main() -> None:
         "text_unigram_token_stats",
         "events_rfm_approx_verdict",
         "pack_epoch_shuffle",
+        # r10: end-to-end entity resolution — blocked pair generation,
+        # codegen levenshtein scoring, alternating-star CC, survivor
+        # join-back. Blocks stay bounded as SF grows (the prefix key
+        # refines with the id width), so this leg times the CC rounds.
+        "er_resolved_entities",
     ]
     headline = [name for name in headline if name in REGISTRY]
 

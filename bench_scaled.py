@@ -154,10 +154,18 @@ SCALED_QUERIES = (
     # so the curve is pure scan-aggregate cost.
     "corpus_report_card",
     "text_pmi_collocations",
+    # r10: entity resolution over the 10x customer replica. Names repeat
+    # verbatim while custkeys shift, so every block gains 10 lev-0 twins
+    # per name — pair volume grows ~100x (the quadratic worst case the
+    # max_block_rows guard exists for) and components merge across
+    # replicas, stressing both the codegen levenshtein scan and the
+    # star-CC rounds.
+    "er_resolved_entities",
 )
 
 _TABLES_NEEDED = (
     "lineitem", "orders", "documents", "embeddings", "events", "supplier",
+    "customer",
 )
 
 

@@ -1,0 +1,145 @@
+"""Entity-resolution / record-linkage declared queries.
+
+North-star extension (no reference counterpart; nearest reference
+surface is whole-row dedup, ``spark/silver/processor.py``): blocking →
+pairwise scoring → connected-component resolution over the customer
+table. The resolution oracle is an exact recursive-CTE transitive
+closure — component labels are min-over-reachable-set, which DuckDB
+computes exactly on the (small) sf0.01 match graph, while the Spark
+side runs the O(log² n) alternating-star CC; both label a component by
+its minimum member id, so the results are hash-identical.
+
+Blocking key: (c_nationkey, substr(c_name, 1, 15)). TPC-H-ish names are
+``Customer#`` + 9 zero-padded digits, so the 15-char prefix pins the
+first 6 digits — blocks stay tiny (≤ ~80 rows at sf0.01, shrinking
+relative to table size as SF grows), which is exactly the production
+blocking discipline the operator enforces via ``max_block_rows``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.plans.registry import register
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+_PREFIX = 15
+
+_BLOCK_SQL = f"""
+    er_c AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, {_PREFIX}) AS blk
+      FROM customer),
+    er_pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             a.c_name AS name_a, b.c_name AS name_b,
+             levenshtein(a.c_name, b.c_name) AS lev
+      FROM er_c a JOIN er_c b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey)
+"""
+
+
+def _pairs(spark: SparkSession, sf_dir: str, max_lev: int) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        score_name_pairs,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, _PREFIX).alias("blk"),
+    )
+    pairs = blocked_pairs(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "blk"],
+        carry_cols=["c_name"],
+        max_block_rows=100_000,
+    )
+    return score_name_pairs(pairs, "c_name_a", "c_name_b").filter(
+        F.col("lev") <= max_lev
+    )
+
+
+@register(
+    "er_candidate_pairs",
+    oracle=f"""
+    WITH {_BLOCK_SQL}
+    SELECT custkey_a, custkey_b, lev,
+           ROUND(1.0 - lev / CAST(GREATEST(length(name_a), length(name_b))
+                                  AS DOUBLE), 6) AS name_sim
+    FROM er_pairs WHERE lev <= 2
+    """,
+    operators=("ER-ext:blocking",),
+    doc="Record-linkage candidate generation (operators/linkage.py:"
+    "blocked_pairs + score_name_pairs): within-block self-join on "
+    "(c_nationkey, 15-char name prefix) with id_a < id_b, JVM-codegen "
+    "levenshtein + normalized name similarity, lev <= 2 match filter. "
+    "Pair budget is sum(|block|^2)/2 — the blocking key, not the table "
+    "size, dials the cost; max_block_rows guards the quadratic path.",
+)
+def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir, max_lev=2).select(
+        F.col("c_custkey_a").alias("custkey_a"),
+        F.col("c_custkey_b").alias("custkey_b"),
+        "lev",
+        "name_sim",
+    )
+
+
+@register(
+    "er_resolved_entities",
+    oracle=f"""
+    WITH RECURSIVE {_BLOCK_SQL},
+    er_match AS (
+      SELECT custkey_a AS a, custkey_b AS b FROM er_pairs WHERE lev <= 1),
+    er_edges AS (
+      SELECT a, b FROM er_match UNION SELECT b AS a, a AS b FROM er_match),
+    er_reach(node, r) AS (
+      SELECT c_custkey, c_custkey FROM er_c
+      UNION
+      SELECT er_reach.node, e.b FROM er_reach JOIN er_edges e
+        ON er_reach.r = e.a),
+    er_lab AS (
+      SELECT node AS c_custkey, MIN(r) AS entity_id
+      FROM er_reach GROUP BY node),
+    er_sz AS (
+      SELECT entity_id, COUNT(*) AS entity_size FROM er_lab GROUP BY 1)
+    SELECT l.c_custkey, l.entity_id, s.entity_size, c.c_name AS canonical_name
+    FROM er_lab l
+    JOIN er_sz s ON l.entity_id = s.entity_id
+    JOIN customer c ON l.entity_id = c.c_custkey
+    """,
+    operators=("ER-ext:blocking", "ER-ext:resolve"),
+    doc="Entity resolution end-to-end (operators/linkage.py:"
+    "resolve_entities): lev <= 1 matches within (nation, name-prefix) "
+    "blocks become an undirected match graph; entities are its connected "
+    "components via the alternating-star algorithm (ids-only loop "
+    "frames, O(log^2 n) rounds), labeled by the component's minimum "
+    "custkey — the survivor record, whose name joins back as "
+    "canonical_name. The DuckDB oracle computes the exact recursive "
+    "transitive closure with min-over-reachable labels, so the "
+    "hash-compare certifies the distributed CC against a literal "
+    "fixpoint definition.",
+)
+def er_resolved_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    matches = _pairs(spark, sf_dir, max_lev=1)
+    resolved = resolve_entities(
+        cust, matches, "c_custkey", "c_custkey_a", "c_custkey_b"
+    )
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return resolved.join(canon, on="entity_id").select(
+        "c_custkey", "entity_id", "entity_size", "canonical_name"
+    )

@@ -120,6 +120,14 @@ DRIVER_SET: tuple[str, ...] = (
     # D-ext:exact tag stays covered here, and dedup_exact remains
     # registered and parity-tested in-repo.
     "corpus_pipeline_ledger",
+    # New in r10: end-to-end entity resolution (blocking -> levenshtein
+    # scoring -> alternating-star CC vs an exact recursive-closure
+    # oracle) takes q6_revenue_delta's slot — q6's operator tags (A1,
+    # P6) stay multiply covered (q1, a1_multi_measure_agg, combo_quality)
+    # and tpch:q6 is a showcase label (carve-out in
+    # tests/test_driver_set.py). q6 remains registered and parity-tested
+    # in-repo.
+    "er_resolved_entities",
     "dedup_ngram_jaccard",
     "text_winnowing_md5",
     "sim_bruteforce_topk",
@@ -132,7 +140,6 @@ DRIVER_SET: tuple[str, ...] = (
     # q3/q10, a1_multi_measure_agg, q1; tpch:q5 is a showcase label,
     # carve-out in tests/test_driver_set.py). q5 remains registered and
     # parity-tested in-repo.
-    "q6_revenue_delta",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",

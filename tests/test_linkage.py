@@ -1,0 +1,102 @@
+"""Entity-resolution operator tests (operators/linkage.py).
+
+The declared queries' value correctness is covered by the oracle-parity
+gate (er_candidate_pairs / er_resolved_entities vs DuckDB, including the
+exact recursive-closure resolution oracle); these tests pin the operator
+semantics the SQL twin can't see: the oversized-block guard, chain
+resolution on a hand fixture, and the plan-shape invariants (blocked
+equi-join — never a cartesian; zero Python in the pipeline).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import home_credit_data_engineering_spark.plans.declared  # noqa: F401
+from home_credit_data_engineering_spark.operators.linkage import (
+    blocked_pairs,
+    resolve_entities,
+    score_name_pairs,
+)
+from home_credit_data_engineering_spark.plans.registry import REGISTRY
+
+
+def _records(spark):
+    return spark.createDataFrame(
+        [
+            (1, "B1", "ann smith"),
+            (2, "B1", "ann smyth"),
+            (3, "B1", "ann smythe"),
+            (4, "B1", "zoe quinn"),
+            (5, "B2", "ann smith"),
+        ],
+        ["id", "blk", "name"],
+    )
+
+
+def test_blocked_pairs_within_block_only(spark):
+    pairs = blocked_pairs(
+        _records(spark), id_col="id", block_cols=["blk"], carry_cols=["name"]
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # 4C2 = 6 pairs inside B1; id 5 (B2) pairs with nobody.
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_blocked_pairs_oversize_raise_and_skip(spark):
+    df = _records(spark)
+    with pytest.raises(ValueError, match="max_block_rows"):
+        blocked_pairs(
+            df, id_col="id", block_cols=["blk"], max_block_rows=3
+        ).count()
+    stats: dict = {}
+    pairs = blocked_pairs(
+        df,
+        id_col="id",
+        block_cols=["blk"],
+        max_block_rows=3,
+        oversize="skip",
+        stats=stats,
+    )
+    # B1 (4 rows) is skipped entirely; B2 has a single row -> no pairs.
+    assert pairs.count() == 0
+    assert stats["oversized_blocks"] == 1
+
+
+def test_score_and_resolve_chain(spark):
+    # smith—smyth (lev 1) and smyth—smythe (lev 1) chain: one entity
+    # {1,2,3} labeled by min id even though lev(smith, smythe) = 2.
+    pairs = score_name_pairs(
+        blocked_pairs(
+            _records(spark),
+            id_col="id",
+            block_cols=["blk"],
+            carry_cols=["name"],
+        ),
+        "name_a",
+        "name_b",
+    )
+    matches = pairs.filter(F.col("lev") <= 1)
+    out = resolve_entities(_records(spark), matches, "id", "id_a", "id_b")
+    rows = {r["id"]: (r["entity_id"], r["entity_size"]) for r in out.collect()}
+    assert rows == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        4: (4, 1),
+        5: (5, 1),
+    }
+
+
+def test_er_plans_are_blocked_joins_jvm_side(spark, sf_dir):
+    # Candidate generation must plan as an equi-join on the block key —
+    # a cartesian here means blocking silently degenerated — and the
+    # whole pipeline (levenshtein included) stays JVM-side.
+    for name in ("er_candidate_pairs", "er_resolved_entities"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from home_credit_data_engineering_spark.operators.dedup import (
     connected_components_star,
@@ -94,6 +95,99 @@ def blocked_pairs(
     )
     return a.join(b, on=list(block_cols)).filter(
         F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 10,
+    shard_prefix_len: int = 4,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo, SIGMOD'95):
+    sort all records by ``key_col`` and pair each record with the next
+    ``window - 1`` records — a LINEAR ``(window-1)·n`` pair budget, the
+    complement to :func:`blocked_pairs`' per-block quadratic one (SNM
+    finds matches that straddle block boundaries; blocking finds matches
+    far apart in sort order).
+
+    Output: ``{id}_a``/``{id}_b`` (a precedes b in sort order), carry
+    columns suffixed ``_a``/``_b``, and ``pos_gap`` (1-based sort-order
+    distance, ``< window``).
+
+    Scale shape — no global window, no global sort:
+
+    - The global sort position is a TWO-LEVEL row number (the
+      ``packing.token_budget_mix`` sharded-cumsum discipline): records
+      range-shard on the leading ``shard_prefix_len`` characters of the
+      sort key (a string prefix is monotone in lexicographic order, and
+      equal keys share a prefix, so concatenated per-shard order ==
+      the global (key, id) order), per-shard counts (a tiny
+      shards-sized frame) cumulate into broadcast base offsets, and
+      each task adds only its within-shard ``row_number``. Equal to the
+      single-window ``ROW_NUMBER() OVER (ORDER BY key, id)`` bit for
+      bit, so the SQL oracle is shard-blind.
+    - Neighbor pairing is an equi-join on ``floor(pos/window)`` bands:
+      a pair at distance ``< window`` lands in the same or adjacent
+      band, so the right side carries (band, band-1) keys and the join
+      never compares beyond two bands — pairs shuffle on band ids, not
+      positions.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    carry_cols = list(carry_cols or [])
+    # The sort key itself is a legal carry column (pair scoring usually
+    # compares it) — select each source column once.
+    base_cols = [id_col, key_col] + [
+        c for c in carry_cols if c not in (id_col, key_col)
+    ]
+    slim = df.select(*base_cols).withColumn(
+        "__shard", F.substring(F.col(key_col), 1, shard_prefix_len)
+    )
+    # Tiny frame (one row per shard): the unpartitioned window is over
+    # |shards| rows, never the data.
+    shard_w = (
+        W.orderBy("__shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = (
+        slim.groupBy("__shard")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__shard",
+            F.coalesce(F.sum("__n").over(shard_w), F.lit(0)).alias("__base"),
+        )
+    )
+    local_w = W.partitionBy("__shard").orderBy(key_col, id_col)
+    pos = (
+        slim.join(F.broadcast(bases), "__shard")
+        .withColumn(
+            "__pos", F.col("__base") + F.row_number().over(local_w)
+        )
+        .drop("__shard", "__base")
+    )
+    band = F.floor((F.col("__pos") - 1) / window)
+    a = pos.select(
+        *[F.col(c).alias(f"{c}_a") for c in (id_col, *carry_cols)],
+        F.col("__pos").alias("__pos_a"),
+        band.alias("__band"),
+    )
+    b = pos.select(
+        *[F.col(c).alias(f"{c}_b") for c in (id_col, *carry_cols)],
+        F.col("__pos").alias("__pos_b"),
+        F.explode(F.array(band, band - 1)).alias("__band"),
+    )
+    return (
+        a.join(b, "__band")
+        .filter(
+            (F.col("__pos_b") > F.col("__pos_a"))
+            & (F.col("__pos_b") - F.col("__pos_a") < window)
+        )
+        .withColumn(
+            "pos_gap", (F.col("__pos_b") - F.col("__pos_a")).cast("bigint")
+        )
+        .drop("__band", "__pos_a", "__pos_b")
     )
 
 

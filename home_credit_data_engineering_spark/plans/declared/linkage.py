@@ -92,6 +92,63 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_sorted_neighborhood",
+    oracle="""
+    WITH snm AS (
+      SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS pos
+      FROM customer)
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           b.pos - a.pos AS pos_gap,
+           levenshtein(a.c_name, b.c_name) AS lev,
+           ROUND(1.0 - levenshtein(a.c_name, b.c_name)
+                 / CAST(GREATEST(length(a.c_name), length(b.c_name))
+                        AS DOUBLE), 6) AS name_sim
+    FROM snm a JOIN snm b ON b.pos > a.pos AND b.pos - a.pos < 8
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    operators=("ER-ext:sorted_neighborhood",),
+    doc="Sorted-neighborhood candidate generation (operators/linkage.py:"
+    "sorted_neighborhood_pairs; Hernandez & Stolfo SIGMOD'95): global "
+    "(c_name, c_custkey) sort order via a TWO-LEVEL sharded row number "
+    "(prefix-monotone range shards + broadcast base offsets — no global "
+    "window, no single-task sort), window-8 neighbor pairing as an "
+    "equi-join on floor(pos/8) bands (adjacent-band trick: linear "
+    "(w-1)*n pair budget), then codegen levenshtein scoring. The oracle "
+    "is the shard-blind single-window ROW_NUMBER form, certifying the "
+    "two-level position is bit-equal to the global sort.",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.linkage import (
+        score_name_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        key_col="c_name",
+        window=8,
+        shard_prefix_len=16,
+        carry_cols=["c_name"],
+    )
+    return (
+        score_name_pairs(pairs, "c_name_a", "c_name_b")
+        .filter(F.col("lev") <= 2)
+        .select(
+            F.col("c_custkey_a").alias("custkey_a"),
+            F.col("c_custkey_b").alias("custkey_b"),
+            "pos_gap",
+            "lev",
+            "name_sim",
+        )
+    )
+
+
+@register(
     "er_resolved_entities",
     oracle=f"""
     WITH RECURSIVE {_BLOCK_SQL},

@@ -128,6 +128,14 @@ DRIVER_SET: tuple[str, ...] = (
     # tests/test_driver_set.py). q6 remains registered and parity-tested
     # in-repo.
     "er_resolved_entities",
+    # r10 (2): sorted-neighborhood candidate generation (the linear-pair
+    # complement to blocking; certifies the two-level sharded global row
+    # number against DuckDB's single-window form) takes
+    # q14_promo_revenue's slot — q14's operator tags (J2, A1, A3) stay
+    # multiply covered (j2_star_assembly, q3/q10, a1_multi_measure_agg,
+    # medallion_risk_profile) and tpch:q14 is a showcase label. q14
+    # remains registered and parity-tested in-repo.
+    "er_sorted_neighborhood",
     "dedup_ngram_jaccard",
     "text_winnowing_md5",
     "sim_bruteforce_topk",
@@ -141,7 +149,6 @@ DRIVER_SET: tuple[str, ...] = (
     # carve-out in tests/test_driver_set.py). q5 remains registered and
     # parity-tested in-repo.
     "q10_returned_items",
-    "q14_promo_revenue",
     "q18_large_orders",
     "array_explode_roundtrip",
     # — round-1 driver-green representatives —

@@ -89,11 +89,77 @@ def test_score_and_resolve_chain(spark):
     }
 
 
+def test_sorted_neighborhood_exact_pair_set(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 9 rows; sort order by key = ids 1..9. window=3 -> each row pairs
+    # with the next 2 rows: 8 + 7 = 15 pairs, INCLUDING pairs that cross
+    # the floor(pos/3) band boundary (e.g. 3-4) and the shard boundary
+    # (prefix "a" vs "b": 6-7) — the two places a naive implementation
+    # drops pairs.
+    rows = [(i, f"a{i}" if i <= 6 else f"b{i}") for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    pairs = sorted_neighborhood_pairs(
+        df, id_col="id", key_col="k", window=3, shard_prefix_len=1
+    )
+    got = {(r["id_a"], r["id_b"], r["pos_gap"]) for r in pairs.collect()}
+    want = {(i, i + g, g) for g in (1, 2) for i in range(1, 10 - g)}
+    assert got == want
+
+
+def test_sorted_neighborhood_matches_single_window_rank(spark, sf_dir):
+    # The two-level sharded position must equal the global
+    # ROW_NUMBER() OVER (ORDER BY key, id) — compare the pair set
+    # against a directly-computed single-window reference on real data.
+    from pyspark.sql.window import Window
+
+    from home_credit_data_engineering_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+    from home_credit_data_engineering_spark.sources.readers import (
+        read_testdata,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    got = {
+        (r["c_custkey_a"], r["c_custkey_b"])
+        for r in sorted_neighborhood_pairs(
+            cust, "c_custkey", "c_name", window=5, shard_prefix_len=16
+        ).collect()
+    }
+    ref_pos = cust.withColumn(
+        "pos",
+        F.row_number().over(Window.orderBy("c_name", "c_custkey")),
+    )
+    a = ref_pos.select(
+        F.col("c_custkey").alias("ka"), F.col("pos").alias("pa")
+    )
+    b = ref_pos.select(
+        F.col("c_custkey").alias("kb"), F.col("pos").alias("pb")
+    )
+    want = {
+        (r["ka"], r["kb"])
+        for r in a.join(
+            b,
+            (F.col("pb") > F.col("pa")) & (F.col("pb") - F.col("pa") < 5),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_er_plans_are_blocked_joins_jvm_side(spark, sf_dir):
     # Candidate generation must plan as an equi-join on the block key —
     # a cartesian here means blocking silently degenerated — and the
     # whole pipeline (levenshtein included) stays JVM-side.
-    for name in ("er_candidate_pairs", "er_resolved_entities"):
+    for name in (
+        "er_candidate_pairs",
+        "er_resolved_entities",
+        "er_sorted_neighborhood",
+    ):
         df = REGISTRY[name].build(spark, sf_dir)
         df.count()
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -103,23 +103,28 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(a.c_name, b.c_name) AS lev,
            ROUND(1.0 - levenshtein(a.c_name, b.c_name)
                  / CAST(GREATEST(length(a.c_name), length(b.c_name))
-                        AS DOUBLE), 6) AS name_sim
+                        AS DOUBLE), 6) AS name_sim,
+           ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_sim
     FROM snm a JOIN snm b ON b.pos > a.pos AND b.pos - a.pos < 8
     WHERE levenshtein(a.c_name, b.c_name) <= 2
     """,
-    operators=("ER-ext:sorted_neighborhood",),
+    operators=("ER-ext:sorted_neighborhood", "ER-ext:jaro_winkler"),
     doc="Sorted-neighborhood candidate generation (operators/linkage.py:"
     "sorted_neighborhood_pairs; Hernandez & Stolfo SIGMOD'95): global "
     "(c_name, c_custkey) sort order via a TWO-LEVEL sharded row number "
     "(prefix-monotone range shards + broadcast base offsets — no global "
     "window, no single-task sort), window-8 neighbor pairing as an "
     "equi-join on floor(pos/8) bands (adjacent-band trick: linear "
-    "(w-1)*n pair budget), then codegen levenshtein scoring. The oracle "
-    "is the shard-blind single-window ROW_NUMBER form, certifying the "
+    "(w-1)*n pair budget), then codegen levenshtein scoring plus an "
+    "Arrow-batched Jaro-Winkler comparator (operators/linkage.py:"
+    "jaro_winkler_pairs — standard p=0.1/4-char/0.7-threshold form, "
+    "bit-exact vs DuckDB's jaro_winkler_similarity). The oracle is the "
+    "shard-blind single-window ROW_NUMBER form, certifying the "
     "two-level position is bit-equal to the global sort.",
 )
 def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.linkage import (
+        jaro_winkler_pairs,
         score_name_pairs,
         sorted_neighborhood_pairs,
     )
@@ -135,16 +140,16 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_prefix_len=16,
         carry_cols=["c_name"],
     )
-    return (
-        score_name_pairs(pairs, "c_name_a", "c_name_b")
-        .filter(F.col("lev") <= 2)
-        .select(
-            F.col("c_custkey_a").alias("custkey_a"),
-            F.col("c_custkey_b").alias("custkey_b"),
-            "pos_gap",
-            "lev",
-            "name_sim",
-        )
+    scored = score_name_pairs(pairs, "c_name_a", "c_name_b").filter(
+        F.col("lev") <= 2
+    )
+    return jaro_winkler_pairs(scored, "c_name_a", "c_name_b").select(
+        F.col("c_custkey_a").alias("custkey_a"),
+        F.col("c_custkey_b").alias("custkey_b"),
+        "pos_gap",
+        "lev",
+        "name_sim",
+        F.round(F.col("jw_sim"), 6).alias("jw_sim"),
     )
 
 

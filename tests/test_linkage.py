@@ -164,5 +164,35 @@ def test_er_plans_are_blocked_joins_jvm_side(spark, sf_dir):
         df.count()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+        # Row-at-a-time Python is banned everywhere; the SNM query's
+        # Jaro-Winkler comparator is a documented Arrow-batched
+        # exception (Spark has no JW builtin) and must plan as
+        # ArrowEvalPython, never BatchEvalPython.
         assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+        if name == "er_sorted_neighborhood":
+            assert "ArrowEvalPython" in plan, name
+        else:
+            assert "ArrowEvalPython" not in plan, name
+
+
+def test_jaro_winkler_reference_values(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        jaro_winkler,
+        jaro_winkler_pairs,
+    )
+
+    # Classic textbook values + edge cases.
+    assert round(jaro_winkler("MARTHA", "MARHTA"), 6) == 0.961111
+    assert round(jaro_winkler("DIXON", "DICKSONX"), 6) == 0.813333
+    assert jaro_winkler("", "anything") == 0.0
+    assert jaro_winkler("same", "same") == 1.0
+    # sub-threshold jaro gets NO prefix boost (DuckDB-compatible)
+    assert round(jaro_winkler("dr", "ds"), 6) == 0.666667
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("dr", "ds"), (None, "x")], ["a", "b"]
+    )
+    got = {
+        None if r["jw_sim"] is None else round(r["jw_sim"], 6)
+        for r in jaro_winkler_pairs(df, "a", "b").collect()
+    }
+    assert got == {0.961111, 0.666667, None}

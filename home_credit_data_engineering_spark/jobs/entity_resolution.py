@@ -1,0 +1,142 @@
+"""Entity-resolution job CLI: records parquet → resolved entity state
+(one row per record with ``entity_id`` = its component's survivor id).
+
+Two modes, same state schema (id + entity_id + blocking/compare
+columns), mirroring the corpus-pipeline CLI pair:
+
+- **full** (default): block → score (levenshtein) → star-CC resolve the
+  whole input, write the state.
+- **incremental** (``--state-dir``): fold today's batch into the
+  persisted state in O(batch-touched blocks) — new match edges +
+  per-touched-member anchor edges drive the CC, absorbed entities are
+  renamed via an id→id map (``operators/linkage.py:
+  incremental_resolve_entities``), and the updated state lands with a
+  two-phase write (``entities__next`` → swap) so a failed run never
+  corrupts yesterday's state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Entity resolution (blocking + levenshtein + CC)"
+    )
+    parser.add_argument("--input", required=True, help="records parquet path")
+    parser.add_argument("--id-col", required=True)
+    parser.add_argument(
+        "--block-cols",
+        required=True,
+        help="comma-separated blocking columns (pair budget dial)",
+    )
+    parser.add_argument("--name-col", required=True, help="compare column")
+    parser.add_argument("--max-lev", type=int, default=1)
+    parser.add_argument(
+        "--max-block-rows",
+        type=int,
+        default=1_000_000,
+        help="hard cap per block (full mode; quadratic guard)",
+    )
+    parser.add_argument(
+        "--output", help="state parquet path (full mode; required there)"
+    )
+    parser.add_argument(
+        "--state-dir",
+        help="incremental mode: persisted state directory; --input is "
+        "today's batch of NEW record ids",
+    )
+    return parser
+
+
+def _matcher(max_lev: int, name_col: str):
+    from pyspark.sql import functions as F
+
+    def match(pairs):
+        return pairs.filter(
+            F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
+            <= max_lev
+        )
+
+    return match
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.state_dir and not args.output:
+        raise SystemExit("--output is required in full mode")
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark import get_session
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        incremental_resolve_entities,
+        resolve_entities,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+    from home_credit_data_engineering_spark.sources.sinks import write_parquet
+
+    spark = get_session(app_name="entity-resolution")
+    block_cols = [c.strip() for c in args.block_cols.split(",") if c.strip()]
+    cols = [args.id_col, *block_cols, args.name_col]
+    records = read_parquet(spark, args.input).select(*dict.fromkeys(cols))
+    match = _matcher(args.max_lev, args.name_col)
+
+    if args.state_dir:
+        state_path = os.path.join(args.state_dir, "entities")
+        if os.path.isdir(state_path):
+            state = spark.read.parquet(state_path)
+        else:
+            state = (
+                records.limit(0)
+                .withColumn("entity_id", F.col(args.id_col))
+                .select(
+                    args.id_col,
+                    "entity_id",
+                    *[c for c in cols if c != args.id_col],
+                )
+            )
+        updated = incremental_resolve_entities(
+            state,
+            records,
+            args.id_col,
+            block_cols,
+            [args.name_col],
+            match,
+        )
+        # Two-phase swap: the plan READS yesterday's state files, so an
+        # in-place overwrite would consume its own input.
+        next_path = os.path.join(args.state_dir, "entities__next")
+        updated.write.mode("overwrite").parquet(next_path)
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        os.rename(next_path, state_path)
+        n = spark.read.parquet(state_path).count()
+        print(f"entity_resolution: state now {n} records")
+        return 0
+
+    pairs = blocked_pairs(
+        records,
+        id_col=args.id_col,
+        block_cols=block_cols,
+        carry_cols=[args.name_col],
+        max_block_rows=args.max_block_rows,
+    )
+    resolved = resolve_entities(
+        records, match(pairs), args.id_col, f"{args.id_col}_a",
+        f"{args.id_col}_b",
+    )
+    state = resolved.select(args.id_col, "entity_id").join(
+        records, on=args.id_col
+    )
+    write_parquet(state, args.output)
+    n_ent = state.select("entity_id").distinct().count()
+    print(f"entity_resolution: {state.count()} records, {n_ent} entities")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -298,6 +298,127 @@ def jaro_winkler_pairs(
     return pairs.withColumn(out_col, jw_udf(F.col(name_a), F.col(name_b)))
 
 
+def incremental_resolve_entities(
+    state: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    matcher,
+) -> DataFrame:
+    """O(Δ) entity resolution: fold a batch of NEW records into a
+    persisted resolved state without recomputing history.
+
+    ``state`` is the running output — one row per known record with
+    ``entity_id`` plus the blocking and compare columns future batches
+    match against. ``batch`` carries the same columns minus
+    ``entity_id``; batch ids must be new (same contract as the
+    incremental dedup states — re-ingesting a known id is an upstream
+    bug this layer does not mask). ``matcher`` maps the suffixed pair
+    frame (``{c}_a``/``{c}_b``) to matched pairs.
+
+    Per-batch cost is localized to TOUCHED BLOCKS:
+
+    - candidate pairs are batch × (batch ∪ state members sharing a
+      batch block key) — old-old pairs are never re-generated, they are
+      already folded into the state's labels;
+    - the CC runs over (new match edges ∪ one anchor edge per touched
+      state member to its entity_id), so merges propagate through
+      existing entities without loading untouched ones. A component's
+      new label is the min id over its CC nodes, and every old
+      component's min (its entity_id) IS a CC node, so labels equal the
+      full-recompute labels exactly (asserted in tests);
+    - old entities absorbed by a merge are renamed via an
+      (old entity_id → new label) map joined on ``entity_id`` — an
+      id-to-id metadata join, never a payload rewrite.
+
+    Returns the updated state (same schema as ``state``).
+    """
+    attrs = [
+        c
+        for c in (*block_cols, *compare_cols)
+        if c != id_col
+    ]
+    # dedupe while preserving order
+    attrs = list(dict.fromkeys(attrs))
+    slim_batch = batch.select(id_col, *attrs)
+    touched = slim_batch.select(*block_cols).distinct()
+    members = state.select(id_col, "entity_id", *attrs).join(
+        touched, on=list(block_cols), how="left_semi"
+    )
+    pool = slim_batch.unionByName(
+        members.drop("entity_id"), allowMissingColumns=False
+    )
+    # alias id + non-block attrs with pair suffixes; block cols stay
+    # unsuffixed so the pair generation is an equi-join on them
+    a = slim_batch.select(
+        *[
+            F.col(c).alias(f"{c}_a")
+            for c in (id_col, *[x for x in attrs if x not in block_cols])
+        ],
+        *block_cols,
+    )
+    b = pool.select(
+        *[
+            F.col(c).alias(f"{c}_b")
+            for c in (id_col, *[x for x in attrs if x not in block_cols])
+        ],
+        *block_cols,
+    )
+    raw_pairs = a.join(b, on=list(block_cols)).filter(
+        F.col(f"{id_col}_a") != F.col(f"{id_col}_b")
+    )
+    # block cols are equal within a pair; re-expose them suffixed so the
+    # matcher sees the same shape blocked_pairs produces.
+    for c in block_cols:
+        raw_pairs = raw_pairs.withColumns(
+            {f"{c}_a": F.col(c), f"{c}_b": F.col(c)}
+        )
+    matched = matcher(raw_pairs).select(
+        F.least(F.col(f"{id_col}_a"), F.col(f"{id_col}_b")).alias("__ea"),
+        F.greatest(F.col(f"{id_col}_a"), F.col(f"{id_col}_b")).alias("__eb"),
+    )
+    anchors = members.select(
+        F.col(id_col).alias("__ea"), F.col("entity_id").alias("__eb")
+    ).filter(F.col("__ea") != F.col("__eb"))
+    edges = matched.unionByName(anchors).distinct()
+    comp = connected_components_star(edges, a_col="__ea", b_col="__eb")
+    # Entity rename map: every old entity whose id appears in the CC —
+    # absorbed entities point at the merged component's new min label.
+    ent_map = (
+        state.select("entity_id")
+        .distinct()
+        .join(
+            comp.select(
+                F.col("node").alias("entity_id"),
+                F.col("component").alias("__new"),
+            ),
+            on="entity_id",
+        )
+    )
+    # ent_map is touched-entities-sized (bounded by batch blocks) — AQE
+    # broadcasts it when small; no forced hint, merges can be wide.
+    new_state = (
+        state.join(ent_map, on="entity_id", how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__new"), F.col("entity_id")).alias("entity_id"),
+            *attrs,
+        )
+    )
+    batch_labeled = (
+        slim_batch.join(
+            comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
+            *attrs,
+        )
+    )
+    return new_state.unionByName(batch_labeled)
+
+
 def resolve_entities(
     records: DataFrame,
     matches: DataFrame,

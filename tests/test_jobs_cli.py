@@ -926,3 +926,82 @@ def test_drift_job_psi_gate_on_planted_shift(spark, tmp_path):
          "--no-distributions", "--fail-on", "*/psi"]
     ) == 0
     assert spark.read.parquet(out4).filter("metric = 'psi'").count() == 0
+
+
+def test_entity_resolution_job_full_and_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.jobs import (
+        entity_resolution as er_job,
+    )
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        resolve_entities,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(1, "B", "ann smith"), (2, "B", "ann smyth"), (7, "C", "bob ray")],
+        ["id", "blk", "name"],
+    )
+    wave2 = spark.createDataFrame(
+        [(4, "B", "ann smythe"), (9, "C", "bob raye")],
+        ["id", "blk", "name"],
+    )
+    w1 = str(tmp_path / "wave1")
+    w2 = str(tmp_path / "wave2")
+    wave1.write.parquet(w1)
+    wave2.write.parquet(w2)
+
+    # Full mode over wave 1.
+    out = str(tmp_path / "state_full")
+    assert (
+        er_job.main(
+            [
+                "--input", w1, "--id-col", "id", "--block-cols", "blk",
+                "--name-col", "name", "--output", out,
+            ]
+        )
+        == 0
+    )
+    full1 = {r["id"]: r["entity_id"] for r in spark.read.parquet(out).collect()}
+    assert full1 == {1: 1, 2: 1, 7: 7}
+
+    # Incremental mode: seed the state dir from the full run, fold wave 2.
+    state_dir = str(tmp_path / "state_dir")
+    import os
+    import shutil
+
+    os.makedirs(state_dir)
+    shutil.copytree(out, os.path.join(state_dir, "entities"))
+    assert (
+        er_job.main(
+            [
+                "--input", w2, "--id-col", "id", "--block-cols", "blk",
+                "--name-col", "name", "--state-dir", state_dir,
+            ]
+        )
+        == 0
+    )
+    got = {
+        r["id"]: r["entity_id"]
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "entities")
+        ).collect()
+    }
+    # Full recompute over the union as the truth.
+    union = wave1.unionByName(wave2)
+    pairs = blocked_pairs(union, "id", ["blk"], carry_cols=["name"])
+    truth = {
+        r["id"]: r["entity_id"]
+        for r in resolve_entities(
+            union,
+            pairs.filter(
+                F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1
+            ),
+            "id",
+            "id_a",
+            "id_b",
+        ).collect()
+    }
+    assert got == truth
+    assert not os.path.isdir(os.path.join(state_dir, "entities__next"))

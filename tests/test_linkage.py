@@ -151,6 +151,87 @@ def test_sorted_neighborhood_matches_single_window_rank(spark, sf_dir):
     assert got == want
 
 
+def _lev1_matcher(pairs):
+    return pairs.filter(
+        F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1
+    )
+
+
+def test_incremental_resolve_merges_existing_entities(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        incremental_resolve_entities,
+        resolve_entities,
+        blocked_pairs,
+        score_name_pairs,
+    )
+
+    # State: {1,2} one entity (smith~smyth), {5} singleton (smythe is
+    # lev-2 from both). New record 4 "smythx" matches 2 (smyth) AND 5
+    # (smythe) -> ALL FOUR must merge into entity 1, relabeling 5's
+    # entity even though no state-state pair is ever re-generated.
+    state = spark.createDataFrame(
+        [
+            (1, 1, "B", "smith"),
+            (2, 1, "B", "smyth"),
+            (5, 5, "B", "smythe"),
+        ],
+        ["id", "entity_id", "blk", "name"],
+    )
+    batch = spark.createDataFrame([(4, "B", "smythx")], ["id", "blk", "name"])
+    out = incremental_resolve_entities(
+        state, batch, "id", ["blk"], ["name"], _lev1_matcher
+    )
+    rows = {r["id"]: r["entity_id"] for r in out.collect()}
+    assert rows == {1: 1, 2: 1, 4: 1, 5: 1}
+
+
+def test_incremental_resolve_equals_full_recompute(spark, sf_dir):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        incremental_resolve_entities,
+        resolve_entities,
+        score_name_pairs,
+    )
+    from home_credit_data_engineering_spark.sources.readers import (
+        read_testdata,
+    )
+
+    cust = (
+        read_testdata(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nat"),
+            F.substring("c_name", 1, 15).alias("pre"),
+            F.col("c_name").alias("name"),
+        )
+    )
+    # Three arrival waves by custkey mod 3.
+    state = None
+    for k in range(3):
+        batch = cust.filter(F.col("id") % 3 == k)
+        if state is None:
+            pairs = blocked_pairs(
+                batch, "id", ["nat", "pre"], carry_cols=["name"]
+            )
+            state = resolve_entities(
+                batch, _lev1_matcher(pairs), "id", "id_a", "id_b"
+            ).join(batch, on="id").select(
+                "id", "entity_id", "nat", "pre", "name"
+            )
+        else:
+            state = incremental_resolve_entities(
+                state, batch, "id", ["nat", "pre"], ["name"], _lev1_matcher
+            )
+        state = state.localCheckpoint(eager=True)
+    full_pairs = blocked_pairs(cust, "id", ["nat", "pre"], carry_cols=["name"])
+    full = resolve_entities(
+        cust, _lev1_matcher(full_pairs), "id", "id_a", "id_b"
+    )
+    got = {r["id"]: r["entity_id"] for r in state.collect()}
+    want = {r["id"]: r["entity_id"] for r in full.collect()}
+    assert got == want
+
+
 def test_er_plans_are_blocked_joins_jvm_side(spark, sf_dir):
     # Candidate generation must plan as an equi-join on the block key —
     # a cartesian here means blocking silently degenerated — and the

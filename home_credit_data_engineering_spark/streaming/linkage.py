@@ -1,0 +1,108 @@
+"""Streaming entity resolution: fold each micro-batch of new records
+into the resolved-entity state (``operators/linkage.py:
+incremental_resolve_entities``) under Structured Streaming.
+
+Unlike the append-only dedup states, ER state is RELABELED in place
+(a new record can merge two existing entities), so idempotency comes
+from batch-keyed FULL SNAPSHOTS instead of batch-keyed appends: batch N
+reads the latest snapshot with id < N, applies the O(Δ) fold, and
+overwrites ``entities/batch=N`` with the complete updated state. A
+replayed batch recomputes from the same predecessor snapshot and
+rewrites the same directory — convergent, hence effectively
+exactly-once on top of foreachBatch's at-least-once delivery.
+
+Snapshots older than the previous one are pruned (checkpointed offsets
+only ever replay the last uncommitted batch, so predecessor + current
+is the full recovery set); at warehouse scale the snapshot is an
+id→entity_id + block/compare-column table — record METADATA, never
+payloads.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _snapshot_ids(entities_dir: str) -> list[int]:
+    if not os.path.isdir(entities_dir):
+        return []
+    out = []
+    for name in os.listdir(entities_dir):
+        m = re.fullmatch(r"batch=(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def foreach_batch_entity_resolution(
+    stream_records: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    matcher,
+    retain_snapshots: int = 2,
+):
+    """Run the record stream to completion (``availableNow``), resolving
+    entities incrementally per micro-batch. Returns the finished query.
+
+    The resolved state after the final batch is the snapshot with the
+    highest batch id under ``{state_dir}/entities`` (see
+    :func:`read_entity_state`).
+    """
+
+    entities_dir = f"{state_dir}/entities"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from home_credit_data_engineering_spark.operators.linkage import (
+            incremental_resolve_entities,
+        )
+
+        spark = batch_df.sparkSession
+        cols = list(dict.fromkeys([id_col, *block_cols, *compare_cols]))
+        batch = batch_df.select(*cols).dropDuplicates([id_col])
+        batch = batch.localCheckpoint(eager=True)
+        prior = [i for i in _snapshot_ids(entities_dir) if i < batch_id]
+        if prior:
+            state = spark.read.parquet(
+                f"{entities_dir}/batch={prior[-1]}"
+            )
+        else:
+            state = batch.limit(0).withColumn(
+                "entity_id", F.col(id_col)
+            ).select(id_col, "entity_id", *[c for c in cols if c != id_col])
+        updated = incremental_resolve_entities(
+            state, batch, id_col, block_cols, compare_cols, matcher
+        )
+        updated.write.mode("overwrite").parquet(
+            f"{entities_dir}/batch={batch_id}"
+        )
+        # Prune everything older than the predecessor set.
+        keep = set(_snapshot_ids(entities_dir)[-retain_snapshots:])
+        for i in _snapshot_ids(entities_dir):
+            if i not in keep:
+                shutil.rmtree(f"{entities_dir}/batch={i}")
+
+    query = (
+        stream_records.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_entity_state(spark, state_dir: str) -> DataFrame:
+    """The current resolved state: the highest-batch-id snapshot."""
+    entities_dir = f"{state_dir}/entities"
+    ids = _snapshot_ids(entities_dir)
+    if not ids:
+        raise FileNotFoundError(f"no entity snapshots under {entities_dir}")
+    return spark.read.parquet(f"{entities_dir}/batch={ids[-1]}")

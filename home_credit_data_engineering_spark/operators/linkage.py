@@ -191,6 +191,25 @@ def sorted_neighborhood_pairs(
     )
 
 
+def phonetic_key(name: Column | str, algorithm: str = "soundex") -> Column:
+    """Phonetic blocking key: records that SOUND alike share a block even
+    when no character prefix matches ("smith"/"smyth"/"smythe" → S530),
+    the classic complement to prefix blocking for person/organization
+    names. ``soundex`` is a JVM builtin (codegen); ``nysiis``/``double
+    metaphone`` would slot in as Arrow-batched comparators like
+    Jaro-Winkler if ever needed. Case-normalized first — Soundex is
+    defined on uppercase letters.
+
+    No DuckDB twin exists (no soundex function), so queries blocking on
+    this key are certified by planted-data tests rather than the oracle
+    gate.
+    """
+    if algorithm != "soundex":
+        raise ValueError(f"unknown phonetic algorithm: {algorithm}")
+    col = F.col(name) if isinstance(name, str) else name
+    return F.soundex(F.upper(col))
+
+
 def name_similarity(name_a: Column, name_b: Column, scale: int = 6) -> Column:
     """Normalized edit similarity ``1 - lev/max(len)`` rounded for
     cross-engine hash stability (both factors are exact integers, so the

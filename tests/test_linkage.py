@@ -151,6 +151,89 @@ def test_sorted_neighborhood_matches_single_window_rank(spark, sf_dir):
     assert got == want
 
 
+def test_phonetic_key_blocks_sound_alikes(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        phonetic_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Smith"),
+            (2, "smyth"),
+            (3, "SMYTHE"),
+            (4, "Quinn"),
+        ],
+        ["id", "name"],
+    ).withColumn("snd", phonetic_key("name"))
+    keys = {r["id"]: r["snd"] for r in df.collect()}
+    # Soundex is case-blind here and groups the spelling variants.
+    assert keys[1] == keys[2] == keys[3] == "S530"
+    assert keys[4] != "S530"
+    pairs = blocked_pairs(df, id_col="id", block_cols=["snd"])
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def _brute_components(edges, nodes):
+    """Plain-Python union-find reference for resolve_entities."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labels
+    labels = {}
+    for n in nodes:
+        r = find(n)
+        labels.setdefault(r, []).append(n)
+    out = {}
+    for members in labels.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_resolve_entities_property_random_graphs(spark):
+    import random
+
+    from home_credit_data_engineering_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        nodes = list(range(1, n + 1))
+        m = rng.randint(0, 2 * n)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(m)
+        ]
+        records = spark.createDataFrame([(x,) for x in nodes], ["id"])
+        matches = spark.createDataFrame(
+            edges or [(1, 1)], ["id_a", "id_b"]
+        )
+        if not edges:
+            matches = matches.limit(0)
+        out = resolve_entities(records, matches, "id", "id_a", "id_b")
+        got = {r["id"]: r["entity_id"] for r in out.collect()}
+        want = _brute_components(edges, nodes)
+        assert got == want, f"trial {trial}: n={n} edges={edges}"
+        sizes = {r["entity_id"]: r["entity_size"] for r in out.collect()}
+        from collections import Counter
+
+        want_sizes = Counter(want.values())
+        assert sizes == dict(want_sizes)
+
+
 def _lev1_matcher(pairs):
     return pairs.filter(
         F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1

@@ -161,6 +161,11 @@ SCALED_QUERIES = (
     # replicas, stressing both the codegen levenshtein scan and the
     # star-CC rounds.
     "er_resolved_entities",
+    # r10 (2): the linear-budget generator on the same 10x replica —
+    # (w-1)*n pairs, so the curve should stay scan-shaped (measured
+    # 3.5x at 10x rows), the in-suite contrast to the blocked
+    # generator's quadratic worst case above.
+    "er_sorted_neighborhood",
 )
 
 _TABLES_NEEDED = (

@@ -317,6 +317,34 @@ def jaro_winkler_pairs(
     return pairs.withColumn(out_col, jw_udf(F.col(name_a), F.col(name_b)))
 
 
+def entity_safe_split(
+    records: DataFrame,
+    matches: DataFrame,
+    id_col: str,
+    id_a: str,
+    id_b: str,
+    splits: list[tuple[str, float]],
+    buckets: int = 10000,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by RESOLVED ENTITY,
+    not by row, so near-duplicate records can never straddle train and
+    test — the reason a training pipeline runs entity resolution / near
+    dedup before splitting at all. Composition of
+    :func:`resolve_entities` and the deterministic md5-bucket
+    ``hash_split`` (pure projection, engine-portable): every record of
+    an entity hashes the SAME entity_id, hence lands on the same side,
+    reproducibly across runs and appends.
+    """
+    from home_credit_data_engineering_spark.operators.sampling import (
+        hash_split,
+    )
+
+    labeled = resolve_entities(records, matches, id_col, id_a, id_b)
+    return hash_split(labeled, "entity_id", splits, buckets).select(
+        id_col, "entity_id", "split"
+    )
+
+
 def incremental_resolve_entities(
     state: DataFrame,
     batch: DataFrame,

@@ -205,3 +205,56 @@ def er_resolved_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.join(canon, on="entity_id").select(
         "c_custkey", "entity_id", "entity_size", "canonical_name"
     )
+
+
+@register(
+    "er_entity_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_BLOCK_SQL},
+    ess_match AS (
+      SELECT custkey_a AS a, custkey_b AS b FROM er_pairs WHERE lev <= 1),
+    ess_edges AS (
+      SELECT a, b FROM ess_match UNION SELECT b AS a, a AS b FROM ess_match),
+    ess_reach(node, r) AS (
+      SELECT c_custkey, c_custkey FROM er_c
+      UNION
+      SELECT ess_reach.node, e.b FROM ess_reach JOIN ess_edges e
+        ON ess_reach.r = e.a),
+    ess_lab AS (
+      SELECT node AS c_custkey, MIN(r) AS entity_id
+      FROM ess_reach GROUP BY node)
+    SELECT c_custkey, entity_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT c_custkey, entity_id,
+             CAST('0x' || substr(md5(CAST(entity_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS b
+      FROM ess_lab) t
+    """,
+    operators=("ER-ext:resolve", "S-ext:hash-split"),
+    doc="Leakage-safe 80/10/10 split (operators/linkage.py:"
+    "entity_safe_split): records are assigned to train/val/test by their "
+    "RESOLVED ENTITY's md5 bucket, so near-duplicates never straddle "
+    "train and test — the reason training pipelines resolve entities "
+    "before splitting. Pure composition of two driver-verified "
+    "operators (star-CC resolution + deterministic hash split); the "
+    "oracle recomputes the closure AND the buckets, verifying the "
+    "assignment itself.",
+)
+def er_entity_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.linkage import (
+        entity_safe_split,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    matches = _pairs(spark, sf_dir, max_lev=1)
+    return entity_safe_split(
+        cust,
+        matches,
+        "c_custkey",
+        "c_custkey_a",
+        "c_custkey_b",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )

@@ -234,6 +234,19 @@ def test_resolve_entities_property_random_graphs(spark):
         assert sizes == dict(want_sizes)
 
 
+def test_entity_safe_split_never_straddles(spark, sf_dir):
+    # The leakage guarantee itself: every entity's records land in ONE
+    # split, and multi-record entities exist in the data (else the test
+    # is vacuous).
+    df = REGISTRY["er_entity_safe_split"].build(spark, sf_dir)
+    agg = df.groupBy("entity_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert agg.filter(F.col("n_splits") > 1).count() == 0
+    assert agg.filter(F.col("n") > 1).count() > 0
+
+
 def _lev1_matcher(pairs):
     return pairs.filter(
         F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1

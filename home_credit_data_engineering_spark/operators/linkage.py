@@ -466,6 +466,82 @@ def incremental_resolve_entities(
     return new_state.unionByName(batch_labeled)
 
 
+def entity_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Deterministic id → partition bucket (xxhash64 mod n) — the same
+    pruning idiom as the BM25/IVF indexes (``retrieval.py:term_bucket``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def write_entity_index(
+    state: DataFrame, output: str, id_col: str, n_buckets: int = 64
+) -> None:
+    """Persist the resolved state for SERVING: two bucket-partitioned
+    copies so both access paths partition-prune instead of scanning.
+
+    - ``by_record/`` — partitioned by ``rbucket = xxhash64(id) % n``:
+      "which entity is record X in?" reads one bucket (1/n of bytes).
+    - ``by_entity/`` — partitioned by ``ebucket = xxhash64(entity_id)
+      % n``: "all members of entity E" reads one bucket.
+
+    A point lookup is therefore two pruned scans regardless of state
+    size — the lexical-index contract applied to the entity table.
+    xxhash64 of a literal folds at plan time, so the partition filter is
+    a constant comparison (PartitionFilters, plan-asserted in tests).
+    """
+    (
+        state.withColumn("rbucket", entity_bucket(id_col, n_buckets))
+        .repartition("rbucket")
+        .write.mode("overwrite")
+        .partitionBy("rbucket")
+        .parquet(f"{output}/by_record")
+    )
+    (
+        state.withColumn("ebucket", entity_bucket("entity_id", n_buckets))
+        .repartition("ebucket")
+        .write.mode("overwrite")
+        .partitionBy("ebucket")
+        .parquet(f"{output}/by_entity")
+    )
+
+
+def entity_profile(
+    spark,
+    index_path: str,
+    record_id,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Serving endpoint: all records of the entity containing
+    ``record_id`` (the "golden record + sources" page). Two pruned
+    point reads against :func:`write_entity_index` output. xxhash64 is
+    TYPE-sensitive, so the probe literal is cast to the stored column's
+    type before hashing — an int literal against a bigint column would
+    silently hash into the wrong bucket otherwise.
+    """
+    by_record = spark.read.parquet(f"{index_path}/by_record")
+    key = F.lit(record_id).cast(by_record.schema[id_col].dataType)
+    rec = (
+        by_record.filter(
+            (F.col("rbucket") == entity_bucket(key, n_buckets))
+            & (F.col(id_col) == key)
+        )
+        .select("entity_id")
+        .limit(1)
+        .collect()
+    )
+    by_entity = spark.read.parquet(f"{index_path}/by_entity")
+    if not rec:
+        return by_entity.limit(0).drop("ebucket")
+    ent = F.lit(rec[0]["entity_id"]).cast(
+        by_entity.schema["entity_id"].dataType
+    )
+    return by_entity.filter(
+        (F.col("ebucket") == entity_bucket(ent, n_buckets))
+        & (F.col("entity_id") == ent)
+    ).drop("ebucket")
+
+
 def resolve_entities(
     records: DataFrame,
     matches: DataFrame,

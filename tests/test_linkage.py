@@ -234,6 +234,47 @@ def test_resolve_entities_property_random_graphs(spark):
         assert sizes == dict(want_sizes)
 
 
+def test_entity_index_serving_prunes_partitions(spark, sf_dir, tmp_path):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        entity_bucket,
+        entity_profile,
+        write_entity_index,
+    )
+
+    state = REGISTRY["er_resolved_entities"].build(spark, sf_dir)
+    idx = str(tmp_path / "er_index")
+    write_entity_index(
+        state.select("c_custkey", "entity_id"), idx, "c_custkey", n_buckets=8
+    )
+    # Pick a record from a multi-member entity.
+    probe = (
+        state.filter(F.col("entity_size") > 1)
+        .orderBy("c_custkey")
+        .limit(1)
+        .collect()[0]
+    )
+    members = entity_profile(
+        spark, idx, probe["c_custkey"], "c_custkey", n_buckets=8
+    )
+    got = {r["c_custkey"] for r in members.collect()}
+    want = {
+        r["c_custkey"]
+        for r in state.filter(
+            F.col("entity_id") == probe["entity_id"]
+        ).collect()
+    }
+    assert got == want and len(got) > 1
+    # The member read must partition-prune to one ebucket.
+    plan = members._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ebucket" in plan.split("PartitionFilters: ")[1].splitlines()[0]
+    # Miss path: unknown id returns an empty frame with the state schema.
+    assert (
+        entity_profile(spark, idx, -999, "c_custkey", n_buckets=8).count()
+        == 0
+    )
+
+
 def test_entity_safe_split_never_straddles(spark, sf_dir):
     # The leakage guarantee itself: every entity's records land in ONE
     # split, and multi-record entities exist in the data (else the test

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="incremental mode: persisted state directory; --input is "
         "today's batch of NEW record ids",
     )
+    parser.add_argument(
+        "--index-output",
+        help="also write the bucket-partitioned serving index "
+        "(by_record/ + by_entity/, partition-pruned point lookups)",
+    )
+    parser.add_argument("--index-buckets", type=int, default=64)
     return parser
 
 
@@ -75,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         blocked_pairs,
         incremental_resolve_entities,
         resolve_entities,
+        write_entity_index,
     )
     from home_credit_data_engineering_spark.sources.readers import read_parquet
     from home_credit_data_engineering_spark.sources.sinks import write_parquet
@@ -114,7 +121,13 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(state_path):
             shutil.rmtree(state_path)
         os.rename(next_path, state_path)
-        n = spark.read.parquet(state_path).count()
+        updated_state = spark.read.parquet(state_path)
+        if args.index_output:
+            write_entity_index(
+                updated_state, args.index_output, args.id_col,
+                n_buckets=args.index_buckets,
+            )
+        n = updated_state.count()
         print(f"entity_resolution: state now {n} records")
         return 0
 
@@ -133,6 +146,11 @@ def main(argv: list[str] | None = None) -> int:
         records, on=args.id_col
     )
     write_parquet(state, args.output)
+    if args.index_output:
+        write_entity_index(
+            spark.read.parquet(args.output), args.index_output, args.id_col,
+            n_buckets=args.index_buckets,
+        )
     n_ent = state.select("entity_id").distinct().count()
     print(f"entity_resolution: {state.count()} records, {n_ent} entities")
     return 0

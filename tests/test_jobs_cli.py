@@ -959,12 +959,21 @@ def test_entity_resolution_job_full_and_incremental(spark, tmp_path):
             [
                 "--input", w1, "--id-col", "id", "--block-cols", "blk",
                 "--name-col", "name", "--output", out,
+                "--index-output", str(tmp_path / "er_idx"),
+                "--index-buckets", "4",
             ]
         )
         == 0
     )
     full1 = {r["id"]: r["entity_id"] for r in spark.read.parquet(out).collect()}
     assert full1 == {1: 1, 2: 1, 7: 7}
+    from home_credit_data_engineering_spark.operators.linkage import (
+        entity_profile,
+    )
+    members = entity_profile(
+        spark, str(tmp_path / "er_idx"), 2, "id", n_buckets=4
+    )
+    assert {r["id"] for r in members.collect()} == {1, 2}
 
     # Incremental mode: seed the state dir from the full run, fold wave 2.
     state_dir = str(tmp_path / "state_dir")

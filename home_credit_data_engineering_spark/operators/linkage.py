@@ -64,7 +64,9 @@ def blocked_pairs(
     data, not 50T candidate pairs).
     """
     carry_cols = list(carry_cols or [])
-    slim = df.select(id_col, *block_cols, *carry_cols)
+    # a carry column may repeat the id/block columns (scoring usually
+    # compares the block key itself) — select each source column once
+    slim = df.select(*dict.fromkeys([id_col, *block_cols, *carry_cols]))
     if max_block_rows is not None:
         sizes = slim.groupBy(*block_cols).agg(
             F.count(F.lit(1)).alias("__blk_n")

@@ -44,6 +44,20 @@ def test_blocked_pairs_within_block_only(spark):
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
 
+def test_blocked_pairs_carry_may_repeat_block_col(spark):
+    # Scoring often compares the block key itself — carrying it must not
+    # trip a duplicate-column selection.
+    pairs = blocked_pairs(
+        _records(spark),
+        id_col="id",
+        block_cols=["blk"],
+        carry_cols=["blk", "name"],
+    )
+    rows = pairs.collect()
+    assert len(rows) == 6
+    assert all(r["blk_a"] == r["blk_b"] == r["blk"] for r in rows)
+
+
 def test_blocked_pairs_oversize_raise_and_skip(spark):
     df = _records(spark)
     with pytest.raises(ValueError, match="max_block_rows"):

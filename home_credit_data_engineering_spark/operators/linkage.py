@@ -319,6 +319,66 @@ def jaro_winkler_pairs(
     return pairs.withColumn(out_col, jw_udf(F.col(name_a), F.col(name_b)))
 
 
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    agreements: list[tuple[str, Column, float, float]],
+    out_col: str = "fs_score",
+    scale: int = 6,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969): per
+    attribute k with agreement probability ``m`` among true matches and
+    ``u`` among non-matches, an agreeing pair contributes
+    ``log2(m/u)`` and a disagreeing one ``log2((1-m)/(1-u))``; the
+    match score is the sum. The classical decision model every
+    production linker (Splink, JedAI, …) builds on.
+
+    ``agreements`` is ``(name, agree_condition, m, u)`` per attribute;
+    the output carries one ``agree_{name}`` boolean per attribute plus
+    the rounded score. Weights are computed driver-side as exact Python
+    doubles and summed LEFT-TO-RIGHT in one codegen expression, so an
+    oracle writing the same literals in the same order is bit-identical
+    before the final round.
+
+    m/u here are caller-supplied (from labeled pairs or domain
+    knowledge); unsupervised EM estimation of m/u is the standard
+    extension and would reuse exactly these agreement columns as its
+    E-step input.
+    """
+    import math
+
+    score = None
+    out = pairs
+    for name, cond, m, u in agreements:
+        if not (0.0 < u < 1.0 and 0.0 < m < 1.0):
+            raise ValueError(f"m/u for {name!r} must be in (0, 1)")
+        agree_w = math.log2(m / u)
+        disagree_w = math.log2((1.0 - m) / (1.0 - u))
+        out = out.withColumn(f"agree_{name}", cond)
+        term = F.when(F.col(f"agree_{name}"), F.lit(agree_w)).otherwise(
+            F.lit(disagree_w)
+        )
+        score = term if score is None else score + term
+    if score is None:
+        raise ValueError("agreements must name at least one attribute")
+    return out.withColumn(out_col, F.round(score, scale))
+
+
+def fs_decision(
+    score: Column,
+    upper: float,
+    lower: float,
+    out_values: tuple[str, str, str] = ("match", "possible", "nonmatch"),
+) -> Column:
+    """The Fellegi-Sunter three-way decision: link above ``upper``,
+    clerical-review band between, non-link below ``lower``."""
+    hi, mid, lo = out_values
+    return (
+        F.when(score >= upper, hi)
+        .when(score >= lower, mid)
+        .otherwise(lo)
+    )
+
+
 def entity_safe_split(
     records: DataFrame,
     matches: DataFrame,

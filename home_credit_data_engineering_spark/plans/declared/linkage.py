@@ -258,3 +258,124 @@ def er_entity_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey_b",
         [("train", 0.8), ("val", 0.1), ("test", 0.1)],
     )
+
+
+def _fs_weights() -> dict[str, tuple[float, float]]:
+    """(m, u) per agreement attribute — shared by the Spark build and the
+    SQL literal interpolation below so both engines parse the exact same
+    doubles."""
+    return {"name": (0.9, 0.05), "segment": (0.95, 0.2), "acctbal": (0.8, 0.1)}
+
+
+def _fs_sql_terms() -> str:
+    import math
+
+    parts = []
+    conds = {
+        "name": "lev <= 1",
+        "segment": "seg_a = seg_b",
+        "acctbal": "ABS(bal_a - bal_b) < 500.0",
+    }
+    for name, (m, u) in _fs_weights().items():
+        aw = repr(math.log2(m / u))
+        dw = repr(math.log2((1.0 - m) / (1.0 - u)))
+        parts.append(f"CASE WHEN {conds[name]} THEN {aw} ELSE {dw} END")
+    return " + ".join(parts)
+
+
+@register(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH fs_c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+             substr(c_name, 1, {_PREFIX}) AS blk
+      FROM customer),
+    fs_pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             levenshtein(a.c_name, b.c_name) AS lev,
+             a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+             a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+      FROM fs_c a JOIN fs_c b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey),
+    fs_scored AS (
+      SELECT custkey_a, custkey_b,
+             lev <= 1 AS agree_name,
+             seg_a = seg_b AS agree_segment,
+             ABS(bal_a - bal_b) < 500.0 AS agree_acctbal,
+             ROUND({_fs_sql_terms()}, 6) AS fs_score
+      FROM fs_pairs)
+    SELECT custkey_a, custkey_b, agree_name, agree_segment, agree_acctbal,
+           fs_score,
+           CASE WHEN fs_score >= 4.0 THEN 'match'
+                WHEN fs_score >= 0.0 THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+    FROM fs_scored
+    WHERE fs_score >= 0.0
+    """,
+    operators=("ER-ext:fellegi_sunter",),
+    doc="Fellegi-Sunter probabilistic linkage (operators/linkage.py:"
+    "fellegi_sunter_score; JASA 1969): per-attribute agreement weights "
+    "log2(m/u) / log2((1-m)/(1-u)) over name (lev<=1), market segment "
+    "equality, and account-balance proximity, summed left-to-right as "
+    "one codegen expression, plus the classical three-way "
+    "match/possible/nonmatch decision bands. Weights are exact Python "
+    "doubles interpolated via repr() into the oracle, so both engines "
+    "sum identical IEEE literals in identical order — a probabilistic "
+    "scoring model that is nonetheless hash-exact cross-engine.",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        fellegi_sunter_score,
+        fs_decision,
+    )
+
+    w = _fs_weights()
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.substring("c_name", 1, _PREFIX).alias("blk"),
+    )
+    pairs = blocked_pairs(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "blk"],
+        carry_cols=["c_name", "c_mktsegment", "c_acctbal"],
+        max_block_rows=100_000,
+    )
+    scored = fellegi_sunter_score(
+        pairs,
+        [
+            (
+                "name",
+                F.levenshtein(F.col("c_name_a"), F.col("c_name_b")) <= 1,
+                *w["name"],
+            ),
+            (
+                "segment",
+                F.col("c_mktsegment_a") == F.col("c_mktsegment_b"),
+                *w["segment"],
+            ),
+            (
+                "acctbal",
+                F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b"))
+                < F.lit(500.0),
+                *w["acctbal"],
+            ),
+        ],
+    )
+    return scored.filter(F.col("fs_score") >= 0.0).select(
+        F.col("c_custkey_a").alias("custkey_a"),
+        F.col("c_custkey_b").alias("custkey_b"),
+        "agree_name",
+        "agree_segment",
+        "agree_acctbal",
+        "fs_score",
+        fs_decision(F.col("fs_score"), upper=4.0, lower=0.0).alias(
+            "decision"
+        ),
+    )

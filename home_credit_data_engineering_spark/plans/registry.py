@@ -142,7 +142,12 @@ DRIVER_SET: tuple[str, ...] = (
     "embedding_centroids",
     "pandas_grouped_zscore",
     "train_test_split",
-    "q3_shipping_priority",
+    # r10 (3): Fellegi-Sunter probabilistic linkage scoring takes
+    # q3_shipping_priority's slot — q3's operator tags stay multiply
+    # covered (J2: j2_star_assembly/q10; A1: a1_multi_measure_agg/q1;
+    # O4: combo_pagination/q10) and tpch:q3 is a showcase label. q3
+    # remains registered and parity-tested in-repo.
+    "er_fellegi_sunter",
     # q5_region_revenue yielded its slot to combo_corpus_prep in r4 (its
     # operator tags — J2, A1 — stay multiply covered by j2_star_assembly,
     # q3/q10, a1_multi_measure_agg, q1; tpch:q5 is a showcase label,

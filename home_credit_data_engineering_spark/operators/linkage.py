@@ -363,6 +363,97 @@ def fellegi_sunter_score(
     return out.withColumn(out_col, F.round(score, scale))
 
 
+def estimate_fs_parameters(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    iterations: int = 100,
+    tol: float = 1e-10,
+    p_init: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+) -> dict:
+    """Unsupervised EM estimation of the Fellegi-Sunter parameters
+    (Winkler 1988): given boolean agreement columns over candidate
+    pairs, estimate per-attribute ``m`` (P(agree | match)), ``u``
+    (P(agree | non-match)), and the match prevalence ``p`` — no labeled
+    pairs needed.
+
+    Driver-bounded by construction: the ONLY full-data pass is one
+    groupBy over the agreement booleans, collapsing any number of pairs
+    to at most ``2^k`` pattern-count rows (k = #attributes, so 8 rows
+    for 3 attributes); EM then iterates on that tiny table driver-side.
+    This is the standard production recipe (Splink's training loop has
+    the same shape). ``m_init > u_init`` breaks the label-switching
+    symmetry so "match" is the high-agreement class. Identifiability
+    needs k >= 3 attributes (2^k - 1 observed pattern frequencies must
+    cover the 2k + 1 free parameters; k = 2 is under-determined and the
+    estimates drift — demonstrated in tests).
+
+    Returns ``{"p": float, "params": {col: (m, u)}, "iterations": int,
+    "converged": bool}`` — feed ``params`` straight into
+    :func:`fellegi_sunter_score`.
+    """
+    k = len(agreement_cols)
+    if not k:
+        raise ValueError("agreement_cols must not be empty")
+    rows = (
+        pairs.groupBy(
+            *[F.col(c).cast("boolean").alias(c) for c in agreement_cols]
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    patterns = [
+        (tuple(bool(r[c]) for c in agreement_cols), float(r["__n"]))
+        for r in rows
+    ]
+    total = sum(n for _, n in patterns)
+    p = float(p_init)
+    m = [float(m_init)] * k
+    u = [float(u_init)] * k
+    converged = False
+    it = 0
+    for it in range(1, iterations + 1):
+        # E-step on <= 2^k patterns
+        post = []
+        for gamma, n in patterns:
+            pm = p
+            pu = 1.0 - p
+            for j in range(k):
+                pm *= m[j] if gamma[j] else (1.0 - m[j])
+                pu *= u[j] if gamma[j] else (1.0 - u[j])
+            post.append(pm / (pm + pu) if (pm + pu) > 0 else 0.0)
+        # M-step
+        wm = sum(n * w for (_, n), w in zip(patterns, post))
+        wu = total - wm
+        new_p = wm / total
+        new_m = []
+        new_u = []
+        for j in range(k):
+            am = sum(
+                n * w for (g, n), w in zip(patterns, post) if g[j]
+            )
+            au = sum(
+                n * (1.0 - w) for (g, n), w in zip(patterns, post) if g[j]
+            )
+            # clamp away from {0,1} so log-weights stay finite
+            new_m.append(min(max(am / wm if wm else 0.5, 1e-9), 1 - 1e-9))
+            new_u.append(min(max(au / wu if wu else 0.5, 1e-9), 1 - 1e-9))
+        delta = abs(new_p - p) + sum(
+            abs(a - b) for a, b in zip(new_m, m)
+        ) + sum(abs(a - b) for a, b in zip(new_u, u))
+        p, m, u = new_p, new_m, new_u
+        if delta < tol:
+            converged = True
+            break
+    return {
+        "p": p,
+        "params": {c: (m[j], u[j]) for j, c in enumerate(agreement_cols)},
+        "iterations": it,
+        "converged": converged,
+    }
+
+
 def fs_decision(
     score: Column,
     upper: float,

@@ -248,6 +248,59 @@ def test_resolve_entities_property_random_graphs(spark):
         assert sizes == dict(want_sizes)
 
 
+def test_fs_em_recovers_planted_parameters(spark):
+    import random
+
+    from home_credit_data_engineering_spark.operators.linkage import (
+        estimate_fs_parameters,
+    )
+
+    # Plant a three-attribute two-class mixture (k >= 3 is the classic
+    # identifiability floor: 2^k - 1 observed frequencies must cover the
+    # 2k + 1 free parameters, so k = 2 is UNDER-determined and EM would
+    # drift): 20% matches with m=(0.95, 0.8, 0.9), non-matches with
+    # u=(0.05, 0.3, 0.1). EM on the 8 pattern counts must recover
+    # p/m/u within a few points.
+    rng = random.Random(99)
+    rows = []
+    for _ in range(20000):
+        is_match = rng.random() < 0.2
+        a1 = rng.random() < (0.95 if is_match else 0.05)
+        a2 = rng.random() < (0.8 if is_match else 0.3)
+        a3 = rng.random() < (0.9 if is_match else 0.1)
+        rows.append((a1, a2, a3))
+    pairs = spark.createDataFrame(
+        rows, ["agree_name", "agree_seg", "agree_bal"]
+    )
+    est = estimate_fs_parameters(
+        pairs, ["agree_name", "agree_seg", "agree_bal"], iterations=500
+    )
+    assert est["converged"]
+    assert abs(est["p"] - 0.2) < 0.03
+    m1, u1 = est["params"]["agree_name"]
+    m2, u2 = est["params"]["agree_seg"]
+    m3, u3 = est["params"]["agree_bal"]
+    assert abs(m1 - 0.95) < 0.05 and abs(u1 - 0.05) < 0.03
+    assert abs(m2 - 0.8) < 0.08 and abs(u2 - 0.3) < 0.05
+    assert abs(m3 - 0.9) < 0.06 and abs(u3 - 0.1) < 0.04
+    # The estimated params drive the scorer end-to-end.
+    from home_credit_data_engineering_spark.operators.linkage import (
+        fellegi_sunter_score,
+    )
+
+    scored = fellegi_sunter_score(
+        pairs,
+        [
+            ("name", F.col("agree_name"), *est["params"]["agree_name"]),
+            ("seg", F.col("agree_seg"), *est["params"]["agree_seg"]),
+        ],
+    )
+    # full agreement must outscore full disagreement
+    hi = scored.filter(F.col("agree_name") & F.col("agree_seg"))
+    lo = scored.filter(~F.col("agree_name") & ~F.col("agree_seg"))
+    assert hi.first()["fs_score"] > lo.first()["fs_score"]
+
+
 def test_entity_index_serving_prunes_partitions(spark, sf_dir, tmp_path):
     from home_credit_data_engineering_spark.operators.linkage import (
         entity_bucket,

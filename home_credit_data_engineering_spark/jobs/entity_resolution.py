@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(by_record/ + by_entity/, partition-pruned point lookups)",
     )
     parser.add_argument("--index-buckets", type=int, default=64)
+    parser.add_argument(
+        "--report-fs-params",
+        action="store_true",
+        help="full mode: also run unsupervised EM (Winkler) over the "
+        "candidate pairs' agreement pattern counts and print estimated "
+        "m/u/prevalence for the name-agreement attribute",
+    )
     return parser
 
 
@@ -145,6 +152,37 @@ def main(argv: list[str] | None = None) -> int:
     state = resolved.select(args.id_col, "entity_id").join(
         records, on=args.id_col
     )
+    if args.report_fs_params:
+        from home_credit_data_engineering_spark.operators.linkage import (
+            estimate_fs_parameters,
+            name_similarity,
+        )
+
+        ag = pairs.select(
+            (
+                F.levenshtein(
+                    F.col(f"{args.name_col}_a"), F.col(f"{args.name_col}_b")
+                )
+                <= args.max_lev
+            ).alias("agree_name"),
+            (
+                name_similarity(
+                    F.col(f"{args.name_col}_a"), F.col(f"{args.name_col}_b")
+                )
+                >= 0.9
+            ).alias("agree_name_sim"),
+            (
+                F.substring(F.col(f"{args.name_col}_a"), 1, 3)
+                == F.substring(F.col(f"{args.name_col}_b"), 1, 3)
+            ).alias("agree_prefix3"),
+        )
+        est = estimate_fs_parameters(
+            ag, ["agree_name", "agree_name_sim", "agree_prefix3"]
+        )
+        print(
+            "fs_params: p=%.4f %s (converged=%s after %d iters)"
+            % (est["p"], est["params"], est["converged"], est["iterations"])
+        )
     write_parquet(state, args.output)
     if args.index_output:
         write_entity_index(

@@ -961,6 +961,7 @@ def test_entity_resolution_job_full_and_incremental(spark, tmp_path):
                 "--name-col", "name", "--output", out,
                 "--index-output", str(tmp_path / "er_idx"),
                 "--index-buckets", "4",
+                "--report-fs-params",
             ]
         )
         == 0

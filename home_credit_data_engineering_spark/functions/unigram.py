@@ -80,12 +80,16 @@ _MICRO = 1_000_000_000
 #: piece that shadows the reserved id (review r9 finding).
 UNK_PIECE = "<unk >"
 
-#: Whitespace, pinned to the ASCII class Java's \s (Spark ``tokens()``)
-#: and RE2's \s (the DuckDB oracles) both match. Python's ``str.split``
-#: splits on UNICODE whitespace (NBSP, U+2000-200A, ...), which would
-#: desync the reference trainer / encoder / coverage certificate from
-#: the engine paths on non-ASCII corpora — the same class-pinning as
-#: ``functions/text.py:canonical_fingerprint`` (ADVICE r5).
+#: Whitespace, pinned to the ASCII class Java's \s matches — i.e.
+#: EXACTLY what Spark ``tokens()`` splits on, including \x0b (VT).
+#: Python's ``str.split`` splits on UNICODE whitespace (NBSP,
+#: U+2000-200A, ...), which would desync the reference trainer /
+#: encoder / coverage certificate from the engine paths on non-ASCII
+#: corpora — the same class-pinning as ``functions/text.py:
+#: canonical_fingerprint`` (ADVICE r5). NOTE: RE2's \s does NOT match
+#: \x0b, so the DuckDB coverage oracles spell this class out
+#: explicitly ('[ \t\n\x0b\f\r]+') instead of using \s (r10
+#: review finding — a bare \s oracle silently desyncs on VT text).
 _WS_RE = re.compile("[ \t\n\x0b\f\r]+")
 
 

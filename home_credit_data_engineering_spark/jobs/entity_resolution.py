@@ -101,6 +101,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.state_dir:
         state_path = os.path.join(args.state_dir, "entities")
+        next_path = os.path.join(args.state_dir, "entities__next")
+        # Crash recovery for the two-phase swap below: a leftover
+        # entities__next means a prior run died mid-swap. If its write
+        # COMPLETED (_SUCCESS marker) and entities/ is gone (crash
+        # between rmtree and rename), finish the swap — that run's fold
+        # was durable; re-running its batch would violate the new-ids
+        # contract. Any other leftover is an incomplete write: discard
+        # it (its batch was never applied and will be re-run).
+        if os.path.isdir(next_path):
+            complete = os.path.exists(os.path.join(next_path, "_SUCCESS"))
+            if complete and not os.path.isdir(state_path):
+                os.rename(next_path, state_path)
+            else:
+                shutil.rmtree(next_path)
         if os.path.isdir(state_path):
             state = spark.read.parquet(state_path)
         else:
@@ -189,8 +203,12 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.output), args.index_output, args.id_col,
             n_buckets=args.index_buckets,
         )
-    n_ent = state.select("entity_id").distinct().count()
-    print(f"entity_resolution: {state.count()} records, {n_ent} entities")
+    # Summary counts from the WRITTEN parquet: `state` is an unpersisted
+    # plan, so counting it would re-run the whole blocking + CC pipeline
+    # twice more.
+    written = spark.read.parquet(args.output)
+    n_ent = written.select("entity_id").distinct().count()
+    print(f"entity_resolution: {written.count()} records, {n_ent} entities")
     return 0
 
 

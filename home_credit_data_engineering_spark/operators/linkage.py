@@ -87,12 +87,13 @@ def blocked_pairs(
                 on=block_cols,
                 how="left_anti",
             )
+    side_cols = list(dict.fromkeys([id_col, *carry_cols]))
     a = slim.select(
-        *[F.col(c).alias(f"{c}_a") for c in (id_col, *carry_cols)],
+        *[F.col(c).alias(f"{c}_a") for c in side_cols],
         *block_cols,
     )
     b = slim.select(
-        *[F.col(c).alias(f"{c}_b") for c in (id_col, *carry_cols)],
+        *[F.col(c).alias(f"{c}_b") for c in side_cols],
         *block_cols,
     )
     return a.join(b, on=list(block_cols)).filter(
@@ -145,8 +146,16 @@ def sorted_neighborhood_pairs(
     base_cols = [id_col, key_col] + [
         c for c in carry_cols if c not in (id_col, key_col)
     ]
+    # NULL sort keys must still pair (and a NULL shard would silently
+    # fall out of the base-offset equi-join): coalesce them into the ''
+    # shard, which sorts first — matching the NULLS-FIRST local order
+    # below. An oracle/reference must therefore use ORDER BY key NULLS
+    # FIRST (Spark's ascending default; DuckDB defaults NULLS LAST).
     slim = df.select(*base_cols).withColumn(
-        "__shard", F.substring(F.col(key_col), 1, shard_prefix_len)
+        "__shard",
+        F.coalesce(
+            F.substring(F.col(key_col), 1, shard_prefix_len), F.lit("")
+        ),
     )
     # Tiny frame (one row per shard): the unpartitioned window is over
     # |shards| rows, never the data.
@@ -161,7 +170,9 @@ def sorted_neighborhood_pairs(
             F.coalesce(F.sum("__n").over(shard_w), F.lit(0)).alias("__base"),
         )
     )
-    local_w = W.partitionBy("__shard").orderBy(key_col, id_col)
+    local_w = W.partitionBy("__shard").orderBy(
+        F.col(key_col).asc_nulls_first(), F.col(id_col).asc_nulls_first()
+    )
     pos = (
         slim.join(F.broadcast(bases), "__shard")
         .withColumn(
@@ -170,13 +181,14 @@ def sorted_neighborhood_pairs(
         .drop("__shard", "__base")
     )
     band = F.floor((F.col("__pos") - 1) / window)
+    side_cols = list(dict.fromkeys([id_col, *carry_cols]))
     a = pos.select(
-        *[F.col(c).alias(f"{c}_a") for c in (id_col, *carry_cols)],
+        *[F.col(c).alias(f"{c}_a") for c in side_cols],
         F.col("__pos").alias("__pos_a"),
         band.alias("__band"),
     )
     b = pos.select(
-        *[F.col(c).alias(f"{c}_b") for c in (id_col, *carry_cols)],
+        *[F.col(c).alias(f"{c}_b") for c in side_cols],
         F.col("__pos").alias("__pos_b"),
         F.explode(F.array(band, band - 1)).alias("__band"),
     )

@@ -1568,7 +1568,7 @@ def combo_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     UNION ALL
     SELECT 'unigram', doc_id, 'coverage',
-           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           CAST(length(regexp_replace(text, '[ \t\n\x0b\f\r]+', '', 'g')) AS DOUBLE)
     FROM documents
     """.replace("__BM25_PANEL__", _BM25_PANEL_VALUES).replace(
         "__BM25_CTES__", _BM25_CTES

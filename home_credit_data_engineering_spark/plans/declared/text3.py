@@ -883,7 +883,7 @@ def text_token_label_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bracketed by ceil(coverage/6) and coverage).
     oracle="""
     SELECT doc_id,
-           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+           CAST(length(regexp_replace(text, '[ \t\n\x0b\f\r]+', '', 'g')) AS BIGINT)
              AS coverage_chars,
            TRUE AS token_bound_ok
     FROM documents

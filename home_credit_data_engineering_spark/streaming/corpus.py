@@ -234,8 +234,22 @@ def foreach_batch_corpus_pipeline(
     marker_dir = f"{state_dir.rstrip('/')}/batches"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch={batch_id}")
-        if os.path.exists(marker) or batch_df.isEmpty():
+        if batch_df.isEmpty():
+            return
+        # The replay marker is keyed by the batch's CONTENT (its id
+        # range — the same tag the increment's state deltas use), not by
+        # foreachBatch's batch_id: batch_id restarts at 0 whenever the
+        # checkpointLocation is recreated, so a batch_id-keyed marker
+        # would silently skip NEW data after a checkpoint reset, while a
+        # content-keyed marker skips exactly the batches whose work is
+        # already durable.
+        from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+            _batch_tag,
+        )
+
+        tag = _batch_tag(batch_df, "doc_id")
+        marker = os.path.join(marker_dir, tag)
+        if os.path.exists(marker):
             return
         spark = batch_df.sparkSession
         benchmark = spark.read.parquet(benchmark_path)

@@ -68,7 +68,20 @@ def foreach_batch_entity_resolution(
         cols = list(dict.fromkeys([id_col, *block_cols, *compare_cols]))
         batch = batch_df.select(*cols).dropDuplicates([id_col])
         batch = batch.localCheckpoint(eager=True)
-        prior = [i for i in _snapshot_ids(entities_dir) if i < batch_id]
+        existing = _snapshot_ids(entities_dir)
+        if existing and max(existing) >= batch_id:
+            # foreachBatch batch ids restart at 0 when checkpoint_dir is
+            # recreated. Proceeding would bootstrap from EMPTY state and
+            # then PRUNE the real snapshots — silent loss of the whole
+            # resolution history. Refuse loudly instead.
+            raise RuntimeError(
+                f"entity snapshots up to batch={max(existing)} exist under "
+                f"{entities_dir} but this stream is delivering "
+                f"batch={batch_id} — the checkpoint was reset. Point the "
+                "stream at a fresh state_dir, or restore the original "
+                "checkpoint to resume."
+            )
+        prior = [i for i in existing if i < batch_id]
         if prior:
             state = spark.read.parquet(
                 f"{entities_dir}/batch={prior[-1]}"

@@ -67,7 +67,6 @@ def pipeline_run(spark, tmp_path_factory):
     docs_path = str(base / "docs")
     bench_path = str(base / "bench")
     out_dir = str(base / "out")
-    run_log = str(base / "run.jsonl")
     spark.createDataFrame(
         _DOCS, "doc_id bigint, text string, lang string, source string"
     ).write.parquet(docs_path)
@@ -84,7 +83,7 @@ def pipeline_run(spark, tmp_path_factory):
         ]
     )
     assert rc == 0
-    return {"out": out_dir, "run_log": run_log is None or run_log, "log": run_log}
+    return {"out": out_dir}
 
 
 def test_ledger_golden(spark, pipeline_run):
@@ -397,8 +396,7 @@ def test_increment_replay_is_idempotent(spark, tmp_path):
     r1 = corpus_pipeline_increment(
         spark, batch, bench, state, out1, budget=_BUDGET, shards=4
     )
-    led1 = [tuple(x) for x in sorted(r1["report"].ledger, key=lambda d: d["stage_order"])
-            ] if False else [
+    led1 = [
         (d["stage"], d["rows_in"], d["rows_out"]) for d in r1["report"].ledger
     ]
     fp1 = sorted(

@@ -165,6 +165,44 @@ def test_sorted_neighborhood_matches_single_window_rank(spark, sf_dir):
     assert got == want
 
 
+def test_sorted_neighborhood_null_keys_still_pair(spark):
+    # r10 review finding: a NULL sort key must not silently drop the
+    # record (NULL shards fall out of equi-joins). NULLs sort FIRST
+    # (Spark's ascending default), so with window=2 the two NULL-key
+    # rows pair with each other and the first non-null row.
+    from home_credit_data_engineering_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], ["id", "k"]
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, id_col="id", key_col="k", window=2, shard_prefix_len=1
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # sort order: (NULL,2), (NULL,4), ("a",1), ("b",3)
+    assert got == {(2, 4), (4, 1), (1, 3)}
+
+
+def test_generators_allow_id_in_carry_cols(spark):
+    # carry_cols repeating the ID column must not produce ambiguous
+    # id_a references (r10 review finding).
+    from home_credit_data_engineering_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = _records(spark)
+    bp = blocked_pairs(
+        df, id_col="id", block_cols=["blk"], carry_cols=["id", "name"]
+    )
+    assert bp.filter(F.col("id_a") < F.col("id_b")).count() == 6
+    sn = sorted_neighborhood_pairs(
+        df, id_col="id", key_col="name", window=2, carry_cols=["id"]
+    )
+    assert sn.count() == 4
+
+
 def test_phonetic_key_blocks_sound_alikes(spark):
     from home_credit_data_engineering_spark.operators.linkage import (
         blocked_pairs,

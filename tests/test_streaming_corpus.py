@@ -245,10 +245,11 @@ def test_foreach_batch_corpus_pipeline_stream_equals_increments(
         clean = part if clean is None else clean.unionByName(part)
     got = {r.doc_id: r.text for r in clean.collect()}
     assert got == _EXPECTED_TEXTS  # == the full recompute's clean corpus
-    # markers recorded; replaying the same stream (fresh checkpoint, same
-    # batch ids) touches nothing
+    # markers recorded, keyed by batch CONTENT (id range) so a fresh
+    # checkpoint replaying the same stream touches nothing while a fresh
+    # checkpoint feeding NEW ids is never skipped
     markers = set(os.listdir(f"{state}/batches"))
-    assert markers == {"batch=0", "batch=1"}
+    assert markers == {"batch_1_8", "batch_2_7"}
     fp_rows = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(f"{state}/fingerprints")

@@ -313,3 +313,31 @@ def test_ascii_whitespace_class_matches_engines():
 
     assert _units("a b c") == ["a b", "c"]
     assert _units("  a\tb\nc  ") == ["a", "b", "c"]
+
+
+def test_vt_whitespace_class_matches_oracle(spark, ref_vocab):
+    # r10 review finding: RE2's \s does NOT match \x0b while Java's \s
+    # (and _WS_RE) does, so the coverage oracles must spell the class
+    # explicitly. Pin the parity on a VT-containing document: Spark-side
+    # coverage == DuckDB's explicit-class non-whitespace char count.
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.functions.unigram import (
+        unigram_stats_col,
+    )
+
+    text = "ab\x0bcd ef\tgh"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = (
+        df.select(unigram_stats_col("text", ref_vocab)["coverage_chars"])
+        .first()[0]
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        r"select length(regexp_replace(?, '[ \t\n\x0b\f\r]+', '', 'g'))",
+        [text],
+    ).fetchone()[0]
+    con.close()
+    assert got == want == 8

@@ -379,3 +379,78 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decision"
         ),
     )
+
+
+@register(
+    "er_blocking_quality",
+    oracle=f"""
+    WITH bq_c AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, {_PREFIX}) AS blk
+      FROM customer),
+    bq_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bq_c),
+    bq_blocked AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM bq_c a JOIN bq_c b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey),
+    bq_pos AS (
+      SELECT c_custkey,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS pos
+      FROM bq_c),
+    bq_snm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM bq_pos a JOIN bq_pos b
+        ON b.pos > a.pos AND b.pos - a.pos < 8)
+    SELECT 'blocked' AS generator, n_pairs,
+           ROUND(n_pairs / (n.n * (n.n - 1) / 2), 9) AS pair_fraction
+    FROM bq_blocked CROSS JOIN bq_n n
+    UNION ALL
+    SELECT 'snm' AS generator, n_pairs,
+           ROUND(n_pairs / (n.n * (n.n - 1) / 2), 9) AS pair_fraction
+    FROM bq_snm CROSS JOIN bq_n n
+    """,
+    operators=("ER-ext:blocking", "ER-ext:sorted_neighborhood"),
+    doc="Blocking-quality audit: candidate-pair counts and the pair "
+    "fraction (generated pairs / C(n,2) — 1 minus the classical "
+    "reduction ratio) for BOTH generators over the same records. The "
+    "observability a production linker tunes its block keys with: at "
+    "100 TB this is two count aggregates over the metadata-only pair "
+    "streams, and a fraction drifting toward 1 is the quadratic "
+    "explosion the max_block_rows guard exists to stop.",
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, _PREFIX).alias("blk"),
+    )
+    n = cust.count()
+    denom = float(n) * (n - 1) / 2.0
+    blocked = blocked_pairs(
+        cust, id_col="c_custkey", block_cols=["c_nationkey", "blk"]
+    )
+    snm = sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        key_col="c_name",
+        window=8,
+        shard_prefix_len=16,
+    )
+
+    def leg(name: str, pairs: DataFrame) -> DataFrame:
+        return pairs.agg(
+            F.lit(name).alias("generator"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.count(F.lit(1)) / F.lit(denom), 9).alias(
+                "pair_fraction"
+            ),
+        ).select("generator", "n_pairs", "pair_fraction")
+
+    return leg("blocked", blocked).unionByName(leg("snm", snm))

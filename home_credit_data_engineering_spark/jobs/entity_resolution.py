@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import shutil
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -100,21 +99,16 @@ def main(argv: list[str] | None = None) -> int:
     match = _matcher(args.max_lev, args.name_col)
 
     if args.state_dir:
+        from home_credit_data_engineering_spark.sources.maintenance import (
+            recover_state_swap,
+            staged_state_path,
+            swap_in_state,
+        )
+
         state_path = os.path.join(args.state_dir, "entities")
-        next_path = os.path.join(args.state_dir, "entities__next")
-        # Crash recovery for the two-phase swap below: a leftover
-        # entities__next means a prior run died mid-swap. If its write
-        # COMPLETED (_SUCCESS marker) and entities/ is gone (crash
-        # between rmtree and rename), finish the swap — that run's fold
-        # was durable; re-running its batch would violate the new-ids
-        # contract. Any other leftover is an incomplete write: discard
-        # it (its batch was never applied and will be re-run).
-        if os.path.isdir(next_path):
-            complete = os.path.exists(os.path.join(next_path, "_SUCCESS"))
-            if complete and not os.path.isdir(state_path):
-                os.rename(next_path, state_path)
-            else:
-                shutil.rmtree(next_path)
+        # Crash recovery for the two-phase swap below (shared helper;
+        # recovery rules documented on recover_state_swap).
+        recover_state_swap(state_path)
         if os.path.isdir(state_path):
             state = spark.read.parquet(state_path)
         else:
@@ -137,11 +131,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         # Two-phase swap: the plan READS yesterday's state files, so an
         # in-place overwrite would consume its own input.
-        next_path = os.path.join(args.state_dir, "entities__next")
-        updated.write.mode("overwrite").parquet(next_path)
-        if os.path.isdir(state_path):
-            shutil.rmtree(state_path)
-        os.rename(next_path, state_path)
+        updated.write.mode("overwrite").parquet(staged_state_path(state_path))
+        swap_in_state(state_path)
         updated_state = spark.read.parquet(state_path)
         if args.index_output:
             write_entity_index(

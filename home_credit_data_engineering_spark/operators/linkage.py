@@ -63,6 +63,10 @@ def blocked_pairs(
     standard production trade (a block of 10M identical keys is junk
     data, not 50T candidate pairs).
     """
+    if oversize not in ("raise", "skip"):
+        raise ValueError(
+            f'oversize must be "raise" or "skip", got {oversize!r}'
+        )
     carry_cols = list(carry_cols or [])
     # a carry column may repeat the id/block columns (scoring usually
     # compares the block key itself) — select each source column once
@@ -558,27 +562,30 @@ def incremental_resolve_entities(
     members = state.select(id_col, "entity_id", *attrs).join(
         touched, on=list(block_cols), how="left_semi"
     )
-    pool = slim_batch.unionByName(
-        members.drop("entity_id"), allowMissingColumns=False
-    )
     # alias id + non-block attrs with pair suffixes; block cols stay
     # unsuffixed so the pair generation is an equi-join on them
-    a = slim_batch.select(
-        *[
-            F.col(c).alias(f"{c}_a")
-            for c in (id_col, *[x for x in attrs if x not in block_cols])
-        ],
-        *block_cols,
-    )
-    b = pool.select(
-        *[
-            F.col(c).alias(f"{c}_b")
-            for c in (id_col, *[x for x in attrs if x not in block_cols])
-        ],
-        *block_cols,
-    )
-    raw_pairs = a.join(b, on=list(block_cols)).filter(
-        F.col(f"{id_col}_a") != F.col(f"{id_col}_b")
+    def _suffix(frame: DataFrame, suf: str) -> DataFrame:
+        return frame.select(
+            *[
+                F.col(c).alias(f"{c}{suf}")
+                for c in (id_col, *[x for x in attrs if x not in block_cols])
+            ],
+            *block_cols,
+        )
+
+    a = _suffix(slim_batch, "_a")
+    # batch × batch: one orientation only (id_a < id_b) so the matcher
+    # scores each new-new candidate once; batch × state-members: keep
+    # the batch side as _a (state ids are distinct from batch ids by
+    # contract, so no self-pairs arise).
+    raw_pairs = (
+        a.join(_suffix(slim_batch, "_b"), on=list(block_cols)).filter(
+            F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+        )
+    ).unionByName(
+        a.join(
+            _suffix(members.drop("entity_id"), "_b"), on=list(block_cols)
+        ).filter(F.col(f"{id_col}_a") != F.col(f"{id_col}_b"))
     )
     # block cols are equal within a pair; re-expose them suffixed so the
     # matcher sees the same shape blocked_pairs produces.

@@ -69,11 +69,18 @@ def foreach_batch_entity_resolution(
         batch = batch_df.select(*cols).dropDuplicates([id_col])
         batch = batch.localCheckpoint(eager=True)
         existing = _snapshot_ids(entities_dir)
-        if existing and max(existing) >= batch_id:
+        if existing and max(existing) > batch_id:
             # foreachBatch batch ids restart at 0 when checkpoint_dir is
             # recreated. Proceeding would bootstrap from EMPTY state and
             # then PRUNE the real snapshots — silent loss of the whole
             # resolution history. Refuse loudly instead.
+            #
+            # max(existing) == batch_id is NOT a reset: it is the
+            # at-least-once replay window (crash after entities/batch=N was
+            # written but before the offset committed). The replay falls
+            # through, recomputes from the latest snapshot with id < N, and
+            # overwrites batch=N — the convergent path the docstring
+            # promises.
             raise RuntimeError(
                 f"entity snapshots up to batch={max(existing)} exist under "
                 f"{entities_dir} but this stream is delivering "

@@ -76,6 +76,12 @@ def test_blocked_pairs_oversize_raise_and_skip(spark):
     # B1 (4 rows) is skipped entirely; B2 has a single row -> no pairs.
     assert pairs.count() == 0
     assert stats["oversized_blocks"] == 1
+    # a typo'd mode must fail loudly, not silently behave as "skip"
+    with pytest.raises(ValueError, match="oversize"):
+        blocked_pairs(
+            df, id_col="id", block_cols=["blk"], max_block_rows=3,
+            oversize="Raise",
+        )
 
 
 def test_score_and_resolve_chain(spark):

@@ -88,3 +88,85 @@ def test_maintenance_cli(spark, tmp_path):
     assert m(["expire", "--path", base, "--keep-days", "7", "--as-of", "2026-08-13"]) == 0
     assert not os.path.exists(f"{base}/year=2026/month=8/day=1")
     assert os.path.exists(f"{base}/year=2026/month=8/day=12")
+
+
+def test_state_swap_happy_path(spark, tmp_path):
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        recover_state_swap,
+        staged_state_path,
+        swap_in_state,
+    )
+
+    state = str(tmp_path / "state")
+    spark.range(5).write.parquet(state)
+    spark.range(5, 12).write.parquet(staged_state_path(state))
+    swap_in_state(state)
+    assert not os.path.isdir(staged_state_path(state))
+    got = {r["id"] for r in spark.read.parquet(state).collect()}
+    assert got == set(range(5, 12))
+    # nothing staged -> recovery is a no-op
+    assert recover_state_swap(state) is None
+
+
+def test_state_swap_refuses_incomplete(spark, tmp_path):
+    import pytest
+
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        staged_state_path,
+        swap_in_state,
+    )
+
+    state = str(tmp_path / "state")
+    spark.range(5).write.parquet(state)
+    spark.range(7).write.parquet(staged_state_path(state))
+    os.remove(os.path.join(staged_state_path(state), "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        swap_in_state(state)
+    # old state untouched
+    assert spark.read.parquet(state).count() == 5
+
+
+def test_state_swap_recovery_finishes_orphan(spark, tmp_path):
+    """Crash between rmtree(state) and rename: only the completed staged
+    dir survives -> recovery must promote it."""
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        recover_state_swap,
+        staged_state_path,
+    )
+
+    state = str(tmp_path / "state")
+    spark.range(9).write.parquet(staged_state_path(state))
+    assert recover_state_swap(state) == "finished"
+    assert spark.read.parquet(state).count() == 9
+    assert not os.path.isdir(staged_state_path(state))
+
+
+def test_state_swap_recovery_discards_when_state_alive(spark, tmp_path):
+    """Completed staged dir but live state still present: the swap never
+    started -> the retry will re-run the batch, so discard the stage
+    (finishing would make the retry fold the batch twice)."""
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        recover_state_swap,
+        staged_state_path,
+    )
+
+    state = str(tmp_path / "state")
+    spark.range(5).write.parquet(state)
+    spark.range(9).write.parquet(staged_state_path(state))
+    assert recover_state_swap(state) == "discarded"
+    assert spark.read.parquet(state).count() == 5
+    assert not os.path.isdir(staged_state_path(state))
+
+
+def test_state_swap_recovery_discards_incomplete(spark, tmp_path):
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        recover_state_swap,
+        staged_state_path,
+    )
+
+    state = str(tmp_path / "state")
+    spark.range(9).write.parquet(staged_state_path(state))
+    os.remove(os.path.join(staged_state_path(state), "_SUCCESS"))
+    assert recover_state_swap(state) == "discarded"
+    assert not os.path.isdir(state)
+    assert not os.path.isdir(staged_state_path(state))

@@ -122,3 +122,98 @@ def test_streaming_er_replay_is_idempotent(spark, tmp_path):
         state, batch, "id", ["blk"], ["name"], _matcher
     )
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def _run_er_stream(spark, schema, flat, state, ckpt):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(flat)
+    )
+    foreach_batch_entity_resolution(
+        stream,
+        state,
+        ckpt,
+        id_col="id",
+        block_cols=["blk"],
+        compare_cols=["name"],
+        matcher=_matcher,
+    )
+
+
+def _write_waves(spark, schema, tmp_path):
+    src = str(tmp_path / "src")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, wave in enumerate(_WAVES):
+        rows = [r for r in _ROWS if r[0] in wave]
+        d = f"{src}/w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+    return flat
+
+
+def test_streaming_er_crash_replay_recovers(spark, tmp_path):
+    """At-least-once redelivery through the REAL checkpoint machinery:
+    crash after entities/batch=N was written but before the offset
+    committed means restart redelivers batch N with its snapshot already
+    on disk. The batch must be treated as a replay (recompute from the
+    predecessor), not a checkpoint reset."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blk", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    flat = _write_waves(spark, schema, tmp_path)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _run_er_stream(spark, schema, flat, state, ckpt)
+
+    # Simulate the crash window: the snapshot for the final batch exists
+    # but its offset commit is gone -> restart replays that batch.
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_er_stream(spark, schema, flat, state, ckpt)
+
+    got = {
+        r["id"]: r["entity_id"]
+        for r in read_entity_state(spark, state).collect()
+    }
+    union = spark.createDataFrame(_ROWS, schema)
+    pairs = blocked_pairs(union, "id", ["blk"], carry_cols=["name"])
+    want = {
+        r["id"]: r["entity_id"]
+        for r in resolve_entities(
+            union, _matcher(pairs), "id", "id_a", "id_b"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_er_checkpoint_reset_still_raises(spark, tmp_path):
+    import pytest
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blk", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    flat = _write_waves(spark, schema, tmp_path)
+    state = str(tmp_path / "state")
+    _run_er_stream(spark, schema, flat, state, str(tmp_path / "ckpt"))
+    # Fresh checkpoint restarts batch ids at 0 while snapshots up to
+    # batch=2 exist -> batch 0 < max snapshot id: refuse loudly.
+    with pytest.raises(Exception, match="checkpoint was reset"):
+        _run_er_stream(spark, schema, flat, state, str(tmp_path / "ckpt2"))

@@ -17,7 +17,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="Build a persisted IVF index (cell-partitioned parquet)"
     )
     parser.add_argument("--input", required=True, help="embeddings parquet path")
-    parser.add_argument("--output", required=True, help="index path")
+    parser.add_argument("--output",
+                        help="index path (full build mode; or use --state-dir)")
     parser.add_argument("--id-col", default="vec_id")
     parser.add_argument("--vec-col", default="embedding")
     parser.add_argument("--n-centroids", type=int, default=0,
@@ -38,42 +39,65 @@ def build_parser() -> argparse.ArgumentParser:
                         help="learn an OPQ rotation first (requires --pq); "
                         "the whole index builds in the rotated space and "
                         "the query path auto-detects the saved rotation")
+    parser.add_argument("--state-dir",
+                        help="incremental mode (instead of --output): the "
+                        "persisted index directory. First run (no index "
+                        "there yet) does the full build; later runs treat "
+                        "--input as a batch of NEW vectors and fold it in "
+                        "O(batch) — append into the existing cell "
+                        "partitions under frozen centroids, update the "
+                        "per-cell drift stats, print the drift report")
+    parser.add_argument("--mean-shift-threshold", type=float, default=0.2,
+                        help="incremental mode: recommend a rebuild when "
+                        "any cell's running mean direction drifts more "
+                        "than this (1 - cosine) from its centroid")
+    parser.add_argument("--imbalance-threshold", type=float, default=8.0,
+                        help="incremental mode: recommend a rebuild when "
+                        "max/mean cell size exceeds this")
+    parser.add_argument("--rebuild-on-drift", action="store_true",
+                        help="incremental mode: when a drift threshold "
+                        "trips, retrain the full index from the stored "
+                        "vectors into a staged sibling and swap it in "
+                        "(two-phase, crash-safe)")
     return parser
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.residual and not args.pq:
-        raise SystemExit("--residual requires --pq")
-    if args.opq and not args.pq:
-        raise SystemExit("--opq requires --pq")
-    from home_credit_data_engineering_spark import get_session
-    from home_credit_data_engineering_spark.sources.readers import read_parquet
-
-    spark = get_session(app_name="ann-index-build")
-    emb = read_parquet(spark, args.input)
+def _full_build(
+    emb,
+    out: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    train_rows: int,
+    pq: bool,
+    pq_m: int,
+    pq_nbits: int,
+    residual: bool,
+    opq: bool,
+) -> str:
+    """Full (re)train+write of the index at ``out``; returns a summary."""
     n = emb.count()
-    n_cells = args.n_centroids or max(16, int(n**0.5))
-    train_frac = min(1.0, args.train_rows / n) if n > args.train_rows else None
-    if args.pq:
+    n_cells = n_centroids or max(16, int(n**0.5))
+    train_frac = min(1.0, train_rows / n) if n > train_rows else None
+    if pq:
         from home_credit_data_engineering_spark.operators.quantization import (
             build_ivfpq_index,
         )
 
         centers, _books = build_ivfpq_index(
             emb,
-            args.output,
-            id_col=args.id_col,
-            vec_col=args.vec_col,
+            out,
+            id_col=id_col,
+            vec_col=vec_col,
             n_centroids=n_cells,
-            m=args.pq_m,
-            nbits=args.pq_nbits,
+            m=pq_m,
+            nbits=pq_nbits,
             train_fraction=train_frac,
-            residual=args.residual,
-            opq=args.opq,
+            residual=residual,
+            opq=opq,
         )
-        kind = "ivfpq-residual" if args.residual else "ivfpq"
-        if args.opq:
+        kind = "ivfpq-residual" if residual else "ivfpq"
+        if opq:
             kind += "-opq"
     else:
         from home_credit_data_engineering_spark.operators.similarity import (
@@ -82,17 +106,120 @@ def main(argv: list[str] | None = None) -> int:
 
         centers = build_ivf_index(
             emb,
-            args.output,
-            id_col=args.id_col,
-            vec_col=args.vec_col,
+            out,
+            id_col=id_col,
+            vec_col=vec_col,
             n_centroids=n_cells,
             train_fraction=train_frac,
         )
         kind = "ivf"
-    print(
-        f"ann_index[{kind}]: {n} vectors -> {len(centers)} cells at "
-        f"{args.output}"
+    return f"ann_index[{kind}]: {n} vectors -> {len(centers)} cells at {out}"
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.residual and not args.pq:
+        raise SystemExit("--residual requires --pq")
+    if args.opq and not args.pq:
+        raise SystemExit("--opq requires --pq")
+    if not args.state_dir and not args.output:
+        raise SystemExit("--output is required (or use --state-dir)")
+    import os
+
+    from home_credit_data_engineering_spark import get_session
+    from home_credit_data_engineering_spark.sources.readers import read_parquet
+
+    spark = get_session(app_name="ann-index-build")
+    emb = read_parquet(spark, args.input)
+
+    if not args.state_dir:
+        print(
+            _full_build(
+                emb, args.output, args.id_col, args.vec_col,
+                args.n_centroids, args.train_rows, args.pq, args.pq_m,
+                args.pq_nbits, args.residual, args.opq,
+            )
+        )
+        return 0
+
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        recover_state_swap,
+        staged_state_path,
+        swap_in_state,
     )
+
+    idx = args.state_dir
+    recover_state_swap(idx)
+    if not os.path.exists(os.path.join(idx, "_centroids.npy")):
+        # bootstrap: first batch trains and writes the whole index
+        print(
+            _full_build(
+                emb, idx, args.id_col, args.vec_col, args.n_centroids,
+                args.train_rows, args.pq, args.pq_m, args.pq_nbits,
+                args.residual, args.opq,
+            )
+        )
+        return 0
+
+    is_pq = os.path.isdir(os.path.join(idx, "codes"))
+    from home_credit_data_engineering_spark.operators.ann_state import (
+        ivf_index_increment,
+        ivfpq_index_increment,
+    )
+
+    fold = ivfpq_index_increment if is_pq else ivf_index_increment
+    report = fold(
+        emb,
+        idx,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        mean_shift_threshold=args.mean_shift_threshold,
+        imbalance_threshold=args.imbalance_threshold,
+    )
+    print(
+        "ann_index[increment%s]: +%d vectors, max_mean_shift=%.4f, "
+        "size_imbalance=%.2f, rebuild_recommended=%s (trigger=%s)"
+        % (
+            "-pq" if is_pq else "",
+            report["appended"],
+            report["max_mean_shift"],
+            report["size_imbalance"],
+            report["rebuild_recommended"],
+            report["trigger"],
+        )
+    )
+    if report["rebuild_recommended"] and args.rebuild_on_drift:
+        import shutil
+
+        import numpy as np
+
+        # Retrain from the stored vectors into a staged sibling, then
+        # swap (shared two-phase helper). PQ geometry is inferred from
+        # the stored sidecars so the rebuild matches the original build.
+        if is_pq:
+            src = spark.read.parquet(os.path.join(idx, "vectors")).select(
+                args.id_col, args.vec_col
+            )
+            books = np.load(os.path.join(idx, "_codebooks.npy"))
+            pq_m, n_codes = books.shape[0], books.shape[1]
+            pq_nbits = int(n_codes).bit_length() - 1
+            residual = bool(np.load(os.path.join(idx, "_residual.npy"))[0])
+            opq = os.path.exists(os.path.join(idx, "_rotation.npy"))
+        else:
+            src = spark.read.parquet(idx).select(args.id_col, args.vec_col)
+            pq_m, pq_nbits, residual, opq = args.pq_m, args.pq_nbits, False, False
+        staged = staged_state_path(idx)
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        msg = _full_build(
+            src, staged, args.id_col, args.vec_col, args.n_centroids,
+            args.train_rows, is_pq, pq_m, pq_nbits, residual, opq,
+        )
+        # the PQ layout keeps its _SUCCESS markers inside codes/ and
+        # vectors/; the swap helper wants one at the staged root
+        open(os.path.join(staged, "_SUCCESS"), "a").close()
+        swap_in_state(idx)
+        print(msg.replace(staged, idx) + " (drift rebuild)")
     return 0
 
 

@@ -1,0 +1,371 @@
+"""O(Δ) incremental maintenance for the persisted ANN indexes.
+
+The IVF (``similarity.build_ivf_index``) and IVF-PQ
+(``quantization.build_ivfpq_index``) indexes are cell-partitioned
+parquet plus tiny numpy sidecars. A daily embedding batch should not
+trigger a full retrain+rewrite of a 100 TB index; this module gives the
+indexes the same O(Δ) fold the dedup states (``dedup.py``), entity
+resolution (``linkage.incremental_resolve_entities``) and the corpus
+pipeline already have:
+
+- **Increment** — assign the new vectors to their nearest EXISTING
+  centroid with the exact same UDF the build used
+  (``similarity.best_cell_udf`` / ``quantization.assign_encode_udf``),
+  then APPEND the cell-partitioned files. Cost is one pass over Δ: the
+  stored corpus partitions are never read (asserted in
+  ``tests/test_ann_incremental.py`` by garbling them first), only the
+  KB-sized centroid sidecar and the cells-sized stats table.
+- **Drift tracking** — the centroids are frozen between rebuilds, so
+  index quality decays if the data distribution moves. Each index keeps
+  a per-cell running ``(count, Σ unit-vector)`` table
+  (``{path}/_cell_stats``, ≤ n_cells rows); after every increment the
+  report compares each cell's running mean direction against its
+  centroid (``mean_shift = 1 − cos``) and the cell-size spread
+  (``size_imbalance = max/mean``), and recommends a rebuild past the
+  thresholds — the standard "append until drift, then retrain" regime
+  (FAISS deployments do the same; centroids are a snapshot of the
+  distribution, not ground truth).
+- **Rebuild** — ``jobs/ann_index.py --state-dir`` folds batches and,
+  with ``--rebuild-on-drift``, retrains from the stored vectors into a
+  staged sibling and swaps it in atomically (the shared two-phase
+  state-swap helper, ``sources/maintenance.py``).
+
+Correctness shape: given fixed centroids, increment-then-query is
+EXACTLY build-then-query over the union (same assignment UDF, parquet
+append lands in the same ``cell=N`` partitions); the only approximation
+relative to a full rebuild is the frozen coarse quantizer, which the
+recall certificate in the tests bounds on planted clusters.
+
+Scale shape: the stats table is two-level — Arrow-batch partial sums via
+``mapInPandas`` (≤ n_cells rows per batch leave each task), then a tiny
+per-cell merge — so no shuffle ever carries vectors, and the driver only
+ever sees n_cells rows. The parquet append is one write of Δ rows into
+existing partition directories; no old file is rewritten.
+
+The stats table is advisory (drift diagnostics), so its float sums are
+not required to be bit-stable across partitionings; nothing hashes them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.functions.vectors import to_double_array
+from home_credit_data_engineering_spark.sources.maintenance import (
+    recover_state_swap,
+    staged_state_path,
+    swap_in_state,
+)
+
+__all__ = [
+    "cell_stats",
+    "refresh_cell_stats_from_index",
+    "read_cell_stats",
+    "drift_report",
+    "ivf_index_increment",
+    "ivfpq_index_increment",
+]
+
+_STATS_SCHEMA = "cell int, n long, vsum array<double>"
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    return np.where(
+        norms[:, None] > 0, mat / np.maximum(norms, 1e-300)[:, None], 0.0
+    )
+
+
+def cell_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    rot: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-cell ``(n, Σ unit-vector)`` over the ASSIGNMENT space (unit
+    normalization, plus the OPQ rotation when the index has one — the
+    space the centroids live in, so drift is measured apples-to-apples).
+
+    Two-level aggregation: ``mapInPandas`` reduces each Arrow batch to
+    ≤ n_cells partial rows (vectors never shuffle), then a per-cell
+    merge sums the partials.
+    """
+    cols = df.select(
+        F.col(cell_col).cast("int").alias("cell"),
+        to_double_array(vec_col).alias("__v"),
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _unit(np.array(pdf["__v"].tolist(), dtype=np.float64))
+            if rot is not None:
+                M = M @ rot
+            cells = pdf["cell"].to_numpy()
+            uniq = np.unique(cells)
+            yield pd.DataFrame(
+                {
+                    "cell": [int(c) for c in uniq],
+                    "n": [int((cells == c).sum()) for c in uniq],
+                    "vsum": [M[cells == c].sum(axis=0) for c in uniq],
+                }
+            )
+
+    part = cols.mapInPandas(partials, _STATS_SCHEMA)
+
+    def merge(key, pdf):
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "n": [int(pdf["n"].sum())],
+                "vsum": [
+                    np.array(pdf["vsum"].tolist(), dtype=np.float64).sum(axis=0)
+                ],
+            }
+        )
+
+    return part.groupBy("cell").applyInPandas(merge, _STATS_SCHEMA)
+
+
+def _stats_path(index_path: str) -> str:
+    # underscore prefix: Spark treats the dir as hidden, so reading the
+    # index root never picks the stats up as data (same trick as the
+    # _centroids.npy sidecar).
+    return os.path.join(index_path, "_cell_stats")
+
+
+def _write_cell_stats(stats: DataFrame, index_path: str) -> None:
+    sp = _stats_path(index_path)
+    stats.coalesce(1).write.mode("overwrite").parquet(staged_state_path(sp))
+    swap_in_state(sp)
+
+
+def _load_rotation(index_path: str) -> np.ndarray | None:
+    p = os.path.join(index_path, "_rotation.npy")
+    return np.load(p) if os.path.exists(p) else None
+
+
+def refresh_cell_stats_from_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """(Re)compute ``_cell_stats`` from the stored index — one full scan.
+
+    Called at build time (so the first increment is O(Δ)) and lazily by
+    the increment path when a pre-stats index is encountered. Detects
+    the index kind: a ``codes/`` subdir means IVF-PQ (cells live with
+    the codes, vectors in ``vectors/``; stats taken in the rotated space
+    when an OPQ rotation is stored), otherwise plain IVF (one table)."""
+    codes_dir = os.path.join(index_path, "codes")
+    if os.path.isdir(codes_dir):
+        rot = _load_rotation(index_path)
+        codes = spark.read.parquet(codes_dir).select(id_col, "cell")
+        vecs = spark.read.parquet(os.path.join(index_path, "vectors")).select(
+            id_col, vec_col
+        )
+        stats = cell_stats(codes.join(vecs, on=id_col), vec_col, rot=rot)
+    else:
+        stats = cell_stats(spark.read.parquet(index_path), vec_col)
+    _write_cell_stats(stats, index_path)
+
+
+def read_cell_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(_stats_path(index_path))
+
+
+def drift_report(
+    stats_rows,
+    centers: np.ndarray,
+    mean_shift_threshold: float = 0.2,
+    imbalance_threshold: float = 8.0,
+) -> dict:
+    """Driver-side drift verdict from the (≤ n_cells) stats rows.
+
+    ``mean_shift`` per cell = ``1 − cos(centroid, running mean)`` —
+    zero when the cell's members still point where the centroid does;
+    ``size_imbalance`` = max cell count / mean cell count over ALL
+    centroids (empty cells count zero — a distribution collapse shows
+    up as imbalance even when directions hold still).
+    """
+    c_unit = _unit(centers)
+    counts = np.zeros(len(centers), dtype=np.int64)
+    max_shift = 0.0
+    weighted = 0.0
+    total = 0
+    for r in stats_rows:
+        cell, n = int(r["cell"]), int(r["n"])
+        counts[cell] = n
+        mean = np.asarray(r["vsum"], dtype=np.float64) / max(n, 1)
+        norm = np.linalg.norm(mean)
+        if norm == 0:
+            continue
+        shift = float(1.0 - (mean / norm) @ c_unit[cell])
+        max_shift = max(max_shift, shift)
+        weighted += shift * n
+        total += n
+    imbalance = float(counts.max() / counts.mean()) if counts.sum() else 0.0
+    trigger = None
+    if max_shift > mean_shift_threshold:
+        trigger = "mean_shift"
+    elif imbalance > imbalance_threshold:
+        trigger = "size_imbalance"
+    return {
+        "n_cells": int(len(centers)),
+        "n_vectors": int(counts.sum()),
+        "max_mean_shift": max_shift,
+        "weighted_mean_shift": (weighted / total) if total else 0.0,
+        "size_imbalance": imbalance,
+        "mean_shift_threshold": mean_shift_threshold,
+        "imbalance_threshold": imbalance_threshold,
+        "rebuild_recommended": trigger is not None,
+        "trigger": trigger,
+    }
+
+
+def _merge_and_report(
+    spark: SparkSession,
+    index_path: str,
+    delta_stats: DataFrame,
+    centers: np.ndarray,
+    mean_shift_threshold: float,
+    imbalance_threshold: float,
+    appended: int,
+) -> dict:
+    def resum(key, pdf):
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "n": [int(pdf["n"].sum())],
+                "vsum": [
+                    np.array(pdf["vsum"].tolist(), dtype=np.float64).sum(axis=0)
+                ],
+            }
+        )
+
+    merged = (
+        read_cell_stats(spark, index_path)
+        .unionByName(delta_stats)
+        .groupBy("cell")
+        .applyInPandas(resum, _STATS_SCHEMA)
+    )
+    rows = merged.collect()  # ≤ n_cells rows — the only driver transfer
+    _write_cell_stats(
+        spark.createDataFrame(rows, _STATS_SCHEMA), index_path
+    )
+    report = drift_report(
+        rows, centers, mean_shift_threshold, imbalance_threshold
+    )
+    report["appended"] = appended
+    return report
+
+
+def ivf_index_increment(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_shift_threshold: float = 0.2,
+    imbalance_threshold: float = 8.0,
+) -> dict:
+    """Fold a batch of NEW vectors into a persisted IVF index in O(Δ).
+
+    Assigns each new vector to its nearest existing centroid (the
+    build's own UDF — ``similarity.best_cell_udf``), appends the rows
+    into the matching ``cell=N`` partition directories, folds the batch
+    into the ``_cell_stats`` running sums, and returns the drift report
+    (see :func:`drift_report`) plus ``appended``.
+
+    Ids must be new (the same contract as every incremental state here —
+    re-ingesting a known id is an upstream bug this layer does not
+    mask); a replayed batch double-appends, so drive replays through an
+    orchestrator that retries whole jobs, not partial writes.
+    """
+    from home_credit_data_engineering_spark.operators.similarity import (
+        best_cell_udf,
+    )
+
+    spark = new_vectors.sparkSession
+    centers = np.load(os.path.join(path, "_centroids.npy"))
+    recover_state_swap(_stats_path(path))
+    if not os.path.isdir(_stats_path(path)):
+        # pre-r11 index without stats: one-time full-scan initialization
+        # BEFORE the append (after it, the delta would double-count).
+        refresh_cell_stats_from_index(spark, path, id_col, vec_col)
+    best_cell = best_cell_udf(_unit(centers))
+    delta = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best_cell(to_double_array(vec_col)).alias("cell"),
+    ).localCheckpoint(eager=True)  # assign once; reused by append + stats
+    delta.write.mode("append").partitionBy("cell").parquet(path)
+    return _merge_and_report(
+        spark,
+        path,
+        cell_stats(delta, vec_col),
+        centers,
+        mean_shift_threshold,
+        imbalance_threshold,
+        appended=delta.count(),
+    )
+
+
+def ivfpq_index_increment(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_shift_threshold: float = 0.2,
+    imbalance_threshold: float = 8.0,
+) -> dict:
+    """IVF-PQ mirror of :func:`ivf_index_increment`: assign + PQ-encode
+    the new vectors under the FROZEN centroids/codebooks/rotation
+    (``quantization.assign_encode_udf`` — byte-identical codes to a
+    build with the same sidecars), append ``codes/`` (cell-partitioned)
+    and ``vectors/`` (re-rank payload), fold the stats, report drift.
+    """
+    from home_credit_data_engineering_spark.operators.quantization import (
+        assign_encode_udf,
+    )
+
+    spark = new_vectors.sparkSession
+    centers = np.load(os.path.join(path, "_centroids.npy"))
+    books = np.load(os.path.join(path, "_codebooks.npy"))
+    residual = bool(np.load(os.path.join(path, "_residual.npy"))[0])
+    rot = _load_rotation(path)
+    recover_state_swap(_stats_path(path))
+    if not os.path.isdir(_stats_path(path)):
+        refresh_cell_stats_from_index(spark, path, id_col, vec_col)
+    encode = assign_encode_udf(_unit(centers), books, rot, residual)
+    enc = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        encode(to_double_array(vec_col)).alias("__ae"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("__ae.cell").alias("cell"),
+        F.col("__ae.code").alias("pq_code"),
+    ).localCheckpoint(eager=True)
+    enc.select(id_col, "pq_code", "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "codes"))
+    enc.select(id_col, vec_col).write.mode("append").parquet(
+        os.path.join(path, "vectors")
+    )
+    return _merge_and_report(
+        spark,
+        path,
+        cell_stats(enc, vec_col, rot=rot),
+        centers,
+        mean_shift_threshold,
+        imbalance_threshold,
+        appended=enc.count(),
+    )

@@ -266,6 +266,40 @@ def pq_topk(
     )
 
 
+def assign_encode_udf(
+    c_unit: np.ndarray,
+    books: np.ndarray,
+    rot: np.ndarray | None,
+    residual: bool,
+):
+    """Pandas UDF mapping a raw vector to its (coarse cell, PQ code) under
+    fixed centroids/codebooks/rotation. Shared by the one-time build and
+    the O(Δ) increment (``operators/ann_state.py``) so the two paths can
+    never encode differently."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, dsub = books.shape
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def assign_and_encode(v: pd.Series) -> pd.DataFrame:
+        x = _unit(np.array(v.tolist(), dtype=np.float64))
+        if rot is not None:
+            x = x @ rot
+        cells = np.argsort(-(x @ c_unit.T), axis=1, kind="stable")[:, 0]
+        if residual:
+            x = x - c_unit[cells]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"), "code": list(codes)}
+        )
+
+    return assign_and_encode
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -366,22 +400,7 @@ def build_ivfpq_index(
         books = _lloyd_codebooks(sample, m, nbits, seed)
     dsub = books.shape[2]
 
-    @pandas_udf("struct<cell:int, code:array<int>>")
-    def assign_and_encode(v: pd.Series) -> pd.DataFrame:
-        x = _unit(np.array(v.tolist(), dtype=np.float64))
-        if rot is not None:
-            x = x @ rot
-        cells = np.argsort(-(x @ c_unit.T), axis=1, kind="stable")[:, 0]
-        if residual:
-            x = x - c_unit[cells]
-        codes = np.empty((len(x), m), dtype=np.int32)
-        for j in range(m):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.DataFrame(
-            {"cell": cells.astype("int32"), "code": list(codes)}
-        )
+    assign_and_encode = assign_encode_udf(c_unit, books, rot, residual)
 
     enc = corpus.select(
         F.col(id_col),
@@ -405,6 +424,15 @@ def build_ivfpq_index(
     np.save(os.path.join(path, "_residual.npy"), np.array([int(residual)]))
     if rot is not None:
         np.save(os.path.join(path, "_rotation.npy"), rot)
+    # Seed the per-cell running stats for the O(Δ) increment path's
+    # drift tracking (ann_state.ivfpq_index_increment).
+    from home_credit_data_engineering_spark.operators.ann_state import (
+        refresh_cell_stats_from_index,
+    )
+
+    refresh_cell_stats_from_index(
+        corpus.sparkSession, path, id_col=id_col, vec_col=vec_col
+    )
     return centers, books
 
 

@@ -463,6 +463,27 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def best_cell_udf(c_unit: np.ndarray):
+    """Pandas UDF assigning each vector to its nearest (max-cosine)
+    centroid from the given UNIT-normalized centroid matrix. Shared by
+    the one-time build and the O(Δ) increment
+    (``operators/ann_state.py``) so assignments can never drift between
+    the two paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def best_cell(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        Mu = np.where(mn[:, None] > 0, M / np.maximum(mn, 1e-300)[:, None], 0.0)
+        sims = Mu @ c_unit.T
+        return pd.Series(
+            np.argsort(-sims, axis=1, kind="stable")[:, 0].astype("int32")
+        )
+
+    return best_cell
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -508,19 +529,22 @@ def build_ivf_index(
         c_norm[:, None] > 0, centers_mat / np.maximum(c_norm, 1e-300)[:, None], 0.0
     )
 
-    @pandas_udf("int")
-    def best_cell(v: pd.Series) -> pd.Series:
-        M = np.array(v.tolist(), dtype=np.float64)
-        mn = np.linalg.norm(M, axis=1)
-        Mu = np.where(mn[:, None] > 0, M / np.maximum(mn, 1e-300)[:, None], 0.0)
-        sims = Mu @ c_unit.T
-        return pd.Series(np.argsort(-sims, axis=1, kind="stable")[:, 0].astype("int32"))
-
+    best_cell = best_cell_udf(c_unit)
     corpus.select(
         F.col(id_col), F.col(vec_col), best_cell(to_double_array(vec_col)).alias("cell")
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "_centroids.npy"), centers_mat)
+    # Per-cell running stats seed the O(Δ) increment path's drift
+    # tracking (ann_state.ivf_index_increment); computed from the
+    # just-written index so the first increment is O(Δ), not O(corpus).
+    from home_credit_data_engineering_spark.operators.ann_state import (
+        refresh_cell_stats_from_index,
+    )
+
+    refresh_cell_stats_from_index(
+        corpus.sparkSession, path, id_col=id_col, vec_col=vec_col
+    )
     return centers_mat
 
 

@@ -153,7 +153,15 @@ DRIVER_SET: tuple[str, ...] = (
     # q3/q10, a1_multi_measure_agg, q1; tpch:q5 is a showcase label,
     # carve-out in tests/test_driver_set.py). q5 remains registered and
     # parity-tested in-repo.
-    "q10_returned_items",
+    # New in r11: O(Δ) incremental IVF index maintenance (persisted
+    # index absorbs a 20% delta under frozen centroids, recall-certified
+    # vs exact brute force) takes q10_returned_items' slot — q10's
+    # operator tags (J2, A1, O4) stay multiply covered
+    # (j2_star_assembly, a1_multi_measure_agg/q1, combo_pagination/q18)
+    # and tpch:q10 is a showcase label (carve-out in
+    # tests/test_driver_set.py). q10 remains registered and
+    # parity-tested in-repo.
+    "ann_ivf_increment_recall",
     "q18_large_orders",
     "array_explode_roundtrip",
     # — round-1 driver-green representatives —

@@ -94,3 +94,34 @@ def test_driver_set_schemas_are_scalar_only(spark, sf_dir):
         "driver-set queries must emit scalar columns only (the driver "
         f"canonicalizer cannot sort complex values): {offenders}"
     )
+
+
+def test_doc_counts_match_registry():
+    """README / COVERAGE / entry docstring registry counts must track
+    len(REGISTRY): a query added without a doc sync fails here (VERDICT
+    r10 #6 — count drift shipped in earlier rounds)."""
+    import os
+    import re
+
+    n = len(REGISTRY)
+    o = sum(1 for q in REGISTRY.values() if q.oracle)
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    checks = [
+        (
+            "README.md",
+            rf"declares {n} queries \({o} with ANSI-SQL DuckDB oracles\)",
+        ),
+        ("__spark_entry__.py", rf"covers the FULL {n}-query registry"),
+        ("__spark_entry__.py", rf"FULL registry \({n} queries, {o} oracled\)"),
+        (
+            os.path.join("docs", "COVERAGE.md"),
+            rf"the full registry \({n} queries as of r\d+, {o} with oracles\)",
+        ),
+    ]
+    for fname, pat in checks:
+        with open(os.path.join(root, fname), encoding="utf-8") as fh:
+            text = fh.read()
+        assert re.search(pat, text), (
+            f"{fname}: no match for /{pat}/ — registry now declares "
+            f"{n} queries ({o} oracled); re-sync the doc counts"
+        )

@@ -13,6 +13,14 @@ columns), mirroring the corpus-pipeline CLI pair:
   incremental_resolve_entities``), and the updated state lands with a
   two-phase write (``entities__next`` → swap) so a failed run never
   corrupts yesterday's state.
+
+Clerical-review loop (r11): full mode with ``--review-queue`` scores the
+candidate pairs with EM-estimated Fellegi-Sunter weights, three-way
+classifies them (``--fs-upper``/``--fs-lower``), and persists the
+``possible`` band as a bucket-partitioned queue; ``--fold-reviews``
+(with ``--state-dir``) then reads a decisions parquet and folds the
+accepted pairs back into the resolved state in O(touched entities)
+(``operators/linkage.py:fold_review_decisions``).
 """
 
 from __future__ import annotations
@@ -61,6 +69,25 @@ def build_parser() -> argparse.ArgumentParser:
         "candidate pairs' agreement pattern counts and print estimated "
         "m/u/prevalence for the name-agreement attribute",
     )
+    parser.add_argument(
+        "--review-queue",
+        help="full mode: Fellegi-Sunter-score the candidate pairs with "
+        "EM-estimated m/u, three-way classify (--fs-upper/--fs-lower), "
+        "and write the 'possible' band as a bucket-partitioned clerical "
+        "review queue at this path (by_a/ + by_b/, pruned point lookups)",
+    )
+    parser.add_argument("--fs-upper", type=float, default=2.0,
+                        help="FS score at/above which a pair auto-links")
+    parser.add_argument("--fs-lower", type=float, default=-2.0,
+                        help="FS score below which a pair auto-rejects")
+    parser.add_argument(
+        "--fold-reviews",
+        action="store_true",
+        help="incremental mode variant: --input is a DECISIONS parquet "
+        "({id}_a, {id}_b, decision) — accepted pairs become match edges "
+        "and the persisted --state-dir state is re-resolved in "
+        "O(touched entities) (two-phase swap, like a record batch)",
+    )
     return parser
 
 
@@ -95,6 +122,51 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="entity-resolution")
     block_cols = [c.strip() for c in args.block_cols.split(",") if c.strip()]
     cols = [args.id_col, *block_cols, args.name_col]
+
+    if args.fold_reviews:
+        # --input is a decisions parquet; fold accepted pairs into the
+        # persisted state (same two-phase swap as a record batch).
+        if not args.state_dir:
+            raise SystemExit("--fold-reviews requires --state-dir")
+        from home_credit_data_engineering_spark.operators.linkage import (
+            fold_review_decisions,
+        )
+        from home_credit_data_engineering_spark.sources.maintenance import (
+            recover_state_swap,
+            staged_state_path,
+            swap_in_state,
+        )
+
+        state_path = os.path.join(args.state_dir, "entities")
+        recover_state_swap(state_path)
+        if not os.path.isdir(state_path):
+            raise SystemExit(
+                f"--fold-reviews needs an existing state at {state_path}"
+            )
+        decisions = read_parquet(spark, args.input)
+        state = spark.read.parquet(state_path)
+        updated = fold_review_decisions(
+            state,
+            decisions,
+            args.id_col,
+            f"{args.id_col}_a",
+            f"{args.id_col}_b",
+        )
+        updated.write.mode("overwrite").parquet(staged_state_path(state_path))
+        swap_in_state(state_path)
+        updated_state = spark.read.parquet(state_path)
+        if args.index_output:
+            write_entity_index(
+                updated_state, args.index_output, args.id_col,
+                n_buckets=args.index_buckets,
+            )
+        n_ent = updated_state.select("entity_id").distinct().count()
+        print(
+            f"entity_resolution: folded reviews; state now "
+            f"{updated_state.count()} records, {n_ent} entities"
+        )
+        return 0
+
     records = read_parquet(spark, args.input).select(*dict.fromkeys(cols))
     match = _matcher(args.max_lev, args.name_col)
 
@@ -157,37 +229,57 @@ def main(argv: list[str] | None = None) -> int:
     state = resolved.select(args.id_col, "entity_id").join(
         records, on=args.id_col
     )
-    if args.report_fs_params:
+    if args.report_fs_params or args.review_queue:
         from home_credit_data_engineering_spark.operators.linkage import (
             estimate_fs_parameters,
+            fellegi_sunter_score,
+            fs_decision,
             name_similarity,
+            write_review_queue,
         )
 
+        na, nb = F.col(f"{args.name_col}_a"), F.col(f"{args.name_col}_b")
+        agree_defs = [
+            ("name", F.levenshtein(na, nb) <= args.max_lev),
+            ("name_sim", name_similarity(na, nb) >= 0.9),
+            ("prefix3", F.substring(na, 1, 3) == F.substring(nb, 1, 3)),
+        ]
+        agree_cols = [f"agree_{n}" for n, _ in agree_defs]
         ag = pairs.select(
-            (
-                F.levenshtein(
-                    F.col(f"{args.name_col}_a"), F.col(f"{args.name_col}_b")
-                )
-                <= args.max_lev
-            ).alias("agree_name"),
-            (
-                name_similarity(
-                    F.col(f"{args.name_col}_a"), F.col(f"{args.name_col}_b")
-                )
-                >= 0.9
-            ).alias("agree_name_sim"),
-            (
-                F.substring(F.col(f"{args.name_col}_a"), 1, 3)
-                == F.substring(F.col(f"{args.name_col}_b"), 1, 3)
-            ).alias("agree_prefix3"),
+            *[cond.alias(f"agree_{n}") for n, cond in agree_defs]
         )
-        est = estimate_fs_parameters(
-            ag, ["agree_name", "agree_name_sim", "agree_prefix3"]
-        )
-        print(
-            "fs_params: p=%.4f %s (converged=%s after %d iters)"
-            % (est["p"], est["params"], est["converged"], est["iterations"])
-        )
+        est = estimate_fs_parameters(ag, agree_cols)
+        if args.report_fs_params:
+            print(
+                "fs_params: p=%.4f %s (converged=%s after %d iters)"
+                % (est["p"], est["params"], est["converged"], est["iterations"])
+            )
+        if args.review_queue:
+            # Score with the EM-estimated m/u, three-way classify, and
+            # persist the clerical band for review (the consumer of
+            # fs_decision's "possible" output).
+            agreements = [
+                (n, cond, *est["params"][f"agree_{n}"])
+                for n, cond in agree_defs
+            ]
+            scored = fellegi_sunter_score(pairs, agreements).withColumn(
+                "fs_decision",
+                fs_decision(F.col("fs_score"), args.fs_upper, args.fs_lower),
+            )
+            write_review_queue(
+                scored,
+                args.review_queue,
+                f"{args.id_col}_a",
+                f"{args.id_col}_b",
+                n_buckets=args.index_buckets,
+            )
+            bands = {
+                r["fs_decision"]: r["n"]
+                for r in scored.groupBy("fs_decision")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(f"review_queue: bands={bands} at {args.review_queue}")
     write_parquet(state, args.output)
     if args.index_output:
         write_entity_index(

@@ -745,3 +745,161 @@ def resolve_entities(
     return labeled.join(sizes, on="entity_id").select(
         id_col, "entity_id", "entity_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Clerical review: the consumer of fs_decision's "possible" band
+# ---------------------------------------------------------------------------
+
+
+def write_review_queue(
+    scored_pairs: DataFrame,
+    output: str,
+    id_a: str,
+    id_b: str,
+    decision_col: str = "fs_decision",
+    possible_value: str = "possible",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the Fellegi-Sunter clerical-review band as a serving
+    artifact: the ``possible`` pairs (neither auto-link nor auto-reject)
+    that a human or downstream model must adjudicate.
+
+    Two bucket-partitioned copies, the :func:`write_entity_index`
+    contract applied to pairs: ``by_a/`` partitioned on
+    ``abucket = xxhash64(id_a) % n`` and ``by_b/`` on the ``id_b``
+    bucket, so "pending reviews touching record X" is two pruned point
+    scans regardless of queue size. Each row keeps the full scored-pair
+    context (agreement pattern, score) — the reviewer sees the evidence,
+    not just ids.
+    """
+    queue = scored_pairs.filter(F.col(decision_col) == possible_value)
+    (
+        queue.withColumn("abucket", entity_bucket(id_a, n_buckets))
+        .repartition("abucket")
+        .write.mode("overwrite")
+        .partitionBy("abucket")
+        .parquet(f"{output}/by_a")
+    )
+    (
+        queue.withColumn("bbucket", entity_bucket(id_b, n_buckets))
+        .repartition("bbucket")
+        .write.mode("overwrite")
+        .partitionBy("bbucket")
+        .parquet(f"{output}/by_b")
+    )
+
+
+def reviews_for_record(
+    spark,
+    queue_path: str,
+    record_id,
+    id_a: str,
+    id_b: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pending reviews touching ``record_id``: two partition-pruned point
+    scans (one per side). Probe literals are cast to the stored column
+    types before hashing (xxhash64 is type-sensitive — same guard as
+    :func:`entity_profile`)."""
+    by_a = spark.read.parquet(f"{queue_path}/by_a")
+    key_a = F.lit(record_id).cast(by_a.schema[id_a].dataType)
+    left = by_a.filter(
+        (F.col("abucket") == entity_bucket(key_a, n_buckets))
+        & (F.col(id_a) == key_a)
+    ).drop("abucket")
+    by_b = spark.read.parquet(f"{queue_path}/by_b")
+    key_b = F.lit(record_id).cast(by_b.schema[id_b].dataType)
+    right = by_b.filter(
+        (F.col("bbucket") == entity_bucket(key_b, n_buckets))
+        & (F.col(id_b) == key_b)
+    ).drop("bbucket")
+    return left.unionByName(right)
+
+
+def fold_match_edges(
+    state: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    id_a: str,
+    id_b: str,
+) -> DataFrame:
+    """Fold new match edges AMONG EXISTING records into a resolved
+    state, O(touched entities) — the resolution step review decisions
+    need (:func:`fold_review_decisions`), and the general form of
+    :func:`incremental_resolve_entities`' relabel phase when no new
+    records arrive.
+
+    The CC runs over (new edges ∪ one anchor edge per touched record to
+    its entity_id); a merged component's new label is the min over its
+    nodes, and every involved entity's entity_id (= its member minimum)
+    is a node via the anchors, so labels equal a full recompute with the
+    accepted edges added (asserted in tests). Absorbed entities are
+    renamed through an (old entity_id → new label) map joined on
+    ``entity_id`` — id-to-id metadata, never a payload rewrite; an edge
+    endpoint unknown to the state is a contract error surfaced by the
+    anchor join producing no row for it (the edge still merges the ids
+    it names).
+    """
+    new_edges = edges.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("__ea"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("__eb"),
+    ).filter(F.col("__ea") != F.col("__eb"))
+    endpoints = (
+        new_edges.select(F.col("__ea").alias(id_col))
+        .unionByName(new_edges.select(F.col("__eb").alias(id_col)))
+        .distinct()
+    )
+    anchors = (
+        state.select(id_col, "entity_id")
+        .join(endpoints, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col).alias("__ea"), F.col("entity_id").alias("__eb")
+        )
+        .filter(F.col("__ea") != F.col("__eb"))
+    )
+    comp = connected_components_star(
+        new_edges.unionByName(anchors).distinct(), a_col="__ea", b_col="__eb"
+    )
+    ent_map = (
+        state.select("entity_id")
+        .distinct()
+        .join(
+            comp.select(
+                F.col("node").alias("entity_id"),
+                F.col("component").alias("__new"),
+            ),
+            on="entity_id",
+        )
+    )
+    other = [c for c in state.columns if c not in (id_col, "entity_id")]
+    return state.join(ent_map, on="entity_id", how="left").select(
+        id_col,
+        F.coalesce(F.col("__new"), F.col("entity_id")).alias("entity_id"),
+        *other,
+    )
+
+
+def fold_review_decisions(
+    state: DataFrame,
+    decisions: DataFrame,
+    id_col: str,
+    id_a: str,
+    id_b: str,
+    decision_col: str = "decision",
+    accept_value: str = "accept",
+) -> DataFrame:
+    """Close the clerical-review loop: accepted decisions become match
+    edges and the resolved state is re-labeled incrementally
+    (:func:`fold_match_edges`); rejected/abstained rows are dropped —
+    a rejection asserts "not the same entity", which is the default
+    state of any unlinked pair.
+
+    ``decisions`` carries ``(id_a, id_b, decision)`` — typically the
+    review-queue rows (:func:`write_review_queue`) joined with reviewer
+    verdicts. Folding the same accepted pair twice is a no-op (the edge
+    is already inside one component), so replaying a decisions file is
+    idempotent.
+    """
+    accepted = decisions.filter(F.col(decision_col) == accept_value)
+    return fold_match_edges(state, accepted, id_col, id_a, id_b)

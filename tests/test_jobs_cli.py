@@ -1015,3 +1015,97 @@ def test_entity_resolution_job_full_and_incremental(spark, tmp_path):
     }
     assert got == truth
     assert not os.path.isdir(os.path.join(state_dir, "entities__next"))
+
+
+def test_entity_resolution_review_loop_e2e(spark, tmp_path, capsys):
+    """score -> review queue -> planted decisions -> fold == direct
+    resolution with the accepted edges (the clerical-review loop)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.jobs import (
+        entity_resolution as er_job,
+    )
+    from home_credit_data_engineering_spark.operators.linkage import (
+        blocked_pairs,
+        resolve_entities,
+    )
+
+    records = spark.createDataFrame(
+        [
+            (1, "B", "ann smith"),
+            (2, "B", "ann smyth"),
+            (3, "B", "zoe quinn"),
+            (7, "C", "bob ray"),
+            (8, "C", "bob raye"),
+            (9, "C", "bob zzz"),
+        ],
+        ["id", "blk", "name"],
+    )
+    rec_path = str(tmp_path / "records")
+    records.write.parquet(rec_path)
+    out = str(tmp_path / "resolved")
+    queue = str(tmp_path / "queue")
+
+    # Full run: auto-link band empty (upper unreachable), everything that
+    # scored lands in the clerical band -> the queue holds all pairs.
+    assert er_job.main(
+        [
+            "--input", rec_path, "--id-col", "id", "--block-cols", "blk",
+            "--name-col", "name", "--output", out,
+            "--review-queue", queue,
+            "--fs-upper", "1000", "--fs-lower", "-1000",
+        ]
+    ) == 0
+    assert "review_queue: bands=" in capsys.readouterr().out
+    qrows = spark.read.parquet(f"{queue}/by_a")
+    assert {"id_a", "id_b", "fs_score", "fs_decision"} <= set(qrows.columns)
+    assert qrows.count() == 3 + 3  # C(3,2) per block
+    assert (qrows.filter(F.col("fs_decision") != "possible").count()) == 0
+
+    # Seed the incremental state from the auto-resolution (max_lev=1:
+    # {1,2} merge, {7,8} merge, 3 and 9 singletons).
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    import shutil
+
+    shutil.copytree(out, os.path.join(state_dir, "entities"))
+
+    # Planted reviewer verdicts: accept (2,3) and (8,9); reject (1,3).
+    decisions = spark.createDataFrame(
+        [(2, 3, "accept"), (8, 9, "accept"), (1, 3, "reject")],
+        ["id_a", "id_b", "decision"],
+    )
+    dec_path = str(tmp_path / "decisions")
+    decisions.write.parquet(dec_path)
+    assert er_job.main(
+        [
+            "--input", dec_path, "--id-col", "id", "--block-cols", "blk",
+            "--name-col", "name", "--state-dir", state_dir,
+            "--fold-reviews",
+        ]
+    ) == 0
+    got = {
+        r["id"]: r["entity_id"]
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "entities")
+        ).collect()
+    }
+    # Truth: direct resolution with lev<=1 matches PLUS the accepted edges.
+    pairs = blocked_pairs(records, "id", ["blk"], carry_cols=["name"])
+    auto = pairs.filter(
+        F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1
+    ).select("id_a", "id_b")
+    accepted = decisions.filter(F.col("decision") == "accept").select(
+        "id_a", "id_b"
+    )
+    want = {
+        r["id"]: r["entity_id"]
+        for r in resolve_entities(
+            records, auto.unionByName(accepted), "id", "id_a", "id_b"
+        ).collect()
+    }
+    assert got == want
+    assert got[3] == got[1] == got[2] == 1  # accepted edge merged 3 in
+    assert got[9] == got[7] == got[8] == 7

@@ -525,3 +525,110 @@ def test_jaro_winkler_reference_values(spark):
         for r in jaro_winkler_pairs(df, "a", "b").collect()
     }
     assert got == {0.961111, 0.666667, None}
+
+
+# ---------------------------------------------------------------------------
+# Clerical-review loop (r11)
+# ---------------------------------------------------------------------------
+
+
+def _resolved_state(spark):
+    """Entities {1: [1,2], 3: [3], 7: [7,8]} with a block/compare col."""
+    return spark.createDataFrame(
+        [
+            (1, 1, "B1", "ann smith"),
+            (2, 1, "B1", "ann smyth"),
+            (3, 3, "B1", "zoe quinn"),
+            (7, 7, "B2", "bob ray"),
+            (8, 7, "B2", "bob raye"),
+        ],
+        ["id", "entity_id", "blk", "name"],
+    )
+
+
+def test_fold_match_edges_equals_full_recompute(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        fold_match_edges,
+    )
+
+    state = _resolved_state(spark)
+    # cross-entity edge (2, 7): merges entity 1 and entity 7 entirely
+    edges = spark.createDataFrame([(2, 7)], ["id_a", "id_b"])
+    got = {
+        r["id"]: r["entity_id"]
+        for r in fold_match_edges(state, edges, "id", "id_a", "id_b").collect()
+    }
+    # full recompute truth: original intra-entity edges + the new one
+    records = state.select("id", "blk", "name")
+    all_edges = spark.createDataFrame(
+        [(1, 2), (7, 8), (2, 7)], ["id_a", "id_b"]
+    )
+    want = {
+        r["id"]: r["entity_id"]
+        for r in resolve_entities(
+            records, all_edges, "id", "id_a", "id_b"
+        ).collect()
+    }
+    assert got == want
+    assert got[7] == got[8] == got[1] == got[2] == 1  # whole entity absorbed
+    assert got[3] == 3  # untouched entity keeps its label
+    # non-id columns survive the relabel
+    out = fold_match_edges(state, edges, "id", "id_a", "id_b")
+    assert set(out.columns) == {"id", "entity_id", "blk", "name"}
+
+
+def test_fold_review_decisions_accept_only_and_idempotent(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        fold_review_decisions,
+    )
+
+    state = _resolved_state(spark)
+    decisions = spark.createDataFrame(
+        [(2, 7, "accept"), (3, 7, "reject"), (1, 3, "skip")],
+        ["id_a", "id_b", "decision"],
+    )
+    once = fold_review_decisions(state, decisions, "id", "id_a", "id_b")
+    got = {r["id"]: r["entity_id"] for r in once.collect()}
+    assert got == {1: 1, 2: 1, 7: 1, 8: 1, 3: 3}  # only the accept folded
+    # replaying the same decisions against the updated state is a no-op
+    twice = fold_review_decisions(once, decisions, "id", "id_a", "id_b")
+    assert {r["id"]: r["entity_id"] for r in twice.collect()} == got
+
+
+def test_review_queue_roundtrip_and_point_lookup(spark, tmp_path):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        fellegi_sunter_score,
+        fs_decision,
+        reviews_for_record,
+        write_review_queue,
+    )
+
+    pairs = blocked_pairs(
+        _records(spark), id_col="id", block_cols=["blk"], carry_cols=["name"]
+    )
+    scored = fellegi_sunter_score(
+        pairs,
+        [("name", F.levenshtein("name_a", "name_b") <= 1, 0.9, 0.1)],
+    ).withColumn(
+        "fs_decision", fs_decision(F.col("fs_score"), 10.0, -10.0)
+    )
+    # with these thresholds every scored pair is "possible"
+    queue_path = str(tmp_path / "queue")
+    write_review_queue(scored, queue_path, "id_a", "id_b", n_buckets=4)
+    n_pairs = scored.count()
+    import os
+
+    assert os.path.isdir(f"{queue_path}/by_a")
+    assert os.path.isdir(f"{queue_path}/by_b")
+    assert spark.read.parquet(f"{queue_path}/by_a").count() == n_pairs
+
+    # record 3 appears as id_a in (3,4) and as id_b in (1,3),(2,3)
+    got = reviews_for_record(spark, queue_path, 3, "id_a", "id_b", n_buckets=4)
+    touching = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert touching == {(3, 4), (1, 3), (2, 3)}
+    # evidence columns ride along for the reviewer
+    assert {"fs_score", "agree_name", "fs_decision"} <= set(got.columns)
+    # partition pruning: both legs carry a PartitionFilters probe
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(abucket" in plan
+    assert "PartitionFilters: [isnotnull(bbucket" in plan

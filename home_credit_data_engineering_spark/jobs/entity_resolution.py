@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fs-lower", type=float, default=-2.0,
                         help="FS score below which a pair auto-rejects")
     parser.add_argument(
+        "--tune-blocking",
+        help="report mode: comma-separated name-prefix lengths to sweep "
+        "(e.g. 1,2,3,4); each length becomes a candidate blocking scheme "
+        "alongside the given --block-cols, and the pair-budget-vs-recall "
+        "frontier (recall proxy: matched pairs retained vs the union of "
+        "all candidate generators) is written to --output and printed",
+    )
+    parser.add_argument(
         "--fold-reviews",
         action="store_true",
         help="incremental mode variant: --input is a DECISIONS parquet "
@@ -169,6 +177,46 @@ def main(argv: list[str] | None = None) -> int:
 
     records = read_parquet(spark, args.input).select(*dict.fromkeys(cols))
     match = _matcher(args.max_lev, args.name_col)
+
+    if args.tune_blocking:
+        if not args.output:
+            raise SystemExit("--tune-blocking requires --output")
+        from home_credit_data_engineering_spark.operators.linkage import (
+            tune_blocking,
+        )
+
+        lengths = [
+            int(x) for x in args.tune_blocking.split(",") if x.strip()
+        ]
+        schemes: dict[str, list] = {
+            f"name_prefix_{n}": [F.substring(F.col(args.name_col), 1, n)]
+            for n in lengths
+        }
+        schemes[f"given:{args.block_cols}"] = list(block_cols)
+        report = tune_blocking(
+            records,
+            args.id_col,
+            schemes,
+            match,
+            carry_cols=[args.name_col],
+            max_block_rows=args.max_block_rows,
+        )
+        write_parquet(report, args.output)
+        for r in spark.read.parquet(args.output).orderBy(
+            F.col("recall_proxy").desc(), F.col("n_pairs").asc()
+        ).collect():
+            print(
+                "tune_blocking: %-24s pairs=%-8d frac=%.6f matched=%-6d "
+                "recall=%.4f"
+                % (
+                    r["scheme"],
+                    r["n_pairs"],
+                    r["pair_fraction"],
+                    r["n_matched"],
+                    r["recall_proxy"],
+                )
+            )
+        return 0
 
     if args.state_dir:
         from home_credit_data_engineering_spark.sources.maintenance import (

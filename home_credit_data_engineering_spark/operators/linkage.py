@@ -112,6 +112,7 @@ def sorted_neighborhood_pairs(
     window: int = 10,
     shard_prefix_len: int = 4,
     carry_cols: list[str] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs (Hernández & Stolfo, SIGMOD'95):
     sort all records by ``key_col`` and pair each record with the next
@@ -141,6 +142,21 @@ def sorted_neighborhood_pairs(
       band, so the right side carries (band, band-1) keys and the join
       never compares beyond two bands — pairs shuffle on band ids, not
       positions.
+
+    ``shard_prefix_len`` is the parallelism dial and its usefulness is
+    bounded by the KEY's prefix entropy, not by the setting: each
+    distinct prefix is one shard, and the per-shard ``row_number`` is a
+    single-task sort of that shard. A key whose values overwhelmingly
+    share a short prefix (e.g. ``"Customer#000..."`` — the TPC-H name
+    shape) collapses into ONE giant shard no matter how long the prefix
+    is, so pick a prefix length that reaches the part of the key that
+    actually varies (for fixed-prefix synthetic keys: past the constant
+    stem), or normalize the key first (strip constant stems, lowercase).
+    Pass ``stats={}`` to measure instead of guessing: the dict gets
+    ``n_shards`` / ``max_shard_rows`` / ``rows`` (one extra counting
+    pass over the slim (id, key) projection), and a healthy setting has
+    ``max_shard_rows ≪ rows`` with ``n_shards`` at least the cluster's
+    task-slot count.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -163,16 +179,26 @@ def sorted_neighborhood_pairs(
     )
     # Tiny frame (one row per shard): the unpartitioned window is over
     # |shards| rows, never the data.
+    sizes = slim.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    if stats is not None:
+        srow = sizes.agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.max("__n").alias("max_shard_rows"),
+            F.sum("__n").alias("rows"),
+        ).first()
+        stats.update(
+            {
+                "n_shards": int(srow["n_shards"] or 0),
+                "max_shard_rows": int(srow["max_shard_rows"] or 0),
+                "rows": int(srow["rows"] or 0),
+            }
+        )
     shard_w = (
         W.orderBy("__shard").rowsBetween(W.unboundedPreceding, -1)
     )
-    bases = (
-        slim.groupBy("__shard")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .select(
-            "__shard",
-            F.coalesce(F.sum("__n").over(shard_w), F.lit(0)).alias("__base"),
-        )
+    bases = sizes.select(
+        "__shard",
+        F.coalesce(F.sum("__n").over(shard_w), F.lit(0)).alias("__base"),
     )
     local_w = W.partitionBy("__shard").orderBy(
         F.col(key_col).asc_nulls_first(), F.col(id_col).asc_nulls_first()
@@ -903,3 +929,98 @@ def fold_review_decisions(
     """
     accepted = decisions.filter(F.col(decision_col) == accept_value)
     return fold_match_edges(state, accepted, id_col, id_a, id_b)
+
+
+def tune_blocking(
+    records: DataFrame,
+    id_col: str,
+    schemes: dict[str, list],
+    matcher,
+    carry_cols: list[str],
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Blocking-key tuning report: the pair-budget-vs-recall frontier
+    across candidate blocking schemes — the consumer of
+    ``er_blocking_quality``'s raw numbers.
+
+    ``schemes`` maps a scheme name to its list of blocking-key
+    expressions (column names or Columns — e.g. name prefixes of
+    several lengths, phonetic keys, key combos). For each scheme the
+    report measures the candidate-pair count (the cost axis) and a
+    RECALL PROXY: the fraction of the reference match set the scheme's
+    pairs retain, where the reference is the union of matched pairs
+    over ALL candidate schemes (no labels needed — the standard
+    generator-union proxy; a match no generator can produce is invisible
+    to any of them, so the proxy compares schemes, not absolute truth).
+
+    Returns one row per scheme: ``scheme``, ``n_pairs``,
+    ``pair_fraction`` (vs C(n,2)), ``n_matched``, ``recall_proxy`` —
+    sorted so the frontier reads top-down (recall desc, cost asc). The
+    driver only ever holds one number per scheme; each scheme's pair
+    generation is the ordinary blocked self-join, so at 100 TB this
+    runs on a sample (pass a sampled ``records`` — the frontier shape,
+    not the absolute counts, is the decision input) with oversized
+    blocks skipped via ``max_block_rows``.
+    """
+    spark = records.sparkSession
+    n = records.count()
+    total_pairs = n * (n - 1) // 2
+    per_scheme: dict[str, DataFrame] = {}
+    pair_counts: dict[str, int] = {}
+    for name, keys in schemes.items():
+        keyed = records.withColumns(
+            {
+                f"__bk{i}": (F.col(k) if isinstance(k, str) else k)
+                for i, k in enumerate(keys)
+            }
+        )
+        pairs = blocked_pairs(
+            keyed,
+            id_col,
+            [f"__bk{i}" for i in range(len(keys))],
+            carry_cols=carry_cols,
+            max_block_rows=max_block_rows,
+            oversize="skip" if max_block_rows is not None else "raise",
+        )
+        pair_counts[name] = pairs.count()
+        per_scheme[name] = (
+            matcher(pairs)
+            .select(
+                F.least(
+                    F.col(f"{id_col}_a"), F.col(f"{id_col}_b")
+                ).alias("__ma"),
+                F.greatest(
+                    F.col(f"{id_col}_a"), F.col(f"{id_col}_b")
+                ).alias("__mb"),
+            )
+            .distinct()
+        )
+    reference = None
+    for frame in per_scheme.values():
+        reference = frame if reference is None else reference.unionByName(frame)
+    if reference is None:
+        raise ValueError("schemes must name at least one blocking scheme")
+    reference = reference.distinct().persist()
+    n_ref = reference.count()
+    rows = []
+    for name in schemes:
+        n_matched = per_scheme[name].join(
+            reference, on=["__ma", "__mb"], how="left_semi"
+        ).count()
+        rows.append(
+            (
+                name,
+                pair_counts[name],
+                round(pair_counts[name] / total_pairs, 9)
+                if total_pairs
+                else 0.0,
+                n_matched,
+                round(n_matched / n_ref, 9) if n_ref else 1.0,
+            )
+        )
+    reference.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "scheme string, n_pairs bigint, pair_fraction double, "
+        "n_matched bigint, recall_proxy double",
+    ).orderBy(F.col("recall_proxy").desc(), F.col("n_pairs").asc())

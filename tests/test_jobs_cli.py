@@ -1109,3 +1109,43 @@ def test_entity_resolution_review_loop_e2e(spark, tmp_path, capsys):
     assert got == want
     assert got[3] == got[1] == got[2] == 1  # accepted edge merged 3 in
     assert got[9] == got[7] == got[8] == 7
+
+
+def test_entity_resolution_tune_blocking_mode(spark, tmp_path, capsys):
+    from home_credit_data_engineering_spark.jobs import (
+        entity_resolution as er_job,
+    )
+
+    records = spark.createDataFrame(
+        [
+            (1, "X", "smith"),
+            (2, "X", "smyth"),
+            (3, "X", "brown"),
+            (4, "X", "browne"),
+            (5, "X", "zzzz"),
+            (6, "X", "sister"),
+        ],
+        ["id", "blk", "name"],
+    )
+    rec_path = str(tmp_path / "records")
+    records.write.parquet(rec_path)
+    out = str(tmp_path / "tune_report")
+    assert er_job.main(
+        [
+            "--input", rec_path, "--id-col", "id", "--block-cols", "blk",
+            "--name-col", "name", "--output", out,
+            "--tune-blocking", "1,2,3",
+        ]
+    ) == 0
+    rows = {r["scheme"]: r for r in spark.read.parquet(out).collect()}
+    # the sweep + the given scheme are all present
+    assert set(rows) == {
+        "name_prefix_1", "name_prefix_2", "name_prefix_3", "given:blk",
+    }
+    # known optimum: prefix 2 keeps full recall at the minimal budget;
+    # the single coarse "blk" block pays all 15 pairs for the same recall
+    assert rows["name_prefix_2"]["recall_proxy"] == 1.0
+    assert rows["name_prefix_3"]["recall_proxy"] == 0.5
+    assert rows["given:blk"]["n_pairs"] == 15
+    assert rows["name_prefix_2"]["n_pairs"] == 2
+    assert "tune_blocking:" in capsys.readouterr().out

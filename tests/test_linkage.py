@@ -632,3 +632,83 @@ def test_review_queue_roundtrip_and_point_lookup(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(abucket" in plan
     assert "PartitionFilters: [isnotnull(bbucket" in plan
+
+
+def test_sorted_neighborhood_shard_stats(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"a{i}" if i <= 6 else f"b{i}") for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    stats: dict = {}
+    pairs = sorted_neighborhood_pairs(
+        df, id_col="id", key_col="k", window=3, shard_prefix_len=1,
+        stats=stats,
+    )
+    assert stats == {"n_shards": 2, "max_shard_rows": 6, "rows": 9}
+    assert pairs.count() == 15  # stats pass must not perturb the pairs
+    # a degenerate prefix (constant stem) collapses to one shard — the
+    # failure mode the stats exist to surface
+    const = spark.createDataFrame(
+        [(i, f"Customer#{i:04d}") for i in range(1, 8)], ["id", "k"]
+    )
+    stats2: dict = {}
+    sorted_neighborhood_pairs(
+        const, id_col="id", key_col="k", window=2, shard_prefix_len=4,
+        stats=stats2,
+    ).count()
+    assert stats2["n_shards"] == 1
+    assert stats2["max_shard_rows"] == stats2["rows"] == 7
+
+
+def test_tune_blocking_finds_known_optimal_key(spark):
+    from home_credit_data_engineering_spark.operators.linkage import (
+        tune_blocking,
+    )
+
+    # Matches: (1,2) "smith"~"smyth" (diverge at char 3) and (3,4)
+    # "brown"~"browne". "sister" shares only prefix-1 with the smiths.
+    # Known frontier: prefix_2 is optimal (full recall, fewest pairs);
+    # prefix_1 pays an extra pair for the same recall; prefix_3 loses
+    # the (1,2) match.
+    records = spark.createDataFrame(
+        [
+            (1, "smith"),
+            (2, "smyth"),
+            (3, "brown"),
+            (4, "browne"),
+            (5, "zzzz"),
+            (6, "sister"),
+        ],
+        ["id", "name"],
+    )
+
+    def match(pairs):
+        return pairs.filter(
+            F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1
+        )
+
+    report = tune_blocking(
+        records,
+        "id",
+        {
+            f"prefix_{n}": [F.substring("name", 1, n)]
+            for n in (1, 2, 3)
+        },
+        match,
+        carry_cols=["name"],
+    )
+    rows = {r["scheme"]: r for r in report.collect()}
+    assert rows["prefix_1"]["n_pairs"] == 4  # {1,2,6} -> 3, {3,4} -> 1
+    assert rows["prefix_2"]["n_pairs"] == 2
+    assert rows["prefix_3"]["n_pairs"] == 1
+    assert rows["prefix_1"]["recall_proxy"] == 1.0
+    assert rows["prefix_2"]["recall_proxy"] == 1.0
+    assert rows["prefix_3"]["recall_proxy"] == 0.5
+    assert rows["prefix_2"]["n_matched"] == 2
+    # frontier order: best trade first
+    ordered = [r["scheme"] for r in report.collect()]
+    assert ordered[0] == "prefix_2"
+    # pair_fraction vs C(6,2) = 15
+    assert rows["prefix_2"]["pair_fraction"] == round(2 / 15, 9)

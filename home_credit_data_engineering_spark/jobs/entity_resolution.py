@@ -103,9 +103,13 @@ def _matcher(max_lev: int, name_col: str):
     from pyspark.sql import functions as F
 
     def match(pairs):
+        # thresholded levenshtein: banded DP rejects non-matches in
+        # O(max_lev·len); -1 marks over-bound, so >= 0 == (lev <= k)
         return pairs.filter(
-            F.levenshtein(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
-            <= max_lev
+            F.levenshtein(
+                F.col(f"{name_col}_a"), F.col(f"{name_col}_b"), max_lev
+            )
+            >= 0
         )
 
     return match

@@ -60,9 +60,11 @@ def _pairs(spark: SparkSession, sf_dir: str, max_lev: int) -> DataFrame:
         carry_cols=["c_name"],
         max_block_rows=100_000,
     )
-    return score_name_pairs(pairs, "c_name_a", "c_name_b").filter(
-        F.col("lev") <= max_lev
-    )
+    # Thresholded comparator: the banded DP rejects non-matches in
+    # O(max_lev·len); surviving rows carry the exact distance, so the
+    # result set equals the unbounded lev <= max_lev filter the oracle
+    # writes.
+    return score_name_pairs(pairs, "c_name_a", "c_name_b", max_lev=max_lev)
 
 
 @register(
@@ -140,9 +142,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_prefix_len=16,
         carry_cols=["c_name"],
     )
-    scored = score_name_pairs(pairs, "c_name_a", "c_name_b").filter(
-        F.col("lev") <= 2
-    )
+    scored = score_name_pairs(pairs, "c_name_a", "c_name_b", max_lev=2)
     return jaro_winkler_pairs(scored, "c_name_a", "c_name_b").select(
         F.col("c_custkey_a").alias("custkey_a"),
         F.col("c_custkey_b").alias("custkey_b"),

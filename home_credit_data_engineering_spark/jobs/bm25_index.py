@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--k1", type=float, default=1.2)
     parser.add_argument("--b", type=float, default=0.75)
     parser.add_argument("--max-df-fraction", type=float, default=1.0)
+    parser.add_argument("--increment", action="store_true",
+                        help="fold --input as a batch of NEW documents "
+                        "into the existing --index in O(batch + vocab) "
+                        "-- postings/doclens append, df/stats merge-swap; "
+                        "results stay exactly equal to a full rebuild")
     return parser
 
 
@@ -82,6 +87,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{row['rank']}\t{row['doc_id']}\t{row['score']}")
         return 0
     docs = read_parquet(spark, args.input)
+    if args.increment:
+        from home_credit_data_engineering_spark.operators.retrieval import (
+            bm25_index_increment,
+        )
+
+        rep = bm25_index_increment(
+            docs, args.index, id_col=args.id_col, text_col=args.text_col,
+        )
+        print(
+            "bm25 index increment: +%d docs, %d terms touched, "
+            "index now %d docs (avgdl %.3f)"
+            % (rep["docs_added"], rep["terms_touched"], rep["n_docs"],
+               rep["avgdl"])
+        )
+        return 0
     build_bm25_index(
         docs, args.index,
         id_col=args.id_col, text_col=args.text_col,

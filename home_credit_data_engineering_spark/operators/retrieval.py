@@ -56,6 +56,9 @@ def _corpus_stats(docs: DataFrame, id_col: str, text_col: str):
     scalars = dls.agg(
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
         F.avg("__dl").alias("__avgdl"),
+        # exact (dl values are integer-valued doubles, so the sum is
+        # order-independent); the increment path's avgdl seed
+        F.sum("__dl").alias("__total_dl"),
     )
     return dls, scalars
 
@@ -368,9 +371,146 @@ def build_bm25_index(
     dls.select(F.col("__doc").alias("doc_id"), F.col("__dl").alias("dl")).write.mode(
         "overwrite"
     ).parquet(f"{output}/doclens")
+    # total_dl and n_buckets ride along for the O(Δ) increment path
+    # (bm25_index_increment): dl values are integer-valued doubles, so
+    # their sum is EXACT and avgdl can be re-derived bit-identically
+    # after an append (sum'/count' — the same single division avg()
+    # performs); the bucket count pins the partitioning so increments
+    # can never hash terms into the wrong buckets. The query path reads
+    # only (n_docs, avgdl), so pre-existing indexes stay readable.
     scalars.select(
-        F.col("__n_docs").alias("n_docs"), F.col("__avgdl").alias("avgdl")
+        F.col("__n_docs").alias("n_docs"),
+        F.col("__avgdl").alias("avgdl"),
+        F.col("__total_dl").alias("total_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
     ).write.mode("overwrite").parquet(f"{output}/stats")
+
+
+def bm25_index_increment(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> dict:
+    """Fold a batch of NEW documents into a persisted BM25 index in
+    O(Δ + vocab) — no corpus re-tokenization, no postings rewrite.
+
+    Unlike the ANN increment (``ann_state.py``, whose frozen centroids
+    make it an approximation of a retrain), this one is EXACT: the four
+    index legs are all either doc-keyed appends or small mergeable
+    aggregates, so query results after any number of increments are
+    row-identical to a full rebuild over the union (asserted in tests):
+
+    - ``postings/`` (term, doc_id, tf) — append into the term-hash
+      bucket partitions; old files untouched.
+    - ``doclens/`` (doc_id, dl) — append.
+    - ``df/`` — vocab-sized state: stored df + per-term delta counts,
+      re-summed and swapped in two-phase (df values are integer-valued
+      doubles, so the sums are exact in any order).
+    - ``stats/`` — avgdl re-derived as total_dl'/n_docs' from the exact
+      integer sums build_bm25_index stores, the same single division
+      ``avg()`` performs, hence bit-identical to a rebuild. (A pre-r11
+      index without ``total_dl`` reconstructs it as
+      ``round(avgdl·n_docs)`` — exact while total_dl < 2^52.)
+
+    The bucket count is pinned by the index (``stats.n_buckets``);
+    passing a conflicting ``n_buckets`` raises rather than silently
+    hashing new terms into the wrong partitions. Ids must be new (the
+    incremental-state contract: re-ingesting a known doc id double
+    counts it); the appends are not idempotent, so drive replays
+    through an orchestrator that retries whole batches against a
+    restored index, not partial writes.
+
+    Returns ``{"docs_added", "terms_touched", "n_docs", "avgdl"}``.
+    """
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        recover_state_swap,
+        staged_state_path,
+        swap_in_state,
+    )
+
+    spark = new_docs.sparkSession
+    stats_row = spark.read.parquet(f"{index_path}/stats").first()
+    stored_buckets = (
+        int(stats_row["n_buckets"])
+        if "n_buckets" in stats_row.__fields__
+        else None
+    )
+    if n_buckets is not None and stored_buckets is not None:
+        if n_buckets != stored_buckets:
+            raise ValueError(
+                f"index was built with n_buckets={stored_buckets}, "
+                f"got {n_buckets}"
+            )
+    n_buckets = stored_buckets or n_buckets or 64
+    for leg in ("df", "stats"):
+        recover_state_swap(f"{index_path}/{leg}")
+
+    # one tokenization pass: tf rows are distinct (doc, term), so the
+    # df delta is a row count per term — no second countDistinct scan
+    tf = (
+        _postings(new_docs, id_col, text_col)
+        .groupBy("__doc", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tf.select(
+        F.col("__term").alias("term"),
+        F.col("__doc").alias("doc_id"),
+        "tf",
+        term_bucket("__term", n_buckets).alias("bucket"),
+    ).repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        f"{index_path}/postings"
+    )
+
+    delta_df = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    ).select(F.col("__term").alias("term"), "df")
+    terms_touched = delta_df.count()
+    merged_df = (
+        spark.read.parquet(f"{index_path}/df")
+        .select("term", "df")
+        .unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("bucket", term_bucket("term", n_buckets))
+    )
+    df_path = f"{index_path}/df"
+    merged_df.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staged_state_path(df_path))
+    swap_in_state(df_path)
+
+    dls, scalars = _corpus_stats(new_docs, id_col, text_col)
+    dls.select(
+        F.col("__doc").alias("doc_id"), F.col("__dl").alias("dl")
+    ).write.mode("append").parquet(f"{index_path}/doclens")
+
+    delta = scalars.first()
+    old_n = float(stats_row["n_docs"])
+    old_total = (
+        float(stats_row["total_dl"])
+        if "total_dl" in stats_row.__fields__
+        else float(round(stats_row["avgdl"] * old_n))
+    )
+    new_n = old_n + float(delta["__n_docs"] or 0.0)
+    new_total = old_total + float(delta["__total_dl"] or 0.0)
+    stats_path = f"{index_path}/stats"
+    spark.createDataFrame(
+        [(new_n, new_total / new_n if new_n else 0.0, new_total, n_buckets)],
+        "n_docs double, avgdl double, total_dl double, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        staged_state_path(stats_path)
+    )
+    swap_in_state(stats_path)
+    return {
+        "docs_added": int(delta["__n_docs"] or 0),
+        "terms_touched": int(terms_touched),
+        "n_docs": int(new_n),
+        "avgdl": (new_total / new_n) if new_n else 0.0,
+    }
 
 
 def _index_scores(

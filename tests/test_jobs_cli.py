@@ -1149,3 +1149,27 @@ def test_entity_resolution_tune_blocking_mode(spark, tmp_path, capsys):
     assert rows["given:blk"]["n_pairs"] == 15
     assert rows["name_prefix_2"]["n_pairs"] == 2
     assert "tune_blocking:" in capsys.readouterr().out
+
+
+def test_bm25_index_job_increment_mode(spark, sf_dir, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.jobs import bm25_index as job
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = str(tmp_path / "base")
+    wave = str(tmp_path / "wave")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(base)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(wave)
+    idx = str(tmp_path / "idx")
+    assert job.main(["--input", base, "--index", idx, "--n-buckets", "16"]) == 0
+    assert job.main(["--input", wave, "--index", idx, "--increment"]) == 0
+    out = capsys.readouterr().out
+    assert "bm25 index increment: +" in out
+    # the incremented index serves queries over the union
+    assert job.main(
+        ["--index", idx, "--query-terms", "data", "quality", "--k", "3"]
+    ) == 0
+    n = spark.read.parquet(f"{idx}/stats").first()["n_docs"]
+    assert int(n) == docs.count()

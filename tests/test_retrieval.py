@@ -311,3 +311,120 @@ def test_bm25_index_cli_more_like_mode(spark, sf_dir, tmp_path, capsys):
             ["--index", idx, "--input", src, "--more-like", "0",
              "--query-terms", "spark"]
         )
+
+
+def test_bm25_index_increment_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Two sequential increments on a base index produce an index whose
+    query results are ROW-IDENTICAL to a full rebuild over the union —
+    the exactness contract that distinguishes the BM25 increment from
+    the (approximate-by-design) ANN one."""
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_index_increment,
+        bm25_query_index,
+        build_bm25_index,
+    )
+    from home_credit_data_engineering_spark.plans.declared.retrieval import (
+        bm25_panel_df,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    wave1 = docs.filter(F.col("doc_id") % 3 == 1)
+    wave2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    inc_idx = str(tmp_path / "inc_idx")
+    build_bm25_index(base, inc_idx, n_buckets=16)
+    rep1 = bm25_index_increment(wave1, inc_idx)
+    rep2 = bm25_index_increment(wave2, inc_idx)
+    assert rep1["docs_added"] == wave1.count()
+    assert rep2["n_docs"] == docs.count()
+    assert rep2["terms_touched"] > 0
+
+    full_idx = str(tmp_path / "full_idx")
+    build_bm25_index(docs, full_idx, n_buckets=16)
+
+    panel = bm25_panel_df(spark)
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(
+            spark, inc_idx, panel, k=5, n_buckets=16
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(
+            spark, full_idx, panel, k=5, n_buckets=16
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+    # the merged df/stats states equal the rebuild's exactly
+    df_inc = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{inc_idx}/df").collect()
+    }
+    df_full = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{full_idx}/df").collect()
+    }
+    assert df_inc == df_full
+    s_inc = spark.read.parquet(f"{inc_idx}/stats").first()
+    s_full = spark.read.parquet(f"{full_idx}/stats").first()
+    assert (s_inc["n_docs"], s_inc["avgdl"]) == (
+        s_full["n_docs"], s_full["avgdl"],
+    )
+
+
+def test_bm25_index_increment_guards_bucket_mismatch(spark, sf_dir, tmp_path):
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_index_increment,
+        build_bm25_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        bm25_index_increment(
+            docs.filter(F.col("doc_id") % 2 == 1), idx, n_buckets=8
+        )
+
+
+def test_bm25_index_increment_pre_r11_stats_schema(spark, sf_dir, tmp_path):
+    """An index whose stats lack total_dl/n_buckets (pre-r11 layout)
+    still increments exactly: total_dl reconstructs from avgdl*n_docs."""
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_index_increment,
+        bm25_query_index,
+        build_bm25_index,
+    )
+    from home_credit_data_engineering_spark.plans.declared.retrieval import (
+        bm25_panel_df,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    wave = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    build_bm25_index(base, idx, n_buckets=16)
+    # rewrite stats in the legacy 2-column shape
+    legacy = spark.read.parquet(f"{idx}/stats").select("n_docs", "avgdl")
+    legacy.toPandas().to_parquet(str(tmp_path / "legacy.parquet"))
+    spark.read.parquet(
+        str(tmp_path / "legacy.parquet")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{idx}/stats")
+    bm25_index_increment(wave, idx, n_buckets=16)
+
+    full_idx = str(tmp_path / "full")
+    build_bm25_index(docs, full_idx, n_buckets=16)
+    panel = bm25_panel_df(spark)
+    a = sorted(
+        map(tuple, bm25_query_index(spark, idx, panel, k=5, n_buckets=16).collect())
+    )
+    b = sorted(
+        map(tuple, bm25_query_index(spark, full_idx, panel, k=5, n_buckets=16).collect())
+    )
+    assert a == b and len(a) > 0

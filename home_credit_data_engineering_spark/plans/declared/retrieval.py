@@ -217,3 +217,48 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, vec], k=5).select(
         "query_id", "doc_id", "rrf_score", "rank"
     )
+
+
+@register(
+    "bm25_increment_topk",
+    # FULL oracle: the incremented index must score exactly like DuckDB's
+    # from-scratch BM25 over the whole corpus — the increment's exactness
+    # contract (postings/doclens append, df merged as vocab state, avgdl
+    # re-derived from exact integer dl sums) surfaced as a value-hash
+    # gate, not just an in-repo equality test.
+    oracle=f"""
+    WITH qt(query_id, term) AS (VALUES {BM25_PANEL_VALUES}),
+    {BM25_SQL_CTES}
+    SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      FROM bm25_scored) t
+    WHERE rk <= 5
+    """,
+    operators=("T-ext:bm25",),
+    doc="O(Δ) incremental BM25 index maintenance (operators/retrieval.py:"
+    "bm25_index_increment): a persisted index built on 3/4 of the "
+    "documents absorbs the last quarter as an append-only increment "
+    "(postings/doclens appended into existing term buckets, df merged "
+    "as vocab-sized state, avgdl re-derived from exact integer dl "
+    "sums), then serves the standard panel. The oracle recomputes BM25 "
+    "from scratch over the FULL corpus, so the hash-compare certifies "
+    "the increment is EXACT — bit-identical scores to a rebuild.",
+)
+def bm25_increment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_index_increment,
+        bm25_query_index,
+        build_bm25_index,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_increment_") + "/idx"
+    build_bm25_index(docs.filter(F.col("doc_id") % 4 != 1), idx, n_buckets=16)
+    bm25_index_increment(docs.filter(F.col("doc_id") % 4 == 1), idx)
+    return bm25_query_index(
+        spark, idx, bm25_panel_df(spark), k=5, n_buckets=16
+    ).select("query_id", "doc_id", "score", "rank")

@@ -211,8 +211,14 @@ def main(argv: list[str] | None = None) -> int:
         staged = staged_state_path(idx)
         if os.path.isdir(staged):
             shutil.rmtree(staged)
+        # keep the stored cell count unless explicitly overridden: a
+        # routine cron without --n-centroids must not silently change
+        # the index geometry the query-side n_probe was tuned for
+        n_cells = args.n_centroids or len(
+            np.load(os.path.join(idx, "_centroids.npy"))
+        )
         msg = _full_build(
-            src, staged, args.id_col, args.vec_col, args.n_centroids,
+            src, staged, args.id_col, args.vec_col, n_cells,
             args.train_rows, is_pq, pq_m, pq_nbits, residual, opq,
         )
         # the PQ layout keeps its _SUCCESS markers inside codes/ and

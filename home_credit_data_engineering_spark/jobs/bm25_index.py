@@ -17,8 +17,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--index", required=True, help="index path")
     parser.add_argument("--id-col", default="doc_id")
     parser.add_argument("--text-col", default="text")
-    parser.add_argument("--n-buckets", type=int, default=64,
-                        help="term-hash partition buckets for postings/df")
+    parser.add_argument("--n-buckets", type=int, default=None,
+                        help="term-hash partition buckets for postings/df "
+                        "(build default 64; increment mode defers to the "
+                        "value stored in the index and raises on mismatch)")
     parser.add_argument("--query-terms", nargs="*", default=None,
                         help="query mode: terms for ONE query; prints "
                         "top-k (doc_id, score) and exits")
@@ -55,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     from home_credit_data_engineering_spark.sources.readers import read_parquet
 
     spark = get_session(app_name="bm25-index")
+
+    def resolve_buckets() -> int:
+        # query/increment modes: an unspecified --n-buckets defers to the
+        # value the index stored at build time (pre-r11 indexes: 64)
+        if args.n_buckets is not None:
+            return args.n_buckets
+        row = spark.read.parquet(f"{args.index}/stats").first()
+        return int(row["n_buckets"]) if "n_buckets" in row.__fields__ else 64
+
     if args.more_like is not None:
         from pyspark.sql import functions as F
 
@@ -64,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         top = more_like_this_index(
             spark, args.index, qdocs, k=args.k,
             id_col=args.id_col, text_col=args.text_col,
-            n_buckets=args.n_buckets, k1=args.k1, b=args.b,
+            n_buckets=resolve_buckets(), k1=args.k1, b=args.b,
             max_df_fraction=args.max_df_fraction,
         )
         for row in top.orderBy("query_id", "rank").collect():
@@ -80,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         top = bm25_query_index(
             spark, args.index, qt, k=args.k,
-            n_buckets=args.n_buckets, k1=args.k1, b=args.b,
+            n_buckets=resolve_buckets(), k1=args.k1, b=args.b,
             max_df_fraction=args.max_df_fraction,
         )
         for row in top.orderBy("rank").collect():
@@ -94,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
 
         rep = bm25_index_increment(
             docs, args.index, id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.n_buckets,
         )
         print(
             "bm25 index increment: +%d docs, %d terms touched, "
@@ -105,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     build_bm25_index(
         docs, args.index,
         id_col=args.id_col, text_col=args.text_col,
-        n_buckets=args.n_buckets,
+        n_buckets=args.n_buckets or 64,
     )
     print(f"bm25 index written to {args.index}")
     return 0

@@ -314,10 +314,13 @@ def main(argv: list[str] | None = None) -> int:
                 (n, cond, *est["params"][f"agree_{n}"])
                 for n, cond in agree_defs
             ]
+            # checkpoint: the scored pair stream is consumed three times
+            # (by_a write, by_b write, band counts) — without this each
+            # consumer re-runs the blocked join + comparators
             scored = fellegi_sunter_score(pairs, agreements).withColumn(
                 "fs_decision",
                 fs_decision(F.col("fs_score"), args.fs_upper, args.fs_lower),
-            )
+            ).localCheckpoint(eager=True)
             write_review_queue(
                 scored,
                 args.review_queue,

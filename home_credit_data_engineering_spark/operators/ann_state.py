@@ -81,6 +81,19 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     )
 
 
+def _merge_stats(key, pdf):
+    """Shared per-cell (n, vsum) reducer for partial/merged stats rows."""
+    return pd.DataFrame(
+        {
+            "cell": [int(key[0])],
+            "n": [int(pdf["n"].sum())],
+            "vsum": [
+                np.array(pdf["vsum"].tolist(), dtype=np.float64).sum(axis=0)
+            ],
+        }
+    )
+
+
 def cell_stats(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -118,19 +131,7 @@ def cell_stats(
             )
 
     part = cols.mapInPandas(partials, _STATS_SCHEMA)
-
-    def merge(key, pdf):
-        return pd.DataFrame(
-            {
-                "cell": [int(key[0])],
-                "n": [int(pdf["n"].sum())],
-                "vsum": [
-                    np.array(pdf["vsum"].tolist(), dtype=np.float64).sum(axis=0)
-                ],
-            }
-        )
-
-    return part.groupBy("cell").applyInPandas(merge, _STATS_SCHEMA)
+    return part.groupBy("cell").applyInPandas(_merge_stats, _STATS_SCHEMA)
 
 
 def _stats_path(index_path: str) -> str:
@@ -239,22 +240,11 @@ def _merge_and_report(
     imbalance_threshold: float,
     appended: int,
 ) -> dict:
-    def resum(key, pdf):
-        return pd.DataFrame(
-            {
-                "cell": [int(key[0])],
-                "n": [int(pdf["n"].sum())],
-                "vsum": [
-                    np.array(pdf["vsum"].tolist(), dtype=np.float64).sum(axis=0)
-                ],
-            }
-        )
-
     merged = (
         read_cell_stats(spark, index_path)
         .unionByName(delta_stats)
         .groupBy("cell")
-        .applyInPandas(resum, _STATS_SCHEMA)
+        .applyInPandas(_merge_stats, _STATS_SCHEMA)
     )
     rows = merged.collect()  # ≤ n_cells rows — the only driver transfer
     _write_cell_stats(

@@ -1010,6 +1010,9 @@ def tune_blocking(
             oversize="skip" if max_block_rows is not None else "raise",
         )
         pair_counts[name] = pairs.count()
+        # checkpoint the (small) matched id-pair set: it is consumed
+        # twice below (reference union + left_semi), and without this
+        # each consumption re-runs the blocked join + matcher
         per_scheme[name] = (
             matcher(pairs)
             .select(
@@ -1021,6 +1024,7 @@ def tune_blocking(
                 ).alias("__mb"),
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
     reference = None
     for frame in per_scheme.values():

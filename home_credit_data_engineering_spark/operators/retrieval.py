@@ -432,6 +432,11 @@ def bm25_index_increment(
     )
 
     spark = new_docs.sparkSession
+    # Recovery FIRST: a prior increment that crashed inside the stats
+    # swap leaves only stats__next — reading stats before finishing the
+    # swap would fail on exactly the crash the recovery exists for.
+    for leg in ("df", "stats"):
+        recover_state_swap(f"{index_path}/{leg}")
     stats_row = spark.read.parquet(f"{index_path}/stats").first()
     stored_buckets = (
         int(stats_row["n_buckets"])
@@ -445,8 +450,6 @@ def bm25_index_increment(
                 f"got {n_buckets}"
             )
     n_buckets = stored_buckets or n_buckets or 64
-    for leg in ("df", "stats"):
-        recover_state_swap(f"{index_path}/{leg}")
 
     # one tokenization pass: tf rows are distinct (doc, term), so the
     # df delta is a row count per term — no second countDistinct scan

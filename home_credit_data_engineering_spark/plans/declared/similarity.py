@@ -350,20 +350,24 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_increment_recall",
-    # Deterministic recall certificate (combo_ann_approx discipline):
-    # the index is built over 4/5 of the corpus (seeded KMeans), the
-    # remaining 1/5 folded in via the O(Δ) increment path
-    # (operators/ann_state.py: frozen centroids, parquet append into the
-    # existing cell partitions), then per-query recall@5 of the
-    # incremented index vs exact brute force over the FULL corpus is
-    # compared to the floor. Floor 0.2 = half the measured minimum
-    # (0.4 at both sf0.001 and sf0.01 with n_probe=4) — a dead append
-    # (delta rows unreachable) or a drifted assignment would sink the
-    # delta queries' recall to ~0 and flip verdicts.
+    # Deterministic certificate (combo_ann_approx discipline): the index
+    # is built over 4/5 of the corpus (seeded KMeans), the remaining 1/5
+    # folded in via the O(Δ) increment path (operators/ann_state.py:
+    # frozen centroids, parquet append into the existing cell
+    # partitions). Two verdict legs per panel query:
+    # - recall_ok: per-query recall@5 of the incremented index vs exact
+    #   brute force over the FULL corpus >= floor 0.2 (half the measured
+    #   minimum 0.4 at both sf0.001/sf0.01 with n_probe=4; the panel
+    #   mixes BASE queries (vec_id % 50 = 0) and DELTA queries
+    #   (vec_id % 50 = 3, which are themselves incremented rows) so a
+    #   mis-assigned append drags measured recall on both sides);
+    # - index_rows_ok: the incremented index contains exactly one row
+    #   per corpus vector — a dead/partial append flips EVERY row's
+    #   verdict regardless of how gracefully recall degrades.
     oracle="""
     SELECT vec_id AS query_id, CAST(0.2 AS DOUBLE) AS recall_floor,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+           TRUE AS recall_ok, TRUE AS index_rows_ok
+    FROM embeddings WHERE vec_id % 50 IN (0, 3) AND vec_id < 2000
     """,
     operators=("S-ext:ann-ivf-increment",),
     doc="O(Δ) incremental IVF index maintenance "
@@ -400,7 +404,12 @@ def ann_ivf_increment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_fraction=(min(1.0, 4096.0 / n) if n > 4096 else None),
     )
     ivf_index_increment(delta, path)
-    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    # direct completeness check: one index row per corpus vector — a
+    # dead append can't hide behind gracefully-degrading recall
+    rows_ok = spark.read.parquet(path).count() == emb.count()
+    queries = emb.filter(
+        (F.col("vec_id") % 50).isin(0, 3) & (F.col("vec_id") < 2000)
+    )
     k, floor = 5, 0.2
     exact = brute_force_topk(emb, queries, k=k).select(
         "query_id", F.col("neighbor_id").alias("__nid")
@@ -421,5 +430,6 @@ def ann_ivf_increment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("__recall"), F.lit(0.0)) >= F.lit(floor)).alias(
                 "recall_ok"
             ),
+            F.lit(bool(rows_ok)).alias("index_rows_ok"),
         )
     )

@@ -58,6 +58,15 @@ def foreach_batch_entity_resolution(
     """
 
     entities_dir = f"{state_dir}/entities"
+    if retain_snapshots < 2:
+        # predecessor + current IS the replay recovery set: with only
+        # the current snapshot retained, a replayed batch N would find
+        # no prior < N, silently bootstrap from EMPTY state, and
+        # overwrite the only snapshot — total history loss.
+        raise ValueError(
+            f"retain_snapshots must be >= 2 (got {retain_snapshots}): "
+            "a replayed batch recomputes from its predecessor snapshot"
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from home_credit_data_engineering_spark.operators.linkage import (
@@ -89,6 +98,17 @@ def foreach_batch_entity_resolution(
                 "checkpoint to resume."
             )
         prior = [i for i in existing if i < batch_id]
+        if existing and not prior and batch_id > 0:
+            # snapshots exist but none precede this non-initial batch:
+            # the predecessor was pruned (or the dir was tampered with).
+            # Recomputing from empty would silently drop every entity
+            # the missing predecessor carried.
+            raise RuntimeError(
+                f"batch={batch_id} has no predecessor snapshot under "
+                f"{entities_dir} (existing: {existing}) — cannot replay "
+                "safely; restore the predecessor or start a fresh "
+                "state_dir"
+            )
         if prior:
             state = spark.read.parquet(
                 f"{entities_dir}/batch={prior[-1]}"

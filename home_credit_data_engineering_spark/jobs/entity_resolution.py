@@ -255,14 +255,33 @@ def main(argv: list[str] | None = None) -> int:
         )
         # Two-phase swap: the plan READS yesterday's state files, so an
         # in-place overwrite would consume its own input.
+        # the prior state is the diff base for the O(touched buckets)
+        # index refresh below; checkpoint it BEFORE the swap deletes the
+        # files its plan reads
+        prior_state = state.localCheckpoint(eager=True)
         updated.write.mode("overwrite").parquet(staged_state_path(state_path))
         swap_in_state(state_path)
         updated_state = spark.read.parquet(state_path)
         if args.index_output:
-            write_entity_index(
-                updated_state, args.index_output, args.id_col,
-                n_buckets=args.index_buckets,
-            )
+            if os.path.isdir(os.path.join(args.index_output, "by_record")):
+                from home_credit_data_engineering_spark.operators.linkage import (
+                    refresh_entity_index,
+                )
+
+                rep = refresh_entity_index(
+                    updated_state, prior_state, args.index_output,
+                    args.id_col, n_buckets=args.index_buckets,
+                )
+                print(
+                    "entity_resolution: index refresh touched "
+                    f"{len(rep['rbuckets'])}+{len(rep['ebuckets'])} buckets "
+                    f"({rep['changed_rows']} changed rows)"
+                )
+            else:
+                write_entity_index(
+                    updated_state, args.index_output, args.id_col,
+                    n_buckets=args.index_buckets,
+                )
         n = updated_state.count()
         print(f"entity_resolution: state now {n} records")
         return 0

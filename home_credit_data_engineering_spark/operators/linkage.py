@@ -1055,3 +1055,98 @@ def tune_blocking(
         "scheme string, n_pairs bigint, pair_fraction double, "
         "n_matched bigint, recall_proxy double",
     ).orderBy(F.col("recall_proxy").desc(), F.col("n_pairs").asc())
+
+
+def refresh_entity_index(
+    state: DataFrame,
+    prior_state: DataFrame,
+    output: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> dict:
+    """O(touched buckets) serving-index maintenance — the incremental
+    complement to :func:`write_entity_index`'s full rewrite.
+
+    After an incremental fold (:func:`incremental_resolve_entities` /
+    :func:`fold_review_decisions`), only records that are NEW or whose
+    ``entity_id`` CHANGED need their index partitions refreshed. This
+    diffs ``state`` against ``prior_state`` on (id, entity_id), maps the
+    changed rows to their ``by_record``/``by_entity`` buckets, and
+    rewrites ONLY those partitions via dynamic partition overwrite —
+    each rewritten partition gets its complete new contents (overwrite
+    semantics need whole partitions), untouched buckets keep their
+    files byte-for-byte.
+
+    A changed ENTITY label touches the entity's old and new ``by_entity``
+    buckets; both come out of the diff because every relabeled member row
+    appears in it (old label from ``prior_state``, new from ``state``).
+    A touched bucket that ends up with ZERO rows (an absorbed entity was
+    its bucket's only resident) is deleted explicitly — dynamic
+    partition overwrite only replaces partitions PRESENT in the written
+    data, so an empty bucket would otherwise keep its stale files.
+    Returns ``{"changed_rows", "rbuckets", "ebuckets"}`` — at 100 TB a
+    daily batch touching 1% of buckets rewrites 1% of the index instead
+    of all of it. Results equal :func:`write_entity_index` output exactly
+    (asserted in tests).
+    """
+    import os
+    import shutil
+    changed = state.select(id_col, "entity_id").exceptAll(
+        prior_state.select(id_col, "entity_id")
+    )
+    # old labels of relabeled records also free their by_entity buckets
+    old_labels = prior_state.select(id_col, "entity_id").exceptAll(
+        state.select(id_col, "entity_id")
+    )
+    rbuckets = sorted(
+        r["b"]
+        for r in changed.select(
+            entity_bucket(id_col, n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    ebuckets = sorted(
+        r["b"]
+        for r in changed.select(
+            entity_bucket("entity_id", n_buckets).alias("b")
+        )
+        .unionByName(
+            old_labels.select(entity_bucket("entity_id", n_buckets).alias("b"))
+        )
+        .distinct()
+        .collect()
+    )
+    n_changed = changed.count()
+
+    def _rewrite(leg: str, part: str, key_col) -> None:
+        buckets = rbuckets if part == "rbucket" else ebuckets
+        if not buckets:
+            return
+        rows = state.withColumn(
+            part, entity_bucket(key_col, n_buckets)
+        ).filter(F.col(part).isin(buckets))
+        present = {
+            r["b"] for r in rows.select(F.col(part).alias("b")).distinct().collect()
+        }
+        if present:
+            (
+                rows.filter(F.col(part).isin(sorted(present)))
+                .repartition(part)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(part)
+                .parquet(f"{output}/{leg}")
+            )
+        # touched buckets with no surviving rows: dynamic overwrite
+        # never sees them, so drop their stale partition dirs directly
+        for b in set(buckets) - present:
+            stale = os.path.join(f"{output}/{leg}", f"{part}={b}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+
+    _rewrite("by_record", "rbucket", id_col)
+    _rewrite("by_entity", "ebucket", "entity_id")
+    return {
+        "changed_rows": int(n_changed),
+        "rbuckets": [int(b) for b in rbuckets],
+        "ebuckets": [int(b) for b in ebuckets],
+    }

@@ -88,6 +88,16 @@ def get_session(
         Post-shuffle partition count. Defaults to the core count locally;
         at 100 TB scale set ~2-3× total executor cores and let AQE coalesce.
     """
+    # An already-active session is returned UNTOUCHED: getOrCreate would
+    # otherwise silently rewrite the live session's runtime conf (e.g.
+    # shuffle partitions) — in-process callers like the job CLIs under
+    # test, a notebook, or an orchestrator own their session's settings.
+    # Every production entry point runs in a fresh process, where this
+    # branch never fires and the defaults below apply in full.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
     parallelism = _default_parallelism()
     if master is None:
         master = f"local[{parallelism}]"

@@ -712,3 +712,90 @@ def test_tune_blocking_finds_known_optimal_key(spark):
     assert ordered[0] == "prefix_2"
     # pair_fraction vs C(6,2) = 15
     assert rows["prefix_2"]["pair_fraction"] == round(2 / 15, 9)
+
+
+def test_refresh_entity_index_equals_full_rewrite(spark, tmp_path):
+    """Incremental index refresh must produce the same serving tables as
+    a full rewrite while rewriting ONLY the touched partitions."""
+    import glob
+    import os
+
+    from home_credit_data_engineering_spark.operators.linkage import (
+        entity_profile,
+        refresh_entity_index,
+        write_entity_index,
+    )
+
+    n_buckets = 8
+    prior = _resolved_state(spark)  # {1:[1,2], 3:[3], 7:[7,8]}
+    idx = str(tmp_path / "idx")
+    write_entity_index(prior, idx, "id", n_buckets=n_buckets)
+    before_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{idx}/by_*/[re]bucket=*/*.parquet")
+    }
+
+    # new state: record 9 arrives and merges entity 7 into entity 1
+    # (relabels 7 and 8), entity 3 untouched
+    new_state = spark.createDataFrame(
+        [
+            (1, 1, "B1", "ann smith"),
+            (2, 1, "B1", "ann smyth"),
+            (3, 3, "B1", "zoe quinn"),
+            (7, 1, "B2", "bob ray"),
+            (8, 1, "B2", "bob raye"),
+            (9, 1, "B2", "bob rayz"),
+        ],
+        ["id", "entity_id", "blk", "name"],
+    )
+    rep = refresh_entity_index(new_state, prior, idx, "id", n_buckets=n_buckets)
+    assert rep["changed_rows"] == 3  # 7, 8 relabeled; 9 new
+
+    full = str(tmp_path / "full")
+    write_entity_index(new_state, full, "id", n_buckets=n_buckets)
+    for leg, part in (("by_record", "rbucket"), ("by_entity", "ebucket")):
+        a = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{leg}").drop(part).collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{leg}").drop(part).collect())
+        )
+        assert a == b and len(a) == 6
+
+    # untouched partitions kept their original files
+    touched_parts = {f"rbucket={b}" for b in rep["rbuckets"]} | {
+        f"ebucket={b}" for b in rep["ebuckets"]
+    }
+    for p, mtime in before_files.items():
+        part = os.path.basename(os.path.dirname(p))
+        if part not in touched_parts:
+            assert os.path.exists(p) and os.path.getmtime(p) == mtime, p
+    # and at least one bucket was genuinely untouched (3's) while the
+    # relabeled entity's buckets were rewritten
+    assert touched_parts
+    assert len(touched_parts) < 2 * n_buckets
+
+    # serving still works end-to-end on the refreshed index
+    members = entity_profile(spark, idx, 9, "id", n_buckets=n_buckets)
+    assert {r["id"] for r in members.collect()} == {1, 2, 7, 8, 9}
+
+
+def test_refresh_entity_index_noop_when_unchanged(spark, tmp_path):
+    import glob
+    import os
+
+    from home_credit_data_engineering_spark.operators.linkage import (
+        refresh_entity_index,
+        write_entity_index,
+    )
+
+    state = _resolved_state(spark)
+    idx = str(tmp_path / "idx")
+    write_entity_index(state, idx, "id", n_buckets=4)
+    before = sorted(glob.glob(f"{idx}/by_*/*/*.parquet"))
+    mtimes = [os.path.getmtime(p) for p in before]
+    rep = refresh_entity_index(state, state, idx, "id", n_buckets=4)
+    assert rep == {"changed_rows": 0, "rbuckets": [], "ebuckets": []}
+    after = sorted(glob.glob(f"{idx}/by_*/*/*.parquet"))
+    assert after == before
+    assert [os.path.getmtime(p) for p in after] == mtimes

@@ -312,3 +312,33 @@ def test_ann_index_cli_state_dir(spark, tmp_path):
         n_probe=2,
     )
     assert got.count() == 3
+
+
+def test_ann_index_cli_state_dir_pq(spark, tmp_path):
+    """--state-dir with a PQ index: bootstrap detects --pq, the
+    increment auto-detects the codes/ layout, and the incremented index
+    serves queries over the union."""
+    from home_credit_data_engineering_spark.jobs import ann_index as job
+
+    df = _clustered(spark, n_per=30)
+    wave1, wave2 = _split(df)
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    wave1.write.parquet(w1)
+    wave2.write.parquet(w2)
+    state = str(tmp_path / "state")
+
+    assert job.main(
+        ["--input", w1, "--state-dir", state, "--n-centroids", "2",
+         "--pq", "--pq-m", "8", "--pq-nbits", "4"]
+    ) == 0
+    assert os.path.isdir(os.path.join(state, "codes"))
+    assert job.main(["--input", w2, "--state-dir", state]) == 0
+    assert (
+        spark.read.parquet(os.path.join(state, "codes")).count()
+        == df.count()
+    )
+    got = ivfpq_query_index(
+        spark, state, df.filter(F.col("vec_id") == 0), k=3, n_probe=2,
+        rerank=10,
+    )
+    assert got.count() == 3

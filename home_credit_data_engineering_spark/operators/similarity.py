@@ -463,6 +463,37 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    train_fraction: float | None = None,
+) -> np.ndarray:
+    """Seeded KMeans coarse quantizer — the shared trainer for the
+    one-time index build (:func:`build_ivf_index`) and the streaming
+    bootstrap (``streaming/ann.py``), so the two paths can never train
+    differently on the same data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train_src = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else corpus
+    )
+    train = train_src.select(
+        array_to_vector(to_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="random"
+    ).fit(train)
+    return np.array(
+        [list(c) for c in model.clusterCenters()], dtype=np.float64
+    )
+
+
 def best_cell_udf(c_unit: np.ndarray):
     """Pandas UDF assigning each vector to its nearest (max-cosine)
     centroid from the given UNIT-normalized centroid matrix. Shared by
@@ -506,23 +537,13 @@ def build_ivf_index(
     """
     import os
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
-
-    train_src = (
-        corpus.sample(fraction=train_fraction, seed=seed)
-        if train_fraction is not None
-        else corpus
-    )
-    train = train_src.select(
-        array_to_vector(to_double_array(vec_col)).alias("features")
-    )
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, initMode="random"
-    ).fit(train)
-    centers_mat = np.array(
-        [list(c) for c in model.clusterCenters()], dtype=np.float64
+    centers_mat = train_ivf_centroids(
+        corpus,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        max_iter=max_iter,
+        train_fraction=train_fraction,
     )
     c_norm = np.linalg.norm(centers_mat, axis=1)
     c_unit = np.where(

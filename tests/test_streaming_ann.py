@@ -1,0 +1,157 @@
+"""Streaming ANN index maintenance (streaming/ann.py): replay-idempotent
+(cell, batch)-partitioned folds, bootstrap training parity with the
+one-time build, and an unchanged query path."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from home_credit_data_engineering_spark.operators.similarity import (
+    ivf_query_index,
+)
+from home_credit_data_engineering_spark.streaming.ann import (
+    foreach_batch_ann_ingest,
+    read_streaming_cell_stats,
+)
+
+DIM = 16
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _clustered(spark, n_per=30, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for cid, center in enumerate((5.0, -5.0)):
+        base = np.full(DIM, center)
+        base[cid] += 2.0
+        for i in range(n_per):
+            rows.append(
+                (cid * 1000 + i, (base + rng.normal(0, 0.1, DIM)).tolist())
+            )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _write_waves(spark, df, tmp_path, n_waves=3):
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(n_waves):
+        d = str(tmp_path / f"w{i}")
+        df.filter(F.col("vec_id") % n_waves == i).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+    return flat
+
+
+def _run(spark, flat, idx, ckpt, reports=None):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(flat)
+    )
+    foreach_batch_ann_ingest(
+        stream,
+        idx,
+        ckpt,
+        n_centroids=2,
+        seed=1,
+        reports=reports,
+    )
+
+
+def _assign_direct(df, centers):
+    c_unit = centers / np.maximum(
+        np.linalg.norm(centers, axis=1), 1e-300
+    )[:, None]
+    out = {}
+    for r in df.collect():
+        x = np.array(r["embedding"], dtype=np.float64)
+        x = x / max(np.linalg.norm(x), 1e-300)
+        out[r["vec_id"]] = int(np.argsort(-(x @ c_unit.T), kind="stable")[0])
+    return out
+
+
+def test_streaming_ann_ingest_assignments_and_query(spark, tmp_path):
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path)
+    idx = str(tmp_path / "idx")
+    reports: list = []
+    _run(spark, flat, idx, str(tmp_path / "ckpt"), reports)
+
+    assert len(reports) == 3
+    assert sum(r["appended"] for r in reports) == df.count()
+    assert [r["batch_id"] for r in reports] == [0, 1, 2]
+
+    centers = np.load(os.path.join(idx, "_centroids.npy"))
+    stored = {
+        r["vec_id"]: int(r["cell"])
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    assert stored == _assign_direct(df, centers)  # frozen-centroid parity
+
+    # running stats state == stored partition counts
+    stats = {
+        r["cell"]: r["n"]
+        for r in read_streaming_cell_stats(spark, idx).collect()
+    }
+    from collections import Counter
+
+    assert stats == dict(Counter(stored.values()))
+
+    # the unchanged query path serves the (cell, batch) tree: planted
+    # clusters stay in-cluster, and the scan partition-prunes on cell
+    got = ivf_query_index(
+        spark, idx, df.filter(F.col("vec_id").isin(0, 1000)), k=3, n_probe=1
+    )
+    rows = got.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert (r["neighbor_id"] // 1000) == (r["query_id"] // 1000)
+
+
+def test_streaming_ann_ingest_replay_is_idempotent(spark, tmp_path):
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt)
+    before = {
+        r["vec_id"]: int(r["cell"])
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+
+    # crash window: last batch's partitions + stats delta written but the
+    # offset never committed -> restart redelivers the batch
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run(spark, flat, idx, ckpt)
+
+    after = {
+        r["vec_id"]: int(r["cell"])
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    assert after == before  # no duplicates, no relabels
+    assert spark.read.parquet(idx).count() == df.count()
+    # stats did not double-count the replayed batch
+    assert (
+        sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
+        == df.count()
+    )

@@ -564,6 +564,10 @@ def _index_scores(
         F.col("term").alias("__term"),
         F.col("tf").alias("__tf"),
     )
+    # group-sum per term: the batch-maintained layout stores one row per
+    # term (sum = identity), the streaming layout stores one DELTA row
+    # per (term, batch) — integer-valued double counts, so the sum is
+    # exact in any order and both layouts score identically
     dfc = (
         spark.read.parquet(f"{index_path}/df")
         .filter(F.col("bucket").isin(buckets))
@@ -571,13 +575,26 @@ def _index_scores(
             F.broadcast(term_panel.withColumnRenamed("__term", "term")), "term"
         )
         .select(F.col("term").alias("__term"), F.col("df").alias("__df"))
+        .groupBy("__term")
+        .agg(F.sum("__df").alias("__df"))
     )
     dls = spark.read.parquet(f"{index_path}/doclens").select(
         F.col("doc_id").alias("__doc"), F.col("dl").alias("__dl")
     )
-    scalars = spark.read.parquet(f"{index_path}/stats").select(
-        F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
-    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    if "total_dl" in stats.columns:
+        # merge-friendly: sum the per-batch rows (a single-row batch
+        # layout is the identity case) and re-derive avgdl as the same
+        # single division avg() performs — bit-identical either way,
+        # because total_dl is an exact integer-valued sum
+        scalars = stats.agg(
+            F.sum("n_docs").alias("__n_docs"),
+            (F.sum("total_dl") / F.sum("n_docs")).alias("__avgdl"),
+        )
+    else:  # pre-r11 stats: one row, stored avgdl
+        scalars = stats.select(
+            F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
+        )
     return _score_postings(
         tf, dfc, dls, scalars, qterms,
         k1=k1, b=b, max_df_fraction=max_df_fraction,

@@ -1,0 +1,143 @@
+"""Streaming BM25 index maintenance: fold each micro-batch of new
+documents into the persisted lexical index under Structured Streaming.
+
+Exactness carries over from the batch increment
+(``operators/retrieval.py:bm25_index_increment``): every index leg is
+either doc-keyed rows or an exactly-mergeable integer aggregate, so the
+streamed index scores BIT-IDENTICALLY to a one-shot build over the same
+corpus (asserted in tests). What the streaming form adds is REPLAY
+IDEMPOTENCY, which the batch increment's bare appends cannot give under
+foreachBatch's at-least-once delivery:
+
+- ``postings/`` rows land in ``(bucket, batch)`` partitions and ``df/``
+  per-term DELTA counts in ``(bucket, batch)`` partitions, both written
+  with dynamic partition overwrite — a replayed batch tokenizes the
+  same documents into the same buckets and overwrites exactly its own
+  previous partitions;
+- ``doclens/`` and ``stats/`` rows land in ``batch=N`` partitions the
+  same way (stats carries the exact integer ``total_dl`` sum per
+  batch).
+
+The query path (``retrieval._index_scores``) serves both layouts with
+one plan: df group-sums per term and stats sum across rows — identity
+on the single-row batch layout, the delta merge here. Do NOT mix
+maintainers on one index: the batch increment's bucket-only appends
+into a ``(bucket, batch)`` tree (or vice versa) conflict at partition
+discovery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.retrieval import (
+    _corpus_stats,
+    _postings,
+    term_bucket,
+)
+
+
+def foreach_batch_bm25_ingest(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    reports: list | None = None,
+):
+    """Run the document stream to completion (``availableNow``), folding
+    each micro-batch into the index. Returns the finished query.
+
+    ``reports`` (optional list) collects per-batch
+    ``{"batch_id", "docs_added", "terms_touched"}`` dicts.
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.dropDuplicates([id_col])
+        # one tokenization pass: tf rows are distinct (doc, term), so
+        # the df delta is a per-term row count over tf
+        tf = (
+            _postings(docs, id_col, text_col)
+            .groupBy("__doc", "__term")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        (
+            tf.select(
+                F.col("__term").alias("term"),
+                F.col("__doc").alias("doc_id"),
+                "tf",
+                term_bucket("__term", n_buckets).alias("bucket"),
+                F.lit(batch_id).alias("batch"),
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch")
+            .parquet(f"{index_path}/postings")
+        )
+        delta_df = tf.groupBy("__term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        (
+            delta_df.select(
+                F.col("__term").alias("term"),
+                "df",
+                term_bucket("__term", n_buckets).alias("bucket"),
+                F.lit(batch_id).alias("batch"),
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch")
+            .parquet(f"{index_path}/df")
+        )
+        dls, scalars = _corpus_stats(docs, id_col, text_col)
+        (
+            dls.select(
+                F.col("__doc").alias("doc_id"),
+                F.col("__dl").alias("dl"),
+                F.lit(batch_id).alias("batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(f"{index_path}/doclens")
+        )
+        (
+            scalars.select(
+                F.col("__n_docs").alias("n_docs"),
+                F.col("__avgdl").alias("avgdl"),
+                F.col("__total_dl").alias("total_dl"),
+                F.lit(n_buckets).alias("n_buckets"),
+                F.lit(batch_id).alias("batch"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(f"{index_path}/stats")
+        )
+        if reports is not None:
+            row = tf.agg(
+                F.count_distinct(F.col("__doc")).alias("d"),
+                F.count_distinct(F.col("__term")).alias("t"),
+            ).first()
+            reports.append(
+                {
+                    "batch_id": batch_id,
+                    "docs_added": int(row["d"] or 0),
+                    "terms_touched": int(row["t"] or 0),
+                }
+            )
+
+    query = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,112 @@
+"""Streaming BM25 index maintenance (streaming/bm25.py): the streamed
+index must score BIT-IDENTICALLY to a one-shot build over the same
+corpus, and replays must be idempotent."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from home_credit_data_engineering_spark.operators.retrieval import (
+    bm25_query_index,
+    build_bm25_index,
+)
+from home_credit_data_engineering_spark.plans.declared.retrieval import (
+    bm25_panel_df,
+)
+from home_credit_data_engineering_spark.sources.readers import read_testdata
+from home_credit_data_engineering_spark.streaming.bm25 import (
+    foreach_batch_bm25_ingest,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_waves(spark, docs, tmp_path, n_waves=3):
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(n_waves):
+        d = str(tmp_path / f"w{i}")
+        docs.filter(F.col("doc_id") % n_waves == i).select(
+            "doc_id", "text"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+    return flat
+
+
+def _run(spark, flat, idx, ckpt, reports=None):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(flat)
+    )
+    foreach_batch_bm25_ingest(
+        stream, idx, ckpt, n_buckets=16, reports=reports
+    )
+
+
+def _results(spark, idx):
+    panel = bm25_panel_df(spark)
+    return sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(
+            spark, idx, panel, k=5, n_buckets=16
+        ).collect()
+    )
+
+
+def test_streaming_bm25_equals_one_shot_build(spark, sf_dir, tmp_path):
+    docs = read_testdata(spark, sf_dir, "documents")
+    flat = _write_waves(spark, docs, tmp_path)
+    idx = str(tmp_path / "stream_idx")
+    reports: list = []
+    _run(spark, flat, idx, str(tmp_path / "ckpt"), reports)
+    assert [r["batch_id"] for r in reports] == [0, 1, 2]
+    assert sum(r["docs_added"] for r in reports) == docs.count()
+
+    full_idx = str(tmp_path / "full_idx")
+    build_bm25_index(docs, full_idx, n_buckets=16)
+
+    a = _results(spark, idx)
+    b = _results(spark, full_idx)
+    assert a == b and len(a) > 0  # bit-identical scores
+
+
+def test_streaming_bm25_replay_is_idempotent(spark, sf_dir, tmp_path):
+    docs = read_testdata(spark, sf_dir, "documents")
+    flat = _write_waves(spark, docs, tmp_path)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt)
+    before = _results(spark, idx)
+
+    # crash window: the final batch's partitions are written but its
+    # offset never committed -> restart redelivers it
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run(spark, flat, idx, ckpt)
+
+    assert _results(spark, idx) == before
+    # no leg double-counts the replayed batch
+    assert (
+        spark.read.parquet(f"{idx}/doclens").count() == docs.count()
+    )
+    n = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
+    assert int(n) == docs.count()

@@ -331,6 +331,23 @@ def pca_whitening_model(
     step that does not need the cluster. The heavy pass (covariance)
     is exact and distributed.
     """
+    mean, cov = whitening_stats(df, id_col, vec_col, max_dim=max_dim)
+    return mean, whitening_transform(cov, n_components=n_components, eps=eps)
+
+
+def whitening_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    max_dim: int = 2048,
+):
+    """The two distributed passes a whitening fit needs: per-dimension
+    exact-decimal means and the exact d x d covariance
+    (:func:`embedding_covariance`), returned as numpy arrays. Factored
+    out so a caller fitting SEVERAL transforms (ZCA + PCA-k, different
+    eps) pays the corpus passes once — :func:`whitening_transform` is
+    driver-side numpy over these arrays."""
     import numpy as np
 
     cov_rows = embedding_covariance(df, id_col, vec_col).collect()
@@ -361,18 +378,31 @@ def pca_whitening_model(
     for r in cov_rows:
         cov[r["i"], r["j"]] = r["cov"]
         cov[r["j"], r["i"]] = r["cov"]
+    return mean, cov
+
+
+def whitening_transform(
+    cov,
+    *,
+    n_components: int | None = None,
+    eps: float = 1e-6,
+):
+    """Driver-side eigh over a fitted covariance: the ``W`` of
+    :func:`pca_whitening_model` (ZCA for ``n_components=None``, PCA
+    projection otherwise)."""
+    import numpy as np
+
+    d = cov.shape[0]
     lam, u = np.linalg.eigh(cov)  # ascending eigenvalues
     scale = 1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)
     if n_components is None:
-        w = (u * scale) @ u.T  # ZCA
-    else:
-        if not 1 <= n_components <= d:
-            raise ValueError(
-                f"n_components must be in [1, {d}], got {n_components}"
-            )
-        top = np.argsort(lam)[::-1][:n_components]
-        w = (scale[top][:, None]) * u[:, top].T  # PCA
-    return mean, w
+        return (u * scale) @ u.T  # ZCA
+    if not 1 <= n_components <= d:
+        raise ValueError(
+            f"n_components must be in [1, {d}], got {n_components}"
+        )
+    top = np.argsort(lam)[::-1][:n_components]
+    return (scale[top][:, None]) * u[:, top].T  # PCA
 
 
 def whiten_embeddings(

@@ -84,6 +84,12 @@ def survivors_by_score(
     joined = members.join(scores, id_col).select(
         F.col(id_col), F.col(cluster_col), F.col(score_col)
     )
+    # Both the aggregate and the final join-back consume `joined`; a
+    # lazy checkpoint makes them SHARE one evaluation — without it the
+    # cluster-key lineage (often an expensive canonical fingerprint over
+    # full text) runs twice, which measured ~2x on the 10x bench leg.
+    # Lazy: the aggregate's first pass materializes it, no extra job.
+    joined = joined.localCheckpoint(eager=False)
     best = joined.groupBy(cluster_col).agg(
         F.min_by(
             F.col(id_col),

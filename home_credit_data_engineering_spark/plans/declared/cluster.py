@@ -242,16 +242,27 @@ COVARIANCE_SQL_CTES = """
 def sim_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.cluster import (
         embedding_covariance,
-        pca_whitening_model,
         whiten_embeddings,
+        whitening_stats,
+        whitening_transform,
     )
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    cov_leg = embedding_covariance(emb, "vec_id", "embedding").select(
-        F.lit("cov").alias("leg"),
-        F.col("i").cast("int").alias("i"),
-        F.col("j").cast("int").alias("j"),
-        F.col("cov").alias("value"),
+    # ONE (mean, covariance) fit feeds everything: the cov output leg is
+    # rebuilt from the collected matrix (the exact round-9 doubles the
+    # oracle recomputes), and BOTH transforms (ZCA + PCA-16) are
+    # driver-side eigh over it — the previous form ran the corpus
+    # covariance three times and the mean pass twice (once per model
+    # fit plus the output leg), 2.3x this leg's cost at the 10x bench.
+    mean, cov = whitening_stats(emb, "vec_id", "embedding")
+    d = cov.shape[0]
+    cov_leg = spark.createDataFrame(
+        [
+            ("cov", i, j, float(cov[i, j]))
+            for i in range(d)
+            for j in range(i, d)
+        ],
+        "leg string, i int, j int, value double",
     )
 
     def identity_ok(whitened: DataFrame, tol: float) -> F.Column:
@@ -264,7 +275,7 @@ def sim_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.when(F.col("ok"), 1.0).otherwise(0.0).alias("value"))
         )
 
-    mean, w_zca = pca_whitening_model(emb, "vec_id", "embedding")
+    w_zca = whitening_transform(cov)
     zca = whiten_embeddings(emb, "vec_id", "embedding", mean, w_zca)
     zca_identity = identity_ok(zca, 0.02).select(
         F.lit("zca_identity").alias("leg"),
@@ -282,9 +293,7 @@ def sim_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ok"), 1.0).otherwise(0.0).alias("value"),
         )
     )
-    _, w_pca = pca_whitening_model(
-        emb, "vec_id", "embedding", n_components=16
-    )
+    w_pca = whitening_transform(cov, n_components=16)
     pca = whiten_embeddings(emb, "vec_id", "embedding", mean, w_pca)
     pca_identity = identity_ok(pca, 0.02).select(
         F.lit("pca16_identity").alias("leg"),

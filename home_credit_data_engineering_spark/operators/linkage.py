@@ -792,6 +792,11 @@ def resolve_entities(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
     )
+    # consumed by the size aggregate AND the join-back: share one
+    # evaluation (lazy — the aggregate's pass materializes it) instead
+    # of running the ids x components join and the CC roots anti-join
+    # twice
+    labeled = labeled.localCheckpoint(eager=False)
     sizes = labeled.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("entity_size")
     )

@@ -1,5 +1,7 @@
-"""ANN index build job CLI: embeddings parquet → cell-partitioned IVF
-index (+ centroid matrix) for partition-pruned similarity serving.
+"""ANN index job CLI: build (embeddings parquet → cell-partitioned IVF
+or IVF-PQ index), O(Δ) increment (--state-dir), drift report
+(--report-drift), and serving (--query-ids: partition-pruned top-k for
+query vectors drawn from a parquet source by id).
 
 The --output path must be LOCAL-filesystem: the centroid sidecar is
 written with np.save (driver-local), unlike the parquet legs which go
@@ -59,6 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "trips, retrain the full index from the stored "
                         "vectors into a staged sibling and swap it in "
                         "(two-phase, crash-safe)")
+    parser.add_argument("--report-drift", action="store_true",
+                        help="report mode: print the current drift report "
+                        "for the --state-dir index (stats + centroids "
+                        "sidecars only -- no data scan, no ingest)")
+    parser.add_argument("--query-ids", nargs="*", type=int, default=None,
+                        help="query mode: vector ids; reads their "
+                        "embeddings from --input and prints top-k "
+                        "neighbors from the --state-dir index")
+    parser.add_argument("--k", type=int, default=5)
+    parser.add_argument("--n-probe", type=int, default=4)
     return parser
 
 
@@ -122,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("--residual requires --pq")
     if args.opq and not args.pq:
         raise SystemExit("--opq requires --pq")
+    if (args.report_drift or args.query_ids is not None) and not args.state_dir:
+        raise SystemExit("--report-drift/--query-ids need --state-dir")
     if not args.state_dir and not args.output:
         raise SystemExit("--output is required (or use --state-dir)")
     import os
@@ -130,6 +144,63 @@ def main(argv: list[str] | None = None) -> int:
     from home_credit_data_engineering_spark.sources.readers import read_parquet
 
     spark = get_session(app_name="ann-index-build")
+
+    if args.report_drift:
+        import numpy as np
+
+        from home_credit_data_engineering_spark.operators.ann_state import (
+            drift_report,
+            read_cell_stats,
+        )
+
+        centers = np.load(os.path.join(args.state_dir, "_centroids.npy"))
+        rows = read_cell_stats(spark, args.state_dir).collect()
+        rep = drift_report(
+            rows, centers, args.mean_shift_threshold, args.imbalance_threshold
+        )
+        print(
+            "ann_index[drift]: n_vectors=%d cells=%d max_mean_shift=%.4f "
+            "size_imbalance=%.2f rebuild_recommended=%s (trigger=%s)"
+            % (rep["n_vectors"], rep["n_cells"], rep["max_mean_shift"],
+               rep["size_imbalance"], rep["rebuild_recommended"],
+               rep["trigger"])
+        )
+        return 0
+
+    if args.query_ids is not None:
+        from pyspark.sql import functions as F
+
+        queries = read_parquet(spark, args.input).filter(
+            F.col(args.id_col).isin(args.query_ids)
+        )
+        is_pq = os.path.isdir(os.path.join(args.state_dir, "codes"))
+        if is_pq:
+            from home_credit_data_engineering_spark.operators.quantization import (
+                ivfpq_query_index,
+            )
+
+            top = ivfpq_query_index(
+                spark, args.state_dir, queries, k=args.k,
+                id_col=args.id_col, vec_col=args.vec_col,
+                n_probe=args.n_probe,
+            )
+        else:
+            from home_credit_data_engineering_spark.operators.similarity import (
+                ivf_query_index,
+            )
+
+            top = ivf_query_index(
+                spark, args.state_dir, queries, k=args.k,
+                id_col=args.id_col, vec_col=args.vec_col,
+                n_probe=args.n_probe,
+            )
+        for row in top.orderBy("query_id", "rank").collect():
+            print(
+                f"{row['query_id']}\t{row['rank']}\t{row['neighbor_id']}\t"
+                f"{row['score']}"
+            )
+        return 0
+
     emb = read_parquet(spark, args.input)
 
     if not args.state_dir:

@@ -342,3 +342,33 @@ def test_ann_index_cli_state_dir_pq(spark, tmp_path):
         rerank=10,
     )
     assert got.count() == 3
+
+
+def test_ann_index_cli_query_and_drift_modes(spark, tmp_path, capsys):
+    from home_credit_data_engineering_spark.jobs import ann_index as job
+
+    df = _clustered(spark, n_per=30)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    state = str(tmp_path / "state")
+    assert job.main(
+        ["--input", src, "--state-dir", state, "--n-centroids", "2"]
+    ) == 0
+
+    assert job.main(
+        ["--input", src, "--state-dir", state, "--report-drift"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "ann_index[drift]:" in out and "rebuild_recommended=False" in out
+
+    assert job.main(
+        ["--input", src, "--state-dir", state,
+         "--query-ids", "0", "1000", "--k", "3", "--n-probe", "1"]
+    ) == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln
+    ]
+    assert len(lines) == 6  # 2 queries x top-3
+    for ln in lines:
+        qid, rank, nid, _score = ln.split("\t")
+        assert int(nid) // 1000 == int(qid) // 1000  # in-cluster

@@ -149,12 +149,39 @@ def main(argv: list[str] | None = None) -> int:
         import numpy as np
 
         from home_credit_data_engineering_spark.operators.ann_state import (
+            _stats_path,
             drift_report,
             read_cell_stats,
         )
+        from home_credit_data_engineering_spark.sources.maintenance import (
+            recover_state_swap,
+        )
 
         centers = np.load(os.path.join(args.state_dir, "_centroids.npy"))
-        rows = read_cell_stats(spark, args.state_dir).collect()
+        deltas_dir = os.path.join(args.state_dir, "_cell_stats_deltas")
+        if os.path.isdir(deltas_dir):
+            # streaming-maintained index: running state is the sum of
+            # the batch-keyed deltas, not a _cell_stats snapshot
+            from home_credit_data_engineering_spark.streaming.ann import (
+                read_streaming_cell_stats,
+            )
+
+            rows = read_streaming_cell_stats(spark, args.state_dir).collect()
+        else:
+            # a prior increment may have died mid-swap on the stats dir;
+            # apply the same recovery the increment path itself runs
+            recover_state_swap(_stats_path(args.state_dir))
+            if not os.path.isdir(_stats_path(args.state_dir)):
+                # pre-stats index: same one-time lazy init the
+                # increment path performs
+                from home_credit_data_engineering_spark.operators.ann_state import (
+                    refresh_cell_stats_from_index,
+                )
+
+                refresh_cell_stats_from_index(
+                    spark, args.state_dir, args.id_col, args.vec_col
+                )
+            rows = read_cell_stats(spark, args.state_dir).collect()
         rep = drift_report(
             rows, centers, args.mean_shift_threshold, args.imbalance_threshold
         )

@@ -253,17 +253,36 @@ def main(argv: list[str] | None = None) -> int:
             [args.name_col],
             match,
         )
+        # The incremental index refresh diffs against the PRE-swap state;
+        # a crash between the state swap and the refresh would leave the
+        # index permanently stale (the next run's diff base already
+        # contains this batch). A _refresh_pending sentinel written
+        # before the swap detects that window: if a previous run left it
+        # behind, fall back to the self-healing full index rewrite.
+        pending = (
+            os.path.join(args.index_output, "_refresh_pending")
+            if args.index_output
+            else None
+        )
+        do_refresh = bool(args.index_output) and os.path.isdir(
+            os.path.join(args.index_output, "by_record")
+        ) and not os.path.exists(pending)
+        if pending:
+            os.makedirs(args.index_output, exist_ok=True)
+            with open(pending, "w") as fh:
+                fh.write("")
         # Two-phase swap: the plan READS yesterday's state files, so an
         # in-place overwrite would consume its own input.
         # the prior state is the diff base for the O(touched buckets)
         # index refresh below; checkpoint it BEFORE the swap deletes the
-        # files its plan reads
-        prior_state = state.localCheckpoint(eager=True)
+        # files its plan reads (only when that branch will actually run —
+        # the full rewrite needs no diff base)
+        prior_state = state.localCheckpoint(eager=True) if do_refresh else None
         updated.write.mode("overwrite").parquet(staged_state_path(state_path))
         swap_in_state(state_path)
         updated_state = spark.read.parquet(state_path)
         if args.index_output:
-            if os.path.isdir(os.path.join(args.index_output, "by_record")):
+            if do_refresh:
                 from home_credit_data_engineering_spark.operators.linkage import (
                     refresh_entity_index,
                 )
@@ -282,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
                     updated_state, args.index_output, args.id_col,
                     n_buckets=args.index_buckets,
                 )
+            os.remove(pending)
         n = updated_state.count()
         print(f"entity_resolution: state now {n} records")
         return 0

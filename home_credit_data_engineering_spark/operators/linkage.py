@@ -713,7 +713,15 @@ def write_entity_index(
     size — the lexical-index contract applied to the entity table.
     xxhash64 of a literal folds at plan time, so the partition filter is
     a constant comparison (PartitionFilters, plan-asserted in tests).
+
+    The bucket count is pinned in ``_index_meta.json`` at the index
+    root; :func:`refresh_entity_index` validates against it so a later
+    incremental run cannot silently rewrite partitions under a
+    different modulus.
     """
+    import json
+    import os
+
     (
         state.withColumn("rbucket", entity_bucket(id_col, n_buckets))
         .repartition("rbucket")
@@ -728,6 +736,10 @@ def write_entity_index(
         .partitionBy("ebucket")
         .parquet(f"{output}/by_entity")
     )
+    tmp = os.path.join(output, "_index_meta.json.__next")
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
+    os.replace(tmp, os.path.join(output, "_index_meta.json"))
 
 
 def entity_profile(
@@ -1093,11 +1105,31 @@ def refresh_entity_index(
     daily batch touching 1% of buckets rewrites 1% of the index instead
     of all of it. Results equal :func:`write_entity_index` output exactly
     (asserted in tests).
+
+    ``n_buckets`` must match the count the index was BUILT with — it is
+    validated against the ``_index_meta.json`` pin
+    :func:`write_entity_index` writes (a mismatched modulus would
+    rewrite some partitions while stale rows survive under the old
+    layout). Indexes written before the pin existed are trusted as-is.
     """
+    import json
     import os
     import shutil
-    changed = state.select(id_col, "entity_id").exceptAll(
-        prior_state.select(id_col, "entity_id")
+
+    meta_path = os.path.join(output, "_index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored = int(json.load(fh)["n_buckets"])
+        if stored != n_buckets:
+            raise ValueError(
+                f"index was built with n_buckets={stored}, got {n_buckets}"
+            )
+    # the diff feeds three actions (two bucket collects + the count);
+    # lazy checkpoint shares one evaluation of the exceptAll across them
+    changed = (
+        state.select(id_col, "entity_id")
+        .exceptAll(prior_state.select(id_col, "entity_id"))
+        .localCheckpoint(eager=False)
     )
     # old labels of relabeled records also free their by_entity buckets
     old_labels = prior_state.select(id_col, "entity_id").exceptAll(

@@ -17,7 +17,13 @@ therefore owns a REPLAY-IDEMPOTENT layout:
 - per-batch drift-stats deltas land in ``_cell_stats_deltas/batch=N``
   (overwrite-idempotent); the running per-cell state is their sum,
   merged at read time — the same batch-keyed-delta discipline as the
-  corpus report card.
+  corpus report card. So the tree never grows O(#batches), deltas
+  STRICTLY OLDER than the in-flight batch are periodically folded into
+  one summary partition via the repo's two-phase ``__next`` swap
+  (``compact_deltas_every``). Only the current batch sits in
+  foreachBatch's replay window, so folding its predecessors is
+  replay-safe: a redelivered batch N still overwrites exactly
+  ``batch=N``, which the compaction never absorbs.
 - the FIRST micro-batch bootstraps the index: it trains the coarse
   quantizer with the exact trainer the one-time build uses
   (``similarity.train_ivf_centroids``, seeded) and saves
@@ -48,21 +54,73 @@ from home_credit_data_engineering_spark.operators.ann_state import (
     cell_stats,
     drift_report,
 )
+from home_credit_data_engineering_spark.sources.maintenance import (
+    recover_state_swap,
+    staged_state_path,
+    swap_in_state,
+)
 
 
 def _deltas_path(index_path: str) -> str:
     return os.path.join(index_path, "_cell_stats_deltas")
 
 
+def _delta_batch_ids(deltas_dir: str) -> list[int]:
+    if not os.path.isdir(deltas_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(deltas_dir)
+        if d.startswith("batch=")
+    )
+
+
 def read_streaming_cell_stats(spark: SparkSession, index_path: str) -> DataFrame:
     """Running per-cell (n, Σ unit-vector) state: the sum of every
     batch's delta (cells-sized frames; the merge never touches data)."""
+    recover_state_swap(_deltas_path(index_path))
     return (
         spark.read.parquet(_deltas_path(index_path))
         .select("cell", "n", "vsum")
         .groupBy("cell")
         .applyInPandas(_merge_stats, _STATS_SCHEMA)
     )
+
+
+def _compact_deltas(
+    spark: SparkSession, index_path: str, current_batch_id: int
+) -> None:
+    """Fold every delta with ``batch < current_batch_id`` into ONE
+    summary partition (keyed by the max folded id, which can never be
+    redelivered — structured streaming replays only the batch whose
+    offsets were not yet committed, i.e. the current one). Crash-safe
+    via the two-phase ``__next`` swap: a death mid-compaction leaves the
+    original tree untouched and ``recover_state_swap`` discards or
+    promotes the staged copy on the next read."""
+    deltas = _deltas_path(index_path)
+    recover_state_swap(deltas)
+    prior = [i for i in _delta_batch_ids(deltas) if i < current_batch_id]
+    if len(prior) < 2:
+        return
+    folded = (
+        spark.read.parquet(*[f"{deltas}/batch={i}" for i in prior])
+        .select("cell", "n", "vsum")
+        .groupBy("cell")
+        .applyInPandas(_merge_stats, _STATS_SCHEMA)
+        .withColumn("batch", F.lit(max(prior)))
+    )
+    current = (
+        spark.read.parquet(f"{deltas}/batch={current_batch_id}")
+        .select("cell", "n", "vsum")
+        .withColumn("batch", F.lit(current_batch_id))
+    )
+    (
+        folded.unionByName(current)
+        .coalesce(1)
+        .write.partitionBy("batch")
+        .parquet(staged_state_path(deltas))
+    )
+    swap_in_state(deltas)
 
 
 def foreach_batch_ann_ingest(
@@ -77,6 +135,7 @@ def foreach_batch_ann_ingest(
     mean_shift_threshold: float = 0.2,
     imbalance_threshold: float = 8.0,
     reports: list | None = None,
+    compact_deltas_every: int = 16,
 ):
     """Run the vector stream to completion (``availableNow``), folding
     each micro-batch into the IVF index. Returns the finished query.
@@ -86,6 +145,11 @@ def foreach_batch_ann_ingest(
     value; a caller watches it (or the printed lines) for
     ``rebuild_recommended`` and restarts the pipeline against a freshly
     trained index when it trips.
+
+    ``compact_deltas_every`` bounds the stats-delta tree: once more
+    than that many ``batch=N`` partitions exist, deltas older than the
+    in-flight batch fold into one summary partition, keeping the
+    per-batch drift merge O(compact window), not O(stream lifetime).
     """
     from home_credit_data_engineering_spark.operators.similarity import (
         best_cell_udf,
@@ -106,7 +170,13 @@ def foreach_batch_ann_ingest(
                 train_fraction=train_fraction,
             )
             os.makedirs(index_path, exist_ok=True)
-            np.save(centroids_file, centers)
+            # atomic sidecar write: a crash mid-np.save would leave a
+            # truncated file that the exists() guard then treats as the
+            # trained quantizer forever — stage + rename instead
+            tmp = centroids_file + ".__next"
+            with open(tmp, "wb") as fh:
+                np.save(fh, centers)
+            os.replace(tmp, centroids_file)
         else:
             centers = np.load(centroids_file)
         best_cell = best_cell_udf(_unit(centers))
@@ -130,6 +200,8 @@ def foreach_batch_ann_ingest(
             "overwrite"
         ).parquet(f"{_deltas_path(index_path)}/batch={batch_id}")
         spark = batch_df.sparkSession
+        if len(_delta_batch_ids(_deltas_path(index_path))) > compact_deltas_every:
+            _compact_deltas(spark, index_path, batch_id)
         rows = read_streaming_cell_stats(spark, index_path).collect()
         report = drift_report(
             rows, centers, mean_shift_threshold, imbalance_threshold

@@ -52,7 +52,24 @@ def foreach_batch_bm25_ingest(
 
     ``reports`` (optional list) collects per-batch
     ``{"batch_id", "docs_added", "terms_touched"}`` dicts.
+
+    The bucket count is pinned by the index: resuming an existing index
+    with a different ``n_buckets`` raises up front (the same guard the
+    batch increment ``bm25_index_increment`` applies) — new postings
+    would otherwise hash under one modulus while old rows sit under
+    another, and query-time partition pruning would silently miss them.
     """
+    import os
+
+    stats_dir = f"{index_path}/stats"
+    if os.path.isdir(stats_dir):
+        spark = stream_docs.sparkSession
+        stored = spark.read.parquet(stats_dir).select("n_buckets").first()
+        if stored is not None and int(stored["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"index was built with n_buckets={int(stored['n_buckets'])}, "
+                f"got {n_buckets}"
+            )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.dropDuplicates([id_col])
@@ -106,13 +123,28 @@ def foreach_batch_bm25_ingest(
             .partitionBy("batch")
             .parquet(f"{index_path}/doclens")
         )
+        # one evaluation of the scalar agg: collect the single row, then
+        # write the stats partition from it. n_docs counts EVERY batch
+        # doc (a zero-term doc has a doclens row but no tf rows), so the
+        # report's docs_added matches the index's own stats leg and the
+        # batch increment's report for identical input.
+        srow = scalars.first()
+        spark = batch_df.sparkSession
         (
-            scalars.select(
-                F.col("__n_docs").alias("n_docs"),
-                F.col("__avgdl").alias("avgdl"),
-                F.col("__total_dl").alias("total_dl"),
-                F.lit(n_buckets).alias("n_buckets"),
-                F.lit(batch_id).alias("batch"),
+            spark.createDataFrame(
+                [
+                    (
+                        float(srow["__n_docs"] or 0.0),
+                        float(srow["__avgdl"] or 0.0),
+                        float(srow["__total_dl"] or 0.0),
+                        n_buckets,
+                        batch_id,
+                    )
+                ],
+                # same column types the one-shot build writes — the
+                # query path unions/sums these across partitions
+                "n_docs double, avgdl double, total_dl double, "
+                "n_buckets int, batch int",
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -122,13 +154,12 @@ def foreach_batch_bm25_ingest(
         )
         if reports is not None:
             row = tf.agg(
-                F.count_distinct(F.col("__doc")).alias("d"),
                 F.count_distinct(F.col("__term")).alias("t"),
             ).first()
             reports.append(
                 {
                     "batch_id": batch_id,
-                    "docs_added": int(row["d"] or 0),
+                    "docs_added": int(srow["__n_docs"] or 0),
                     "terms_touched": int(row["t"] or 0),
                 }
             )

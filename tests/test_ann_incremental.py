@@ -372,3 +372,36 @@ def test_ann_index_cli_query_and_drift_modes(spark, tmp_path, capsys):
     for ln in lines:
         qid, rank, nid, _score = ln.split("\t")
         assert int(nid) // 1000 == int(qid) // 1000  # in-cluster
+
+
+def test_ann_index_cli_report_drift_on_streaming_layout(
+    spark, tmp_path, capsys
+):
+    """--report-drift on an index maintained by streaming/ann.py (stats
+    live in batch-keyed _cell_stats_deltas, not _cell_stats)."""
+    from home_credit_data_engineering_spark.jobs import ann_index as job
+    from home_credit_data_engineering_spark.streaming.ann import (
+        foreach_batch_ann_ingest,
+    )
+
+    df = _clustered(spark, n_per=30)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    foreach_batch_ann_ingest(
+        stream, idx, str(tmp_path / "ckpt"), n_centroids=2, seed=1
+    )
+    assert not os.path.isdir(os.path.join(idx, "_cell_stats"))
+
+    assert job.main(
+        ["--input", src, "--state-dir", idx, "--report-drift"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "ann_index[drift]:" in out
+    assert f"n_vectors={df.count()}" in out

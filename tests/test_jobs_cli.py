@@ -1017,6 +1017,80 @@ def test_entity_resolution_job_full_and_incremental(spark, tmp_path):
     assert not os.path.isdir(os.path.join(state_dir, "entities__next"))
 
 
+def test_entity_resolution_index_self_heals_after_refresh_crash(
+    spark, tmp_path
+):
+    """A leftover _refresh_pending sentinel means a prior run died
+    between the state swap and the index refresh — its diff base is
+    gone, so an incremental refresh would leave that batch's buckets
+    stale forever. The next run must detect it, fall back to the full
+    index rewrite, and clear the sentinel."""
+    import glob
+    import os
+    import shutil
+
+    from home_credit_data_engineering_spark.jobs import (
+        entity_resolution as er_job,
+    )
+    from home_credit_data_engineering_spark.operators.linkage import (
+        entity_profile,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(1, "B", "ann smith"), (2, "B", "ann smyth"), (7, "C", "bob ray")],
+        ["id", "blk", "name"],
+    )
+    wave2 = spark.createDataFrame(
+        [(9, "C", "bob raye")], ["id", "blk", "name"]
+    )
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    wave1.write.parquet(w1)
+    wave2.write.parquet(w2)
+
+    out = str(tmp_path / "state_full")
+    idx = str(tmp_path / "er_idx")
+    common = ["--id-col", "id", "--block-cols", "blk", "--name-col", "name"]
+    assert er_job.main(
+        ["--input", w1, *common, "--output", out,
+         "--index-output", idx, "--index-buckets", "4"]
+    ) == 0
+    state_dir = str(tmp_path / "state_dir")
+    os.makedirs(state_dir)
+    shutil.copytree(out, os.path.join(state_dir, "entities"))
+
+    # simulate the crash window: sentinel left behind by a dead run
+    with open(os.path.join(idx, "_refresh_pending"), "w") as fh:
+        fh.write("")
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{idx}/by_*/[re]bucket=*/*.parquet")
+    }
+    assert er_job.main(
+        ["--input", w2, *common, "--state-dir", state_dir,
+         "--index-output", idx, "--index-buckets", "4"]
+    ) == 0
+    # sentinel cleared, and the index was FULLY rewritten (every
+    # original file replaced), not incrementally patched
+    assert not os.path.exists(os.path.join(idx, "_refresh_pending"))
+    for p, mtime in before.items():
+        assert not os.path.exists(p) or os.path.getmtime(p) != mtime, p
+    members = entity_profile(spark, idx, 9, "id", n_buckets=4)
+    assert {r["id"] for r in members.collect()} == {7, 9}
+
+    # a healthy follow-up incremental run leaves no sentinel either
+    wave3 = spark.createDataFrame([(4, "B", "ann smythe")],
+                                  ["id", "blk", "name"])
+    w3 = str(tmp_path / "w3")
+    wave3.write.parquet(w3)
+    assert er_job.main(
+        ["--input", w3, *common, "--state-dir", state_dir,
+         "--index-output", idx, "--index-buckets", "4"]
+    ) == 0
+    assert not os.path.exists(os.path.join(idx, "_refresh_pending"))
+    members = entity_profile(spark, idx, 4, "id", n_buckets=4)
+    assert {r["id"] for r in members.collect()} == {1, 2, 4}
+
+
 def test_entity_resolution_review_loop_e2e(spark, tmp_path, capsys):
     """score -> review queue -> planted decisions -> fold == direct
     resolution with the accepted edges (the clerical-review loop)."""

@@ -799,3 +799,21 @@ def test_refresh_entity_index_noop_when_unchanged(spark, tmp_path):
     after = sorted(glob.glob(f"{idx}/by_*/*/*.parquet"))
     assert after == before
     assert [os.path.getmtime(p) for p in after] == mtimes
+
+
+def test_refresh_entity_index_pins_n_buckets(spark, tmp_path):
+    """A refresh under a different modulus than the index was built with
+    must raise — it would rewrite some partitions while stale rows
+    survive under the old bucket layout."""
+    import pytest
+
+    from home_credit_data_engineering_spark.operators.linkage import (
+        refresh_entity_index,
+        write_entity_index,
+    )
+
+    state = _resolved_state(spark)
+    idx = str(tmp_path / "idx")
+    write_entity_index(state, idx, "id", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        refresh_entity_index(state, state, idx, "id", n_buckets=8)

@@ -54,7 +54,7 @@ def _write_waves(spark, df, tmp_path, n_waves=3):
     return flat
 
 
-def _run(spark, flat, idx, ckpt, reports=None):
+def _run(spark, flat, idx, ckpt, reports=None, compact_deltas_every=16):
     stream = (
         spark.readStream.format("parquet")
         .schema(SCHEMA)
@@ -69,6 +69,7 @@ def _run(spark, flat, idx, ckpt, reports=None):
         n_centroids=2,
         seed=1,
         reports=reports,
+        compact_deltas_every=compact_deltas_every,
     )
 
 
@@ -155,3 +156,48 @@ def test_streaming_ann_ingest_replay_is_idempotent(spark, tmp_path):
         sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
         == df.count()
     )
+
+
+def test_streaming_ann_delta_compaction_bounds_tree_and_stays_exact(
+    spark, tmp_path
+):
+    """compact_deltas_every folds old deltas into one summary partition:
+    the tree stops growing O(#batches) and the running stats stay exact —
+    including across a replay of the last batch after a compaction."""
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path, n_waves=4)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt, compact_deltas_every=2)
+
+    deltas = os.path.join(idx, "_cell_stats_deltas")
+    parts = [d for d in os.listdir(deltas) if d.startswith("batch=")]
+    # 4 batches ingested, but old deltas folded: only the summary + the
+    # most recent batch(es) survive
+    assert len(parts) <= 3
+    stats = {
+        r["cell"]: r["n"]
+        for r in read_streaming_cell_stats(spark, idx).collect()
+    }
+    centers = np.load(os.path.join(idx, "_centroids.npy"))
+    from collections import Counter
+
+    direct = Counter(_assign_direct(df, centers).values())
+    assert stats == dict(direct)
+
+    # replay the final batch on top of the compacted tree: the summary
+    # never absorbed the in-flight batch, so the overwrite stays exact
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run(spark, flat, idx, ckpt, compact_deltas_every=2)
+    stats_after = {
+        r["cell"]: r["n"]
+        for r in read_streaming_cell_stats(spark, idx).collect()
+    }
+    assert stats_after == stats
+    assert spark.read.parquet(idx).count() == df.count()

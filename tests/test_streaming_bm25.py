@@ -110,3 +110,41 @@ def test_streaming_bm25_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
     n = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
     assert int(n) == docs.count()
+
+
+def test_streaming_bm25_pins_n_buckets(spark, sf_dir, tmp_path):
+    """Resuming an existing index under a different modulus raises up
+    front — the streaming mirror of bm25_index_increment's guard."""
+    import pytest
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    flat = _write_waves(spark, docs, tmp_path, n_waves=1)
+    idx = str(tmp_path / "idx")
+    _run(spark, flat, idx, str(tmp_path / "ckpt"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(flat)
+    )
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        foreach_batch_bm25_ingest(
+            stream, idx, str(tmp_path / "ckpt2"), n_buckets=64
+        )
+
+
+def test_streaming_bm25_counts_zero_term_docs(spark, tmp_path):
+    """docs_added comes from the stats leg, so a doc whose text
+    tokenizes to nothing still counts — report and index agree."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, "gamma")], SCHEMA
+    )
+    flat = _write_waves(spark, docs, tmp_path, n_waves=1)
+    idx = str(tmp_path / "idx")
+    reports: list = []
+    _run(spark, flat, idx, str(tmp_path / "ckpt"), reports)
+    assert sum(r["docs_added"] for r in reports) == 3
+    n = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
+    assert int(n) == 3
+    assert spark.read.parquet(f"{idx}/doclens").count() == 3

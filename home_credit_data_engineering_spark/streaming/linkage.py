@@ -48,6 +48,8 @@ def foreach_batch_entity_resolution(
     compare_cols: list[str],
     matcher,
     retain_snapshots: int = 2,
+    index_output: str | None = None,
+    index_buckets: int = 64,
 ):
     """Run the record stream to completion (``availableNow``), resolving
     entities incrementally per micro-batch. Returns the finished query.
@@ -55,6 +57,18 @@ def foreach_batch_entity_resolution(
     The resolved state after the final batch is the snapshot with the
     highest batch id under ``{state_dir}/entities`` (see
     :func:`read_entity_state`).
+
+    ``index_output`` additionally maintains the bucket-partitioned
+    SERVING index (:func:`~home_credit_data_engineering_spark.operators.
+    linkage.write_entity_index` layout) per micro-batch: the first batch
+    writes it in full, every later batch patches only the touched
+    buckets (:func:`~home_credit_data_engineering_spark.operators.
+    linkage.refresh_entity_index`, diffing snapshot N against its
+    predecessor). The refresh runs INSIDE apply_batch — before the
+    offset commit — so a crash anywhere in the fold redelivers the
+    batch, which recomputes the same snapshot from the same predecessor
+    and rewrites the same buckets with the same contents: the index
+    converges without the batch CLI's ``_refresh_pending`` sentinel.
     """
 
     entities_dir = f"{state_dir}/entities"
@@ -123,6 +137,24 @@ def foreach_batch_entity_resolution(
         updated.write.mode("overwrite").parquet(
             f"{entities_dir}/batch={batch_id}"
         )
+        if index_output is not None:
+            from home_credit_data_engineering_spark.operators.linkage import (
+                refresh_entity_index,
+                write_entity_index,
+            )
+
+            snapshot = spark.read.parquet(f"{entities_dir}/batch={batch_id}")
+            if prior and os.path.isdir(
+                os.path.join(index_output, "by_record")
+            ):
+                refresh_entity_index(
+                    snapshot, state, index_output, id_col,
+                    n_buckets=index_buckets,
+                )
+            else:
+                write_entity_index(
+                    snapshot, index_output, id_col, n_buckets=index_buckets
+                )
         # Prune everything older than the predecessor set.
         keep = set(_snapshot_ids(entities_dir)[-retain_snapshots:])
         for i in _snapshot_ids(entities_dir):

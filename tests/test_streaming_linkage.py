@@ -124,7 +124,7 @@ def test_streaming_er_replay_is_idempotent(spark, tmp_path):
     assert sorted(once.collect()) == sorted(twice.collect())
 
 
-def _run_er_stream(spark, schema, flat, state, ckpt):
+def _run_er_stream(spark, schema, flat, state, ckpt, **kwargs):
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -140,6 +140,7 @@ def _run_er_stream(spark, schema, flat, state, ckpt):
         block_cols=["blk"],
         compare_cols=["name"],
         matcher=_matcher,
+        **kwargs,
     )
 
 
@@ -217,3 +218,67 @@ def test_streaming_er_checkpoint_reset_still_raises(spark, tmp_path):
     # batch=2 exist -> batch 0 < max snapshot id: refuse loudly.
     with pytest.raises(Exception, match="checkpoint was reset"):
         _run_er_stream(spark, schema, flat, state, str(tmp_path / "ckpt2"))
+
+
+def test_streaming_er_maintains_serving_index(spark, tmp_path):
+    """index_output: the per-batch incremental refresh must leave the
+    serving index EXACTLY equal to a full write of the final state —
+    including across a crash-replay of the last batch."""
+    from home_credit_data_engineering_spark.operators.linkage import (
+        entity_profile,
+        write_entity_index,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blk", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    flat = _write_waves(spark, schema, tmp_path)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    _run_er_stream(
+        spark, schema, flat, state, ckpt,
+        index_output=idx, index_buckets=4,
+    )
+
+    full = str(tmp_path / "full")
+    write_entity_index(read_entity_state(spark, state), full, "id",
+                       n_buckets=4)
+    for leg, part in (("by_record", "rbucket"), ("by_entity", "ebucket")):
+        a = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{leg}").drop(part).collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{leg}").drop(part).collect())
+        )
+        assert a == b and len(a) == len(_ROWS)
+
+    # crash window on the final batch: replay must converge the index too
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_er_stream(
+        spark, schema, flat, state, ckpt,
+        index_output=idx, index_buckets=4,
+    )
+    for leg, part in (("by_record", "rbucket"), ("by_entity", "ebucket")):
+        a = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{leg}").drop(part).collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{leg}").drop(part).collect())
+        )
+        assert a == b
+
+    # serving endpoint works against the streamed index
+    members = entity_profile(spark, idx, 5, "id", n_buckets=4)
+    got = {r["id"] for r in members.collect()}
+    assert {1, 2, 4, 5} <= got and 7 not in got

@@ -231,6 +231,50 @@ def drift_report(
     }
 
 
+def _read_stats_rows_driver(index_path: str) -> list[dict]:
+    """Driver-side read of the ``_cell_stats`` sidecar (≤ n_cells rows,
+    KB-sized) — no Spark job for what is effectively a config file."""
+    import pyarrow.parquet as pq
+
+    sp = _stats_path(index_path)
+    out: list[dict] = []
+    for f in sorted(os.listdir(sp)):
+        if f.endswith(".parquet"):
+            out.extend(
+                pq.read_table(
+                    os.path.join(sp, f), columns=["cell", "n", "vsum"]
+                ).to_pylist()
+            )
+    return out
+
+
+def _write_cell_stats_driver(rows: list[dict], index_path: str) -> None:
+    """Driver-side sidecar rewrite through the same two-phase swap the
+    Spark writer uses (same schema Spark writes: cell int, n long,
+    vsum array<double>)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sp = _stats_path(index_path)
+    staged = staged_state_path(sp)
+    os.makedirs(staged, exist_ok=True)
+    tbl = pa.table(
+        {
+            "cell": pa.array([int(r["cell"]) for r in rows], pa.int32()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "vsum": pa.array(
+                [[float(x) for x in r["vsum"]] for r in rows],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(staged, "part-00000.parquet"))
+    # the swap helper's completeness marker (Spark writers emit it too)
+    with open(os.path.join(staged, "_SUCCESS"), "w"):
+        pass
+    swap_in_state(sp)
+
+
 def _merge_and_report(
     spark: SparkSession,
     index_path: str,
@@ -238,18 +282,35 @@ def _merge_and_report(
     centers: np.ndarray,
     mean_shift_threshold: float,
     imbalance_threshold: float,
-    appended: int,
 ) -> dict:
-    merged = (
-        read_cell_stats(spark, index_path)
-        .unionByName(delta_stats)
-        .groupBy("cell")
-        .applyInPandas(_merge_stats, _STATS_SCHEMA)
-    )
-    rows = merged.collect()  # ≤ n_cells rows — the only driver transfer
-    _write_cell_stats(
-        spark.createDataFrame(rows, _STATS_SCHEMA), index_path
-    )
+    """Fold the delta's per-cell stats into the stored sidecar and emit
+    the drift report. One Spark job total (the delta-stats collect —
+    ≤ n_cells rows): the stored side is a KB-sized sidecar, so the merge
+    and rewrite happen driver-side in numpy/pyarrow rather than paying
+    three more Spark jobs (read + union-merge + write) per increment.
+    ``appended`` is derived from the delta stats (Σn == delta row
+    count), saving the extra count job the callers used to run."""
+    delta_rows = delta_stats.collect()
+    appended = sum(int(r["n"]) for r in delta_rows)
+    merged: dict[int, tuple[int, np.ndarray]] = {
+        int(r["cell"]): (
+            int(r["n"]),
+            np.asarray(r["vsum"], dtype=np.float64),
+        )
+        for r in _read_stats_rows_driver(index_path)
+    }
+    for r in delta_rows:
+        c = int(r["cell"])
+        n, v = merged.get(c, (0, 0.0))
+        merged[c] = (
+            n + int(r["n"]),
+            v + np.asarray(r["vsum"], dtype=np.float64),
+        )
+    rows = [
+        {"cell": c, "n": n, "vsum": v}
+        for c, (n, v) in sorted(merged.items())
+    ]
+    _write_cell_stats_driver(rows, index_path)
     report = drift_report(
         rows, centers, mean_shift_threshold, imbalance_threshold
     )
@@ -295,7 +356,12 @@ def ivf_index_increment(
         F.col(vec_col),
         best_cell(to_double_array(vec_col)).alias("cell"),
     ).localCheckpoint(eager=True)  # assign once; reused by append + stats
-    delta.write.mode("append").partitionBy("cell").parquet(path)
+    # repartition on the partition key: without it the append writes
+    # input_partitions × touched_cells files (thousands of KB-files per
+    # daily fold at scale); with it, at most one file per cell
+    delta.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
     return _merge_and_report(
         spark,
         path,
@@ -303,7 +369,6 @@ def ivf_index_increment(
         centers,
         mean_shift_threshold,
         imbalance_threshold,
-        appended=delta.count(),
     )
 
 
@@ -344,9 +409,11 @@ def ivfpq_index_increment(
         F.col("__ae.cell").alias("cell"),
         F.col("__ae.code").alias("pq_code"),
     ).localCheckpoint(eager=True)
-    enc.select(id_col, "pq_code", "cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, "codes"))
+    # repartition on the partition key: one file per touched cell
+    # instead of input_partitions × touched_cells
+    enc.select(id_col, "pq_code", "cell").repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(path, "codes"))
     enc.select(id_col, vec_col).write.mode("append").parquet(
         os.path.join(path, "vectors")
     )
@@ -357,5 +424,4 @@ def ivfpq_index_increment(
         centers,
         mean_shift_threshold,
         imbalance_threshold,
-        appended=enc.count(),
     )

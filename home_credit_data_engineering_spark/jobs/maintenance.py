@@ -20,6 +20,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="optionally re-cluster on these columns while rewriting",
     )
 
+    streamed = sub.add_parser(
+        "compact-streamed",
+        help="fold old batch partitions of a streaming-maintained ANN or "
+        "BM25 index (content-identical; run with the stream STOPPED)",
+    )
+    streamed.add_argument("--path", required=True)
+    streamed.add_argument("--kind", choices=["ann", "bm25"], required=True)
+
     expire = sub.add_parser(
         "expire", help="drop year/month/day partitions older than a retention window"
     )
@@ -47,6 +55,28 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"compact: {stats['files_before']} -> {stats['files_after']} files, "
             f"{stats['rows']} rows"
+        )
+        return 0
+
+    if args.command == "compact-streamed":
+        from home_credit_data_engineering_spark import get_session
+
+        spark = get_session(app_name="maintenance-compact-streamed")
+        if args.kind == "ann":
+            from home_credit_data_engineering_spark.streaming.ann import (
+                compact_streamed_ann_index,
+            )
+
+            rep = compact_streamed_ann_index(spark, args.path)
+        else:
+            from home_credit_data_engineering_spark.streaming.bm25 import (
+                compact_streamed_bm25_index,
+            )
+
+            rep = compact_streamed_bm25_index(spark, args.path)
+        print(
+            f"compact-streamed[{args.kind}]: {rep['batches_before']} -> "
+            f"{rep['batches_after']} batch partitions"
         )
         return 0
 

@@ -123,6 +123,71 @@ def _compact_deltas(
     swap_in_state(deltas)
 
 
+def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
+    """OFFLINE compaction of a streaming-maintained IVF index: fold the
+    data rows of every batch EXCEPT the newest into one batch partition
+    per cell, and fold the stats deltas to match. Run with the stream
+    STOPPED.
+
+    After B micro-batches the data tree holds cells × B directories;
+    queries only ever prune on ``cell``, so the batch split is pure
+    file-count overhead. The fold rewrites the tree (content-identical,
+    one file per surviving ``(cell, batch)``) through the two-phase
+    ``__next`` swap — a crash leaves the old tree or the new one, never
+    a mix. The NEWEST batch keeps its own partition: even a cleanly
+    stopped stream can redeliver its final batch on restart (crash
+    before the last offset commit), and that replay must overwrite only
+    its own directories. Returns ``{"batches_before", "batches_after",
+    "rows"}``.
+    """
+    import shutil
+
+    recover_state_swap(index_path)
+    # partition inference is off engine-wide (session.py), so the batch
+    # partition column reads back as STRING — cast before comparing,
+    # else "10" < "9" lexicographically and the fold absorbs the
+    # replayable newest batch
+    df = spark.read.parquet(index_path).withColumn(  # sidecars ignored
+        "batch", F.col("batch").cast("int")
+    )
+    ids = sorted(r["batch"] for r in df.select("batch").distinct().collect())
+    rows = df.count()
+    if len(ids) < 3:
+        return {
+            "batches_before": len(ids),
+            "batches_after": len(ids),
+            "rows": rows,
+        }
+    max_id, target = ids[-1], ids[-2]
+    staged = staged_state_path(index_path)
+    (
+        df.withColumn(
+            "batch",
+            F.when(F.col("batch") < max_id, F.lit(target)).otherwise(
+                F.col("batch")
+            ),
+        )
+        .repartition("cell")
+        .write.partitionBy("cell", "batch")
+        .parquet(staged)
+    )
+    # carry the sidecars into the staged tree before the swap
+    centroids = os.path.join(index_path, "_centroids.npy")
+    if os.path.exists(centroids):
+        shutil.copy2(centroids, os.path.join(staged, "_centroids.npy"))
+    deltas = _deltas_path(index_path)
+    if os.path.isdir(deltas):
+        shutil.copytree(deltas, _deltas_path(staged))
+    swap_in_state(index_path)
+    # fold the stats deltas under the same replay-window rule
+    _compact_deltas(spark, index_path, max_id)
+    return {
+        "batches_before": len(ids),
+        "batches_after": 2,
+        "rows": rows,
+    }
+
+
 def foreach_batch_ann_ingest(
     stream_vectors: DataFrame,
     index_path: str,

@@ -36,6 +36,96 @@ from home_credit_data_engineering_spark.operators.retrieval import (
     _postings,
     term_bucket,
 )
+from home_credit_data_engineering_spark.sources.maintenance import (
+    recover_state_swap,
+    staged_state_path,
+    swap_in_state,
+)
+
+
+def compact_streamed_bm25_index(spark, index_path: str) -> dict:
+    """OFFLINE compaction of a streaming-maintained BM25 index: fold
+    every batch EXCEPT the newest into one partition per leg. Run with
+    the stream STOPPED.
+
+    Query results are BIT-IDENTICAL before and after: postings/doclens
+    rows just move directories; per-term df counts and the corpus
+    scalars group-sum exactly (integer-valued doubles — order-free),
+    which is the same aggregation the query path applies at read time.
+    Each leg rewrites through its own two-phase ``__next`` swap, and a
+    crash BETWEEN legs is harmless because every leg's fold preserves
+    that leg's queryable content. The newest batch keeps its own
+    partitions — a restart can redeliver it (crash before the final
+    offset commit) and must overwrite only its own directories.
+    Returns ``{"batches_before", "batches_after"}``.
+    """
+    for leg in ("postings", "df", "doclens", "stats"):
+        recover_state_swap(f"{index_path}/{leg}")
+
+    def _leg(leg: str):
+        # partition inference is off engine-wide (session.py): the batch
+        # partition column reads back as STRING — cast before comparing,
+        # else "10" < "9" lexicographically and the fold absorbs the
+        # replayable newest batch
+        return spark.read.parquet(f"{index_path}/{leg}").withColumn(
+            "batch", F.col("batch").cast("int")
+        )
+
+    stats = _leg("stats")
+    ids = sorted(
+        r["batch"] for r in stats.select("batch").distinct().collect()
+    )
+    if len(ids) < 3:
+        return {"batches_before": len(ids), "batches_after": len(ids)}
+    max_id, target = ids[-1], ids[-2]
+    fold_mark = F.when(F.col("batch") < max_id, F.lit(target)).otherwise(
+        F.col("batch")
+    )
+
+    def _swap(frame, leg: str, *part_cols: str):
+        frame.write.partitionBy(*part_cols).parquet(
+            staged_state_path(f"{index_path}/{leg}")
+        )
+        swap_in_state(f"{index_path}/{leg}")
+
+    postings = _leg("postings")
+    _swap(
+        postings.withColumn("batch", fold_mark).repartition("bucket"),
+        "postings", "bucket", "batch",
+    )
+    df = _leg("df")
+    df_fold = (
+        df.filter(F.col("batch") < max_id)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("batch", F.lit(target))
+    )
+    df_cur = df.filter(F.col("batch") == max_id)
+    _swap(
+        df_fold.unionByName(df_cur.select(*df_fold.columns))
+        .repartition("bucket"),
+        "df", "bucket", "batch",
+    )
+    doclens = _leg("doclens")
+    _swap(doclens.withColumn("batch", fold_mark), "doclens", "batch")
+    st_fold = (
+        stats.filter(F.col("batch") < max_id)
+        .groupBy("n_buckets")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+        .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        .withColumn("batch", F.lit(target))
+    )
+    st_cur = stats.filter(F.col("batch") == max_id)
+    _swap(
+        st_fold.select(*st_cur.columns)
+        .unionByName(st_cur)
+        .coalesce(1),
+        "stats", "batch",
+    )
+    return {"batches_before": len(ids), "batches_after": 2}
 
 
 def foreach_batch_bm25_ingest(

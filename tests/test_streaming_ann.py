@@ -201,3 +201,64 @@ def test_streaming_ann_delta_compaction_bounds_tree_and_stays_exact(
     }
     assert stats_after == stats
     assert spark.read.parquet(idx).count() == df.count()
+
+
+def test_compact_streamed_ann_index_offline(spark, tmp_path):
+    """Offline data-tree compaction: batch partitions fold per cell,
+    query results and stats are unchanged, and a restarted stream keeps
+    appending correctly on top of the compacted tree."""
+    from home_credit_data_engineering_spark.jobs import maintenance as job
+    from home_credit_data_engineering_spark.streaming.ann import (
+        compact_streamed_ann_index,
+    )
+
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path, n_waves=4)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt)
+
+    def snap():
+        rows = ivf_query_index(
+            spark, idx, df.filter(F.col("vec_id").isin(0, 1000)), k=3,
+            n_probe=1,
+        )
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows.collect()
+        )
+
+    before = snap()
+    stats_before = sorted(
+        (r["cell"], r["n"])
+        for r in read_streaming_cell_stats(spark, idx).collect()
+    )
+    rep = compact_streamed_ann_index(spark, idx)
+    assert rep["batches_before"] == 4 and rep["batches_after"] == 2
+    assert rep["rows"] == df.count()
+    batches = {
+        int(r["batch"])
+        for r in spark.read.parquet(idx).select("batch").distinct().collect()
+    }
+    assert batches == {2, 3}  # folded target + the replayable newest
+    assert snap() == before
+    assert sorted(
+        (r["cell"], r["n"])
+        for r in read_streaming_cell_stats(spark, idx).collect()
+    ) == stats_before
+    # idempotent: a second pass is a no-op (already 2 partitions)
+    rep2 = compact_streamed_ann_index(spark, idx)
+    assert rep2["batches_before"] == rep2["batches_after"] == 2
+
+    # restarted stream appends NEW batches on top of the compacted tree
+    extra = spark.createDataFrame(
+        [(5000, [float(x) for x in range(DIM)])], SCHEMA
+    )
+    d = str(tmp_path / "w_extra")
+    extra.coalesce(1).write.parquet(d)
+    part = glob.glob(d + "/part-*.parquet")[0]
+    shutil.copy(part, f"{flat}/99.parquet")
+    _run(spark, flat, idx, ckpt)
+    assert spark.read.parquet(idx).count() == df.count() + 1
+
+    # CLI wrapper drives the same fold
+    assert job.main(["compact-streamed", "--path", idx, "--kind", "ann"]) == 0

@@ -148,3 +148,48 @@ def test_streaming_bm25_counts_zero_term_docs(spark, tmp_path):
     n = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
     assert int(n) == 3
     assert spark.read.parquet(f"{idx}/doclens").count() == 3
+
+
+def test_compact_streamed_bm25_index_offline(spark, sf_dir, tmp_path):
+    """Offline compaction folds old batch partitions per leg; query
+    results stay bit-identical and a restarted stream keeps going."""
+    from home_credit_data_engineering_spark.streaming.bm25 import (
+        compact_streamed_bm25_index,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    flat = _write_waves(spark, docs, tmp_path, n_waves=4)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt)
+
+    before = _results(spark, idx)
+    rep = compact_streamed_bm25_index(spark, idx)
+    assert rep == {"batches_before": 4, "batches_after": 2}
+    assert _results(spark, idx) == before  # bit-identical scores
+    for leg in ("postings", "df", "doclens", "stats"):
+        batches = {
+            int(r["batch"])
+            for r in spark.read.parquet(f"{idx}/{leg}")
+            .select("batch").distinct().collect()
+        }
+        assert batches == {2, 3}, leg
+    # doclens/stats totals preserved exactly
+    assert spark.read.parquet(f"{idx}/doclens").count() == docs.count()
+    n = spark.read.parquet(f"{idx}/stats").agg(F.sum("n_docs")).first()[0]
+    assert int(n) == docs.count()
+    # second pass is a no-op
+    rep2 = compact_streamed_bm25_index(spark, idx)
+    assert rep2["batches_before"] == rep2["batches_after"] == 2
+
+    # restarted stream appends on top of the compacted index
+    extra = spark.createDataFrame([(999999, "alpha beta gamma")], SCHEMA)
+    d = str(tmp_path / "w_extra")
+    extra.coalesce(1).write.parquet(d)
+    import glob as _glob
+    part = _glob.glob(d + "/part-*.parquet")[0]
+    shutil.copy(part, f"{flat}/99.parquet")
+    _run(spark, flat, idx, ckpt)
+    assert (
+        spark.read.parquet(f"{idx}/doclens").count() == docs.count() + 1
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "train_opq",
     "rotate_vectors",
     "opq_topk",
+    "train_ivfpq_sidecars",
     "build_ivfpq_index",
     "ivfpq_query_index",
 ]
@@ -300,6 +301,68 @@ def assign_encode_udf(
     return assign_and_encode
 
 
+def train_ivfpq_sidecars(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    residual: bool = False,
+    opq: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Train the IVF-PQ model state — coarse centroids, PQ codebooks and
+    the optional OPQ rotation — without touching disk. The encode step
+    (:func:`build_ivfpq_index`) and the streaming bootstrap
+    (``streaming/ann.py``) share this so a streamed index is trained by
+    exactly the one-shot builder's recipe. Returns
+    ``(centroids, codebooks, rotation_or_None)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    rot = None
+    if opq:
+        rot, _ = train_opq(
+            corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
+        )
+
+    @pandas_udf("array<double>")
+    def _rotated(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64) @ rot
+        return pd.Series(list(x))
+
+    train_src = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else corpus
+    )
+    train_arr = to_double_array(vec_col)
+    if rot is not None:
+        train_arr = _rotated(train_arr)
+    train = train_src.select(array_to_vector(train_arr).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=5, initMode="random"
+    ).fit(train)
+    centers = np.array(
+        [list(c) for c in model.clusterCenters()], dtype=np.float64
+    )
+    c_unit = _unit(centers)
+
+    sample = _pq_sample(corpus, vec_col, id_col, 4096, seed)
+    if rot is not None:
+        sample = sample @ rot
+    if residual:
+        s_cells = np.argsort(-(sample @ c_unit.T), axis=1, kind="stable")[:, 0]
+        books = _lloyd_codebooks(sample - c_unit[s_cells], m, nbits, seed)
+    else:
+        books = _lloyd_codebooks(sample, m, nbits, seed)
+    return centers, books, rot
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -360,45 +423,19 @@ def build_ivfpq_index(
     """
     import os
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
-
-    rot = None
-    if opq:
-        rot, _ = train_opq(
-            corpus, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits, seed=seed
-        )
-
-    @pandas_udf("array<double>")
-    def _rotated(v: pd.Series) -> pd.Series:
-        x = np.array(v.tolist(), dtype=np.float64) @ rot
-        return pd.Series(list(x))
-
-    train_src = (
-        corpus.sample(fraction=train_fraction, seed=seed)
-        if train_fraction is not None
-        else corpus
+    centers, books, rot = train_ivfpq_sidecars(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        m=m,
+        nbits=nbits,
+        seed=seed,
+        train_fraction=train_fraction,
+        residual=residual,
+        opq=opq,
     )
-    train_arr = to_double_array(vec_col)
-    if rot is not None:
-        train_arr = _rotated(train_arr)
-    train = train_src.select(array_to_vector(train_arr).alias("features"))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=5, initMode="random"
-    ).fit(train)
-    centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
     c_unit = _unit(centers)
-
-    sample = _pq_sample(corpus, vec_col, id_col, 4096, seed)
-    if rot is not None:
-        sample = sample @ rot
-    if residual:
-        s_cells = np.argsort(-(sample @ c_unit.T), axis=1, kind="stable")[:, 0]
-        books = _lloyd_codebooks(sample - c_unit[s_cells], m, nbits, seed)
-    else:
-        books = _lloyd_codebooks(sample, m, nbits, seed)
-    dsub = books.shape[2]
 
     assign_and_encode = assign_encode_udf(c_unit, books, rot, residual)
 

@@ -124,68 +124,85 @@ def _compact_deltas(
 
 
 def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
-    """OFFLINE compaction of a streaming-maintained IVF index: fold the
-    data rows of every batch EXCEPT the newest into one batch partition
-    per cell, and fold the stats deltas to match. Run with the stream
-    STOPPED.
+    """OFFLINE compaction of a streaming-maintained IVF or IVF-PQ index:
+    fold the data rows of every batch EXCEPT the newest into one batch
+    partition per cell, and fold the stats deltas to match. Run with the
+    stream STOPPED.
 
     After B micro-batches the data tree holds cells × B directories;
     queries only ever prune on ``cell``, so the batch split is pure
-    file-count overhead. The fold rewrites the tree (content-identical,
+    file-count overhead. The fold rewrites each tree (content-identical,
     one file per surviving ``(cell, batch)``) through the two-phase
     ``__next`` swap — a crash leaves the old tree or the new one, never
     a mix. The NEWEST batch keeps its own partition: even a cleanly
     stopped stream can redeliver its final batch on restart (crash
     before the last offset commit), and that replay must overwrite only
-    its own directories. Returns ``{"batches_before", "batches_after",
-    "rows"}``.
+    its own directories. A PQ layout (``codes/`` + ``vectors/``
+    subtrees) is auto-detected; its legs fold independently, which is
+    safe between legs because each leg's fold preserves that leg's
+    content. Returns ``{"batches_before", "batches_after", "rows"}``.
     """
-    import shutil
 
-    recover_state_swap(index_path)
-    # partition inference is off engine-wide (session.py), so the batch
-    # partition column reads back as STRING — cast before comparing,
-    # else "10" < "9" lexicographically and the fold absorbs the
-    # replayable newest batch
-    df = spark.read.parquet(index_path).withColumn(  # sidecars ignored
-        "batch", F.col("batch").cast("int")
-    )
-    ids = sorted(r["batch"] for r in df.select("batch").distinct().collect())
-    rows = df.count()
-    if len(ids) < 3:
-        return {
-            "batches_before": len(ids),
-            "batches_after": len(ids),
-            "rows": rows,
-        }
-    max_id, target = ids[-1], ids[-2]
-    staged = staged_state_path(index_path)
-    (
-        df.withColumn(
+    def _fold_tree(path: str, *part_cols: str) -> tuple[int, int, int]:
+        recover_state_swap(path)
+        # partition inference is off engine-wide (session.py), so the
+        # batch partition column reads back as STRING — cast before
+        # comparing, else "10" < "9" lexicographically and the fold
+        # absorbs the replayable newest batch
+        df = spark.read.parquet(path).withColumn(
+            "batch", F.col("batch").cast("int")
+        )
+        ids = sorted(
+            r["batch"] for r in df.select("batch").distinct().collect()
+        )
+        rows = df.count()
+        if len(ids) < 3:
+            return len(ids), len(ids), rows
+        max_id, target = ids[-1], ids[-2]
+        folded = df.withColumn(
             "batch",
             F.when(F.col("batch") < max_id, F.lit(target)).otherwise(
                 F.col("batch")
             ),
         )
-        .repartition("cell")
-        .write.partitionBy("cell", "batch")
-        .parquet(staged)
-    )
-    # carry the sidecars into the staged tree before the swap
-    centroids = os.path.join(index_path, "_centroids.npy")
-    if os.path.exists(centroids):
-        shutil.copy2(centroids, os.path.join(staged, "_centroids.npy"))
-    deltas = _deltas_path(index_path)
-    if os.path.isdir(deltas):
-        shutil.copytree(deltas, _deltas_path(staged))
-    swap_in_state(index_path)
-    # fold the stats deltas under the same replay-window rule
-    _compact_deltas(spark, index_path, max_id)
-    return {
-        "batches_before": len(ids),
-        "batches_after": 2,
-        "rows": rows,
-    }
+        if "cell" in part_cols:
+            folded = folded.repartition("cell")
+        folded.write.partitionBy(*part_cols).parquet(staged_state_path(path))
+        _carry_sidecars(path)
+        swap_in_state(path)
+        return len(ids), 2, rows
+
+    def _carry_sidecars(path: str) -> None:
+        # sidecars live at the INDEX root; only the root tree (plain
+        # IVF layout) carries them through its swap
+        if path != index_path:
+            return
+        import shutil
+
+        staged = staged_state_path(index_path)
+        for name in os.listdir(index_path):
+            full = os.path.join(index_path, name)
+            if name.endswith(".npy") and os.path.isfile(full):
+                shutil.copy2(full, os.path.join(staged, name))
+        deltas = _deltas_path(index_path)
+        if os.path.isdir(deltas):
+            shutil.copytree(deltas, _deltas_path(staged))
+
+    recover_state_swap(_deltas_path(index_path))
+    if os.path.isdir(os.path.join(index_path, "codes")):
+        # PQ layout: codes/ and vectors/ are separate subtrees; sidecars
+        # and stats deltas sit beside them untouched by the swaps
+        before, after, rows = _fold_tree(
+            os.path.join(index_path, "codes"), "cell", "batch"
+        )
+        _fold_tree(os.path.join(index_path, "vectors"), "batch")
+    else:
+        before, after, rows = _fold_tree(index_path, "cell", "batch")
+    if before >= 3:
+        # fold the stats deltas under the same replay-window rule
+        max_id = max(_delta_batch_ids(_deltas_path(index_path)))
+        _compact_deltas(spark, index_path, max_id)
+    return {"batches_before": before, "batches_after": after, "rows": rows}
 
 
 def foreach_batch_ann_ingest(
@@ -238,10 +255,7 @@ def foreach_batch_ann_ingest(
             # atomic sidecar write: a crash mid-np.save would leave a
             # truncated file that the exists() guard then treats as the
             # trained quantizer forever — stage + rename instead
-            tmp = centroids_file + ".__next"
-            with open(tmp, "wb") as fh:
-                np.save(fh, centers)
-            os.replace(tmp, centroids_file)
+            _save_sidecar_atomic(centroids_file, centers)
         else:
             centers = np.load(centroids_file)
         best_cell = best_cell_udf(_unit(centers))
@@ -273,6 +287,156 @@ def foreach_batch_ann_ingest(
         )
         report["batch_id"] = batch_id
         report["appended"] = delta.count()
+        if reports is not None:
+            reports.append(report)
+
+    query = (
+        stream_vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def _save_sidecar_atomic(path: str, arr: np.ndarray) -> None:
+    tmp = path + ".__next"
+    with open(tmp, "wb") as fh:
+        np.save(fh, arr)
+    os.replace(tmp, path)
+
+
+def foreach_batch_ivfpq_ingest(
+    stream_vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    residual: bool = False,
+    opq: bool = False,
+    mean_shift_threshold: float = 0.2,
+    imbalance_threshold: float = 8.0,
+    reports: list | None = None,
+    compact_deltas_every: int = 16,
+):
+    """IVF-PQ mirror of :func:`foreach_batch_ann_ingest`: fold each
+    micro-batch of new vectors into a persisted IVF-PQ index under
+    Structured Streaming. Returns the finished query.
+
+    The FIRST batch trains the full model state with the one-shot
+    builder's own recipe (:func:`~home_credit_data_engineering_spark.
+    operators.quantization.train_ivfpq_sidecars` — coarse centroids, PQ
+    codebooks, optional OPQ rotation) and saves the sidecars atomically;
+    every later batch assigns + PQ-encodes under those FROZEN sidecars
+    (``quantization.assign_encode_udf`` — byte-identical codes to a
+    build with the same sidecars). Replay idempotency follows the plain
+    IVF layout: ``codes/`` rows land in ``(cell, batch)`` partitions and
+    ``vectors/`` rows in ``batch=N`` partitions, both via dynamic
+    partition overwrite, and drift stats are batch-keyed deltas in the
+    ROTATED space when an OPQ rotation exists (the space the centroids
+    live in). The query path (``quantization.ivfpq_query_index``) is
+    unchanged — it selects columns, never the extra ``batch`` level.
+    """
+    from home_credit_data_engineering_spark.operators.quantization import (
+        assign_encode_udf,
+        train_ivfpq_sidecars,
+    )
+
+    centroids_file = os.path.join(index_path, "_centroids.npy")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col])
+        if not os.path.exists(centroids_file):
+            centers, books, rot = train_ivfpq_sidecars(
+                batch,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_centroids=n_centroids,
+                m=m,
+                nbits=nbits,
+                seed=seed,
+                train_fraction=train_fraction,
+                residual=residual,
+                opq=opq,
+            )
+            os.makedirs(index_path, exist_ok=True)
+            # centroids LAST: their existence is the bootstrapped marker,
+            # so a crash mid-bootstrap retrains rather than trusting a
+            # partial sidecar set
+            _save_sidecar_atomic(
+                os.path.join(index_path, "_codebooks.npy"), books
+            )
+            _save_sidecar_atomic(
+                os.path.join(index_path, "_residual.npy"),
+                np.array([int(residual)]),
+            )
+            if rot is not None:
+                _save_sidecar_atomic(
+                    os.path.join(index_path, "_rotation.npy"), rot
+                )
+            _save_sidecar_atomic(centroids_file, centers)
+        else:
+            centers = np.load(centroids_file)
+            books = np.load(os.path.join(index_path, "_codebooks.npy"))
+            residual_now = bool(
+                np.load(os.path.join(index_path, "_residual.npy"))[0]
+            )
+            rot_file = os.path.join(index_path, "_rotation.npy")
+            rot = np.load(rot_file) if os.path.exists(rot_file) else None
+            if residual_now != residual:
+                raise ValueError(
+                    f"index was built with residual={residual_now}, "
+                    f"got residual={residual}"
+                )
+        encode = assign_encode_udf(_unit(centers), books, rot, residual)
+        enc = (
+            batch.select(
+                F.col(id_col),
+                F.col(vec_col),
+                encode(to_double_array(vec_col)).alias("__ae"),
+            )
+            .select(
+                id_col,
+                vec_col,
+                F.col("__ae.cell").alias("cell"),
+                F.col("__ae.code").alias("pq_code"),
+            )
+            .withColumn("batch", F.lit(batch_id))
+            .localCheckpoint(eager=True)  # encode once: codes+vectors+stats
+        )
+        (
+            enc.select(id_col, "pq_code", "cell", "batch")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "batch")
+            .parquet(os.path.join(index_path, "codes"))
+        )
+        (
+            enc.select(id_col, vec_col, "batch")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(os.path.join(index_path, "vectors"))
+        )
+        cell_stats(enc, vec_col, rot=rot).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{_deltas_path(index_path)}/batch={batch_id}")
+        spark = batch_df.sparkSession
+        if len(_delta_batch_ids(_deltas_path(index_path))) > compact_deltas_every:
+            _compact_deltas(spark, index_path, batch_id)
+        rows = read_streaming_cell_stats(spark, index_path).collect()
+        report = drift_report(
+            rows, centers, mean_shift_threshold, imbalance_threshold
+        )
+        report["batch_id"] = batch_id
+        report["appended"] = enc.count()
         if reports is not None:
             reports.append(report)
 

@@ -262,3 +262,133 @@ def test_compact_streamed_ann_index_offline(spark, tmp_path):
 
     # CLI wrapper drives the same fold
     assert job.main(["compact-streamed", "--path", idx, "--kind", "ann"]) == 0
+
+
+def _run_pq(spark, flat, idx, ckpt, reports=None, **kw):
+    from home_credit_data_engineering_spark.streaming.ann import (
+        foreach_batch_ivfpq_ingest,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(flat)
+    )
+    foreach_batch_ivfpq_ingest(
+        stream, idx, ckpt, n_centroids=2, m=8, nbits=4, seed=1,
+        reports=reports, **kw,
+    )
+
+
+def test_streaming_ivfpq_ingest_codes_and_query(spark, tmp_path):
+    """Streamed PQ index: codes equal a direct encode under the stored
+    (frozen) sidecars, the unchanged query path serves it, and replays
+    are idempotent."""
+    from home_credit_data_engineering_spark.operators.quantization import (
+        assign_encode_udf,
+        ivfpq_query_index,
+    )
+    from home_credit_data_engineering_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    reports: list = []
+    _run_pq(spark, flat, idx, ckpt, reports)
+
+    assert [r["batch_id"] for r in reports] == [0, 1, 2]
+    assert sum(r["appended"] for r in reports) == df.count()
+
+    centers = np.load(os.path.join(idx, "_centroids.npy"))
+    books = np.load(os.path.join(idx, "_codebooks.npy"))
+    c_unit = centers / np.maximum(
+        np.linalg.norm(centers, axis=1), 1e-300
+    )[:, None]
+    encode = assign_encode_udf(c_unit, books, None, False)
+    want = {
+        r["vec_id"]: (int(r["__ae"]["cell"]), bytes(r["__ae"]["code"]))
+        for r in df.select(
+            "vec_id", encode(to_double_array("embedding")).alias("__ae")
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: (int(r["cell"]), bytes(r["pq_code"]))
+        for r in spark.read.parquet(f"{idx}/codes").select(
+            "vec_id", "pq_code", "cell"
+        ).collect()
+    }
+    assert got == want  # frozen-sidecar encode parity
+
+    top = ivfpq_query_index(
+        spark, idx, df.filter(F.col("vec_id").isin(0, 1000)), k=3,
+        n_probe=1, rerank=10,
+    )
+    rows = top.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert (r["neighbor_id"] // 1000) == (r["query_id"] // 1000)
+    # vectors store holds every ingested vector exactly once
+    assert spark.read.parquet(f"{idx}/vectors").count() == df.count()
+
+    # crash-replay of the final batch: nothing double-counts
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_pq(spark, flat, idx, ckpt)
+    assert spark.read.parquet(f"{idx}/codes").count() == df.count()
+    assert spark.read.parquet(f"{idx}/vectors").count() == df.count()
+    assert (
+        sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
+        == df.count()
+    )
+
+
+def test_compact_streamed_ivfpq_index_offline(spark, tmp_path):
+    """PQ-layout compaction: codes and vectors batch partitions fold,
+    query results unchanged."""
+    from home_credit_data_engineering_spark.operators.quantization import (
+        ivfpq_query_index,
+    )
+    from home_credit_data_engineering_spark.streaming.ann import (
+        compact_streamed_ann_index,
+    )
+
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path, n_waves=4)
+    idx = str(tmp_path / "idx")
+    _run_pq(spark, flat, idx, str(tmp_path / "ckpt"))
+
+    def snap():
+        rows = ivfpq_query_index(
+            spark, idx, df.filter(F.col("vec_id").isin(0, 1000)), k=3,
+            n_probe=1, rerank=10,
+        )
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows.collect()
+        )
+
+    before = snap()
+    rep = compact_streamed_ann_index(spark, idx)
+    assert rep["batches_before"] == 4 and rep["batches_after"] == 2
+    assert rep["rows"] == df.count()
+    for leg in ("codes", "vectors"):
+        batches = {
+            int(r["batch"])
+            for r in spark.read.parquet(f"{idx}/{leg}")
+            .select("batch").distinct().collect()
+        }
+        assert batches == {2, 3}, leg
+    assert snap() == before
+    assert (
+        sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
+        == df.count()
+    )

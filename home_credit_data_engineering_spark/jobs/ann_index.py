@@ -159,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
 
         centers = np.load(os.path.join(args.state_dir, "_centroids.npy"))
         deltas_dir = os.path.join(args.state_dir, "_cell_stats_deltas")
+        # recover a mid-swap deltas dir BEFORE layout detection: a
+        # compaction that died between rmtree and rename leaves only
+        # __next, which would misclassify a streaming index as
+        # batch-maintained (and then write a _cell_stats sidecar onto it)
+        recover_state_swap(deltas_dir)
         if os.path.isdir(deltas_dir):
             # streaming-maintained index: running state is the sum of
             # the batch-keyed deltas, not a _cell_stats snapshot

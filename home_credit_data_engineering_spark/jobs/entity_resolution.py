@@ -264,8 +264,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.index_output
             else None
         )
-        do_refresh = bool(args.index_output) and os.path.isdir(
-            os.path.join(args.index_output, "by_record")
+        # _index_meta.json is the LAST artifact write_entity_index emits,
+        # so it doubles as the completeness marker: a crash mid
+        # full-write leaves it absent and the next run rewrites in full
+        # (pre-pin indexes migrate through one full rewrite the same way)
+        do_refresh = bool(args.index_output) and os.path.exists(
+            os.path.join(args.index_output, "_index_meta.json")
         ) and not os.path.exists(pending)
         if pending:
             os.makedirs(args.index_output, exist_ok=True)

@@ -167,6 +167,13 @@ def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
         )
         if "cell" in part_cols:
             folded = folded.repartition("cell")
+        else:
+            # batch-only tree (PQ vectors leg): without a shuffle key the
+            # fold keeps ~one output file per input file, defeating the
+            # compaction — coalesce bounds files to the core count
+            folded = folded.coalesce(
+                spark.sparkContext.defaultParallelism
+            )
         folded.write.partitionBy(*part_cols).parquet(staged_state_path(path))
         _carry_sidecars(path)
         swap_in_state(path)
@@ -188,6 +195,12 @@ def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
         if os.path.isdir(deltas):
             shutil.copytree(deltas, _deltas_path(staged))
 
+    # recover pending swaps BEFORE detecting the layout: a PQ compaction
+    # that died inside swap_in_state(codes) leaves codes__next but no
+    # codes/, which would misdetect as a plain-IVF layout and crash on
+    # the mixed root tree instead of finishing the interrupted swap
+    for sub in ("", "codes", "vectors"):
+        recover_state_swap(os.path.join(index_path, sub) if sub else index_path)
     recover_state_swap(_deltas_path(index_path))
     if os.path.isdir(os.path.join(index_path, "codes")):
         # PQ layout: codes/ and vectors/ are separate subtrees; sidecars
@@ -239,6 +252,12 @@ def foreach_batch_ann_ingest(
     )
 
     centroids_file = os.path.join(index_path, "_centroids.npy")
+    # finish any swap a compaction left mid-flight BEFORE the first
+    # write recreates the live dirs — recover_state_swap discards a
+    # completed __next once the live dir exists, so writing first would
+    # permanently lose the pre-crash index/stats
+    recover_state_swap(index_path)
+    recover_state_swap(_deltas_path(index_path))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
@@ -349,6 +368,11 @@ def foreach_batch_ivfpq_ingest(
     )
 
     centroids_file = os.path.join(index_path, "_centroids.npy")
+    # finish any swap a compaction left mid-flight BEFORE the first
+    # write recreates the live dirs (see foreach_batch_ann_ingest)
+    recover_state_swap(os.path.join(index_path, "codes"))
+    recover_state_swap(os.path.join(index_path, "vectors"))
+    recover_state_swap(_deltas_path(index_path))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])

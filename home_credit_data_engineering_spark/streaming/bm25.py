@@ -107,7 +107,14 @@ def compact_streamed_bm25_index(spark, index_path: str) -> dict:
         "df", "bucket", "batch",
     )
     doclens = _leg("doclens")
-    _swap(doclens.withColumn("batch", fold_mark), "doclens", "batch")
+    # batch-only leg: coalesce so the fold actually reduces file count
+    # (a bare rewrite keeps ~one output file per input file)
+    _swap(
+        doclens.withColumn("batch", fold_mark).coalesce(
+            spark.sparkContext.defaultParallelism
+        ),
+        "doclens", "batch",
+    )
     st_fold = (
         stats.filter(F.col("batch") < max_id)
         .groupBy("n_buckets")
@@ -151,6 +158,13 @@ def foreach_batch_bm25_ingest(
     """
     import os
 
+    # finish any swap a compaction left mid-flight BEFORE the first
+    # write recreates the live legs — recover_state_swap discards a
+    # completed __next once the live dir exists, so writing first would
+    # permanently lose the pre-crash postings (and the n_buckets guard
+    # below would silently skip while stats/ is mid-swap)
+    for leg in ("postings", "df", "doclens", "stats"):
+        recover_state_swap(f"{index_path}/{leg}")
     stats_dir = f"{index_path}/stats"
     if os.path.isdir(stats_dir):
         spark = stream_docs.sparkSession

@@ -144,8 +144,13 @@ def foreach_batch_entity_resolution(
             )
 
             snapshot = spark.read.parquet(f"{entities_dir}/batch={batch_id}")
-            if prior and os.path.isdir(
-                os.path.join(index_output, "by_record")
+            # completeness marker: _index_meta.json is the LAST artifact
+            # write_entity_index emits, so its presence means both legs
+            # finished. Gating the refresh on by_record alone would take
+            # the incremental branch after a crash mid full-write and
+            # leave by_entity missing every untouched bucket forever.
+            if prior and os.path.exists(
+                os.path.join(index_output, "_index_meta.json")
             ):
                 refresh_entity_index(
                     snapshot, state, index_output, id_col,

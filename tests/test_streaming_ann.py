@@ -392,3 +392,43 @@ def test_compact_streamed_ivfpq_index_offline(spark, tmp_path):
         sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
         == df.count()
     )
+
+
+def test_streaming_ann_ingest_recovers_mid_swap_compaction(spark, tmp_path):
+    """A compaction that died inside swap_in_state (live tree deleted,
+    complete __next left behind) must be finished by the NEXT stream
+    run — not retrained from scratch with the history lost."""
+    df = _clustered(spark)
+    flat = _write_waves(spark, df, tmp_path)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt)
+    centers_before = np.load(os.path.join(idx, "_centroids.npy")).tolist()
+
+    # simulate the crash window: the whole live tree is gone, the staged
+    # replacement is complete. A real staged tree carries a root
+    # _SUCCESS (plain spark write); the live tree was built by dynamic
+    # overwrite which leaves none, so plant it after the rename.
+    os.rename(idx, idx + "__next")
+    with open(os.path.join(idx + "__next", "_SUCCESS"), "w"):
+        pass
+
+    extra = spark.createDataFrame(
+        [(5000, [float(x) for x in range(DIM)])], SCHEMA
+    )
+    d = str(tmp_path / "w_extra")
+    extra.coalesce(1).write.parquet(d)
+    part = glob.glob(d + "/part-*.parquet")[0]
+    shutil.copy(part, f"{flat}/99.parquet")
+    _run(spark, flat, idx, ckpt)
+
+    # the pre-crash index was recovered (same quantizer, all rows), the
+    # new batch appended on top
+    assert np.load(os.path.join(idx, "_centroids.npy")).tolist() == (
+        centers_before
+    )
+    assert spark.read.parquet(idx).count() == df.count() + 1
+    assert (
+        sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
+        == df.count() + 1
+    )

@@ -193,3 +193,36 @@ def test_compact_streamed_bm25_index_offline(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(f"{idx}/doclens").count() == docs.count() + 1
     )
+
+
+def test_streaming_bm25_ingest_recovers_mid_swap_compaction(
+    spark, sf_dir, tmp_path
+):
+    """A compaction that died inside a leg's swap (live leg deleted,
+    complete __next left) must be finished by the next stream run —
+    otherwise the restart would rebuild the leg from one batch and a
+    later recovery would discard the historical postings."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    flat = _write_waves(spark, docs, tmp_path)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, flat, idx, ckpt)
+    postings_before = spark.read.parquet(f"{idx}/postings").count()
+
+    # a real staged leg carries a root _SUCCESS (plain spark write); the
+    # live leg was built by dynamic overwrite which leaves none
+    os.rename(f"{idx}/postings", f"{idx}/postings__next")
+    with open(f"{idx}/postings__next/_SUCCESS", "w"):
+        pass
+
+    extra = spark.createDataFrame([(999999, "alpha beta gamma")], SCHEMA)
+    d = str(tmp_path / "w_extra")
+    extra.coalesce(1).write.parquet(d)
+    part = glob.glob(d + "/part-*.parquet")[0]
+    shutil.copy(part, f"{flat}/99.parquet")
+    _run(spark, flat, idx, ckpt)
+
+    assert spark.read.parquet(f"{idx}/postings").count() == (
+        postings_before + 3  # "alpha beta gamma" -> 3 distinct terms
+    )
+    assert spark.read.parquet(f"{idx}/doclens").count() == docs.count() + 1

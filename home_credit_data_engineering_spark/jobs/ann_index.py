@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="report mode: print the current drift report "
                         "for the --state-dir index (stats + centroids "
                         "sidecars only -- no data scan, no ingest)")
+    parser.add_argument("--tune-probes", nargs="*", type=int, default=None,
+                        help="tuning mode: probe counts to sweep; prints "
+                        "the recall@k-vs-scan-fraction frontier of the "
+                        "persisted index against exact brute force over "
+                        "a sample of --input vectors (--k rows each)")
+    parser.add_argument("--tune-sample", type=int, default=50,
+                        help="tuning mode: number of query vectors sampled "
+                        "from --input (seeded)")
     parser.add_argument("--query-ids", nargs="*", type=int, default=None,
                         help="query mode: vector ids; reads their "
                         "embeddings from --input and prints top-k "
@@ -134,8 +142,14 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("--residual requires --pq")
     if args.opq and not args.pq:
         raise SystemExit("--opq requires --pq")
-    if (args.report_drift or args.query_ids is not None) and not args.state_dir:
-        raise SystemExit("--report-drift/--query-ids need --state-dir")
+    if (
+        args.report_drift
+        or args.query_ids is not None
+        or args.tune_probes is not None
+    ) and not args.state_dir:
+        raise SystemExit(
+            "--report-drift/--query-ids/--tune-probes need --state-dir"
+        )
     if not args.state_dir and not args.output:
         raise SystemExit("--output is required (or use --state-dir)")
     import os
@@ -197,6 +211,29 @@ def main(argv: list[str] | None = None) -> int:
                rep["size_imbalance"], rep["rebuild_recommended"],
                rep["trigger"])
         )
+        return 0
+
+    if args.tune_probes is not None:
+        from home_credit_data_engineering_spark.operators.ann_state import (
+            tune_probes,
+        )
+
+        src = read_parquet(spark, args.input)
+        n = src.count()
+        frac = min(1.0, (args.tune_sample * 1.2) / n) if n else 1.0
+        sample = src.sample(fraction=frac, seed=7).limit(args.tune_sample)
+        frontier = tune_probes(
+            spark, args.state_dir, sample, k=args.k,
+            probes=tuple(args.tune_probes or (1, 2, 4, 8)),
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        for r in frontier.collect():
+            print(
+                "ann_index[tune]: n_probe=%-4d recall@%d=%.4f "
+                "scan_fraction=%.4f"
+                % (r["n_probe"], args.k, r["recall_at_k"],
+                   r["scan_fraction"])
+            )
         return 0
 
     if args.query_ids is not None:

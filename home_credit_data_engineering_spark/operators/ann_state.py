@@ -69,6 +69,7 @@ __all__ = [
     "drift_report",
     "ivf_index_increment",
     "ivfpq_index_increment",
+    "tune_probes",
 ]
 
 _STATS_SCHEMA = "cell int, n long, vsum array<double>"
@@ -425,3 +426,117 @@ def ivfpq_index_increment(
         mean_shift_threshold,
         imbalance_threshold,
     )
+
+
+def tune_probes(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-scan-cost frontier for a persisted IVF / IVF-PQ index —
+    the ``n_probe`` analogue of the ER blocking tuner: the operator that
+    turns "how many cells should we probe?" from folklore into a
+    measured table.
+
+    For a SAMPLE of query vectors (the panel is small by the query
+    path's own contract) this computes exact brute-force top-k ground
+    truth over the stored corpus once, then runs the index's real query
+    path at each ``n_probe`` and reports:
+
+    - ``recall_at_k`` — fraction of true top-k neighbors returned;
+    - ``scan_fraction`` — mean fraction of corpus ROWS the probed cells
+      actually hold (from per-cell counts, not ``n_probe/n_cells`` —
+      skewed cells make those differ), i.e. the I/O cost knob at 100 TB.
+
+    Rows sorted by ``n_probe``; pick the smallest probe count whose
+    recall clears your floor. The PQ layout is auto-detected and
+    measured through ``ivfpq_query_index`` (ADC + re-rank), so its
+    recall reflects quantization loss too.
+    """
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    is_pq = os.path.isdir(os.path.join(index_path, "codes"))
+    if is_pq:
+        from home_credit_data_engineering_spark.operators.quantization import (
+            ivfpq_query_index as _query,
+        )
+
+        corpus = spark.read.parquet(
+            os.path.join(index_path, "vectors")
+        ).select(id_col, vec_col)
+        cells = spark.read.parquet(os.path.join(index_path, "codes")).select(
+            F.col("cell").cast("int").alias("cell")
+        )
+    else:
+        from home_credit_data_engineering_spark.operators.similarity import (
+            ivf_query_index as _query,
+        )
+
+        data = spark.read.parquet(index_path)
+        corpus = data.select(id_col, vec_col)
+        cells = data.select(F.col("cell").cast("int").alias("cell"))
+
+    centers = np.load(os.path.join(index_path, "_centroids.npy"))
+    n_cells = len(centers)
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in cells.groupBy("cell").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    n_corpus = sum(sizes.values())
+
+    truth_rows = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).collect()
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+
+    # per-query probe order, driver-side like the query path itself
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(vec_col).alias("v")
+    ).collect()
+    rot_file = os.path.join(index_path, "_rotation.npy")
+    rot = np.load(rot_file) if os.path.exists(rot_file) else None
+    q_mat = _unit(np.array([r["v"] for r in q_rows], dtype=np.float64))
+    if rot is not None:
+        q_mat = q_mat @ rot
+    order = np.argsort(-(q_mat @ _unit(centers).T), axis=1, kind="stable")
+
+    out = []
+    for p_eff in sorted({min(int(x), n_cells) for x in probes}):
+        got = _query(
+            spark, index_path, queries, k=k,
+            id_col=id_col, vec_col=vec_col, n_probe=p_eff,
+        ).collect()
+        hit = sum(
+            1 for r in got if r["neighbor_id"] in truth.get(r["query_id"], ())
+        )
+        scan = float(
+            np.mean(
+                [
+                    sum(sizes.get(int(c), 0) for c in row[:p_eff]) / n_corpus
+                    for row in order
+                ]
+            )
+            if n_corpus
+            else 0.0
+        )
+        out.append(
+            (
+                p_eff,
+                round(hit / n_truth, 9) if n_truth else 1.0,
+                round(scan, 9),
+            )
+        )
+    return spark.createDataFrame(
+        out, "n_probe int, recall_at_k double, scan_fraction double"
+    ).orderBy("n_probe")

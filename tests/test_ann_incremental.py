@@ -405,3 +405,51 @@ def test_ann_index_cli_report_drift_on_streaming_layout(
     out = capsys.readouterr().out
     assert "ann_index[drift]:" in out
     assert f"n_vectors={df.count()}" in out
+
+
+def test_tune_probes_frontier(spark, tmp_path, capsys):
+    """tune_probes: recall non-decreasing in n_probe, 1.0 at full
+    probes, scan_fraction tracks actual probed-cell row mass."""
+    from home_credit_data_engineering_spark.jobs import ann_index as job
+    from home_credit_data_engineering_spark.operators.ann_state import (
+        tune_probes,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    df = _clustered(spark, n_per=30)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(df, idx, n_centroids=2)
+
+    queries = df.filter(F.col("vec_id").isin(0, 1, 1000))
+    frontier = tune_probes(
+        spark, idx, queries, k=3, probes=(1, 2, 8)
+    ).collect()
+    assert [r["n_probe"] for r in frontier] == [1, 2]  # capped at n_cells
+    recalls = [r["recall_at_k"] for r in frontier]
+    scans = [r["scan_fraction"] for r in frontier]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # full probes == brute force on clean data
+    assert scans == sorted(scans)
+    assert abs(scans[-1] - 1.0) < 1e-9  # all cells probed == full corpus
+    assert 0.0 < scans[0] < 1.0
+
+    # CLI wrapper prints the frontier
+    assert job.main(
+        ["--input", src, "--state-dir", idx,
+         "--tune-probes", "1", "2", "--k", "3", "--tune-sample", "10"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("ann_index[tune]:") == 2 and "recall@3=" in out
+
+    # PQ layout auto-detected: frontier measured through the ADC +
+    # exact-re-rank path, so it reflects quantization loss too
+    pq_idx = str(tmp_path / "pq_idx")
+    build_ivfpq_index(df, pq_idx, n_centroids=2, m=8, nbits=4, seed=1)
+    pq = tune_probes(spark, pq_idx, queries, k=3, probes=(1, 2)).collect()
+    pq_recalls = [r["recall_at_k"] for r in pq]
+    assert pq_recalls == sorted(pq_recalls)
+    assert pq_recalls[-1] >= 0.8

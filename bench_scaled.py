@@ -197,6 +197,48 @@ def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:
     return dict(data.get(section, {}))
 
 
+def _time_ann_increment(spark, sf_dir: str, runs: int = 2) -> list[float]:
+    """Build an IVF index over ``sf_dir``'s embeddings (UNTIMED), then
+    time ``runs`` folds of a fixed 2,000-vector delta with fresh ids —
+    the scaled twin of bench.py's ``ann_ivf_increment_delta`` leg."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from home_credit_data_engineering_spark.operators.ann_state import (
+        ivf_index_increment,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    idx = tempfile.mkdtemp(prefix="bench_scaled_ann_inc_") + "/idx"
+    build_ivf_index(
+        emb,
+        idx,
+        n_centroids=max(16, int(n_emb**0.5)),
+        train_fraction=(min(1.0, 4096.0 / n_emb) if n_emb > 4096 else None),
+    )
+    base = (
+        emb.orderBy("vec_id")
+        .limit(2000)
+        .localCheckpoint(eager=True)  # setup cost, not increment cost
+    )
+    samples: list[float] = []
+    for i in range(runs):
+        delta = base.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100_000_000_000 + i * 10_000)
+        ).localCheckpoint(eager=True)
+        start = time.perf_counter()
+        ivf_index_increment(delta, idx)
+        samples.append(time.perf_counter() - start)
+        spark.catalog.clearCache()
+    return samples
+
+
 def solo_probe(sf_dir: str, name: str, runs: int = 3) -> float | None:
     """Re-time ONE query in a FRESH subprocess JVM, min of ``runs``.
 
@@ -247,6 +289,13 @@ def _probe_main(sf_dir: str, name: str, runs: int) -> int:
         },
     )
     prep(spark)
+    if name == "ann_ivf_increment_delta":
+        # index build is untimed setup shared by all probe runs, so this
+        # leg times its own samples rather than the generic loop
+        inc = _time_ann_increment(spark, sf_dir, runs=runs)
+        print(json.dumps({"min": round(min(inc), 3)}))
+        spark.stop()
+        return 0
     samples = []
     for _ in range(runs):
         start = time.perf_counter()
@@ -633,6 +682,20 @@ def run_scaled(
     spread["related_docs_serving"] = {
         "med": round(rd_samples[-1], 3),
         "max": round(rd_samples[-1], 3),
+    }
+
+    # O(Δ) claim measured, not argued: the SAME fixed 2,000-vector fold
+    # bench.py times at the base SF, against an index built on the 10×
+    # replica corpus (build untimed — ingest-time work by contract). If
+    # the increment really touches only the centroid sidecar and the
+    # cells-sized stats, this number stays ~flat while the corpus grows
+    # 10×. Delta ids start at 1e11 — clear of the replicas' 1e9-stride
+    # shifted ids.
+    inc_samples = _time_ann_increment(spark, scaled_dir, runs=2)
+    timings["ann_ivf_increment_delta"] = round(min(inc_samples), 3)
+    spread["ann_ivf_increment_delta"] = {
+        "med": round(sorted(inc_samples)[-1], 3),
+        "max": round(sorted(inc_samples)[-1], 3),
     }
 
     try:

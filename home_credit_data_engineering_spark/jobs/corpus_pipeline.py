@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--unigram-vocab-size", type=int, default=512)
     parser.add_argument("--shards", type=int, default=16)
+    parser.add_argument(
+        "--bm25-index",
+        help="maintain a persisted BM25 index over the CLEAN corpus: "
+        "built on the first run, folded exactly per batch afterwards "
+        "(bm25_index_increment — increments assume whole-job retries, "
+        "like every batch increment here). Removed duplicates and "
+        "quality-dropped docs never enter the index.",
+    )
+    parser.add_argument("--bm25-buckets", type=int, default=64)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
         "--no-collapse-exact",
@@ -146,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
                 f"{row['stage']}: {row['rows_in']} in, "
                 f"{row['rows_removed']} removed, {row['rows_out']} out"
             )
+        if args.bm25_index:
+            _maintain_bm25_index(result["clean"], args)
         return 0
     result = corpus_pipeline(
         spark,
@@ -185,7 +196,43 @@ def main(argv: list[str] | None = None) -> int:
         f"{extras.get('n_bins', 0)} bins (budget {args.budget}) under "
         f"{result['paths']['packed']}"
     )
+    if args.bm25_index:
+        _maintain_bm25_index(result["clean"], args)
     return 0
+
+
+def _maintain_bm25_index(clean, args) -> None:
+    """Build-or-fold the persisted BM25 index over the clean corpus:
+    the serving leg of the pipeline. First run builds; later runs fold
+    EXACTLY (``bm25_index_increment`` — results stay row-identical to a
+    one-shot build over every batch's clean output). The bucket modulus
+    is pinned by the index itself; a conflicting --bm25-buckets raises.
+    """
+    import os
+
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_index_increment,
+        build_bm25_index,
+    )
+
+    docs = clean.select(args.id_col, args.text_col)
+    if os.path.isdir(os.path.join(args.bm25_index, "stats")):
+        rep = bm25_index_increment(
+            docs, args.bm25_index,
+            id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.bm25_buckets,
+        )
+        print(
+            "corpus_pipeline: bm25 index +%d docs, %d terms touched at %s"
+            % (rep["docs_added"], rep["terms_touched"], args.bm25_index)
+        )
+    else:
+        build_bm25_index(
+            docs, args.bm25_index,
+            id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.bm25_buckets,
+        )
+        print(f"corpus_pipeline: bm25 index built at {args.bm25_index}")
 
 
 if __name__ == "__main__":

@@ -430,3 +430,75 @@ def test_increment_replay_is_idempotent(spark, tmp_path):
     assert clean1 == clean2 == {
         k: v for k, v in _EXPECTED_TEXTS.items() if k in (1, 8)
     }
+
+
+def test_pipeline_maintains_bm25_index(spark, tmp_path):
+    """--bm25-index: the pipeline's serving leg. Day 1 builds the index
+    over the clean output, day 2 folds exactly; queries against the
+    maintained index equal a one-shot build over BOTH days' clean
+    corpora (removed duplicates never indexed)."""
+    from home_credit_data_engineering_spark.operators.retrieval import (
+        bm25_query_index,
+        build_bm25_index,
+    )
+
+    batch1 = [d for d in _DOCS if d[0] in (1, 4, 6, 8)]
+    batch2 = [d for d in _DOCS if d[0] in (2, 3, 5, 7)]
+    schema = "doc_id bigint, text string, lang string, source string"
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(batch1, schema).write.parquet(b1)
+    spark.createDataFrame(batch2, schema).write.parquet(b2)
+    spark.createDataFrame(_BENCH, "doc_id bigint, text string").write.parquet(
+        bench_path
+    )
+    state = str(tmp_path / "state")
+    idx = str(tmp_path / "bm25_idx")
+    out1, out2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    common = ["--benchmark", bench_path, "--budget", str(_BUDGET),
+              "--shards", "4", "--state-dir", state,
+              "--bm25-index", idx, "--bm25-buckets", "8"]
+    assert pipeline_job.main(
+        ["--input", b1, "--output-dir", out1, *common]
+    ) == 0
+    assert pipeline_job.main(
+        ["--input", b2, "--output-dir", out2, *common]
+    ) == 0
+
+    clean_union = spark.read.parquet(out1 + "/clean").unionByName(
+        spark.read.parquet(out2 + "/clean")
+    )
+    full_idx = str(tmp_path / "full_idx")
+    build_bm25_index(
+        clean_union.select("doc_id", "text"), full_idx, n_buckets=8
+    )
+    panel = spark.createDataFrame(
+        [(1, t) for t in ("alpha3", "omega", "gamma2", "pre1")],
+        "query_id long, term string",
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(spark, idx, panel, k=5, n_buckets=8)
+        .collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(spark, full_idx, panel, k=5, n_buckets=8)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # indexed docs == clean docs exactly (dropped/removed never indexed)
+    assert spark.read.parquet(f"{idx}/doclens").count() == (
+        clean_union.count()
+    )
+
+    # a mismatched modulus on a later run raises (pinned by the index)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        pipeline_job.main(
+            ["--input", b1, "--output-dir", str(tmp_path / "day3"),
+             "--benchmark", bench_path, "--budget", str(_BUDGET),
+             "--shards", "4", "--state-dir", state,
+             "--bm25-index", idx, "--bm25-buckets", "16"]
+        )

@@ -192,36 +192,14 @@ def main() -> None:
     # it must stay ~flat as the corpus grows, because the increment
     # touches only the centroid sidecar and the cells-sized stats
     # table, never the stored corpus partitions (proven structurally in
-    # tests/test_ann_incremental.py by garbling them first).
-    import tempfile
+    # tests/test_ann_incremental.py by garbling them first). The SAME
+    # helper times the 10x scaled twin, so both legs measure one
+    # configuration by construction.
+    from bench_scaled import _time_ann_increment
 
-    from pyspark.sql import functions as F
-
-    from home_credit_data_engineering_spark.operators.ann_state import (
-        ivf_index_increment,
+    timings["ann_ivf_increment_delta"] = round(
+        min(_time_ann_increment(spark, sf_dir, runs=1)), 3
     )
-    from home_credit_data_engineering_spark.operators.similarity import (
-        build_ivf_index,
-    )
-
-    emb = read_testdata(spark, sf_dir, "embeddings")
-    n_emb = emb.count()
-    ann_idx = tempfile.mkdtemp(prefix="bench_ann_inc_") + "/idx"
-    build_ivf_index(
-        emb,
-        ann_idx,
-        n_centroids=max(16, int(n_emb**0.5)),
-        train_fraction=(min(1.0, 4096.0 / n_emb) if n_emb > 4096 else None),
-    )
-    delta = (
-        emb.orderBy("vec_id")
-        .limit(2000)
-        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
-        .localCheckpoint(eager=True)  # setup cost, not increment cost
-    )
-    start = time.perf_counter()
-    ivf_index_increment(delta, ann_idx)
-    timings["ann_ivf_increment_delta"] = round(time.perf_counter() - start, 3)
     spark.catalog.clearCache()
 
     # Self-adjudication (VERDICT r5 #2): solo-re-probe any query whose

@@ -81,7 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         "like every batch increment here). Removed duplicates and "
         "quality-dropped docs never enter the index.",
     )
-    parser.add_argument("--bm25-buckets", type=int, default=64)
+    parser.add_argument(
+        "--bm25-buckets", type=int, default=None,
+        help="bucket modulus for a NEW index (default 64); an existing "
+        "index pins its own — omit the flag to adopt it, pass a "
+        "conflicting value to get a hard error",
+    )
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
         "--no-collapse-exact",
@@ -156,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"{row['rows_removed']} removed, {row['rows_out']} out"
             )
         if args.bm25_index:
-            _maintain_bm25_index(result["clean"], args)
+            _maintain_bm25_index(spark, result, args, incremental=True)
         return 0
     result = corpus_pipeline(
         spark,
@@ -197,16 +202,30 @@ def main(argv: list[str] | None = None) -> int:
         f"{result['paths']['packed']}"
     )
     if args.bm25_index:
-        _maintain_bm25_index(result["clean"], args)
+        _maintain_bm25_index(spark, result, args, incremental=False)
     return 0
 
 
-def _maintain_bm25_index(clean, args) -> None:
+def _maintain_bm25_index(spark, result, args, incremental: bool) -> None:
     """Build-or-fold the persisted BM25 index over the clean corpus:
-    the serving leg of the pipeline. First run builds; later runs fold
-    EXACTLY (``bm25_index_increment`` — results stay row-identical to a
-    one-shot build over every batch's clean output). The bucket modulus
-    is pinned by the index itself; a conflicting --bm25-buckets raises.
+    the serving leg of the pipeline.
+
+    FULL mode always REBUILDS (it recomputes the whole corpus, so
+    folding an existing index would re-ingest every known doc id and
+    double-count). Incremental mode builds on the first run, then folds
+    each batch EXACTLY (``bm25_index_increment``), guarded by a
+    per-batch ``_ingested/<tag>`` marker (the pipeline's own
+    deterministic batch tag) so a replayed batch — the pipeline state's
+    documented at-least-once recovery — skips the non-idempotent fold
+    instead of double-appending. A crash INSIDE the fold (marker
+    absent, appends partial) is outside the marker's protection:
+    rebuild the index from the union of the per-day ``clean/`` outputs.
+    The bucket modulus is pinned by the index itself; a conflicting
+    explicit --bm25-buckets raises.
+
+    Reads the clean corpus from the parquet the pipeline just wrote —
+    the returned frame's lineage was unpersisted, and indexing triggers
+    several actions (re-running the whole pipeline per action).
     """
     import os
 
@@ -215,13 +234,31 @@ def _maintain_bm25_index(clean, args) -> None:
         build_bm25_index,
     )
 
-    docs = clean.select(args.id_col, args.text_col)
-    if os.path.isdir(os.path.join(args.bm25_index, "stats")):
+    docs = spark.read.parquet(result["paths"]["clean"]).select(
+        args.id_col, args.text_col
+    )
+    exists = os.path.isdir(os.path.join(args.bm25_index, "stats"))
+    if incremental and exists:
+        from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+            _batch_tag,
+        )
+
+        tag = _batch_tag(docs, args.id_col)
+        marker = os.path.join(args.bm25_index, "_ingested", tag)
+        if os.path.exists(marker):
+            print(
+                f"corpus_pipeline: bm25 index already has batch {tag} "
+                "(replay) — fold skipped"
+            )
+            return
         rep = bm25_index_increment(
             docs, args.bm25_index,
             id_col=args.id_col, text_col=args.text_col,
             n_buckets=args.bm25_buckets,
         )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
         print(
             "corpus_pipeline: bm25 index +%d docs, %d terms touched at %s"
             % (rep["docs_added"], rep["terms_touched"], args.bm25_index)
@@ -230,8 +267,28 @@ def _maintain_bm25_index(clean, args) -> None:
         build_bm25_index(
             docs, args.bm25_index,
             id_col=args.id_col, text_col=args.text_col,
-            n_buckets=args.bm25_buckets,
+            n_buckets=args.bm25_buckets or 64,
         )
+        # a rebuild starts the batch history over: stale replay markers
+        # from a previous incremental lineage must not suppress future
+        # folds of same-tagged batches
+        import shutil
+
+        ingested = os.path.join(args.bm25_index, "_ingested")
+        if os.path.isdir(ingested):
+            shutil.rmtree(ingested)
+        if incremental:
+            # seed the replay guard for this bootstrap batch too
+            from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+                _batch_tag,
+            )
+
+            marker = os.path.join(
+                args.bm25_index, "_ingested", _batch_tag(docs, args.id_col)
+            )
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w"):
+                pass
         print(f"corpus_pipeline: bm25 index built at {args.bm25_index}")
 
 

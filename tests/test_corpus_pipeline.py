@@ -492,12 +492,34 @@ def test_pipeline_maintains_bm25_index(spark, tmp_path):
         clean_union.count()
     )
 
-    # a mismatched modulus on a later run raises (pinned by the index)
+    # replaying day 2 (the pipeline state's at-least-once recovery)
+    # must SKIP the non-idempotent fold: counts unchanged
+    assert pipeline_job.main(
+        ["--input", b2, "--output-dir", str(tmp_path / "day2_replay"),
+         *common]
+    ) == 0
+    assert spark.read.parquet(f"{idx}/doclens").count() == (
+        clean_union.count()
+    )
+    assert sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(spark, idx, panel, k=5, n_buckets=8)
+        .collect()
+    ) == want
+
+    # a mismatched modulus on a later (fresh, non-replayed) batch
+    # raises (pinned by the index)
     import pytest
 
+    b3 = str(tmp_path / "b3")
+    spark.createDataFrame(
+        [(100, " ".join(f"zeta{i} eta{i}" for i in range(10)),
+          "en", "src_a")],
+        schema,
+    ).write.parquet(b3)
     with pytest.raises(ValueError, match="n_buckets=8"):
         pipeline_job.main(
-            ["--input", b1, "--output-dir", str(tmp_path / "day3"),
+            ["--input", b3, "--output-dir", str(tmp_path / "day3"),
              "--benchmark", bench_path, "--budget", str(_BUDGET),
              "--shards", "4", "--state-dir", state,
              "--bm25-index", idx, "--bm25-buckets", "16"]

@@ -231,6 +231,7 @@ def foreach_batch_ann_ingest(
     imbalance_threshold: float = 8.0,
     reports: list | None = None,
     compact_deltas_every: int = 16,
+    rebuild_on_drift: bool = False,
 ):
     """Run the vector stream to completion (``availableNow``), folding
     each micro-batch into the IVF index. Returns the finished query.
@@ -239,7 +240,15 @@ def foreach_batch_ann_ingest(
     batch — the streaming analogue of the batch increment's return
     value; a caller watches it (or the printed lines) for
     ``rebuild_recommended`` and restarts the pipeline against a freshly
-    trained index when it trips.
+    trained index when it trips. With ``rebuild_on_drift=True`` the
+    stream handles it itself: when a batch's report trips, the quantizer
+    is RETRAINED from every stored vector, all rows are reassigned, and
+    the whole tree (data + centroid sidecar + per-batch stats deltas)
+    swaps in two-phase INSIDE apply_batch — before the offset commit, so
+    a crash mid-rebuild replays the batch against the intact old tree
+    and a crash after the swap replays it as a deterministic overwrite
+    under the NEW centroids. Batch keys survive the rebuild (rows keep
+    their batch partition), so replay semantics are unchanged.
 
     ``compact_deltas_every`` bounds the stats-delta tree: once more
     than that many ``batch=N`` partitions exist, deltas older than the
@@ -306,6 +315,17 @@ def foreach_batch_ann_ingest(
         )
         report["batch_id"] = batch_id
         report["appended"] = delta.count()
+        if rebuild_on_drift and report["rebuild_recommended"]:
+            _rebuild_streamed_index(
+                spark,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_centroids=n_centroids,
+                seed=seed,
+                train_fraction=train_fraction,
+            )
+            report["rebuilt"] = True
         if reports is not None:
             reports.append(report)
 
@@ -317,6 +337,64 @@ def foreach_batch_ann_ingest(
     )
     query.awaitTermination()
     return query
+
+
+def _rebuild_streamed_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    train_fraction: float | None,
+) -> None:
+    """Drift-triggered retrain of a streamed plain-IVF index: retrain
+    the quantizer from EVERY stored vector (the build's own trainer),
+    reassign all rows preserving their ``batch`` partition keys, rebuild
+    the per-batch stats deltas (one folded summary for the history + the
+    newest batch's own delta — the same replay-window shape the online
+    compaction maintains), and swap the whole tree two-phase."""
+    from home_credit_data_engineering_spark.operators.similarity import (
+        best_cell_udf,
+        train_ivf_centroids,
+    )
+
+    rows = spark.read.parquet(index_path).select(
+        id_col, vec_col, F.col("batch").cast("int").alias("batch")
+    )
+    centers = train_ivf_centroids(
+        rows,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        train_fraction=train_fraction,
+    )
+    best_cell = best_cell_udf(_unit(centers))
+    reassigned = rows.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best_cell(to_double_array(vec_col)).alias("cell"),
+        "batch",
+    ).localCheckpoint(eager=True)  # one assignment pass: data + stats
+    staged = staged_state_path(index_path)
+    (
+        reassigned.repartition("cell")
+        .write.partitionBy("cell", "batch")
+        .parquet(staged)
+    )
+    _save_sidecar_atomic(os.path.join(staged, "_centroids.npy"), centers)
+    max_id = int(
+        reassigned.agg(F.max("batch").alias("m")).first()["m"]
+    )
+    prior = reassigned.filter(F.col("batch") < max_id)
+    if prior.take(1):
+        cell_stats(prior, vec_col).coalesce(1).write.parquet(
+            f"{_deltas_path(staged)}/batch={max_id - 1}"
+        )
+    cell_stats(
+        reassigned.filter(F.col("batch") == max_id), vec_col
+    ).coalesce(1).write.parquet(f"{_deltas_path(staged)}/batch={max_id}")
+    swap_in_state(index_path)
 
 
 def _save_sidecar_atomic(path: str, arr: np.ndarray) -> None:
@@ -361,6 +439,12 @@ def foreach_batch_ivfpq_ingest(
     ROTATED space when an OPQ rotation exists (the space the centroids
     live in). The query path (``quantization.ivfpq_query_index``) is
     unchanged — it selects columns, never the extra ``batch`` level.
+
+    No ``rebuild_on_drift`` here (unlike the plain-IVF stream): a PQ
+    retrain replaces codebooks/rotation too, invalidating every stored
+    code — that full re-encode pass is the batch CLI's job
+    (``jobs/ann_index.py --rebuild-on-drift``); watch ``reports`` and
+    schedule it when the drift verdict trips.
     """
     from home_credit_data_engineering_spark.operators.quantization import (
         assign_encode_udf,

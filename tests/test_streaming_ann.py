@@ -432,3 +432,84 @@ def test_streaming_ann_ingest_recovers_mid_swap_compaction(spark, tmp_path):
         sum(r["n"] for r in read_streaming_cell_stats(spark, idx).collect())
         == df.count() + 1
     )
+
+
+def test_streaming_ann_rebuild_on_drift(spark, tmp_path):
+    """rebuild_on_drift: a drifted wave trips the verdict mid-stream,
+    the quantizer retrains from ALL stored vectors inside apply_batch,
+    and the rebuilt tree stays exact — including across a crash-replay
+    of the rebuilt batch."""
+    from home_credit_data_engineering_spark.streaming.ann import (
+        foreach_batch_ann_ingest,
+    )
+
+    rng = np.random.RandomState(3)
+    # waves 0-1: the two planted clusters; wave 2: a differently-
+    # oriented cluster that lands in an existing cell and drags its
+    # running mean off the frozen centroid
+    base = _clustered(spark, n_per=30)
+    drift_rows = [
+        (700_000 + i, (np.full(DIM, 0.0) + np.eye(1, DIM, 4)[0] * 5
+                       + rng.normal(0, 0.1, DIM)).tolist())
+        for i in range(90)
+    ]
+    drifted = spark.createDataFrame(drift_rows, SCHEMA)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part_df in enumerate(
+        (base.filter(F.col("vec_id") < 1000),
+         base.filter(F.col("vec_id") >= 1000), drifted)
+    ):
+        d = str(tmp_path / f"w{i}")
+        part_df.coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    reports: list = []
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(flat)
+        )
+        foreach_batch_ann_ingest(
+            stream, idx, ckpt, n_centroids=2, seed=1,
+            mean_shift_threshold=0.05, reports=reports,
+            rebuild_on_drift=True,
+        )
+
+    run()
+    total = base.count() + drifted.count()
+    assert any(r.get("rebuilt") for r in reports)
+    centers = np.load(os.path.join(idx, "_centroids.npy"))
+    # the rebuilt assignment covers every ever-ingested vector exactly
+    stored = {
+        r["vec_id"]: int(r["cell"])
+        for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    assert len(stored) == total
+    union = base.unionByName(drifted)
+    assert stored == _assign_direct(union, centers)
+    stats_n = sum(
+        r["n"] for r in read_streaming_cell_stats(spark, idx).collect()
+    )
+    assert stats_n == total
+
+    # crash window on the rebuilt batch: replay must converge
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert spark.read.parquet(idx).count() == total
+    assert sum(
+        r["n"] for r in read_streaming_cell_stats(spark, idx).collect()
+    ) == total

@@ -18,7 +18,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Build a persisted IVF index (cell-partitioned parquet)"
     )
-    parser.add_argument("--input", required=True, help="embeddings parquet path")
+    parser.add_argument("--input",
+                        help="embeddings parquet path (required for every "
+                        "mode except --report-drift, which reads only the "
+                        "index sidecars)")
     parser.add_argument("--output",
                         help="index path (full build mode; or use --state-dir)")
     parser.add_argument("--id-col", default="vec_id")
@@ -152,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     if not args.state_dir and not args.output:
         raise SystemExit("--output is required (or use --state-dir)")
+    if args.input is None and not args.report_drift:
+        raise SystemExit("--input is required (except with --report-drift)")
     import os
 
     from home_credit_data_engineering_spark import get_session
@@ -168,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
             read_cell_stats,
         )
         from home_credit_data_engineering_spark.sources.maintenance import (
+            recover_fold_commits,
             recover_state_swap,
         )
 
@@ -188,7 +194,12 @@ def main(argv: list[str] | None = None) -> int:
             rows = read_streaming_cell_stats(spark, args.state_dir).collect()
         else:
             # a prior increment may have died mid-swap on the stats dir;
-            # apply the same recovery the increment path itself runs
+            # apply the same recovery the increment path itself runs —
+            # fold-commit markers first (they FINISH a committed swap the
+            # generic rule would discard), then the generic rule
+            recover_fold_commits(
+                args.state_dir, [_stats_path(args.state_dir)]
+            )
             recover_state_swap(_stats_path(args.state_dir))
             if not os.path.isdir(_stats_path(args.state_dir)):
                 # pre-stats index: same one-time lazy init the
@@ -211,6 +222,52 @@ def main(argv: list[str] | None = None) -> int:
                rep["size_imbalance"], rep["rebuild_recommended"],
                rep["trigger"])
         )
+        if (
+            rep["rebuild_recommended"]
+            and args.rebuild_on_drift
+            and os.path.isdir(deltas_dir)
+        ):
+            # stream→batch handoff: the streamed maintainers (the PQ one
+            # deliberately — a codebook retrain invalidates every stored
+            # code) report drift but leave the rebuild to this CLI. Run
+            # with the stream STOPPED; it resumes against the rebuilt
+            # tree (same path, same checkpoint, fresh sidecars).
+            n_vec = rep["n_vectors"]
+            frac = (
+                min(1.0, args.train_rows / n_vec)
+                if n_vec > args.train_rows
+                else None
+            )
+            if os.path.isdir(os.path.join(args.state_dir, "codes")):
+                from home_credit_data_engineering_spark.streaming.ann import (
+                    rebuild_streamed_ivfpq_index,
+                )
+
+                res = rebuild_streamed_ivfpq_index(
+                    spark, args.state_dir,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                    n_centroids=args.n_centroids or None,
+                    train_fraction=frac,
+                )
+                kind = "ivfpq"
+            else:
+                from home_credit_data_engineering_spark.streaming.ann import (
+                    rebuild_streamed_ivf_index,
+                )
+
+                res = rebuild_streamed_ivf_index(
+                    spark, args.state_dir,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                    n_centroids=args.n_centroids or None,
+                    train_fraction=frac,
+                )
+                kind = "ivf"
+            print(
+                "ann_index[rebuild-streamed-%s]: %d vectors -> %d cells "
+                "at %s (drift rebuild; resume the stream against the "
+                "new tree)"
+                % (kind, res["n_vectors"], res["n_cells"], args.state_dir)
+            )
         return 0
 
     if args.tune_probes is not None:
@@ -283,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from home_credit_data_engineering_spark.sources.maintenance import (
+        carry_ledger,
         recover_state_swap,
         staged_state_path,
         swap_in_state,
@@ -361,6 +419,10 @@ def main(argv: list[str] | None = None) -> int:
             src, staged, args.id_col, args.vec_col, n_cells,
             args.train_rows, is_pq, pq_m, pq_nbits, residual, opq,
         )
+        # the processed-delta ledger must survive the rebuild: every
+        # folded delta's vectors are in the retrain source, so replaying
+        # an old fold against the NEW tree must still no-op
+        carry_ledger(idx, staged)
         # the PQ layout keeps its _SUCCESS markers inside codes/ and
         # vectors/; the swap helper wants one at the staged root
         open(os.path.join(staged, "_SUCCESS"), "a").close()

@@ -11,10 +11,17 @@ pipeline already have:
 - **Increment** — assign the new vectors to their nearest EXISTING
   centroid with the exact same UDF the build used
   (``similarity.best_cell_udf`` / ``quantization.assign_encode_udf``),
-  then APPEND the cell-partitioned files. Cost is one pass over Δ: the
+  then PUBLISH the cell-partitioned files. Cost is one pass over Δ: the
   stored corpus partitions are never read (asserted in
   ``tests/test_ann_incremental.py`` by garbling them first), only the
-  KB-sized centroid sidecar and the cells-sized stats table.
+  KB-sized centroid sidecar and the cells-sized stats table. Each fold
+  is REPLAY-IDEMPOTENT via the processed-delta ledger
+  (``sources/maintenance.py``): the delta's content fingerprint keys a
+  ledger marker, data files publish under deterministic
+  ``delta-{fp}-N.parquet`` names, and the stats sidecar swaps in under
+  a two-state commit marker — so an at-least-once orchestrator
+  re-running a completed fold gets a no-op, and a crash at any point
+  either replays the whole fold convergently or completes it.
 - **Drift tracking** — the centroids are frozen between rebuilds, so
   index quality decays if the data distribution moves. Each index keeps
   a per-cell running ``(count, Σ unit-vector)`` table
@@ -57,6 +64,14 @@ from pyspark.sql import functions as F
 
 from home_credit_data_engineering_spark.functions.vectors import to_double_array
 from home_credit_data_engineering_spark.sources.maintenance import (
+    begin_fold_commit,
+    check_state_layout,
+    delta_fingerprint,
+    finish_fold_commit,
+    incoming_delta_path,
+    publish_delta_files,
+    read_fold_marker,
+    recover_fold_commits,
     recover_state_swap,
     staged_state_path,
     swap_in_state,
@@ -249,15 +264,20 @@ def _read_stats_rows_driver(index_path: str) -> list[dict]:
     return out
 
 
-def _write_cell_stats_driver(rows: list[dict], index_path: str) -> None:
-    """Driver-side sidecar rewrite through the same two-phase swap the
-    Spark writer uses (same schema Spark writes: cell int, n long,
-    vsum array<double>)."""
+def _stage_cell_stats_driver(rows: list[dict], index_path: str) -> None:
+    """Driver-side sidecar STAGE into ``_cell_stats__next`` (same schema
+    Spark writes: cell int, n long, vsum array<double>); the caller
+    swaps it in — under the fold-commit marker for increments, directly
+    for standalone rewrites."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     sp = _stats_path(index_path)
     staged = staged_state_path(sp)
+    if os.path.isdir(staged):
+        import shutil
+
+        shutil.rmtree(staged)
     os.makedirs(staged, exist_ok=True)
     tbl = pa.table(
         {
@@ -273,10 +293,9 @@ def _write_cell_stats_driver(rows: list[dict], index_path: str) -> None:
     # the swap helper's completeness marker (Spark writers emit it too)
     with open(os.path.join(staged, "_SUCCESS"), "w"):
         pass
-    swap_in_state(sp)
 
 
-def _merge_and_report(
+def _merge_stage_and_report(
     spark: SparkSession,
     index_path: str,
     delta_stats: DataFrame,
@@ -284,13 +303,14 @@ def _merge_and_report(
     mean_shift_threshold: float,
     imbalance_threshold: float,
 ) -> dict:
-    """Fold the delta's per-cell stats into the stored sidecar and emit
-    the drift report. One Spark job total (the delta-stats collect —
-    ≤ n_cells rows): the stored side is a KB-sized sidecar, so the merge
-    and rewrite happen driver-side in numpy/pyarrow rather than paying
-    three more Spark jobs (read + union-merge + write) per increment.
-    ``appended`` is derived from the delta stats (Σn == delta row
-    count), saving the extra count job the callers used to run."""
+    """Fold the delta's per-cell stats into a STAGED copy of the stored
+    sidecar and emit the drift report; the caller swaps the stage in
+    under its fold-commit marker. One Spark job total (the delta-stats
+    collect — ≤ n_cells rows): the stored side is a KB-sized sidecar, so
+    the merge and rewrite happen driver-side in numpy/pyarrow rather
+    than paying three more Spark jobs (read + union-merge + write) per
+    increment. ``appended`` is derived from the delta stats (Σn == delta
+    row count), saving the extra count job the callers used to run."""
     delta_rows = delta_stats.collect()
     appended = sum(int(r["n"]) for r in delta_rows)
     merged: dict[int, tuple[int, np.ndarray]] = {
@@ -311,7 +331,7 @@ def _merge_and_report(
         {"cell": c, "n": n, "vsum": v}
         for c, (n, v) in sorted(merged.items())
     ]
-    _write_cell_stats_driver(rows, index_path)
+    _stage_cell_stats_driver(rows, index_path)
     report = drift_report(
         rows, centers, mean_shift_threshold, imbalance_threshold
     )
@@ -330,27 +350,48 @@ def ivf_index_increment(
     """Fold a batch of NEW vectors into a persisted IVF index in O(Δ).
 
     Assigns each new vector to its nearest existing centroid (the
-    build's own UDF — ``similarity.best_cell_udf``), appends the rows
+    build's own UDF — ``similarity.best_cell_udf``), publishes the rows
     into the matching ``cell=N`` partition directories, folds the batch
     into the ``_cell_stats`` running sums, and returns the drift report
     (see :func:`drift_report`) plus ``appended``.
 
     Ids must be new (the same contract as every incremental state here —
     re-ingesting a known id is an upstream bug this layer does not
-    mask); a replayed batch double-appends, so drive replays through an
-    orchestrator that retries whole jobs, not partial writes.
+    mask). The fold is REPLAY-IDEMPOTENT and crash-atomic via the
+    processed-delta ledger (``sources/maintenance.py``): a re-run of a
+    completed fold returns the original report with ``replayed=True``
+    without touching the tree, and the append itself publishes
+    deterministically-named files out of a staged ``_incoming/{fp}``
+    directory, so a crashed half-fold converges on re-run instead of
+    duplicating — the batch twin of the streaming maintainer's
+    ``(cell, batch)`` overwrite discipline.
     """
     from home_credit_data_engineering_spark.operators.similarity import (
         best_cell_udf,
     )
 
     spark = new_vectors.sparkSession
+    check_state_layout(
+        path, "batch", "ivf",
+        inferred_maintainer=(
+            "streamed"
+            if os.path.isdir(os.path.join(path, "_cell_stats_deltas"))
+            else "batch"
+        ),
+    )
     centers = np.load(os.path.join(path, "_centroids.npy"))
+    # finish any fold that crashed mid-commit BEFORE the generic
+    # recovery (which would discard its completed staged stats)
+    recover_fold_commits(path, [_stats_path(path)])
     recover_state_swap(_stats_path(path))
     if not os.path.isdir(_stats_path(path)):
         # pre-r11 index without stats: one-time full-scan initialization
         # BEFORE the append (after it, the delta would double-count).
         refresh_cell_stats_from_index(spark, path, id_col, vec_col)
+    fp = delta_fingerprint(new_vectors, [id_col, vec_col])
+    done = read_fold_marker(path, fp)
+    if done is not None:
+        return {**done["report"], "replayed": True}
     best_cell = best_cell_udf(_unit(centers))
     delta = new_vectors.select(
         F.col(id_col),
@@ -360,10 +401,12 @@ def ivf_index_increment(
     # repartition on the partition key: without it the append writes
     # input_partitions × touched_cells files (thousands of KB-files per
     # daily fold at scale); with it, at most one file per cell
-    delta.repartition("cell").write.mode("append").partitionBy(
+    incoming = incoming_delta_path(path, fp)
+    delta.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(path)
-    return _merge_and_report(
+    ).parquet(incoming)
+    publish_delta_files(incoming, path, fp)
+    report = _merge_stage_and_report(
         spark,
         path,
         cell_stats(delta, vec_col),
@@ -371,6 +414,11 @@ def ivf_index_increment(
         mean_shift_threshold,
         imbalance_threshold,
     )
+    report["delta_fingerprint"] = fp
+    begin_fold_commit(path, fp, {"report": report})
+    swap_in_state(_stats_path(path))
+    finish_fold_commit(path, fp)
+    return report
 
 
 def ivfpq_index_increment(
@@ -384,21 +432,37 @@ def ivfpq_index_increment(
     """IVF-PQ mirror of :func:`ivf_index_increment`: assign + PQ-encode
     the new vectors under the FROZEN centroids/codebooks/rotation
     (``quantization.assign_encode_udf`` — byte-identical codes to a
-    build with the same sidecars), append ``codes/`` (cell-partitioned)
+    build with the same sidecars), publish ``codes/`` (cell-partitioned)
     and ``vectors/`` (re-rank payload), fold the stats, report drift.
+    Same processed-delta-ledger replay/crash discipline as the IVF form;
+    both append legs are cell-repartitioned so a daily fold adds at most
+    one file per touched cell per leg.
     """
     from home_credit_data_engineering_spark.operators.quantization import (
         assign_encode_udf,
     )
 
     spark = new_vectors.sparkSession
+    check_state_layout(
+        path, "batch", "ivfpq",
+        inferred_maintainer=(
+            "streamed"
+            if os.path.isdir(os.path.join(path, "_cell_stats_deltas"))
+            else "batch"
+        ),
+    )
     centers = np.load(os.path.join(path, "_centroids.npy"))
     books = np.load(os.path.join(path, "_codebooks.npy"))
     residual = bool(np.load(os.path.join(path, "_residual.npy"))[0])
     rot = _load_rotation(path)
+    recover_fold_commits(path, [_stats_path(path)])
     recover_state_swap(_stats_path(path))
     if not os.path.isdir(_stats_path(path)):
         refresh_cell_stats_from_index(spark, path, id_col, vec_col)
+    fp = delta_fingerprint(new_vectors, [id_col, vec_col])
+    done = read_fold_marker(path, fp)
+    if done is not None:
+        return {**done["report"], "replayed": True}
     encode = assign_encode_udf(_unit(centers), books, rot, residual)
     enc = new_vectors.select(
         F.col(id_col),
@@ -412,13 +476,20 @@ def ivfpq_index_increment(
     ).localCheckpoint(eager=True)
     # repartition on the partition key: one file per touched cell
     # instead of input_partitions × touched_cells
+    codes_inc = incoming_delta_path(os.path.join(path, "codes"), fp)
     enc.select(id_col, "pq_code", "cell").repartition("cell").write.mode(
-        "append"
-    ).partitionBy("cell").parquet(os.path.join(path, "codes"))
-    enc.select(id_col, vec_col).write.mode("append").parquet(
-        os.path.join(path, "vectors")
-    )
-    return _merge_and_report(
+        "overwrite"
+    ).partitionBy("cell").parquet(codes_inc)
+    publish_delta_files(codes_inc, os.path.join(path, "codes"), fp)
+    # the re-rank payload is unpartitioned but gets the same
+    # cell-repartition (then drops the key): bounded file growth —
+    # ≤ touched cells files per fold instead of one per input partition
+    vec_inc = incoming_delta_path(os.path.join(path, "vectors"), fp)
+    enc.repartition("cell").select(id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(vec_inc)
+    publish_delta_files(vec_inc, os.path.join(path, "vectors"), fp)
+    report = _merge_stage_and_report(
         spark,
         path,
         cell_stats(enc, vec_col, rot=rot),
@@ -426,6 +497,11 @@ def ivfpq_index_increment(
         mean_shift_threshold,
         imbalance_threshold,
     )
+    report["delta_fingerprint"] = fp
+    begin_fold_commit(path, fp, {"report": report})
+    swap_in_state(_stats_path(path))
+    finish_fold_commit(path, fp)
+    return report
 
 
 def tune_probes(

@@ -461,6 +461,11 @@ def build_ivfpq_index(
     np.save(os.path.join(path, "_residual.npy"), np.array([int(residual)]))
     if rot is not None:
         np.save(os.path.join(path, "_rotation.npy"), rot)
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        write_state_layout,
+    )
+
+    write_state_layout(path, "batch", "ivfpq")
     # Seed the per-cell running stats for the O(Δ) increment path's
     # drift tracking (ann_state.ivfpq_index_increment).
     from home_credit_data_engineering_spark.operators.ann_state import (

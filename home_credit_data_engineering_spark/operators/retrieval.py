@@ -33,6 +33,8 @@ the same cross-engine discipline as operators/similarity.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -384,6 +386,11 @@ def build_bm25_index(
         F.col("__total_dl").alias("total_dl"),
         F.lit(n_buckets).alias("n_buckets"),
     ).write.mode("overwrite").parquet(f"{output}/stats")
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        write_state_layout,
+    )
+
+    write_state_layout(output, "batch", "bm25")
 
 
 def bm25_index_increment(
@@ -419,22 +426,54 @@ def bm25_index_increment(
     passing a conflicting ``n_buckets`` raises rather than silently
     hashing new terms into the wrong partitions. Ids must be new (the
     incremental-state contract: re-ingesting a known doc id double
-    counts it); the appends are not idempotent, so drive replays
-    through an orchestrator that retries whole batches against a
-    restored index, not partial writes.
+    counts it). The fold is REPLAY-IDEMPOTENT and crash-atomic via the
+    processed-delta ledger (``sources/maintenance.py``): a re-run of a
+    completed fold returns the original report with ``replayed=True``;
+    the postings/doclens appends publish deterministically-named files
+    out of a staged ``_incoming/{fp}`` directory, and the df/stats
+    merge-swaps commit together under a two-state ledger marker, so a
+    crash at any point either replays the whole fold convergently or
+    completes it on the next run.
 
     Returns ``{"docs_added", "terms_touched", "n_docs", "avgdl"}``.
     """
     from home_credit_data_engineering_spark.sources.maintenance import (
+        begin_fold_commit,
+        check_state_layout,
+        delta_fingerprint,
+        finish_fold_commit,
+        incoming_delta_path,
+        publish_delta_files,
+        read_fold_marker,
+        recover_fold_commits,
         recover_state_swap,
         staged_state_path,
         swap_in_state,
     )
 
     spark = new_docs.sparkSession
-    # Recovery FIRST: a prior increment that crashed inside the stats
-    # swap leaves only stats__next — reading stats before finishing the
-    # swap would fail on exactly the crash the recovery exists for.
+    check_state_layout(
+        index_path, "batch", "bm25",
+        inferred_maintainer=(
+            "streamed"
+            if any(
+                d.startswith("batch=")
+                for d in (
+                    os.listdir(f"{index_path}/stats")
+                    if os.path.isdir(f"{index_path}/stats")
+                    else ()
+                )
+            )
+            else "batch"
+        ),
+    )
+    # Recovery FIRST: finish any fold that crashed mid-commit (its
+    # completed staged legs must swap in, which the generic recovery
+    # below would instead discard), then the generic rule for swaps
+    # outside a fold commit.
+    recover_fold_commits(
+        index_path, [f"{index_path}/df", f"{index_path}/stats"]
+    )
     for leg in ("df", "stats"):
         recover_state_swap(f"{index_path}/{leg}")
     stats_row = spark.read.parquet(f"{index_path}/stats").first()
@@ -451,6 +490,11 @@ def bm25_index_increment(
             )
     n_buckets = stored_buckets or n_buckets or 64
 
+    fp = delta_fingerprint(new_docs, [id_col, text_col])
+    done = read_fold_marker(index_path, fp)
+    if done is not None:
+        return {**done["report"], "replayed": True}
+
     # one tokenization pass: tf rows are distinct (doc, term), so the
     # df delta is a row count per term — no second countDistinct scan
     tf = (
@@ -459,14 +503,16 @@ def bm25_index_increment(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .localCheckpoint(eager=True)
     )
+    postings_inc = incoming_delta_path(f"{index_path}/postings", fp)
     tf.select(
         F.col("__term").alias("term"),
         F.col("__doc").alias("doc_id"),
         "tf",
         term_bucket("__term", n_buckets).alias("bucket"),
-    ).repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
-        f"{index_path}/postings"
-    )
+    ).repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(postings_inc)
+    publish_delta_files(postings_inc, f"{index_path}/postings", fp)
 
     delta_df = tf.groupBy("__term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
@@ -484,12 +530,13 @@ def bm25_index_increment(
     merged_df.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(staged_state_path(df_path))
-    swap_in_state(df_path)
 
     dls, scalars = _corpus_stats(new_docs, id_col, text_col)
+    doclens_inc = incoming_delta_path(f"{index_path}/doclens", fp)
     dls.select(
         F.col("__doc").alias("doc_id"), F.col("__dl").alias("dl")
-    ).write.mode("append").parquet(f"{index_path}/doclens")
+    ).write.mode("overwrite").parquet(doclens_inc)
+    publish_delta_files(doclens_inc, f"{index_path}/doclens", fp)
 
     delta = scalars.first()
     old_n = float(stats_row["n_docs"])
@@ -507,13 +554,21 @@ def bm25_index_increment(
     ).coalesce(1).write.mode("overwrite").parquet(
         staged_state_path(stats_path)
     )
-    swap_in_state(stats_path)
-    return {
+    report = {
         "docs_added": int(delta["__n_docs"] or 0),
         "terms_touched": int(terms_touched),
         "n_docs": int(new_n),
         "avgdl": (new_total / new_n) if new_n else 0.0,
+        "delta_fingerprint": fp,
     }
+    # both read-modify-write legs are staged; commit them together
+    # under the ledger marker so a crash between the swaps is finished
+    # (not half-applied) by recover_fold_commits on the next run
+    begin_fold_commit(index_path, fp, {"report": report})
+    swap_in_state(df_path)
+    swap_in_state(stats_path)
+    finish_fold_commit(index_path, fp)
+    return report
 
 
 def _index_scores(

@@ -556,6 +556,11 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "_centroids.npy"), centers_mat)
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        write_state_layout,
+    )
+
+    write_state_layout(path, "batch", "ivf")
     # Per-cell running stats seed the O(Δ) increment path's drift
     # tracking (ann_state.ivf_index_increment); computed from the
     # just-written index so the first increment is O(Δ), not O(corpus).

@@ -30,10 +30,12 @@ documented on that function and tested directly in
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def staged_state_path(state_path: str) -> str:
@@ -90,6 +92,252 @@ def swap_in_state(state_path: str) -> None:
     if os.path.isdir(state_path):
         shutil.rmtree(state_path)
     os.rename(next_path, state_path)
+
+
+# ---------------------------------------------------------------------------
+# Processed-delta ledger: replay-idempotent batch index folds
+# ---------------------------------------------------------------------------
+#
+# The streaming index maintainers (streaming/ann.py, streaming/bm25.py)
+# are replay-safe by layout: a redelivered micro-batch overwrites its own
+# (…, batch) partitions. The BATCH fold CLIs (jobs/ann_index.py
+# --state-dir, jobs/bm25_index.py --increment) append into a shared tree
+# instead, so an at-least-once orchestrator that re-runs a COMPLETED fold
+# would double-count. The ledger below makes a completed fold a no-op on
+# re-run, and makes the fold itself crash-atomic:
+#
+# - the delta is identified by a CONTENT fingerprint (row count + an
+#   order-independent xor of per-row xxhash64) — the same content-keyed
+#   replay-marker discipline plans/corpus_pipeline.py uses;
+# - data appends are published by renaming deterministically-named files
+#   (``delta-{fp}-NNNNN.parquet``) out of a staged ``_incoming/{fp}``
+#   directory, so a crashed half-publish is overwritten, not duplicated;
+# - the read-modify-write sidecar legs are staged with the two-phase
+#   ``__next`` swap, and the swap set commits under a two-state marker:
+#   ``{fp}.committing`` (created only after EVERY staged leg is complete)
+#   → swap legs → rename to ``{fp}``. :func:`recover_fold_commits`
+#   finishes an interrupted commit on the next run — so every crash
+#   point either replays the whole fold (appends idempotent, sidecars
+#   untouched) or completes it (marker present), never half-applies it.
+#
+# The ledger survives index rebuilds (the rebuild sources include every
+# folded delta, so replaying an old fold post-rebuild must still no-op);
+# rebuild paths copy ``_delta_ledger/`` into their staged sibling.
+
+
+def ledger_dir(state_root: str) -> str:
+    """Processed-delta ledger directory (underscore-prefixed: hidden
+    from Spark's file listing, like the ``.npy`` sidecars)."""
+    return os.path.join(state_root, "_delta_ledger")
+
+
+def delta_fingerprint(df: DataFrame, cols: list[str]) -> str:
+    """Order-independent content fingerprint of a delta frame: row count
+    + xor of per-row ``xxhash64`` over ``cols``. One delta-sized scan;
+    no shuffle (both aggregates combine map-side to one row)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("x"),
+    ).first()
+    n = int(row["n"] or 0)
+    x = int(row["x"] or 0) & 0xFFFFFFFFFFFFFFFF
+    return f"{n:x}-{x:016x}"
+
+
+def read_fold_marker(state_root: str, fingerprint: str) -> dict | None:
+    """Payload of a COMPLETED fold for this delta, or ``None``."""
+    p = os.path.join(ledger_dir(state_root), fingerprint)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def begin_fold_commit(state_root: str, fingerprint: str, payload: dict) -> None:
+    """Create the ``{fp}.committing`` marker (atomic write+rename).
+
+    Call ONLY after every staged sidecar leg is fully written (has its
+    ``_SUCCESS``): from this point the fold is promised, and
+    :func:`recover_fold_commits` will finish the swaps after a crash.
+    """
+    d = ledger_dir(state_root)
+    os.makedirs(d, exist_ok=True)
+    target = os.path.join(d, fingerprint + ".committing")
+    tmp = target + ".__tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, target)
+
+
+def finish_fold_commit(state_root: str, fingerprint: str) -> None:
+    """Promote ``{fp}.committing`` → ``{fp}`` after the swaps landed."""
+    d = ledger_dir(state_root)
+    os.replace(
+        os.path.join(d, fingerprint + ".committing"),
+        os.path.join(d, fingerprint),
+    )
+
+
+def recover_fold_commits(state_root: str, swap_paths: list[str]) -> list[str]:
+    """Finish folds that crashed between ``begin_fold_commit`` and
+    ``finish_fold_commit``: swap in any completed ``__next`` of the
+    fold's sidecar legs, then mark the fold done.
+
+    MUST run before any generic :func:`recover_state_swap` on the same
+    paths — the generic rule discards a completed ``__next`` while the
+    live dir exists, which is exactly the committed-but-unswapped state
+    this recovery exists to finish. Returns the finished fingerprints.
+    """
+    d = ledger_dir(state_root)
+    finished: list[str] = []
+    if not os.path.isdir(d):
+        return finished
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".__tmp"):
+            os.remove(os.path.join(d, name))
+            continue
+        if not name.endswith(".committing"):
+            continue
+        for leg in swap_paths:
+            nxt = staged_state_path(leg)
+            if os.path.isdir(nxt) and os.path.exists(
+                os.path.join(nxt, "_SUCCESS")
+            ):
+                swap_in_state(leg)
+        fp = name[: -len(".committing")]
+        finish_fold_commit(state_root, fp)
+        finished.append(fp)
+    return finished
+
+
+def incoming_delta_path(state_root: str, fingerprint: str) -> str:
+    """Staging directory for a fold's data append (hidden from scans)."""
+    return os.path.join(state_root, "_incoming", fingerprint)
+
+
+def publish_delta_files(
+    incoming_dir: str, dest_root: str, fingerprint: str
+) -> int:
+    """Move a staged delta's parquet files into the live tree under
+    deterministic names — the idempotent-append half of a fold.
+
+    Handles one level of ``key=value`` partition subdirectories (the
+    staged write's ``partitionBy``): each partition's files land in the
+    matching live partition directory. Files are named
+    ``delta-{fp}-NNNNN.parquet``; any same-fingerprint files already at
+    the destination (a crashed earlier attempt) are removed first, so
+    re-publishing converges on exactly the staged set. Returns the
+    number of files published.
+    """
+
+    def _flat(src: str, dest: str) -> int:
+        os.makedirs(dest, exist_ok=True)
+        prefix = f"delta-{fingerprint}-"
+        for f in os.listdir(dest):
+            if f.startswith(prefix):
+                os.remove(os.path.join(dest, f))
+        files = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            os.replace(
+                os.path.join(src, f),
+                os.path.join(dest, f"{prefix}{i:05d}.parquet"),
+            )
+        return len(files)
+
+    part_dirs = sorted(
+        d
+        for d in os.listdir(incoming_dir)
+        if "=" in d and os.path.isdir(os.path.join(incoming_dir, d))
+    )
+    n = 0
+    if part_dirs:
+        for d in part_dirs:
+            n += _flat(
+                os.path.join(incoming_dir, d), os.path.join(dest_root, d)
+            )
+    else:
+        n = _flat(incoming_dir, dest_root)
+    shutil.rmtree(incoming_dir)
+    parent = os.path.dirname(incoming_dir)
+    if os.path.isdir(parent) and not os.listdir(parent):
+        os.rmdir(parent)
+    return n
+
+
+def carry_ledger(state_root: str, staged_root: str) -> None:
+    """Copy the processed-delta ledger into a rebuild's staged sibling
+    (completed markers only — a ``.committing`` from a crashed fold is
+    finished by recovery before any rebuild starts)."""
+    src = ledger_dir(state_root)
+    if not os.path.isdir(src):
+        return
+    dst = ledger_dir(staged_root)
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        if name.endswith((".committing", ".__tmp")):
+            continue
+        shutil.copy2(os.path.join(src, name), os.path.join(dst, name))
+
+
+# ---------------------------------------------------------------------------
+# Layout marker: batch-maintained vs streaming-maintained index trees
+# ---------------------------------------------------------------------------
+
+
+def _layout_path(state_root: str) -> str:
+    return os.path.join(state_root, "_layout.json")
+
+
+def write_state_layout(state_root: str, maintainer: str, kind: str) -> None:
+    """Record who maintains this index tree (``batch`` appends into
+    cell/bucket partitions vs ``streamed`` dynamic-overwrite
+    ``(…, batch)`` partitions — the two layouts conflict at partition
+    discovery, so mixing maintainers must raise, not corrupt)."""
+    os.makedirs(state_root, exist_ok=True)
+    tmp = _layout_path(state_root) + ".__tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"maintainer": maintainer, "kind": kind, "version": 1}, fh)
+    os.replace(tmp, _layout_path(state_root))
+
+
+def check_state_layout(
+    state_root: str,
+    maintainer: str,
+    kind: str,
+    inferred_maintainer: str | None = None,
+) -> None:
+    """Raise unless this tree is (or can be adopted as) ``maintainer``-
+    maintained. ``inferred_maintainer`` is the caller's on-disk-shape
+    detection for legacy trees without a marker (e.g. a
+    ``_cell_stats_deltas/`` dir ⇒ streamed); a legacy tree matching the
+    expectation is adopted by writing the marker."""
+    p = _layout_path(state_root)
+    if os.path.isfile(p):
+        with open(p) as fh:
+            data = json.load(fh)
+        if data.get("maintainer") != maintainer:
+            raise ValueError(
+                f"{state_root} is a {data.get('maintainer')}-maintained "
+                f"{data.get('kind')} index; refusing a {maintainer} "
+                "operation — the batch and streamed layouts conflict at "
+                "partition discovery (see streaming/ann.py module doc)"
+            )
+        if data.get("kind") not in (None, kind):
+            raise ValueError(
+                f"{state_root} holds a {data.get('kind')} index, "
+                f"expected {kind}"
+            )
+        return
+    effective = inferred_maintainer or maintainer
+    if effective != maintainer:
+        raise ValueError(
+            f"{state_root} looks {effective}-maintained (no _layout.json "
+            f"marker; inferred from the on-disk tree); refusing a "
+            f"{maintainer} operation"
+        )
+    write_state_layout(state_root, maintainer, kind)
 
 
 def compact_parquet(

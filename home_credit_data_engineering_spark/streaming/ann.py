@@ -55,9 +55,11 @@ from home_credit_data_engineering_spark.operators.ann_state import (
     drift_report,
 )
 from home_credit_data_engineering_spark.sources.maintenance import (
+    check_state_layout,
     recover_state_swap,
     staged_state_path,
     swap_in_state,
+    write_state_layout,
 )
 
 
@@ -72,6 +74,23 @@ def _delta_batch_ids(deltas_dir: str) -> list[int]:
         int(d.split("=", 1)[1])
         for d in os.listdir(deltas_dir)
         if d.startswith("batch=")
+    )
+
+
+def _check_streamed_layout(index_path: str, kind: str) -> None:
+    """Raise on a batch-maintained tree (mechanical form of the "Do NOT
+    mix maintainers" contract above); legacy streamed trees without the
+    marker are detected by their batch-keyed stats-delta dir and
+    adopted."""
+    check_state_layout(
+        index_path,
+        "streamed",
+        kind,
+        inferred_maintainer=(
+            "batch"
+            if os.path.isdir(os.path.join(index_path, "_cell_stats"))
+            else "streamed"
+        ),
     )
 
 
@@ -189,7 +208,9 @@ def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
         staged = staged_state_path(index_path)
         for name in os.listdir(index_path):
             full = os.path.join(index_path, name)
-            if name.endswith(".npy") and os.path.isfile(full):
+            if (
+                name.endswith(".npy") or name == "_layout.json"
+            ) and os.path.isfile(full):
                 shutil.copy2(full, os.path.join(staged, name))
         deltas = _deltas_path(index_path)
         if os.path.isdir(deltas):
@@ -202,6 +223,10 @@ def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
     for sub in ("", "codes", "vectors"):
         recover_state_swap(os.path.join(index_path, sub) if sub else index_path)
     recover_state_swap(_deltas_path(index_path))
+    _check_streamed_layout(
+        index_path,
+        "ivfpq" if os.path.isdir(os.path.join(index_path, "codes")) else "ivf",
+    )
     if os.path.isdir(os.path.join(index_path, "codes")):
         # PQ layout: codes/ and vectors/ are separate subtrees; sidecars
         # and stats deltas sit beside them untouched by the swaps
@@ -261,12 +286,14 @@ def foreach_batch_ann_ingest(
     )
 
     centroids_file = os.path.join(index_path, "_centroids.npy")
-    # finish any swap a compaction left mid-flight BEFORE the first
-    # write recreates the live dirs — recover_state_swap discards a
-    # completed __next once the live dir exists, so writing first would
-    # permanently lose the pre-crash index/stats
+    # finish any swap a compaction/rebuild left mid-flight BEFORE the
+    # first write (or the layout check's marker write) recreates the
+    # live dirs — recover_state_swap discards a completed __next once
+    # the live dir exists, so writing first would permanently lose the
+    # pre-crash index/stats
     recover_state_swap(index_path)
     recover_state_swap(_deltas_path(index_path))
+    _check_streamed_layout(index_path, "ivf")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
@@ -280,6 +307,7 @@ def foreach_batch_ann_ingest(
                 train_fraction=train_fraction,
             )
             os.makedirs(index_path, exist_ok=True)
+            write_state_layout(index_path, "streamed", "ivf")
             # atomic sidecar write: a crash mid-np.save would leave a
             # truncated file that the exists() guard then treats as the
             # trained quantizer forever — stage + rename instead
@@ -383,6 +411,7 @@ def _rebuild_streamed_index(
         .parquet(staged)
     )
     _save_sidecar_atomic(os.path.join(staged, "_centroids.npy"), centers)
+    write_state_layout(staged, "streamed", "ivf")
     max_id = int(
         reassigned.agg(F.max("batch").alias("m")).first()["m"]
     )
@@ -395,6 +424,165 @@ def _rebuild_streamed_index(
         reassigned.filter(F.col("batch") == max_id), vec_col
     ).coalesce(1).write.parquet(f"{_deltas_path(staged)}/batch={max_id}")
     swap_in_state(index_path)
+
+
+def rebuild_streamed_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> dict:
+    """Offline drift-triggered retrain of a streaming-maintained plain
+    IVF index (public wrapper around the in-stream rebuild; run with the
+    stream STOPPED — ``jobs/ann_index.py --report-drift
+    --rebuild-on-drift`` drives it). Geometry defaults to the stored
+    centroid count. Returns ``{"n_vectors", "n_cells"}``."""
+    recover_state_swap(index_path)
+    recover_state_swap(_deltas_path(index_path))
+    _check_streamed_layout(index_path, "ivf")
+    n_cells = n_centroids or len(
+        np.load(os.path.join(index_path, "_centroids.npy"))
+    )
+    _rebuild_streamed_index(
+        spark,
+        index_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_cells,
+        seed=seed,
+        train_fraction=train_fraction,
+    )
+    return {
+        "n_vectors": spark.read.parquet(index_path).count(),
+        "n_cells": int(n_cells),
+    }
+
+
+def rebuild_streamed_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> dict:
+    """Drift-triggered RETRAIN + RE-ENCODE of a streaming-maintained
+    IVF-PQ index — the batch half of the stream→batch handoff: the PQ
+    stream (:func:`foreach_batch_ivfpq_ingest`) is deliberately
+    report-only on drift (a PQ retrain replaces codebooks/rotation,
+    invalidating every stored code), so when its drift report trips, the
+    operator stops the stream, runs this (``jobs/ann_index.py
+    --state-dir … --report-drift --rebuild-on-drift`` drives it), and
+    resumes the stream against the rebuilt tree — the checkpoint stays
+    valid because the path never changes, and every later micro-batch
+    loads the NEW sidecars from disk.
+
+    Run with the stream STOPPED. The rebuild retrains the full model
+    state from EVERY stored vector with the one-shot builder's own
+    recipe (``quantization.train_ivfpq_sidecars`` — geometry inherited
+    from the stored sidecars unless overridden), re-encodes all vectors
+    under the new sidecars PRESERVING their ``batch`` partition keys (so
+    a redelivered final micro-batch still overwrites exactly its own
+    partitions), rebuilds the batch-keyed stats deltas in the new
+    assignment space (one folded summary for the history + the newest
+    batch's own delta — the replay-window shape the online compaction
+    maintains), and swaps the WHOLE tree (codes + vectors + sidecars +
+    deltas + layout marker) in one two-phase root swap. Returns
+    ``{"n_vectors", "n_cells"}``.
+    """
+    from home_credit_data_engineering_spark.operators.quantization import (
+        assign_encode_udf,
+        train_ivfpq_sidecars,
+    )
+
+    recover_state_swap(index_path)
+    recover_state_swap(os.path.join(index_path, "codes"))
+    recover_state_swap(os.path.join(index_path, "vectors"))
+    recover_state_swap(_deltas_path(index_path))
+    _check_streamed_layout(index_path, "ivfpq")
+    old_books = np.load(os.path.join(index_path, "_codebooks.npy"))
+    m, n_codes = int(old_books.shape[0]), int(old_books.shape[1])
+    nbits = n_codes.bit_length() - 1
+    residual = bool(np.load(os.path.join(index_path, "_residual.npy"))[0])
+    opq = os.path.exists(os.path.join(index_path, "_rotation.npy"))
+    n_cells = n_centroids or len(
+        np.load(os.path.join(index_path, "_centroids.npy"))
+    )
+    rows = spark.read.parquet(os.path.join(index_path, "vectors")).select(
+        id_col, vec_col, F.col("batch").cast("int").alias("batch")
+    )
+    centers, books, rot = train_ivfpq_sidecars(
+        rows,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_cells,
+        m=m,
+        nbits=nbits,
+        seed=seed,
+        train_fraction=train_fraction,
+        residual=residual,
+        opq=opq,
+    )
+    encode = assign_encode_udf(_unit(centers), books, rot, residual)
+    enc = (
+        rows.select(
+            F.col(id_col),
+            F.col(vec_col),
+            encode(to_double_array(vec_col)).alias("__ae"),
+            "batch",
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.col("__ae.cell").alias("cell"),
+            F.col("__ae.code").alias("pq_code"),
+            "batch",
+        )
+        .localCheckpoint(eager=True)  # one encode pass: codes+vectors+stats
+    )
+    staged = staged_state_path(index_path)
+    (
+        enc.select(id_col, "pq_code", "cell", "batch")
+        .repartition("cell")
+        .write.partitionBy("cell", "batch")
+        .parquet(os.path.join(staged, "codes"))
+    )
+    (
+        enc.repartition("cell")
+        .select(id_col, vec_col, "batch")
+        .write.partitionBy("batch")
+        .parquet(os.path.join(staged, "vectors"))
+    )
+    _save_sidecar_atomic(os.path.join(staged, "_codebooks.npy"), books)
+    _save_sidecar_atomic(
+        os.path.join(staged, "_residual.npy"), np.array([int(residual)])
+    )
+    if rot is not None:
+        _save_sidecar_atomic(os.path.join(staged, "_rotation.npy"), rot)
+    _save_sidecar_atomic(os.path.join(staged, "_centroids.npy"), centers)
+    write_state_layout(staged, "streamed", "ivfpq")
+    # batch-keyed stats deltas in the NEW assignment space, replay-window
+    # shaped: history folds to one summary keyed max_id-1 (never
+    # redeliverable), the newest batch keeps its own delta
+    max_id = int(enc.agg(F.max("batch").alias("m")).first()["m"])
+    prior = enc.filter(F.col("batch") < max_id)
+    if prior.take(1):
+        cell_stats(prior, vec_col, rot=rot).coalesce(1).write.parquet(
+            f"{_deltas_path(staged)}/batch={max_id - 1}"
+        )
+    cell_stats(
+        enc.filter(F.col("batch") == max_id), vec_col, rot=rot
+    ).coalesce(1).write.parquet(f"{_deltas_path(staged)}/batch={max_id}")
+    n_vec = enc.count()
+    # root-level completeness marker for the swap helper (the subtree
+    # writes keep theirs inside codes/ and vectors/)
+    open(os.path.join(staged, "_SUCCESS"), "a").close()
+    swap_in_state(index_path)
+    return {"n_vectors": n_vec, "n_cells": int(len(centers))}
 
 
 def _save_sidecar_atomic(path: str, arr: np.ndarray) -> None:
@@ -452,11 +640,16 @@ def foreach_batch_ivfpq_ingest(
     )
 
     centroids_file = os.path.join(index_path, "_centroids.npy")
-    # finish any swap a compaction left mid-flight BEFORE the first
-    # write recreates the live dirs (see foreach_batch_ann_ingest)
+    # finish any swap a compaction or drift rebuild left mid-flight
+    # BEFORE anything (including the layout check's marker write)
+    # recreates the live dirs (see foreach_batch_ann_ingest); the ROOT
+    # recovery must run first — rebuild_streamed_ivfpq_index swaps the
+    # whole tree
+    recover_state_swap(index_path)
     recover_state_swap(os.path.join(index_path, "codes"))
     recover_state_swap(os.path.join(index_path, "vectors"))
     recover_state_swap(_deltas_path(index_path))
+    _check_streamed_layout(index_path, "ivfpq")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
@@ -474,6 +667,7 @@ def foreach_batch_ivfpq_ingest(
                 opq=opq,
             )
             os.makedirs(index_path, exist_ok=True)
+            write_state_layout(index_path, "streamed", "ivfpq")
             # centroids LAST: their existence is the bootstrapped marker,
             # so a crash mid-bootstrap retrains rather than trusting a
             # partial sidecar set

@@ -37,10 +37,30 @@ from home_credit_data_engineering_spark.operators.retrieval import (
     term_bucket,
 )
 from home_credit_data_engineering_spark.sources.maintenance import (
+    check_state_layout,
     recover_state_swap,
     staged_state_path,
     swap_in_state,
 )
+
+
+def _check_streamed_layout(index_path: str) -> None:
+    """Raise on a batch-maintained tree (mechanical form of the "Do NOT
+    mix maintainers" contract above); legacy streamed trees without the
+    marker are detected by their batch-partitioned stats leg and
+    adopted."""
+    import os
+
+    stats_dir = os.path.join(index_path, "stats")
+    batch_shaped = os.path.isdir(stats_dir) and not any(
+        d.startswith("batch=") for d in os.listdir(stats_dir)
+    )
+    check_state_layout(
+        index_path,
+        "streamed",
+        "bm25",
+        inferred_maintainer="batch" if batch_shaped else "streamed",
+    )
 
 
 def compact_streamed_bm25_index(spark, index_path: str) -> dict:
@@ -59,6 +79,7 @@ def compact_streamed_bm25_index(spark, index_path: str) -> dict:
     offset commit) and must overwrite only its own directories.
     Returns ``{"batches_before", "batches_after"}``.
     """
+    _check_streamed_layout(index_path)
     for leg in ("postings", "df", "doclens", "stats"):
         recover_state_swap(f"{index_path}/{leg}")
 
@@ -158,6 +179,7 @@ def foreach_batch_bm25_ingest(
     """
     import os
 
+    _check_streamed_layout(index_path)
     # finish any swap a compaction left mid-flight BEFORE the first
     # write recreates the live legs — recover_state_swap discards a
     # completed __next once the live dir exists, so writing first would

@@ -513,3 +513,129 @@ def test_streaming_ann_rebuild_on_drift(spark, tmp_path):
     assert sum(
         r["n"] for r in read_streaming_cell_stats(spark, idx).collect()
     ) == total
+
+
+def test_streamed_ivfpq_drift_rebuild_handoff(spark, tmp_path):
+    """Stream→batch drift handoff (the PQ stream is report-only on
+    drift): a planted drift wave trips the streamed report, the CLI
+    (`--report-drift --rebuild-on-drift`) retrains codebooks + re-encodes
+    the whole streamed tree in place, the recall certificate is restored
+    to the fresh-one-shot-build level, and the SAME stream/checkpoint
+    resumes folding micro-batches into the rebuilt tree."""
+    from home_credit_data_engineering_spark.functions.vectors import (
+        to_double_array,
+    )
+    from home_credit_data_engineering_spark.jobs import ann_index as job
+    from home_credit_data_engineering_spark.operators.quantization import (
+        assign_encode_udf,
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from home_credit_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    base = _clustered(spark, n_per=30)
+    drift_rows = [
+        (700_000 + i, (np.eye(1, DIM, 4)[0] * 5
+                       + rng.normal(0, 0.1, DIM)).tolist())
+        for i in range(90)
+    ]
+    drifted = spark.createDataFrame(drift_rows, SCHEMA)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part_df in enumerate(
+        (base.filter(F.col("vec_id") < 1000),
+         base.filter(F.col("vec_id") >= 1000), drifted)
+    ):
+        d = str(tmp_path / f"w{i}")
+        part_df.coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    reports: list = []
+    _run_pq(spark, flat, idx, ckpt, reports=reports,
+            mean_shift_threshold=0.05)
+    # the streamed report TRIPS but does not rebuild (report-only)
+    assert reports[-1]["rebuild_recommended"]
+    assert "rebuilt" not in reports[-1]
+    books_before = np.load(os.path.join(idx, "_codebooks.npy"))
+
+    # stream stopped → CLI rebuild (geometry inherited from sidecars)
+    assert job.main(
+        ["--state-dir", idx, "--report-drift", "--rebuild-on-drift",
+         "--mean-shift-threshold", "0.05"]
+    ) == 0
+    books_after = np.load(os.path.join(idx, "_codebooks.npy"))
+    assert books_before.shape == books_after.shape
+    assert not np.allclose(books_before, books_after)
+
+    union = base.unionByName(drifted)
+    total = union.count()
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.count() == total
+    # batch partition keys survive the rebuild (replay semantics intact)
+    assert sorted(
+        int(r["batch"]) for r in
+        codes.select(F.col("batch").cast("int").alias("batch"))
+        .distinct().collect()
+    ) == [0, 1, 2]
+
+    # recall certificate: rebuilt streamed tree matches a fresh one-shot
+    # build of the same geometry over the same corpus
+    queries = union.filter(F.col("vec_id").isin(0, 1000, 700_000))
+    k = 5
+    truth = {}
+    for r in brute_force_topk(union, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+
+    def recall(path):
+        got = ivfpq_query_index(
+            spark, path, queries, k=k, n_probe=2, rerank=10
+        ).collect()
+        return sum(
+            1 for r in got if r["neighbor_id"] in truth[r["query_id"]]
+        ) / n_truth
+
+    fresh = str(tmp_path / "fresh")
+    build_ivfpq_index(union, fresh, n_centroids=2, m=8, nbits=4, seed=42)
+    assert recall(idx) >= recall(fresh) - 1e-9
+
+    # the SAME stream + checkpoint resumes into the rebuilt tree
+    wave3 = spark.createDataFrame(
+        [(800_000 + i,
+          (np.full(DIM, 5.0) + rng.normal(0, 0.1, DIM)).tolist())
+         for i in range(20)],
+        SCHEMA,
+    )
+    d3 = str(tmp_path / "w3")
+    wave3.coalesce(1).write.parquet(d3)
+    shutil.copy(glob.glob(d3 + "/part-*.parquet")[0], f"{flat}/03.parquet")
+    _run_pq(spark, flat, idx, ckpt)
+    codes2 = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes2.count() == total + 20
+    # the resumed fold encoded under the NEW sidecars
+    centers = np.load(os.path.join(idx, "_centroids.npy"))
+    residual = bool(np.load(os.path.join(idx, "_residual.npy"))[0])
+    encode = assign_encode_udf(
+        centers / np.maximum(
+            np.linalg.norm(centers, axis=1), 1e-300
+        )[:, None],
+        books_after, None, residual,
+    )
+    want = {
+        (r["vec_id"], tuple(r["__c"].code))
+        for r in wave3.select(
+            "vec_id", encode(to_double_array("embedding")).alias("__c")
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in codes2.filter(F.col("vec_id") >= 800_000)
+        .select("vec_id", "pq_code").collect()
+    }
+    assert got == want

@@ -28,6 +28,20 @@ def build_parser() -> argparse.ArgumentParser:
     streamed.add_argument("--path", required=True)
     streamed.add_argument("--kind", choices=["ann", "bm25"], required=True)
 
+    sweep = sub.add_parser(
+        "sweep",
+        help="discover every state tree under a lake root, finish its "
+        "pending crash recovery, compact streamed stats deltas past the "
+        "replay window, and print one drift/file-count report (run with "
+        "maintaining streams STOPPED)",
+    )
+    sweep.add_argument("--root", required=True)
+    sweep.add_argument(
+        "--compact-deltas-window", type=int, default=16,
+        help="fold a streamed ANN index's stats deltas once more than "
+        "this many batch partitions exist",
+    )
+
     expire = sub.add_parser(
         "expire", help="drop year/month/day partitions older than a retention window"
     )
@@ -77,6 +91,57 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"compact-streamed[{args.kind}]: {rep['batches_before']} -> "
             f"{rep['batches_after']} batch partitions"
+        )
+        return 0
+
+    if args.command == "sweep":
+        from home_credit_data_engineering_spark import get_session
+        from home_credit_data_engineering_spark.sources.sweep import sweep_lake
+
+        spark = get_session(app_name="maintenance-sweep")
+        reports = sweep_lake(
+            spark, args.root,
+            compact_deltas_window=args.compact_deltas_window,
+        )
+        recovered = sum(r["recovered"] for r in reports)
+        for r in reports:
+            if r["family"] == "ann":
+                extra = (
+                    f"{r['n_vectors']} vectors / {r['n_cells']} cells, "
+                    f"max_mean_shift={r['max_mean_shift']:.4f}, "
+                    f"imbalance={r['size_imbalance']:.2f}, "
+                    f"rebuild_recommended={r['rebuild_recommended']}"
+                )
+                if "deltas_compacted" in r:
+                    extra += (
+                        f", deltas {r['deltas_compacted']['before']}"
+                        f"->{r['deltas_compacted']['after']}"
+                    )
+                tag = f"ann-{r['kind']}/{r['maintainer']}"
+            elif r["family"] == "bm25":
+                extra = f"{r['n_docs']} docs, avgdl={r['avgdl']:.3f}"
+                if r["batches"] is not None:
+                    extra += f", {r['batches']} batches"
+                tag = f"bm25/{r['maintainer']}"
+            elif r["family"] == "entity":
+                extra = (
+                    f"{r['snapshots']} snapshots "
+                    f"(latest batch={r['latest_batch']})"
+                )
+                tag = "entity"
+            else:
+                extra = ", ".join(
+                    f"{leg}:{v['batches']}b/{v['parquet_files']}f"
+                    for leg, v in r["legs"].items()
+                )
+                tag = "corpus"
+            print(
+                f"sweep[{tag}]: {r['path']} — {r['parquet_files']} files, "
+                f"recovered={r['recovered']}, {extra}"
+            )
+        print(
+            f"sweep: {len(reports)} state trees, "
+            f"{recovered} recovered swaps/commits"
         )
         return 0
 

@@ -1,0 +1,301 @@
+"""Lake-wide maintenance sweep: discover every persisted state tree,
+finish its pending crash recovery, compact streamed stats deltas past
+the replay window, and emit one drift/file-count report.
+
+The lake accumulates four state families, each with its own
+recover/compact/expire entry point (``jobs/ann_index.py``,
+``jobs/bm25_index.py``, ``jobs/entity_resolution.py``,
+``jobs/corpus_pipeline.py``). An operator should not need to know which
+trees exist where to run the nightly chores — ``jobs/maintenance.py
+sweep --root`` walks the lake once and dispatches:
+
+- **ANN indexes** (dir holding ``_centroids.npy``; plain IVF or IVF-PQ
+  via ``codes/``; batch- or streaming-maintained via ``_layout.json``):
+  finish fold-commit / state-swap recovery, fold streamed stats deltas
+  older than the newest batch once more than ``compact_deltas_window``
+  partitions exist, report the current drift verdict.
+- **BM25 indexes** (``postings/`` + ``stats/`` legs): fold-commit /
+  per-leg swap recovery, corpus-size report.
+- **Entity-resolution states** (``entities/batch=N`` snapshots):
+  generic ``__next`` recovery underneath, snapshot/file report.
+- **Corpus pipeline states** (two or more of the
+  ``plans/corpus_pipeline.STATE_DIRS`` legs): generic recovery,
+  per-leg batch/file report.
+
+Structured-streaming checkpoint directories (``offsets/`` +
+``commits/``) are recognized and skipped — their recovery belongs to
+the engine, not to us. Discovery never descends into a classified tree
+(an index's internal partition dirs are not independent states).
+
+Everything here is driver-side directory walking plus the families' own
+recovery helpers; the only Spark work is the cells-sized stats read for
+the ANN drift verdict and the delta compaction (both bounded by
+``n_cells`` × window, never data-sized).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from home_credit_data_engineering_spark.sources.maintenance import (
+    recover_fold_commits,
+    recover_state_swap,
+    staged_state_path,
+)
+
+_CORPUS_LEGS = ("fingerprints", "lsh_buckets", "accepted", "card_state")
+
+
+def _parquet_file_count(root: str) -> int:
+    n = 0
+    for _dirpath, _dirnames, filenames in os.walk(root):
+        n += sum(1 for f in filenames if f.endswith(".parquet"))
+    return n
+
+
+def _read_layout(path: str) -> dict | None:
+    import json
+
+    p = os.path.join(path, "_layout.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _recover_nested_swaps(root: str) -> int:
+    """Generic recovery for families without a dedicated recovery order:
+    finish/discard every ``*__next`` staged dir under ``root`` (deepest
+    first, so a parent swap never renames a child's staged dir away
+    before the child is recovered)."""
+    pending: list[str] = []
+    for dirpath, dirnames, _files in os.walk(root):
+        for d in dirnames:
+            if d.endswith("__next"):
+                pending.append(os.path.join(dirpath, d[: -len("__next")]))
+    n = 0
+    for base in sorted(pending, key=lambda p: -p.count(os.sep)):
+        if recover_state_swap(base) is not None:
+            n += 1
+    return n
+
+
+def _classify(dirnames: list[str], filenames: list[str]) -> str | None:
+    names = set(dirnames)
+    if {"offsets", "commits"} <= names:
+        return "checkpoint"
+    if "_centroids.npy" in filenames:
+        return "ann"
+    if {"postings", "stats"} <= names:
+        return "bm25"
+    if "entities" in names:
+        return "entity"
+    if len(names & set(_CORPUS_LEGS)) >= 2:
+        return "corpus"
+    return None
+
+
+def _sweep_ann(
+    spark: SparkSession, path: str, compact_deltas_window: int
+) -> dict[str, Any]:
+    from home_credit_data_engineering_spark.operators.ann_state import (
+        _stats_path,
+        drift_report,
+        read_cell_stats,
+    )
+    from home_credit_data_engineering_spark.streaming.ann import (
+        _compact_deltas,
+        _delta_batch_ids,
+        _deltas_path,
+        read_streaming_cell_stats,
+    )
+
+    layout = _read_layout(path)
+    deltas = _deltas_path(path)
+    recovered = 0
+    # root/deltas recovery FIRST: a died compaction/rebuild must finish
+    # before anything (layout inference included) trusts the live dirs
+    recovered += recover_state_swap(path) is not None
+    recovered += recover_state_swap(deltas) is not None
+    for sub in ("codes", "vectors"):
+        p = os.path.join(path, sub)
+        if os.path.isdir(p) or os.path.isdir(staged_state_path(p)):
+            recovered += recover_state_swap(p) is not None
+    streamed = (
+        layout["maintainer"] == "streamed"
+        if layout
+        else os.path.isdir(deltas)
+    )
+    kind = (
+        layout["kind"]
+        if layout
+        else ("ivfpq" if os.path.isdir(os.path.join(path, "codes")) else "ivf")
+    )
+    compacted: tuple[int, int] | None = None
+    if streamed:
+        ids = _delta_batch_ids(deltas)
+        if len(ids) > compact_deltas_window:
+            _compact_deltas(spark, path, max(ids))
+            compacted = (len(ids), len(_delta_batch_ids(deltas)))
+        rows = read_streaming_cell_stats(spark, path).collect()
+    else:
+        recovered += bool(recover_fold_commits(path, [_stats_path(path)]))
+        recovered += recover_state_swap(_stats_path(path)) is not None
+        rows = (
+            read_cell_stats(spark, path).collect()
+            if os.path.isdir(_stats_path(path))
+            else []
+        )
+    centers = np.load(os.path.join(path, "_centroids.npy"))
+    rep = drift_report(rows, centers)
+    out: dict[str, Any] = {
+        "family": "ann",
+        "kind": kind,
+        "maintainer": "streamed" if streamed else "batch",
+        "path": path,
+        "parquet_files": _parquet_file_count(path),
+        "recovered": int(recovered),
+        "n_vectors": rep["n_vectors"],
+        "n_cells": rep["n_cells"],
+        "max_mean_shift": rep["max_mean_shift"],
+        "size_imbalance": rep["size_imbalance"],
+        "rebuild_recommended": rep["rebuild_recommended"],
+    }
+    if compacted:
+        out["deltas_compacted"] = {
+            "before": compacted[0], "after": compacted[1]
+        }
+    return out
+
+
+def _sweep_bm25(spark: SparkSession, path: str) -> dict[str, Any]:
+    from pyspark.sql import functions as F
+
+    layout = _read_layout(path)
+    recovered = 0
+    if layout and layout["maintainer"] == "batch":
+        recovered += bool(
+            recover_fold_commits(
+                path, [os.path.join(path, "df"), os.path.join(path, "stats")]
+            )
+        )
+    for leg in ("postings", "df", "doclens", "stats"):
+        recovered += (
+            recover_state_swap(os.path.join(path, leg)) is not None
+        )
+    stats_dir = os.path.join(path, "stats")
+    streamed_shape = any(
+        d.startswith("batch=")
+        for d in (os.listdir(stats_dir) if os.path.isdir(stats_dir) else ())
+    )
+    row = (
+        spark.read.parquet(stats_dir)
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
+        .first()
+    )
+    n_docs = float(row["n"] or 0.0)
+    return {
+        "family": "bm25",
+        "kind": "bm25",
+        "maintainer": (
+            layout["maintainer"]
+            if layout
+            else ("streamed" if streamed_shape else "batch")
+        ),
+        "path": path,
+        "parquet_files": _parquet_file_count(path),
+        "recovered": int(recovered),
+        "n_docs": int(n_docs),
+        "avgdl": (float(row["t"]) / n_docs) if n_docs else 0.0,
+        "batches": (
+            sum(
+                1 for d in os.listdir(stats_dir) if d.startswith("batch=")
+            )
+            if streamed_shape
+            else None
+        ),
+    }
+
+
+def _sweep_entity(path: str) -> dict[str, Any]:
+    entities = os.path.join(path, "entities")
+    snaps = sorted(
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(entities) if os.path.isdir(entities) else ())
+        if d.startswith("batch=")
+    )
+    return {
+        "family": "entity",
+        "path": path,
+        "parquet_files": _parquet_file_count(path),
+        "recovered": _recover_nested_swaps(path),
+        "snapshots": len(snaps),
+        "latest_batch": snaps[-1] if snaps else None,
+    }
+
+
+def _sweep_corpus(path: str) -> dict[str, Any]:
+    legs = {}
+    for leg in _CORPUS_LEGS:
+        p = os.path.join(path, leg)
+        if os.path.isdir(p):
+            legs[leg] = {
+                "batches": sum(
+                    1
+                    for d in os.listdir(p)
+                    if os.path.isdir(os.path.join(p, d))
+                    and not d.endswith("__next")
+                ),
+                "parquet_files": _parquet_file_count(p),
+            }
+    return {
+        "family": "corpus",
+        "path": path,
+        "parquet_files": _parquet_file_count(path),
+        "recovered": _recover_nested_swaps(path),
+        "legs": legs,
+    }
+
+
+def sweep_lake(
+    spark: SparkSession,
+    root: str,
+    compact_deltas_window: int = 16,
+) -> list[dict[str, Any]]:
+    """Walk ``root``, recover + compact + report every state tree found.
+
+    Returns one dict per tree (see the module doc for the families).
+    Run with any maintaining streams STOPPED — the streamed-delta
+    compaction has the same contract as ``compact_streamed_ann_index``.
+    """
+    reports: list[dict[str, Any]] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        kind = _classify(dirnames, filenames)
+        if kind == "checkpoint":
+            dirnames[:] = []
+            continue
+        if kind == "ann":
+            reports.append(
+                _sweep_ann(spark, dirpath, compact_deltas_window)
+            )
+        elif kind == "bm25":
+            reports.append(_sweep_bm25(spark, dirpath))
+        elif kind == "entity":
+            reports.append(_sweep_entity(dirpath))
+        elif kind == "corpus":
+            reports.append(_sweep_corpus(dirpath))
+        if kind is not None:
+            dirnames[:] = []
+            continue
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if not d.startswith(("_", "."))
+            and "=" not in d
+            and not d.endswith("__next")
+        ]
+    return sorted(reports, key=lambda r: r["path"])

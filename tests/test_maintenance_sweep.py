@@ -1,0 +1,175 @@
+"""Lake-wide maintenance sweep (``sources/sweep.py`` +
+``jobs/maintenance.py sweep``): one entry point that discovers every
+state family, finishes pending crash recovery, compacts streamed stats
+deltas, and reports drift/file counts.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.retrieval import (
+    build_bm25_index,
+)
+from home_credit_data_engineering_spark.operators.similarity import (
+    build_ivf_index,
+)
+from home_credit_data_engineering_spark.sources.sweep import sweep_lake
+
+DIM = 8
+
+
+def _vectors(spark, n=40, seed=0, id_base=0):
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        [
+            (id_base + i, (rng.normal(0, 1, DIM) + (i % 2) * 4.0).tolist())
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """A fixture lake holding all four state families plus decoys."""
+    root = tmp_path_factory.mktemp("lake")
+
+    # 1. batch-maintained ANN index
+    build_ivf_index(
+        _vectors(spark), str(root / "indexes" / "ann_batch"),
+        n_centroids=2, seed=1,
+    )
+
+    # 2. streaming-maintained ANN index (3 micro-batches)
+    from home_credit_data_engineering_spark.streaming.ann import (
+        foreach_batch_ann_ingest,
+    )
+
+    df = _vectors(spark, n=60, id_base=10_000)
+    flat = str(root / "_stage_flat")  # underscore: invisible to the walk
+    os.makedirs(flat)
+    for i in range(3):
+        d = str(root / f"_stage_w{i}")
+        df.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(d + "/part-*.parquet")[0], f"{flat}/{i:02d}.parquet"
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .load(flat)
+    )
+    foreach_batch_ann_ingest(
+        stream,
+        str(root / "indexes" / "ann_streamed"),
+        str(root / "checkpoints" / "ann"),
+        n_centroids=2,
+        seed=1,
+    )
+
+    # 3. batch BM25 index
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma token{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    build_bm25_index(docs, str(root / "indexes" / "bm25"), n_buckets=4)
+
+    # 4. entity-resolution state (snapshot layout) + a crashed swap:
+    #    a completed aux__next whose live dir is gone mid-swap
+    ents = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)], "record_id long, entity_id long"
+    )
+    for b in (0, 1):
+        ents.write.parquet(str(root / "er" / "entities" / f"batch={b}"))
+    staged = root / "er" / "aux__next"
+    os.makedirs(staged)
+    open(staged / "_SUCCESS", "w").close()
+    with open(staged / "data.txt", "w") as fh:
+        fh.write("recovered")
+
+    # 5. corpus pipeline state
+    fp = spark.createDataFrame([("abc", 1)], "fp string, keep_id bigint")
+    fp.write.parquet(str(root / "corpus_state" / "fingerprints" / "b0_9"))
+    card = spark.createDataFrame([(10,)], "rows_in bigint")
+    card.write.parquet(str(root / "corpus_state" / "card_state" / "b0_9"))
+
+    # decoy: plain data table that is NO state tree
+    ents.write.parquet(str(root / "tables" / "plain"))
+    return str(root)
+
+
+def test_sweep_discovers_all_families(spark, lake):
+    reports = sweep_lake(spark, lake, compact_deltas_window=2)
+    by_family = {}
+    for r in reports:
+        by_family.setdefault(r["family"], []).append(r)
+    assert len(by_family["ann"]) == 2
+    assert len(by_family["bm25"]) == 1
+    assert len(by_family["entity"]) == 1
+    assert len(by_family["corpus"]) == 1
+    # the plain table and the streaming checkpoint are NOT states
+    assert all("tables" not in r["path"] for r in reports)
+    assert all("checkpoints" not in r["path"] for r in reports)
+
+    anns = {r["maintainer"]: r for r in by_family["ann"]}
+    assert anns["batch"]["n_vectors"] == 40
+    assert anns["streamed"]["n_vectors"] == 60
+    # 3 delta batches > window 2 → folded down to the replay-window pair
+    assert anns["streamed"]["deltas_compacted"]["before"] == 3
+    assert anns["streamed"]["deltas_compacted"]["after"] == 2
+
+    bm = by_family["bm25"][0]
+    assert bm["n_docs"] == 12 and bm["maintainer"] == "batch"
+
+    er = by_family["entity"][0]
+    assert er["snapshots"] == 2 and er["latest_batch"] == 1
+    # the crashed aux swap was FINISHED (live was gone, stage complete)
+    assert er["recovered"] == 1
+    assert os.path.exists(os.path.join(lake, "er", "aux", "data.txt"))
+
+    corp = by_family["corpus"][0]
+    assert set(corp["legs"]) == {"fingerprints", "card_state"}
+    assert corp["legs"]["fingerprints"]["batches"] == 1
+
+
+def test_sweep_is_idempotent_and_stats_stay_exact(spark, lake):
+    from home_credit_data_engineering_spark.streaming.ann import (
+        read_streaming_cell_stats,
+    )
+
+    first = sweep_lake(spark, lake, compact_deltas_window=2)
+    second = sweep_lake(spark, lake, compact_deltas_window=2)
+    assert sum(r["recovered"] for r in second) == 0
+    assert all("deltas_compacted" not in r for r in second)
+    # drift stats survive the delta fold exactly
+    streamed = [
+        r for r in first if r["family"] == "ann" and r["maintainer"] == "streamed"
+    ][0]
+    stats_n = sum(
+        r["n"]
+        for r in read_streaming_cell_stats(
+            spark, streamed["path"]
+        ).collect()
+    )
+    assert stats_n == 60
+
+
+def test_sweep_cli(spark, lake, capsys):
+    from home_credit_data_engineering_spark.jobs import maintenance as job
+
+    assert job.main(["sweep", "--root", lake]) == 0
+    out = capsys.readouterr().out
+    assert "sweep[ann-ivf/batch]" in out
+    assert "sweep[ann-ivf/streamed]" in out
+    assert "sweep[bm25/batch]" in out
+    assert "sweep[entity]" in out
+    assert "sweep[corpus]" in out
+    assert "5 state trees" in out

@@ -54,6 +54,8 @@ def pagerank(
     weight_col: str = "weight",
     edge_weight_col: str | None = None,
     tol: float | None = None,
+    broadcast_ranks: bool | None = None,
+    broadcast_rank_limit: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration (or tolerance-stopped) PageRank over a directed
     edge list — optionally PERSONALIZED (Page et al. 1998 §6; the
@@ -94,6 +96,24 @@ def pagerank(
     ``checkpoint=False`` keeps the full lineage (no localCheckpoint, no
     persists released) — for plan inspection and tests; production runs
     leave it on so the plan cannot grow with the iteration count.
+
+    ``broadcast_ranks``: the per-iteration cost center is the edge ×
+    rank join — both sides re-shuffle + re-sort every round under the
+    default sort-merge plan, and the EDGE side is the big one (the rank
+    frame is one ids-only row per node). When the node count is small
+    enough to ship (``≤ broadcast_rank_limit``, measured with one
+    ``count()`` on the persisted node frame), the rank frame is
+    broadcast instead: the cached edge frame then streams through a
+    broadcast-hash join with ZERO per-iteration shuffle or sort of the
+    edges, and the only exchange per round is the contribution
+    aggregate's (map-side-combined, ≤ nodes rows). Past the limit (a
+    billion-node graph cannot ship its rank vector), the edge frame is
+    hash-PARTITIONED on ``src`` once at setup and persisted, so each
+    round's join reuses that partitioning and shuffles only the rank
+    frame — the relational form of Pregel's static edge partitioning.
+    ``None`` (default) picks automatically; pass True/False to force.
+    Either plan computes bit-identical ranks (the aggregation stays the
+    same order-free DECIMAL sum).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -163,6 +183,21 @@ def pagerank(
         )
     base = base.persist()
     stats = base.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # one bounded scalar: node count decides the per-iteration join
+    # strategy (see the docstring); it also eagerly materializes the
+    # edge/base caches before the loop starts timing iterations
+    n_nodes = base.count()
+    use_bcast = (
+        broadcast_ranks
+        if broadcast_ranks is not None
+        else n_nodes <= broadcast_rank_limit
+    )
+    orig_e = e
+    if not use_bcast:
+        # big-graph path: partition the static edge frame on the join
+        # key ONCE; every iteration's sort-merge join then reuses it and
+        # shuffles only the (node, rank) frame
+        e = e.repartition("__src").persist()
     if personalization is None:
         ranks = base.crossJoin(F.broadcast(stats)).select(
             "node",
@@ -182,9 +217,12 @@ def pagerank(
             if edge_weight_col is None
             else F.round(F.col("rank") * F.col("__ratio"), 9)
         )
-        contrib = e.join(
-            ranks.select(F.col("node").alias("__src"), "__deg", "rank"), "__src"
-        ).select(
+        rank_side = ranks.select(
+            F.col("node").alias("__src"), "__deg", "rank"
+        )
+        if use_bcast:
+            rank_side = F.broadcast(rank_side)
+        contrib = e.join(rank_side, "__src").select(
             F.col("__dst").alias("node"),
             per_edge.cast(_DEC).alias("__c"),
         )
@@ -245,6 +283,8 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
         base.unpersist()
         e.unpersist()
+        if orig_e is not e:
+            orig_e.unpersist()
     return ranks.select(F.col("node").alias(id_out), "rank")
 
 
@@ -255,6 +295,8 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     id_out: str = "node",
+    broadcast_scores: bool | None = None,
+    broadcast_score_limit: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg, JACM 1999): hub and authority
     scores over a directed edge list, L1-normalized each half-step.
@@ -271,7 +313,13 @@ def hits(
     offset), and bipartite structures oscillate — the classic
     power-iteration caveat. Scale posture identical to pagerank: (node,
     number) frames, one equi-join + aggregate per half-step,
-    localCheckpoint per iteration.
+    localCheckpoint per iteration; ``broadcast_scores`` follows
+    :func:`pagerank`'s two-path join strategy — a shippable score
+    frame (≤ ``broadcast_score_limit`` nodes) broadcasts into each
+    half-step so the cached edges never re-shuffle, a bigger one falls
+    back to TWO persisted edge copies partitioned on ``src`` and
+    ``dst`` respectively (each half-step joins on a different key), so
+    each push shuffles only the score frame.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -288,6 +336,20 @@ def hits(
         .persist()
     )
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # node count picks the per-push join strategy (see docstring); the
+    # count also eagerly materializes the edge/node caches
+    n_nodes = nodes.count()
+    use_bcast = (
+        broadcast_scores
+        if broadcast_scores is not None
+        else n_nodes <= broadcast_score_limit
+    )
+    e_by_key = {"__src": e, "__dst": e}
+    if not use_bcast:
+        e_by_key = {
+            "__src": e.repartition("__src").persist(),
+            "__dst": e.repartition("__dst").persist(),
+        }
     hubs = nodes.crossJoin(F.broadcast(n1)).select(
         "node", F.round(F.lit(1.0) / F.col("__n"), 9).alias("hub")
     )
@@ -295,9 +357,10 @@ def hits(
     def _push(scores: DataFrame, score_col: str, key_in: str, key_out: str,
               out_col: str, all_nodes: bool) -> DataFrame:
         # raw(v) = Σ over edges of round(score(u), 9) as exact decimal
-        contrib = e.join(
-            scores.select(F.col("node").alias(key_in), score_col), key_in
-        ).select(
+        score_side = scores.select(F.col("node").alias(key_in), score_col)
+        if use_bcast:
+            score_side = F.broadcast(score_side)
+        contrib = e_by_key[key_in].join(score_side, key_in).select(
             F.col(key_out).alias("node"),
             F.round(F.col(score_col), 9).cast(_DEC).alias("__c"),
         )
@@ -348,6 +411,9 @@ def hits(
     hubs = hubs.localCheckpoint(eager=True)
     nodes.unpersist()
     e.unpersist()
+    for keyed in e_by_key.values():
+        if keyed is not e:
+            keyed.unpersist()
     return (
         hubs.join(auths, "node")
         .select(F.col("node").alias(id_out), "hub", "authority")

@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The curated driver set (registry.DRIVER_SET): 50 slots covering
     every operator tag in the registry — combo queries pack whole
     families into single slots because the driver's gate records rows
-    for the first ~50 entries only. The FULL registry (206 queries, 197 oracled) runs
+    for the first ~50 entries only. The FULL registry (206 queries, 206 oracled) runs
     under the in-repo parity gate (tests/test_oracle_parity.py);
     docs/COVERAGE.md maps slots → operators → subsumed queries."""
     return driver_queries()

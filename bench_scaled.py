@@ -174,19 +174,26 @@ _TABLES_NEEDED = (
 )
 
 
-def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:
+def load_bench_ref(
+    section: str, sf: object = None, path: str | None = None
+) -> dict[str, float]:
     """Per-query quiet-box reference minima (committed BENCH_REF.json).
 
     ``section`` is ``"headline"`` or ``"scaled"``. Missing file or
     section → empty dict (adjudication silently disabled rather than
     failing the bench). When ``sf`` is given it must equal the ref's
     ``<section>_sf`` — timings at a different scale factor are not
-    comparable, so adjudication disables itself."""
+    comparable, so adjudication disables itself. Likewise a ref whose
+    recorded ``host_cpus`` differs from this run's CPU budget is
+    refused: per-query minima move with core count, so comparing across
+    machines would adjudicate the hardware, not the plan (refs without
+    the field — pre-r12 — are accepted for compatibility)."""
     import json
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json"
-    )
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json"
+        )
     try:
         with open(path, encoding="utf-8") as fh:
             data = json.load(fh)
@@ -194,6 +201,11 @@ def load_bench_ref(section: str, sf: object = None) -> dict[str, float]:
         return {}
     if sf is not None and data.get(f"{section}_sf") != sf:
         return {}
+    ref_cpus = data.get("host_cpus")
+    if ref_cpus is not None:
+        cur = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+        if int(ref_cpus) != cur:
+            return {}
     return dict(data.get(section, {}))
 
 

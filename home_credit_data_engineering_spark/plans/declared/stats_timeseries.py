@@ -197,24 +197,70 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_approx_percentiles",
-    oracle=None,  # sketch-based (engine-specific error profile) → rows-only
+    # Verdict certificate: the GK-sketch value is engine-specific, but
+    # its RANK-ERROR contract is not — the returned value's true rank
+    # interval in the group must intersect [q*n - tol*n, q*n + tol*n]
+    # (tol 0.01 = 100x the accuracy-10000 guarantee; flips on a dead or
+    # mis-merged sketch, never on normal GK variance). n rides along
+    # exactly (hash-checked).
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     operators=("A-ext:approx-percentile",),
     doc="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) per "
     "group — the 100 TB form of stats_percentiles: sketches combine "
     "map-side, so the shuffle carries one bounded sketch per group "
-    "instead of every value. Accuracy vs the exact percentiles is pinned "
-    "by a tolerance test (tests/test_salted_sampling_sink.py).",
+    "instead of every value. Certified by the rank contract: each "
+    "approx value's true rank interval (count of strictly-smaller "
+    "values + 1 .. count of <= values) intersects the target rank +/- "
+    "1% of the group. Value-level accuracy additionally pinned by "
+    "tests/test_salted_sampling_sink.py.",
 )
 def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)), 4
-        ).alias("median_price"),
-        F.round(
-            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)), 4
-        ).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_orders"),
+    apx = orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "__p50"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "__p90"
+        ),
+    )
+    ranked = (
+        orders.select("o_orderstatus", "o_totalprice")
+        .join(F.broadcast(apx), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("__p50")).cast("long")
+            ).alias("__lt50"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("__p50")).cast("long")
+            ).alias("__le50"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("__p90")).cast("long")
+            ).alias("__lt90"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("__p90")).cast("long")
+            ).alias("__le90"),
+        )
+    )
+
+    def rank_ok(lt: str, le: str, q: float):
+        n = F.col("n_orders").cast("double")
+        lo, hi = F.col(lt) + 1, F.col(le)
+        return (hi.cast("double") >= (F.lit(q) - 0.01) * n) & (
+            lo.cast("double") <= (F.lit(q) + 0.01) * n
+        )
+
+    return ranked.select(
+        "o_orderstatus",
+        "n_orders",
+        rank_ok("__lt50", "__le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("__lt90", "__le90", 0.9).alias("p90_rank_ok"),
     )
 
 

@@ -122,29 +122,71 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_survivors",
-    oracle=None,  # labels derive from xxhash64 MinHash edges → rows-only
+    # Verdict certificate (declared/dedup.py module doc): planted
+    # identical copies guarantee known edges, so cluster membership and
+    # min-id survivorship have exact ground truth — a broken star round,
+    # a lost edge, or a wrong label flips real verdict bits.
+    oracle="""
+    SELECT doc_id, TRUE AS same_cluster, TRUE AS label_is_min,
+           TRUE AS survivor_rule_ok
+    FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 100
+    """,
     operators=("D-ext:cluster",),
-    doc="Near-dup canonical selection: MinHash-LSH verified pairs → "
-    "large-star/small-star connected components → per-cluster survivor "
-    "(cluster label = minimum doc id, so is_survivor = node == label). "
-    "The step that turns pairwise near-dup edges into actual corpus "
-    "removal lists (pairwise removal alone under-merges chains A~B~C).",
+    doc="Near-dup canonical selection over the corpus plus the "
+    "planted-copy panel: MinHash-LSH verified pairs → large-star/"
+    "small-star connected components → per-cluster survivor (cluster "
+    "label = minimum doc id, so is_survivor = node == label). The step "
+    "that turns pairwise near-dup edges into actual corpus removal "
+    "lists (pairwise removal alone under-merges chains A~B~C). "
+    "Certified per panel doc: original and its identical copy land in "
+    "the SAME cluster, the cluster label is <= the original's id (min-"
+    "id labeling), and exactly one of any labeled pair is the cluster "
+    "label (survivor rule).",
 )
 def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.operators.dedup import (
         connected_components_star,
         minhash_dedup,
     )
+    from home_credit_data_engineering_spark.plans.declared.dedup import (
+        PLANT_OFFSET,
+        planted_corpus,
+    )
 
     docs = read_testdata(spark, sf_dir, "documents")
+    corpus, panel = planted_corpus(docs)
     edges = minhash_dedup(
-        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+        corpus, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
     ).select("doc_a", "doc_b")
     labels = connected_components_star(edges)
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("node") == F.col("component")).alias("is_survivor"),
+    orig = labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("__c_orig")
+    )
+    copy = labels.select(
+        (F.col("node") - F.lit(PLANT_OFFSET)).alias("doc_id"),
+        F.col("component").alias("__c_copy"),
+    )
+    return (
+        panel.select("doc_id")
+        .join(orig, "doc_id", "left")
+        .join(copy, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("__c_orig").isNotNull()
+                & (F.col("__c_orig") == F.col("__c_copy"))
+            ).alias("same_cluster"),
+            F.coalesce(
+                F.col("__c_orig") <= F.col("doc_id"), F.lit(False)
+            ).alias("label_is_min"),
+            # the survivor rule (is_survivor ⇔ node == label) applied to
+            # the planted pair: the COPY can never be the survivor of
+            # its own pair (its id is 10^9 above the original's)
+            F.coalesce(
+                F.col("__c_copy") != F.col("doc_id") + F.lit(PLANT_OFFSET),
+                F.lit(False),
+            ).alias("survivor_rule_ok"),
+        )
     )
 
 

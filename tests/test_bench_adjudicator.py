@@ -190,3 +190,31 @@ def test_triggered_query_not_probed_twice_when_in_top_n(monkeypatch):
     assert verdicts["big"]["verdict"] == "noise"
     assert verdicts["big"]["forced"] is False
     assert timings["big"] == 18.0
+
+
+def test_bench_ref_refuses_foreign_cpu_count(tmp_path, monkeypatch):
+    """A ref measured on a different core count must disable
+    adjudication (per-query minima move with hardware), while a
+    matching or absent host_cpus field keeps it enabled."""
+    import json
+
+    from bench_scaled import load_bench_ref
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    ref = {
+        "round": 11,
+        "host_cpus": 32,
+        "headline_sf": 0.1,
+        "headline": {"q1": 1.0},
+    }
+    p = tmp_path / "ref.json"
+    p.write_text(json.dumps(ref))
+    assert load_bench_ref("headline", 0.1, path=str(p)) == {"q1": 1.0}
+
+    ref["host_cpus"] = 16  # measured on another box
+    p.write_text(json.dumps(ref))
+    assert load_bench_ref("headline", 0.1, path=str(p)) == {}
+
+    del ref["host_cpus"]  # pre-r12 ref: accepted for compatibility
+    p.write_text(json.dumps(ref))
+    assert load_bench_ref("headline", 0.1, path=str(p)) == {"q1": 1.0}

@@ -129,6 +129,9 @@ def main(argv: list[str] | None = None) -> int:
                     f"(latest batch={r['latest_batch']})"
                 )
                 tag = "entity"
+            elif r["family"] == "orphan-swap":
+                extra = f"mid-root-swap tree {r['action']}"
+                tag = "orphan-swap"
             else:
                 extra = ", ".join(
                     f"{leg}:{v['batches']}b/{v['parquet_files']}f"

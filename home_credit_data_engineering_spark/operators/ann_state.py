@@ -371,6 +371,13 @@ def ivf_index_increment(
     )
 
     spark = new_vectors.sparkSession
+    # Recovery BEFORE the layout check: a tree that died mid ROOT swap
+    # (drift rebuild) or mid deltas-swap must be restored first — the
+    # check's marker write would otherwise recreate a live root (making
+    # the next recovery DISCARD the completed __next), and the
+    # maintainer inference would misread a mid-swap deltas dir.
+    recover_state_swap(path)
+    recover_state_swap(os.path.join(path, "_cell_stats_deltas"))
     check_state_layout(
         path, "batch", "ivf",
         inferred_maintainer=(
@@ -443,6 +450,9 @@ def ivfpq_index_increment(
     )
 
     spark = new_vectors.sparkSession
+    # recovery BEFORE the layout check — see ivf_index_increment
+    recover_state_swap(path)
+    recover_state_swap(os.path.join(path, "_cell_stats_deltas"))
     check_state_layout(
         path, "batch", "ivfpq",
         inferred_maintainer=(

@@ -452,6 +452,17 @@ def bm25_index_increment(
     )
 
     spark = new_docs.sparkSession
+    # Recovery FIRST — before even the layout check, whose maintainer
+    # inference reads the stats leg (a leg mid-swap would misclassify
+    # the tree and the adoption marker would mislabel it permanently):
+    # finish any fold that crashed mid-commit (its completed staged
+    # legs must swap in, which the generic recovery below would instead
+    # discard), then the generic rule for swaps outside a fold commit.
+    recover_fold_commits(
+        index_path, [f"{index_path}/df", f"{index_path}/stats"]
+    )
+    for leg in ("df", "stats"):
+        recover_state_swap(f"{index_path}/{leg}")
     check_state_layout(
         index_path, "batch", "bm25",
         inferred_maintainer=(
@@ -467,15 +478,6 @@ def bm25_index_increment(
             else "batch"
         ),
     )
-    # Recovery FIRST: finish any fold that crashed mid-commit (its
-    # completed staged legs must swap in, which the generic recovery
-    # below would instead discard), then the generic rule for swaps
-    # outside a fold commit.
-    recover_fold_commits(
-        index_path, [f"{index_path}/df", f"{index_path}/stats"]
-    )
-    for leg in ("df", "stats"):
-        recover_state_swap(f"{index_path}/{leg}")
     stats_row = spark.read.parquet(f"{index_path}/stats").first()
     stored_buckets = (
         int(stats_row["n_buckets"])

@@ -102,7 +102,13 @@ def _planted_pair_certificate(
     """Shared certificate shape for pair-emitting sketch dedup: per
     panel doc, was the (original, copy) pair found and did its score
     equal the identical-copy ground truth; plus one global precision
-    bit (``precision`` is an aggregate boolean over ALL pairs)."""
+    bit (``precision`` is an aggregate boolean over ALL pairs).
+
+    The pair pipeline is materialized ONCE (localCheckpoint): both the
+    precision aggregate and the planted-pair probe read the
+    checkpointed result instead of re-running the LSH/verification
+    plan."""
+    pairs = pairs.localCheckpoint(eager=True)
     prec = pairs.agg(
         F.coalesce(precision, F.lit(True)).alias("__prec_ok")
     )
@@ -247,7 +253,11 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     corpus, panel = planted_corpus(docs)
-    fps = winnowing_fingerprints(corpus, "doc_id", "text")
+    # materialize once: the certificate reads the fingerprint frame
+    # three times (orig side, copy side, counts)
+    fps = winnowing_fingerprints(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     orig = fps.join(panel.select("doc_id"), "doc_id", "left_semi")
     copy = fps.filter(F.col("doc_id") >= PLANT_OFFSET).select(
         (F.col("doc_id") - F.lit(PLANT_OFFSET)).alias("doc_id"),

@@ -41,13 +41,14 @@ from typing import Any
 import numpy as np
 from pyspark.sql import SparkSession
 
+from home_credit_data_engineering_spark.plans.corpus_pipeline import (
+    STATE_DIRS as _CORPUS_LEGS,
+)
 from home_credit_data_engineering_spark.sources.maintenance import (
     recover_fold_commits,
     recover_state_swap,
     staged_state_path,
 )
-
-_CORPUS_LEGS = ("fingerprints", "lsh_buckets", "accepted", "card_state")
 
 
 def _parquet_file_count(root: str) -> int:
@@ -141,7 +142,13 @@ def _sweep_ann(
         if len(ids) > compact_deltas_window:
             _compact_deltas(spark, path, max(ids))
             compacted = (len(ids), len(_delta_batch_ids(deltas)))
-        rows = read_streaming_cell_stats(spark, path).collect()
+        # a stream that died between bootstrap and its first stats
+        # delta leaves no deltas dir — report empty stats, don't abort
+        rows = (
+            read_streaming_cell_stats(spark, path).collect()
+            if os.path.isdir(deltas)
+            else []
+        )
     else:
         recovered += bool(recover_fold_commits(path, [_stats_path(path)]))
         recovered += recover_state_swap(_stats_path(path)) is not None
@@ -222,6 +229,9 @@ def _sweep_bm25(spark: SparkSession, path: str) -> dict[str, Any]:
 
 
 def _sweep_entity(path: str) -> dict[str, Any]:
+    # recover FIRST so the snapshot/file report reflects the tree the
+    # sweep leaves behind, not the pre-recovery state
+    recovered = _recover_nested_swaps(path)
     entities = os.path.join(path, "entities")
     snaps = sorted(
         int(d.split("=", 1)[1])
@@ -232,13 +242,15 @@ def _sweep_entity(path: str) -> dict[str, Any]:
         "family": "entity",
         "path": path,
         "parquet_files": _parquet_file_count(path),
-        "recovered": _recover_nested_swaps(path),
+        "recovered": recovered,
         "snapshots": len(snaps),
         "latest_batch": snaps[-1] if snaps else None,
     }
 
 
 def _sweep_corpus(path: str) -> dict[str, Any]:
+    # recover FIRST so the per-leg report reflects the recovered tree
+    recovered = _recover_nested_swaps(path)
     legs = {}
     for leg in _CORPUS_LEGS:
         p = os.path.join(path, leg)
@@ -256,7 +268,7 @@ def _sweep_corpus(path: str) -> dict[str, Any]:
         "family": "corpus",
         "path": path,
         "parquet_files": _parquet_file_count(path),
-        "recovered": _recover_nested_swaps(path),
+        "recovered": recovered,
         "legs": legs,
     }
 
@@ -274,6 +286,31 @@ def sweep_lake(
     """
     reports: list[dict[str, Any]] = []
     for dirpath, dirnames, filenames in os.walk(root):
+        # a state tree that died mid ROOT swap exists only as X__next
+        # (the live dir is gone) — finish/discard it BEFORE classifying,
+        # and report it, else the sweep would silently skip exactly the
+        # crashed tree it exists to mop up
+        orphans = [
+            d[: -len("__next")]
+            for d in dirnames
+            if d.endswith("__next") and d[: -len("__next")] not in dirnames
+        ]
+        for base in orphans:
+            full = os.path.join(dirpath, base)
+            action = recover_state_swap(full)
+            if action == "finished":
+                dirnames.append(base)  # classify the recovered tree
+            reports.append(
+                {
+                    "family": "orphan-swap",
+                    "path": full,
+                    "parquet_files": (
+                        _parquet_file_count(full) if action == "finished" else 0
+                    ),
+                    "recovered": 1,
+                    "action": action,
+                }
+            )
         kind = _classify(dirnames, filenames)
         if kind == "checkpoint":
             dirnames[:] = []

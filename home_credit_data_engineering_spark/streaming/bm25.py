@@ -79,9 +79,11 @@ def compact_streamed_bm25_index(spark, index_path: str) -> dict:
     offset commit) and must overwrite only its own directories.
     Returns ``{"batches_before", "batches_after"}``.
     """
-    _check_streamed_layout(index_path)
     for leg in ("postings", "df", "doclens", "stats"):
         recover_state_swap(f"{index_path}/{leg}")
+    # layout check AFTER recovery: the maintainer inference reads the
+    # stats leg, which a crashed swap leaves missing/mid-flight
+    _check_streamed_layout(index_path)
 
     def _leg(leg: str):
         # partition inference is off engine-wide (session.py): the batch
@@ -179,14 +181,15 @@ def foreach_batch_bm25_ingest(
     """
     import os
 
-    _check_streamed_layout(index_path)
     # finish any swap a compaction left mid-flight BEFORE the first
     # write recreates the live legs — recover_state_swap discards a
     # completed __next once the live dir exists, so writing first would
     # permanently lose the pre-crash postings (and the n_buckets guard
-    # below would silently skip while stats/ is mid-swap)
+    # below would silently skip while stats/ is mid-swap). The layout
+    # check runs after, for the same reason: its inference reads stats.
     for leg in ("postings", "df", "doclens", "stats"):
         recover_state_swap(f"{index_path}/{leg}")
+    _check_streamed_layout(index_path)
     stats_dir = f"{index_path}/stats"
     if os.path.isdir(stats_dir):
         spark = stream_docs.sparkSession

@@ -450,3 +450,25 @@ def test_recover_fold_commits_finishes_and_cleans(tmp_path):
     assert read_fold_marker(root, "fp1") == {"report": {"x": 1}}
     # idempotent: nothing left to finish
     assert recover_fold_commits(root, [leg]) == []
+
+
+def test_increment_recovers_mid_root_swap_before_layout_check(spark, tmp_path):
+    """A tree that died mid ROOT swap (drift rebuild: live dir deleted,
+    completed __next remains) must be FINISHED by the increment before
+    the layout check writes its marker — writing first would recreate a
+    live root and make recovery DISCARD the completed rebuild."""
+    base, delta = _vectors(spark, n=40), _vectors(spark, n=20, id_base=1000)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_centroids=2, seed=1)
+    # simulate the crash window: the staged sibling is the full rebuilt
+    # tree (root _SUCCESS marker like the CLI writes), live dir gone
+    open(os.path.join(path, "_SUCCESS"), "a").close()
+    os.rename(path, staged_state_path(path))
+
+    rep = ivf_index_increment(delta, path)
+    assert rep["appended"] == 20
+    assert spark.read.parquet(path).count() == 60  # rebuild NOT lost
+    import json
+
+    with open(os.path.join(path, "_layout.json")) as fh:
+        assert json.load(fh)["maintainer"] == "batch"

@@ -132,7 +132,10 @@ def test_sweep_discovers_all_families(spark, lake):
     er = by_family["entity"][0]
     assert er["snapshots"] == 2 and er["latest_batch"] == 1
     # the crashed aux swap was FINISHED (live was gone, stage complete)
-    assert er["recovered"] == 1
+    # by the walk-level orphan recovery, which reports it separately
+    orphans = by_family.get("orphan-swap", [])
+    assert [o["action"] for o in orphans] == ["finished"]
+    assert orphans[0]["path"].endswith(os.path.join("er", "aux"))
     assert os.path.exists(os.path.join(lake, "er", "aux", "data.txt"))
 
     corp = by_family["corpus"][0]
@@ -173,3 +176,27 @@ def test_sweep_cli(spark, lake, capsys):
     assert "sweep[entity]" in out
     assert "sweep[corpus]" in out
     assert "5 state trees" in out
+
+
+def test_sweep_recovers_orphan_root_swap(spark, tmp_path):
+    """A state tree that died mid ROOT swap exists only as X__next; the
+    sweep must finish it and then classify the recovered tree instead
+    of silently skipping exactly the crashed state it exists to fix."""
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        staged_state_path,
+    )
+
+    root = str(tmp_path / "lake2")
+    idx = os.path.join(root, "indexes", "ann")
+    build_ivf_index(_vectors(spark, n=30), idx, n_centroids=2, seed=1)
+    open(os.path.join(idx, "_SUCCESS"), "a").close()
+    os.rename(idx, staged_state_path(idx))
+
+    reports = sweep_lake(spark, root)
+    fams = sorted(r["family"] for r in reports)
+    assert fams == ["ann", "orphan-swap"]
+    orphan = [r for r in reports if r["family"] == "orphan-swap"][0]
+    assert orphan["action"] == "finished" and orphan["recovered"] == 1
+    ann = [r for r in reports if r["family"] == "ann"][0]
+    assert ann["n_vectors"] == 30
+    assert os.path.isdir(idx)

@@ -448,13 +448,15 @@ def build_ivfpq_index(
         vec_col,
         F.col("__ae.cell").alias("cell"),
         F.col("__ae.code").alias("pq_code"),
-    )
-    enc.select(id_col, "pq_code", "cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, "codes"))
-    enc.select(id_col, vec_col).write.mode("overwrite").parquet(
-        os.path.join(path, "vectors")
-    )
+    ).localCheckpoint(eager=True)  # encode ONCE: codes + vectors + stats
+    # repartition on the partition key: one file per cell instead of
+    # input_partitions x cells (the increment/compaction discipline)
+    enc.select(id_col, "pq_code", "cell").repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "codes"))
+    enc.repartition("cell").select(id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "vectors"))
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "_centroids.npy"), centers)
     np.save(os.path.join(path, "_codebooks.npy"), books)

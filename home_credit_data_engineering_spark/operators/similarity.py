@@ -551,9 +551,11 @@ def build_ivf_index(
     )
 
     best_cell = best_cell_udf(c_unit)
+    # repartition on the partition key: one file per cell instead of
+    # input_partitions x cells (the increment/compaction discipline)
     corpus.select(
         F.col(id_col), F.col(vec_col), best_cell(to_double_array(vec_col)).alias("cell")
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "_centroids.npy"), centers_mat)
     from home_credit_data_engineering_spark.sources.maintenance import (

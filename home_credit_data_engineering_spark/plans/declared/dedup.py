@@ -6,7 +6,7 @@ bits, so a DuckDB replay cannot reproduce the pair sets directly. Those
 queries are therefore VERDICT CERTIFICATES (the ``combo_ann_approx`` /
 ``ann_ivf_increment_recall`` discipline): the sketch pipeline runs over
 the corpus PLUS a deterministic planted panel (identical copies of every
-``doc_id % 20 == 0, n_chars >= 100`` document at ``doc_id + 10^9`` —
+``doc_id % 20 == 0, n_chars >= 100`` document at ``doc_id + 10^11`` —
 both engines can enumerate the panel exactly), and the output is
 booleans computed against ground truth the plant makes exact — an
 identical copy has identical shingles/signature, so the sketch MUST
@@ -35,9 +35,11 @@ from home_credit_data_engineering_spark.operators.dedup import (
 from home_credit_data_engineering_spark.plans.registry import register
 from home_credit_data_engineering_spark.sources.readers import read_testdata
 
-#: Planted-copy offset: certificate copies live at doc_id + 10^9, far
-#: above any real doc id at every SF.
-PLANT_OFFSET = 1_000_000_000
+#: Planted-copy offset: certificate copies live at doc_id + 10^11 —
+#: far above any real doc id at every SF AND above the 10x scaled
+#: replicas' id bands (bench_scaled.py shifts each replica by 10^9, so
+#: replica ids reach ~10^10; a 10^9 offset would collide with them).
+PLANT_OFFSET = 100_000_000_000
 
 #: SQL enumeration of the certificate panel (both engines agree on it).
 PANEL_WHERE = "doc_id % 20 = 0 AND n_chars >= 100"
@@ -424,4 +426,54 @@ def dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, panel, score_col="jaccard", exact_score=1.0,
         found_col="planted_pair_found", exact_col="planted_score_exact",
         precision=F.min("jaccard") >= 0.2,
+    )
+
+
+@register(
+    "dedup_jaccard_join_exact",
+    # FULL oracle (not a certificate): the prefix-filter join is exact,
+    # so DuckDB's brute-force all-pairs Jaccard must reproduce every
+    # pair and score — candidate completeness is hash-verified, not
+    # argued from the theorem alone.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="EXACT all-pairs 3-gram Jaccard join at 0.2 with NO blocking key "
+    "(operators/dedup.py:jaccard_similarity_join — prefix filtering, "
+    "Chaudhuri'06 / PPJoin / Vernica SIGMOD'10): candidates come from an "
+    "equi-join on each document's RAREST tokens (global-frequency-order "
+    "prefix of length |x| - ceil(t|x|) + 1) plus a length filter, then "
+    "exact array_intersect verification. The completeness the sketch "
+    "pipelines (dedup_minhash_lsh) trade away, at equi-join cost instead "
+    "of an all-pairs product; the DuckDB oracle IS the brute-force "
+    "all-pairs join, so candidate completeness is hash-verified.",
+)
+def dedup_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    return jaccard_similarity_join(
+        docs, "doc_id", "text", threshold=0.2, shingle_k=3
     )

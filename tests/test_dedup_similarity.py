@@ -1049,3 +1049,102 @@ def test_mmr_rerank_supports_string_ids(clustered_vectors):
         isinstance(r["query_id"], str) and isinstance(r["neighbor_id"], str)
         for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-filter Jaccard join (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_join_exact_equals_brute_force(spark):
+    """Prefix filtering must lose NOTHING: the join's pair set and
+    scores equal the all-pairs brute force at the same threshold."""
+    from home_credit_data_engineering_spark.functions.text import (
+        with_shingles,
+    )
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+    from pyspark.sql import functions as F
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "a completely different document about spark physical plans",
+        "a completely different document about spark logical plans",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup
+        "one two three four five six seven eight nine ten",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+
+    for t in (0.2, 0.5, 1.0):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_similarity_join(
+                docs, threshold=t
+            ).collect()
+        }
+        # brute force over the same shingle sets
+        sh = with_shingles(docs, "doc_id", "text").select(
+            "doc_id", F.array_distinct("shingles").alias("s")
+        )
+        a = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        union = (
+            F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+        ).cast("double")
+        want = {
+            (r["da"], r["db"]): r["j"]
+            for r in a.crossJoin(b)
+            .filter(F.col("da") < F.col("db"))
+            .withColumn("j", F.round(inter / union, 6))
+            .filter(inter / union >= t)
+            .collect()
+        }
+        assert got == want, f"threshold {t}"
+    # sanity: the exact duplicate pair is found at every threshold
+    assert (0, 4) in got
+
+
+def test_jaccard_join_prefix_ceil_is_exact_at_float_hostile_sizes(spark):
+    """ceil(t*|x|) must be decimal-exact: 0.2 * 35 is 7.000000000000001
+    in IEEE, and a float ceil would shorten the prefix by one token and
+    silently drop boundary pairs."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    # two docs with 37 tokens → 35 distinct shingles each, sharing
+    # exactly 7/63... construct: x and y share a long run
+    common = " ".join(f"tok{i}" for i in range(30))
+    x = common + " " + " ".join(f"xa{i}" for i in range(7))
+    y = common + " " + " ".join(f"yb{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [(1, x), (2, y)], "doc_id long, text string"
+    )
+    got = jaccard_similarity_join(docs, threshold=0.2).collect()
+    # shared shingles: the 28 interior ones of the common run; sizes 35
+    # each → J = 28 / (35 + 35 - 28) = 0.666... >= 0.2 → must be found
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
+def test_jaccard_join_plan_has_no_cartesian(spark):
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        jaccard_similarity_join(docs, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

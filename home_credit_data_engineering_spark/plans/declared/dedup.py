@@ -42,7 +42,13 @@ from home_credit_data_engineering_spark.sources.readers import read_testdata
 PLANT_OFFSET = 100_000_000_000
 
 #: SQL enumeration of the certificate panel (both engines agree on it).
-PANEL_WHERE = "doc_id % 20 = 0 AND n_chars >= 100"
+#: The id cap keeps the panel FIXED when the corpus grows (the ANN query
+#: panels' vec_id < 2000 convention): the 10x scaled replicas shift ids
+#: by k*1e9 and 1e9 % 20 == 0, so without the cap every replica of a
+#: panel doc would join the panel and the planted-copy groups would grow
+#: quadratically inside the LSH buckets. No-op at the verification SFs
+#: (all base ids are far below 1e9).
+PANEL_WHERE = "doc_id % 20 = 0 AND n_chars >= 100 AND doc_id < 1000000000"
 
 
 def planted_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -51,7 +57,9 @@ def planted_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     that shingles/fingerprints exist); copies keep the text byte-
     identical so sketch-method ground truth is exact by construction."""
     panel = docs.filter(
-        (F.col("doc_id") % 20 == 0) & (F.col("n_chars") >= 100)
+        (F.col("doc_id") % 20 == 0)
+        & (F.col("n_chars") >= 100)
+        & (F.col("doc_id") < 1_000_000_000)
     )
     copies = panel.withColumn(
         "doc_id", F.col("doc_id") + F.lit(PLANT_OFFSET)

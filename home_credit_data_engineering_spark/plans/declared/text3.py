@@ -129,7 +129,8 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, TRUE AS same_cluster, TRUE AS label_is_min,
            TRUE AS survivor_rule_ok
-    FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 100
+    FROM documents
+    WHERE doc_id % 20 = 0 AND n_chars >= 100 AND doc_id < 1000000000
     """,
     operators=("D-ext:cluster",),
     doc="Near-dup canonical selection over the corpus plus the "

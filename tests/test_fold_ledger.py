@@ -472,3 +472,102 @@ def test_increment_recovers_mid_root_swap_before_layout_check(spark, tmp_path):
 
     with open(os.path.join(path, "_layout.json")) as fh:
         assert json.load(fh)["maintainer"] == "batch"
+
+
+@pytest.mark.parametrize(
+    "crash_at",
+    [
+        "publish_delta_files",       # before the data files go live
+        "_merge_stage_and_report",   # after publish, before staging stats
+        "begin_fold_commit",         # staged but not promised
+        "swap_in_state",             # promised but not swapped
+        "finish_fold_commit",        # swapped but marker not finalized
+    ],
+)
+def test_ivf_fold_crash_matrix_converges(spark, tmp_path, monkeypatch, crash_at):
+    """Systematic crash injection at EVERY fold step: whatever the crash
+    point, a plain re-run must converge to exactly the single-clean-fold
+    state (row count, per-cell stats, and a completed ledger marker) —
+    the ledger's whole contract in one table."""
+    import home_credit_data_engineering_spark.operators.ann_state as ann_state
+
+    base, delta = _vectors(spark, n=40), _vectors(spark, n=20, id_base=1000)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_centroids=2, seed=1)
+
+    real = getattr(ann_state, crash_at)
+
+    def exploding(*a, **kw):
+        raise RuntimeError(f"injected crash at {crash_at}")
+
+    monkeypatch.setattr(ann_state, crash_at, exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ivf_index_increment(delta, path)
+    monkeypatch.setattr(ann_state, crash_at, real)
+
+    rep = ivf_index_increment(delta, path)
+    # crashes at-or-after the commit marker are finished by recovery and
+    # replayed as no-ops; earlier crashes re-run the fold cleanly
+    assert rep["appended"] == 20
+    assert spark.read.parquet(path).count() == 60
+    stats_n = sum(r["n"] for r in read_cell_stats(spark, path).collect())
+    assert stats_n == 60
+    fp = delta_fingerprint(delta, ["vec_id", "embedding"])
+    assert read_fold_marker(path, fp) is not None
+    assert not any(
+        f.endswith(".committing") for f in os.listdir(ledger_dir(path))
+    )
+    # and a THIRD run is a pure no-op
+    again = ivf_index_increment(delta, path)
+    assert again["replayed"] is True
+    assert spark.read.parquet(path).count() == 60
+
+
+@pytest.mark.parametrize(
+    "crash_at,nth",
+    [
+        ("publish_delta_files", 1),   # postings publish
+        ("publish_delta_files", 2),   # doclens publish
+        ("begin_fold_commit", 1),     # all legs staged, not promised
+        ("swap_in_state", 1),         # df swap (promised)
+        ("swap_in_state", 2),         # stats swap (df already live)
+        ("finish_fold_commit", 1),    # both swapped, marker pending
+    ],
+)
+def test_bm25_fold_crash_matrix_converges(
+    spark, tmp_path, monkeypatch, crash_at, nth
+):
+    """Same crash matrix for the BM25 fold, whose commit spans TWO
+    read-modify-write legs (df + stats) — the historically-unfixable
+    window without the marker protocol."""
+    import home_credit_data_engineering_spark.sources.maintenance as mnt
+
+    base, delta = _docs(spark, n=30), _docs(spark, n=15, seed=3, id_base=1000)
+    idx = str(tmp_path / "idx")
+    build_bm25_index(base, idx, n_buckets=4)
+
+    real = getattr(mnt, crash_at)
+    calls = {"n": 0}
+
+    def exploding(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == nth:
+            raise RuntimeError(f"injected crash at {crash_at}#{nth}")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mnt, crash_at, exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bm25_index_increment(delta, idx)
+    monkeypatch.setattr(mnt, crash_at, real)
+
+    rep = bm25_index_increment(delta, idx)
+    assert rep["n_docs"] == 45
+    stats = spark.read.parquet(f"{idx}/stats").first()
+    assert int(stats["n_docs"]) == 45
+    assert spark.read.parquet(f"{idx}/doclens").count() == 45
+    max_df = spark.read.parquet(f"{idx}/df").agg(F.max("df")).first()[0]
+    assert max_df <= 45  # df merged exactly once
+    fp = delta_fingerprint(delta, ["doc_id", "text"])
+    assert read_fold_marker(idx, fp) is not None
+    again = bm25_index_increment(delta, idx)
+    assert again["replayed"] is True

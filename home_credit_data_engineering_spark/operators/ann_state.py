@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 from home_credit_data_engineering_spark.functions.vectors import to_double_array
 from home_credit_data_engineering_spark.sources.maintenance import (
+    assert_layout_if_marked,
     begin_fold_commit,
     check_state_layout,
     delta_fingerprint,
@@ -371,11 +372,13 @@ def ivf_index_increment(
     )
 
     spark = new_vectors.sparkSession
-    # Recovery BEFORE the layout check: a tree that died mid ROOT swap
-    # (drift rebuild) or mid deltas-swap must be restored first — the
-    # check's marker write would otherwise recreate a live root (making
-    # the next recovery DISCARD the completed __next), and the
-    # maintainer inference would misread a mid-swap deltas dir.
+    # Two-phase layout guard + recovery ordering: an EXPLICIT marker
+    # mismatch raises before anything touches the tree; then recovery
+    # restores a mid-root/deltas swap (the adoption marker write below
+    # would otherwise recreate a live root, making the next recovery
+    # DISCARD the completed __next, and the maintainer inference would
+    # misread a mid-swap deltas dir).
+    assert_layout_if_marked(path, "batch", "ivf")
     recover_state_swap(path)
     recover_state_swap(os.path.join(path, "_cell_stats_deltas"))
     check_state_layout(
@@ -450,7 +453,8 @@ def ivfpq_index_increment(
     )
 
     spark = new_vectors.sparkSession
-    # recovery BEFORE the layout check — see ivf_index_increment
+    # two-phase guard + recovery ordering — see ivf_index_increment
+    assert_layout_if_marked(path, "batch", "ivfpq")
     recover_state_swap(path)
     recover_state_swap(os.path.join(path, "_cell_stats_deltas"))
     check_state_layout(

@@ -1803,10 +1803,14 @@ def jaccard_similarity_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t_dec = F.lit(threshold).cast("decimal(12,9)")
 
+    # materialize the shingle sets ONCE: the frame feeds the prefix
+    # chain AND both sides of the verify join — without the checkpoint
+    # the tokenize+explode+window+collect_list pipeline re-executes per
+    # consumer (the shared-lineage rule from the r11 cost findings)
     sets = with_shingles(docs, id_col, text_col, k=shingle_k).select(
         F.col("doc_id").alias("__id"),
         F.array_distinct("shingles").alias("__set"),
-    ).filter(F.size("__set") >= 1)
+    ).filter(F.size("__set") >= 1).localCheckpoint(eager=True)
     elems = sets.select(
         "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
     )

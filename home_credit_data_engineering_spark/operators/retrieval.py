@@ -438,6 +438,7 @@ def bm25_index_increment(
     Returns ``{"docs_added", "terms_touched", "n_docs", "avgdl"}``.
     """
     from home_credit_data_engineering_spark.sources.maintenance import (
+        assert_layout_if_marked,
         begin_fold_commit,
         check_state_layout,
         delta_fingerprint,
@@ -452,12 +453,14 @@ def bm25_index_increment(
     )
 
     spark = new_docs.sparkSession
-    # Recovery FIRST — before even the layout check, whose maintainer
-    # inference reads the stats leg (a leg mid-swap would misclassify
-    # the tree and the adoption marker would mislabel it permanently):
-    # finish any fold that crashed mid-commit (its completed staged
-    # legs must swap in, which the generic recovery below would instead
-    # discard), then the generic rule for swaps outside a fold commit.
+    # Two-phase layout guard: an EXPLICIT marker mismatch raises before
+    # anything touches the tree; the legacy-tree inference (which reads
+    # the stats leg) runs only after recovery, so it never reads a leg
+    # that is mid-swap. Then recovery: finish any fold that crashed
+    # mid-commit (its completed staged legs must swap in, which the
+    # generic recovery below would instead discard), then the generic
+    # rule for swaps outside a fold commit.
+    assert_layout_if_marked(index_path, "batch", "bm25")
     recover_fold_commits(
         index_path, [f"{index_path}/df", f"{index_path}/stats"]
     )

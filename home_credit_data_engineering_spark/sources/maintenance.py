@@ -302,6 +302,52 @@ def write_state_layout(state_root: str, maintainer: str, kind: str) -> None:
     os.replace(tmp, _layout_path(state_root))
 
 
+def read_state_layout(state_root: str) -> dict | None:
+    """The ``_layout.json`` marker, or ``None`` for legacy trees."""
+    p = _layout_path(state_root)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _raise_on_marker_mismatch(
+    state_root: str, data: dict, maintainer: str, kind: str
+) -> None:
+    if data.get("maintainer") != maintainer:
+        raise ValueError(
+            f"{state_root} is a {data.get('maintainer')}-maintained "
+            f"{data.get('kind')} index; refusing a {maintainer} "
+            "operation — the batch and streamed layouts conflict at "
+            "partition discovery (see streaming/ann.py module doc)"
+        )
+    if data.get("kind") not in (None, kind):
+        raise ValueError(
+            f"{state_root} holds a {data.get('kind')} index, "
+            f"expected {kind}"
+        )
+
+
+def assert_layout_if_marked(
+    state_root: str, maintainer: str, kind: str
+) -> bool:
+    """Phase-1 guard — run BEFORE any crash recovery: an EXPLICIT
+    ``_layout.json`` mismatch raises immediately, because running the
+    generic swap recovery on a foreign tree can destroy its state (a
+    batch tree mid fold-commit has promised ``__next`` legs that the
+    streamed maintainers' generic recovery would discard — and the
+    fold's own recovery would then finalize the ledger marker with
+    nothing left to swap). Returns True when a marker was present and
+    checked; False for legacy trees, whose full inference+adoption runs
+    via :func:`check_state_layout` AFTER recovery (the inference must
+    never read a leg that is mid-swap)."""
+    data = read_state_layout(state_root)
+    if data is None:
+        return False
+    _raise_on_marker_mismatch(state_root, data, maintainer, kind)
+    return True
+
+
 def check_state_layout(
     state_root: str,
     maintainer: str,
@@ -312,23 +358,11 @@ def check_state_layout(
     maintained. ``inferred_maintainer`` is the caller's on-disk-shape
     detection for legacy trees without a marker (e.g. a
     ``_cell_stats_deltas/`` dir ⇒ streamed); a legacy tree matching the
-    expectation is adopted by writing the marker."""
-    p = _layout_path(state_root)
-    if os.path.isfile(p):
-        with open(p) as fh:
-            data = json.load(fh)
-        if data.get("maintainer") != maintainer:
-            raise ValueError(
-                f"{state_root} is a {data.get('maintainer')}-maintained "
-                f"{data.get('kind')} index; refusing a {maintainer} "
-                "operation — the batch and streamed layouts conflict at "
-                "partition discovery (see streaming/ann.py module doc)"
-            )
-        if data.get("kind") not in (None, kind):
-            raise ValueError(
-                f"{state_root} holds a {data.get('kind')} index, "
-                f"expected {kind}"
-            )
+    expectation is adopted by writing the marker. Pair with
+    :func:`assert_layout_if_marked` before recovery."""
+    data = read_state_layout(state_root)
+    if data is not None:
+        _raise_on_marker_mismatch(state_root, data, maintainer, kind)
         return
     effective = inferred_maintainer or maintainer
     if effective != maintainer:

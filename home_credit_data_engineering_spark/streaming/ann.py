@@ -55,6 +55,7 @@ from home_credit_data_engineering_spark.operators.ann_state import (
     drift_report,
 )
 from home_credit_data_engineering_spark.sources.maintenance import (
+    assert_layout_if_marked,
     check_state_layout,
     recover_state_swap,
     staged_state_path,
@@ -220,6 +221,11 @@ def compact_streamed_ann_index(spark: SparkSession, index_path: str) -> dict:
     # that died inside swap_in_state(codes) leaves codes__next but no
     # codes/, which would misdetect as a plain-IVF layout and crash on
     # the mixed root tree instead of finishing the interrupted swap
+    assert_layout_if_marked(
+        index_path,
+        "streamed",
+        "ivfpq" if os.path.isdir(os.path.join(index_path, "codes")) else "ivf",
+    )
     for sub in ("", "codes", "vectors"):
         recover_state_swap(os.path.join(index_path, sub) if sub else index_path)
     recover_state_swap(_deltas_path(index_path))
@@ -286,11 +292,14 @@ def foreach_batch_ann_ingest(
     )
 
     centroids_file = os.path.join(index_path, "_centroids.npy")
-    # finish any swap a compaction/rebuild left mid-flight BEFORE the
-    # first write (or the layout check's marker write) recreates the
-    # live dirs — recover_state_swap discards a completed __next once
-    # the live dir exists, so writing first would permanently lose the
-    # pre-crash index/stats
+    # two-phase layout guard: an explicit batch marker raises BEFORE any
+    # recovery (generic recovery on a batch tree could discard its
+    # promised fold legs); then finish any swap a compaction/rebuild
+    # left mid-flight BEFORE the first write (or the legacy adoption's
+    # marker write) recreates the live dirs — recover_state_swap
+    # discards a completed __next once the live dir exists, so writing
+    # first would permanently lose the pre-crash index/stats
+    assert_layout_if_marked(index_path, "streamed", "ivf")
     recover_state_swap(index_path)
     recover_state_swap(_deltas_path(index_path))
     _check_streamed_layout(index_path, "ivf")
@@ -440,6 +449,7 @@ def rebuild_streamed_ivf_index(
     stream STOPPED — ``jobs/ann_index.py --report-drift
     --rebuild-on-drift`` drives it). Geometry defaults to the stored
     centroid count. Returns ``{"n_vectors", "n_cells"}``."""
+    assert_layout_if_marked(index_path, "streamed", "ivf")
     recover_state_swap(index_path)
     recover_state_swap(_deltas_path(index_path))
     _check_streamed_layout(index_path, "ivf")
@@ -499,6 +509,7 @@ def rebuild_streamed_ivfpq_index(
         train_ivfpq_sidecars,
     )
 
+    assert_layout_if_marked(index_path, "streamed", "ivfpq")
     recover_state_swap(index_path)
     recover_state_swap(os.path.join(index_path, "codes"))
     recover_state_swap(os.path.join(index_path, "vectors"))
@@ -645,6 +656,7 @@ def foreach_batch_ivfpq_ingest(
     # recreates the live dirs (see foreach_batch_ann_ingest); the ROOT
     # recovery must run first — rebuild_streamed_ivfpq_index swaps the
     # whole tree
+    assert_layout_if_marked(index_path, "streamed", "ivfpq")
     recover_state_swap(index_path)
     recover_state_swap(os.path.join(index_path, "codes"))
     recover_state_swap(os.path.join(index_path, "vectors"))

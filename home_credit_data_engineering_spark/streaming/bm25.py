@@ -37,6 +37,7 @@ from home_credit_data_engineering_spark.operators.retrieval import (
     term_bucket,
 )
 from home_credit_data_engineering_spark.sources.maintenance import (
+    assert_layout_if_marked,
     check_state_layout,
     recover_state_swap,
     staged_state_path,
@@ -79,10 +80,13 @@ def compact_streamed_bm25_index(spark, index_path: str) -> dict:
     offset commit) and must overwrite only its own directories.
     Returns ``{"batches_before", "batches_after"}``.
     """
+    # two-phase layout guard: an EXPLICIT marker mismatch raises BEFORE
+    # recovery (generic swap recovery on a batch tree would discard its
+    # promised fold-commit legs); legacy-tree inference runs after
+    # recovery, so it never reads a leg that is mid-swap
+    assert_layout_if_marked(index_path, "streamed", "bm25")
     for leg in ("postings", "df", "doclens", "stats"):
         recover_state_swap(f"{index_path}/{leg}")
-    # layout check AFTER recovery: the maintainer inference reads the
-    # stats leg, which a crashed swap leaves missing/mid-flight
     _check_streamed_layout(index_path)
 
     def _leg(leg: str):
@@ -181,12 +185,14 @@ def foreach_batch_bm25_ingest(
     """
     import os
 
+    # two-phase layout guard (see compact_streamed_bm25_index), then
     # finish any swap a compaction left mid-flight BEFORE the first
     # write recreates the live legs — recover_state_swap discards a
     # completed __next once the live dir exists, so writing first would
     # permanently lose the pre-crash postings (and the n_buckets guard
-    # below would silently skip while stats/ is mid-swap). The layout
-    # check runs after, for the same reason: its inference reads stats.
+    # below would silently skip while stats/ is mid-swap). The legacy
+    # inference runs after recovery for the same reason: it reads stats.
+    assert_layout_if_marked(index_path, "streamed", "bm25")
     for leg in ("postings", "df", "doclens", "stats"):
         recover_state_swap(f"{index_path}/{leg}")
     _check_streamed_layout(index_path)

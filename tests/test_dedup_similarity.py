@@ -1110,25 +1110,34 @@ def test_jaccard_join_exact_equals_brute_force(spark):
 
 
 def test_jaccard_join_prefix_ceil_is_exact_at_float_hostile_sizes(spark):
-    """ceil(t*|x|) must be decimal-exact: 0.2 * 35 is 7.000000000000001
-    in IEEE, and a float ceil would shorten the prefix by one token and
-    silently drop boundary pairs."""
+    """A BINDING boundary pair: J exactly 0.2 with |y| = 35, where IEEE
+    0.2 * 35 = 7.000000000000001. A float ceil would (a) shorten y's
+    prefix from 29 to 28 — and the pair's ONLY cross-prefix token sits
+    at exactly position 29 of y — and (b) fail the length filter
+    (7.0000001 <= 7 is false). Either slip silently drops the pair;
+    the decimal arithmetic must keep it.
+
+    Construction: x = 9 words -> 7 shingles, ALL shared (x ⊂ y);
+    y = 28 unique-run words + x's words -> 35 distinct shingles (26
+    unique-run + 2 junction + 7 shared). J = 7/(7+35-7) = 0.2 exactly.
+    Shared shingles have global freq 2 (sort LAST); y's 28 freq-1
+    shingles fill prefix positions 1..28, so the first shared shingle
+    is exactly position 29."""
     from home_credit_data_engineering_spark.operators.dedup import (
         jaccard_similarity_join,
     )
 
-    # two docs with 37 tokens → 35 distinct shingles each, sharing
-    # exactly 7/63... construct: x and y share a long run
-    common = " ".join(f"tok{i}" for i in range(30))
-    x = common + " " + " ".join(f"xa{i}" for i in range(7))
-    y = common + " " + " ".join(f"yb{i}" for i in range(7))
+    x_words = [f"w{i}" for i in range(9)]
+    u_words = [f"uaa{i:02d}" for i in range(28)]
+    x = " ".join(x_words)
+    y = " ".join(u_words + x_words)
     docs = spark.createDataFrame(
         [(1, x), (2, y)], "doc_id long, text string"
     )
     got = jaccard_similarity_join(docs, threshold=0.2).collect()
-    # shared shingles: the 28 interior ones of the common run; sizes 35
-    # each → J = 28 / (35 + 35 - 28) = 0.666... >= 0.2 → must be found
-    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [
+        (1, 2, 0.2)
+    ]
 
 
 def test_jaccard_join_plan_has_no_cartesian(spark):

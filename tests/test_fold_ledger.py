@@ -571,3 +571,45 @@ def test_bm25_fold_crash_matrix_converges(
     assert read_fold_marker(idx, fp) is not None
     again = bm25_index_increment(delta, idx)
     assert again["replayed"] is True
+
+
+def test_streamed_op_on_batch_tree_mid_commit_raises_without_damage(
+    spark, tmp_path, monkeypatch
+):
+    """A batch BM25 tree crashed between begin_fold_commit and the
+    swaps; running the STREAMED compactor/ingest on it (the operator
+    mistake the layout guard exists for) must raise on the explicit
+    marker BEFORE any recovery — its generic swap recovery would
+    otherwise discard the promised __next legs, and the fold's own
+    recovery would then finalize the marker with nothing left to swap
+    (postings/doclens applied, df/stats silently never)."""
+    import home_credit_data_engineering_spark.sources.maintenance as mnt
+    from home_credit_data_engineering_spark.streaming.bm25 import (
+        compact_streamed_bm25_index,
+    )
+
+    base, delta = _docs(spark, n=30), _docs(spark, n=15, seed=3, id_base=1000)
+    idx = str(tmp_path / "idx")
+    build_bm25_index(base, idx, n_buckets=4)
+
+    real_swap = mnt.swap_in_state
+
+    def exploding(state_path):
+        raise RuntimeError("injected crash before any swap")
+
+    monkeypatch.setattr(mnt, "swap_in_state", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bm25_index_increment(delta, idx)
+    monkeypatch.setattr(mnt, "swap_in_state", real_swap)
+    assert os.path.isdir(staged_state_path(os.path.join(idx, "df")))
+
+    # wrong-maintainer op raises on the marker and touches nothing
+    with pytest.raises(ValueError, match="batch-maintained"):
+        compact_streamed_bm25_index(spark, idx)
+    assert os.path.isdir(staged_state_path(os.path.join(idx, "df")))
+    assert os.path.isdir(staged_state_path(os.path.join(idx, "stats")))
+
+    # the batch fold still converges to the single-fold state
+    rep = bm25_index_increment(delta, idx)
+    assert rep["replayed"] is True
+    assert int(spark.read.parquet(f"{idx}/stats").first()["n_docs"]) == 45

@@ -105,13 +105,15 @@ DRIVER_SET: tuple[str, ...] = (
     "combo_timeseries_fill",
     "combo_pivot_unpivot",
     # — previously driver-unverified singles —
-    # New in r4: the corpus quality filter is the flagship LLM-pipeline
-    # pass, promoted to a hard driver slot in place of q4_order_priority
-    # (whose operator tags — j:semi, A1 — stay covered by combo_semi_anti
-    # and a1_multi_measure_agg; tpch:q4 is a showcase label, carve-out in
-    # tests/test_driver_set.py). q4 remains registered and parity-tested
-    # in-repo.
-    "text_quality_filter",
+    # New in r12: the EXACT prefix-filter all-pairs Jaccard join
+    # (operators/dedup.py:jaccard_similarity_join — completeness
+    # hash-verified against a brute-force all-pairs DuckDB oracle)
+    # takes text_quality_filter's slot — its tags (T-ext:quality,
+    # T-ext:gopher) stay covered by combo_text_profile (and
+    # corpus_pipeline_ledger), and it remains registered and
+    # parity-tested in-repo. (text_quality_filter itself replaced
+    # q4_order_priority in r4.)
+    "dedup_jaccard_join_exact",
     "cross_join_nation_pairs",
     "text_edit_distance_pairs",
     # New in r9: the composed corpus-pipeline ledger (quality -> exact

@@ -428,6 +428,8 @@ def label_propagation(
     dst_col: str = "dst",
     id_out: str = "node",
     checkpoint: bool = True,
+    broadcast_labels: bool | None = None,
+    broadcast_label_limit: int = 2_000_000,
 ) -> DataFrame:
     """Semi-synchronous label propagation (Raghavan et al. 2007, made
     DETERMINISTIC): community detection by iterated plurality vote.
@@ -447,7 +449,10 @@ def label_propagation(
     :func:`pagerank` — per iteration one equi-join (edges x labels,
     both (node, label) pairs) + one (node, label) count aggregate + a
     struct-min argmax (bounded per-node groups), localCheckpoint per
-    round. Output: ``(node, label)``.
+    round, and the same two-path join strategy (``broadcast_labels``):
+    a shippable label frame broadcasts so the cached edges never
+    re-shuffle; bigger graphs pre-partition the edges on the join key
+    once. Output: ``(node, label)``.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -460,14 +465,24 @@ def label_propagation(
         .distinct()
         .persist()
     )
+    n_nodes = nodes.count()
+    use_bcast = (
+        broadcast_labels
+        if broadcast_labels is not None
+        else n_nodes <= broadcast_label_limit
+    )
+    orig_e = e
+    if not use_bcast:
+        e = e.repartition("__src").persist()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
+        label_side = labels.select(F.col("node").alias("__src"), "label")
+        if use_bcast:
+            label_side = F.broadcast(label_side)
         votes = (
-            e.join(
-                labels.select(F.col("node").alias("__src"), "label"), "__src"
-            )
+            e.join(label_side, "__src")
             .groupBy(F.col("__dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
@@ -493,6 +508,8 @@ def label_propagation(
         labels = labels.localCheckpoint(eager=True)
         nodes.unpersist()
         e.unpersist()
+        if orig_e is not e:
+            orig_e.unpersist()
     return labels.select(F.col("node").alias(id_out), "label")
 
 
@@ -506,6 +523,8 @@ def shortest_paths(
     edge_weight_col: str | None = None,
     id_out: str = "node",
     checkpoint: bool = True,
+    broadcast_frontier: bool | None = None,
+    broadcast_frontier_limit: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source shortest paths by synchronous Bellman-Ford rounds
     (distributed BFS when unweighted): after ``iterations`` rounds each
@@ -537,6 +556,10 @@ def shortest_paths(
     contribution aggregate. A target-count early stop (all nodes
     settled) would be one bounded scalar per round, mirroring
     ``pagerank(tol=...)`` — fixed rounds keep the SQL twin unrollable.
+    ``broadcast_frontier`` follows :func:`pagerank`'s two-path join
+    strategy: a shippable settled-frontier frame broadcasts into the
+    relaxation join (cached edges never re-shuffle); bigger graphs
+    pre-partition the edges on the join key once.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -566,12 +589,25 @@ def shortest_paths(
         "node",
         F.when(F.col("__is_src"), F.lit(0).cast(_D6)).alias("dist"),
     )
+    # one bounded scalar: node count picks the per-round join strategy
+    # (it also materializes the edge cache before the rounds start)
+    n_nodes = nodes.count()
+    use_bcast = (
+        broadcast_frontier
+        if broadcast_frontier is not None
+        else n_nodes <= broadcast_frontier_limit
+    )
+    orig_e = e
+    if not use_bcast:
+        e = e.repartition("__src").persist()
     for _ in range(iterations):
         if checkpoint:
             dist = dist.localCheckpoint(eager=True)
         settled = dist.filter(F.col("dist").isNotNull()).select(
             F.col("node").alias("__src"), F.col("dist").alias("__d")
         )
+        if use_bcast:
+            settled = F.broadcast(settled)
         relax = (
             e.join(settled, "__src")
             .select(
@@ -594,6 +630,8 @@ def shortest_paths(
     if checkpoint:
         dist = dist.localCheckpoint(eager=True)
         e.unpersist()
+        if orig_e is not e:
+            orig_e.unpersist()
     return dist.select(F.col("node").alias(id_out), "dist")
 
 

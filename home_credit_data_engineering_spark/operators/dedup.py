@@ -28,10 +28,12 @@ from __future__ import annotations
 
 # Module-global so pandas-UDF type hints (stringified under PEP 563)
 # resolve when the decorator inspects them — same note as functions/vectors.
+import time
+
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -179,6 +181,8 @@ def connected_components_star(
     b_col: str = "doc_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    broadcast_labels: bool | None = None,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) via alternating large-star/small-star — the
     web-scale connected-components algorithm (Kiveris et al., "Connected
@@ -199,8 +203,20 @@ def connected_components_star(
     (shuffle on node id), so this is the default for deep/chained graphs;
     results are identical to :func:`connected_components`.
 
-    ``stats`` (optional dict) receives ``{"rounds": n}`` for
-    observability.
+    ``stats`` (optional dict) receives ``{"rounds": n, "strategy": s}``
+    for observability.
+
+    **Two-path join strategy** (the PageRank/HITS idea from
+    ``graph.py:190-224`` applied to the star rounds): each round's
+    cost centers are the two (edge ⋈ min-frame) joins, and the min
+    frame is always ids-only and node-count-bounded. When the node
+    count — one bounded scalar, measured once up front — is at most
+    ``broadcast_node_limit``, the min frames ship as broadcast-hash
+    joins, so the (larger) edge side never shuffles for a join; only
+    the groupBy-min shuffles remain. Above the limit the original
+    sort-merge form runs unchanged — the broadcast path degrades
+    gracefully into the partitioned path at 100× scale.
+    ``broadcast_labels`` forces the decision either way.
     """
     # One eager checkpoint of the normalized edge list up front: the
     # incoming `edges` frame often carries an expensive lineage (e.g. the
@@ -224,6 +240,19 @@ def connected_components_star(
     )
     e = e_all.filter(F.col("u") != F.col("v"))
 
+    # One bounded scalar decides the per-round join strategy (docstring);
+    # it also eagerly materializes the up-front checkpoint before the
+    # loop starts, so round timings measure rounds.
+    n_nodes = all_nodes.count()
+    use_bcast = (
+        broadcast_labels
+        if broadcast_labels is not None
+        else n_nodes <= broadcast_node_limit
+    )
+
+    def _min_side(m: DataFrame) -> DataFrame:
+        return F.broadcast(m) if use_bcast else m
+
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.unionByName(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -231,7 +260,7 @@ def connected_components_star(
         m = sym.groupBy("u").agg(F.min("v").alias("mn"))
         m = m.withColumn("m", F.least(F.col("mn"), F.col("u"))).drop("mn")
         return (
-            sym.join(m, on="u")
+            sym.join(_min_side(m), on="u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -241,7 +270,7 @@ def connected_components_star(
         # input edges are directed u > v
         m = ed.groupBy("u").agg(F.min("v").alias("m"))
         linked = (
-            ed.join(m, on="u")
+            ed.join(_min_side(m), on="u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
@@ -255,8 +284,10 @@ def connected_components_star(
     rounds = 0
     prev_sig = None
     converged = False
+    round_secs: list[float] = []
     for _ in range(max_iter):
         rounds += 1
+        _t0 = time.perf_counter()
         # localCheckpoint TRUNCATES the logical plan: each star round
         # references its input several times, so without truncation the
         # plan nests ~4-6x per round — exponential analysis cost that
@@ -277,6 +308,7 @@ def connected_components_star(
         sig = (sig_row["cnt"], sig_row["hash"])
         e.unpersist()
         e = nxt
+        round_secs.append(round(time.perf_counter() - _t0, 3))
         if sig == prev_sig:
             converged = True
             break
@@ -290,12 +322,17 @@ def connected_components_star(
         )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["strategy"] = "broadcast" if use_bcast else "partitioned"
+        stats["round_secs"] = round_secs
     # Star forest: every edge is (member, root). Roots and isolated nodes
     # label themselves. `e` is checkpointed (loop) and `all_nodes` reads
-    # the up-front checkpoint, so no deep recompute on consumption.
+    # the up-front checkpoint, so no deep recompute on consumption. The
+    # member set is node-bounded, so it rides the same broadcast decision
+    # as the loop joins.
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    member_ids = e.select(F.col("u").alias("node")).distinct()
     roots = all_nodes.join(
-        e.select(F.col("u").alias("node")).distinct(), on="node", how="left_anti"
+        _min_side(member_ids), on="node", how="left_anti"
     ).withColumn("component", F.col("node"))
     return members.unionByName(roots)
 
@@ -1793,12 +1830,6 @@ def jaccard_similarity_join(
     ``shingle_k`` tokens shingle to their whole text (the
     ``with_shingles`` fallback) and participate normally.
     """
-    from pyspark.sql.window import Window as W
-
-    from home_credit_data_engineering_spark.functions.text import (
-        with_shingles,
-    )
-
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t_dec = F.lit(threshold).cast("decimal(12,9)")
@@ -1807,27 +1838,12 @@ def jaccard_similarity_join(
     # chain AND both sides of the verify join — without the checkpoint
     # the tokenize+explode+window+collect_list pipeline re-executes per
     # consumer (the shared-lineage rule from the r11 cost findings)
-    sets = with_shingles(docs, id_col, text_col, k=shingle_k).select(
-        F.col("doc_id").alias("__id"),
-        F.array_distinct("shingles").alias("__set"),
-    ).filter(F.size("__set") >= 1).localCheckpoint(eager=True)
+    sets = _jaccard_shingle_sets(docs, id_col, text_col, shingle_k)
     elems = sets.select(
         "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
     )
     freq = elems.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
-    # global total order (freq asc, token asc) → per-doc prefix = the
-    # doc's rarest tokens; window groups are bounded by doc set size
-    ranked = elems.join(freq, "__tok").withColumn(
-        "__rn",
-        F.row_number().over(
-            W.partitionBy("__id").orderBy("__freq", "__tok")
-        ),
-    )
-    # prefix length |x| - ceil(t*|x|) + 1, exact decimal ceil
-    prefix = ranked.filter(
-        F.col("__rn")
-        <= F.col("__sz") - F.ceil(t_dec * F.col("__sz")) + F.lit(1)
-    ).select("__id", "__sz", "__tok")
+    prefix = _jaccard_prefix_rows(elems, freq, t_dec)
 
     a = prefix.select(
         F.col("__id").alias("__ida"),
@@ -1842,14 +1858,74 @@ def jaccard_similarity_join(
     cand = (
         a.join(b, "__tok")
         .filter(F.col("__ida") < F.col("__idb"))
-        # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|)
-        .filter(
-            t_dec * F.greatest("__sza", "__szb")
-            <= F.least("__sza", "__szb").cast("decimal(20,9)")
-        )
+        .filter(_jaccard_length_filter(t_dec))
         .select("__ida", "__idb")
         .distinct()
     )
+    return _jaccard_verify_sets(cand, sets, threshold, round_digits)
+
+
+def _jaccard_shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """Distinct shingle-STRING sets per doc as ``(__id, __set)``, eagerly
+    checkpointed (shared-lineage rule: the frame feeds the prefix chain
+    AND both sides of the verify join). String shingles — not k-gram
+    hashes — so the exact join's scores are collision-free and the
+    brute-force oracle reproduces them bit-for-bit."""
+    from home_credit_data_engineering_spark.functions.text import (
+        with_shingles,
+    )
+
+    return (
+        with_shingles(docs, id_col, text_col, k=shingle_k)
+        .select(
+            F.col("doc_id").alias("__id"),
+            F.array_distinct("shingles").alias("__set"),
+        )
+        .filter(F.size("__set") >= 1)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _jaccard_prefix_rows(
+    elems: DataFrame, freq: DataFrame, t_dec: Column
+) -> DataFrame:
+    """Prefix rows ``(__id, __sz, __tok)`` under the total token order
+    (``__freq`` asc, ``__tok`` asc): each doc keeps its first
+    ``|x| - ceil(t*|x|) + 1`` tokens (exact decimal ceil — the IEEE
+    ``0.2*35`` trap). ``freq`` defines the order; the prefix theorem
+    holds for ANY fixed total order, so the caller may pass true corpus
+    frequencies (full join) or frozen state frequencies (increment)."""
+    from pyspark.sql.window import Window as W
+
+    ranked = elems.join(freq, "__tok").withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__id").orderBy("__freq", "__tok")
+        ),
+    )
+    return ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(t_dec * F.col("__sz")) + F.lit(1)
+    ).select("__id", "__sz", "__tok")
+
+
+def _jaccard_length_filter(t_dec: Column) -> Column:
+    """J >= t forces ``t * max(|x|,|y|) <= min(|x|,|y|)`` — prunes
+    candidates before verification, exact decimal arithmetic."""
+    return t_dec * F.greatest("__sza", "__szb") <= F.least(
+        "__sza", "__szb"
+    ).cast("decimal(20,9)")
+
+
+def _jaccard_verify_sets(
+    cand: DataFrame, sets: DataFrame, threshold: float, round_digits: int
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs against ``(__id, __set)`` string
+    shingle sets: two hash joins ship arrays only for survivors of the
+    prefix+length filters; threshold applies BEFORE rounding (rounding
+    is output cosmetics, not semantics)."""
     inter = F.size(F.array_intersect("__seta", "__setb")).cast("double")
     union = (
         F.size("__seta") + F.size("__setb")
@@ -1869,8 +1945,6 @@ def jaccard_similarity_join(
             "__idb",
         )
         .withColumn("__j", inter / union)
-        # exact-threshold filter BEFORE rounding (rounding is output
-        # cosmetics, not semantics)
         .filter(F.col("__j") >= F.lit(float(threshold)))
         .select(
             F.col("__ida").alias("doc_a"),
@@ -1878,3 +1952,175 @@ def jaccard_similarity_join(
             F.round("__j", round_digits).alias("jaccard"),
         )
     )
+
+
+def jaccard_join_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> dict:
+    """Sidecar state for :func:`jaccard_join_increment`: the accepted
+    corpus's prefix rows and its FROZEN token frequencies.
+
+    Returns ``{"prefixes", "tokens"}`` — persist both (parquet sidecars;
+    ``prefixes`` is corpus-prefix-sized, ``tokens`` vocabulary-sized).
+    ``tokens`` freezes each token's frequency as first observed: the
+    prefix theorem needs only a FIXED total order shared by both join
+    sides, so later deltas must never re-rank accepted tokens (a true
+    re-count would invalidate every stored prefix), and the increment
+    extends the order with unseen tokens instead (see
+    :func:`jaccard_join_increment`).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_dec = F.lit(threshold).cast("decimal(12,9)")
+    sets = _jaccard_shingle_sets(docs, id_col, text_col, shingle_k)
+    elems = sets.select(
+        "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
+    )
+    freq = elems.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    prefixes = _jaccard_prefix_rows(elems, freq, t_dec).select(
+        F.col("__id").alias("doc_id"),
+        F.col("__sz").alias("set_size"),
+        F.col("__tok").alias("token"),
+    )
+    return {
+        "prefixes": prefixes,
+        "tokens": freq.select(
+            F.col("__tok").alias("token"), F.col("__freq").alias("freq")
+        ),
+    }
+
+
+def jaccard_join_increment(
+    new_docs: DataFrame,
+    prefix_state: DataFrame,
+    token_state: DataFrame,
+    all_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    round_digits: int = 6,
+) -> dict:
+    """O(Δ) incremental EXACT Jaccard similarity join: every pair at
+    ``J >= threshold`` involving at least one new doc, without
+    recomputing the accepted corpus (the delta-friendly Vernica
+    formulation — the exact sibling of :func:`minhash_incremental_pairs`).
+
+    **Why the frozen-frequency order is exact.** The prefix filter
+    (Chaudhuri'06/PPJoin/Vernica'10) is complete under ANY total token
+    order shared by both sides of the candidate join — frequency order
+    is purely a fan-out heuristic. The state (:func:`jaccard_join_state`)
+    freezes each token's frequency at first sight; the delta's brand-new
+    tokens extend the order keyed by their delta frequency. Accepted
+    tokens therefore never re-rank — every stored prefix remains the
+    doc's true prefix under the extended order — and new docs' prefixes
+    are computed under that same order, so the candidate equi-join is
+    complete for new-old AND new-new pairs. (A true re-count would
+    re-rank accepted tokens and silently invalidate stored prefixes.)
+
+    O(Δ) shape: shingle + prefix passes over the delta only; the
+    candidate join touches state prefix rows whose token occurs in a
+    delta prefix (runtime-filtered scan, never a full-state pass);
+    verification recomputes sets only for candidate ids out of
+    ``all_texts`` (semi-join-restricted, same contract as the MinHash
+    sibling: it must contain the text of every id that can appear in a
+    candidate — accepted corpus ∪ delta; ids missing from it silently
+    drop their pairs). New and state doc ids must be disjoint.
+
+    Returns ``{"pairs", "new_prefixes", "new_tokens"}``: ``pairs`` are
+    the verified (doc_a, doc_b, jaccard) edges involving ≥1 new doc;
+    append ``new_prefixes`` to the prefix state and ``new_tokens``
+    (brand-new tokens with their frozen delta frequencies) to the token
+    state for the next run. Invariant (tested): full-corpus join ==
+    old-corpus join ∪ incremental pairs.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_dec = F.lit(threshold).cast("decimal(12,9)")
+
+    sets_new = _jaccard_shingle_sets(new_docs, id_col, text_col, shingle_k)
+    elems_new = sets_new.select(
+        "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
+    )
+    delta_freq = elems_new.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__dfreq")
+    )
+    # Extended order: frozen state frequency wins; unseen tokens slot in
+    # by delta frequency (ties broken by token text either way). The
+    # state side is vocabulary-sized and the join is delta-restricted.
+    eff = delta_freq.join(
+        token_state.select(
+            F.col("token").alias("__tok"), F.col("freq").alias("__sfreq")
+        ),
+        "__tok",
+        "left",
+    )
+    eff_freq = eff.select(
+        "__tok",
+        F.coalesce("__sfreq", "__dfreq").alias("__freq"),
+        F.col("__sfreq").isNull().alias("__is_new_tok"),
+    ).localCheckpoint(eager=True)
+    new_prefix = _jaccard_prefix_rows(
+        elems_new, eff_freq.select("__tok", "__freq"), t_dec
+    ).localCheckpoint(eager=True)
+
+    a = new_prefix.select(
+        F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__tok"
+    )
+    # new × state: ids are disjoint by contract, canonicalize after the
+    # join; the state scan is restricted to delta prefix tokens by the
+    # inner join itself (+ runtime bloom filter at scale)
+    b_state = prefix_state.select(
+        F.col("doc_id").alias("__idb"),
+        F.col("set_size").alias("__szb"),
+        F.col("token").alias("__tok"),
+    )
+    cand_new_old = (
+        a.join(b_state, "__tok")
+        .filter(_jaccard_length_filter(t_dec))
+        .select(
+            F.least("__ida", "__idb").alias("__ida"),
+            F.greatest("__ida", "__idb").alias("__idb"),
+        )
+    )
+    b_new = new_prefix.select(
+        F.col("__id").alias("__idb"), F.col("__sz").alias("__szb"), "__tok"
+    )
+    cand_new_new = (
+        a.join(b_new, "__tok")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(_jaccard_length_filter(t_dec))
+        .select("__ida", "__idb")
+    )
+    cand = cand_new_old.unionByName(cand_new_new).distinct()
+
+    # verify with the SAME set construction as the full join (string
+    # shingles), restricted to candidate ids out of all_texts
+    cids = (
+        cand.select(F.col("__ida").alias("__cid"))
+        .unionByName(cand.select(F.col("__idb").alias("__cid")))
+        .distinct()
+    )
+    relevant = all_texts.join(
+        cids, on=[F.col(id_col) == F.col("__cid")], how="left_semi"
+    )
+    sets_cand = _jaccard_shingle_sets(relevant, id_col, text_col, shingle_k)
+    pairs = _jaccard_verify_sets(cand, sets_cand, threshold, round_digits)
+
+    new_prefixes = new_prefix.select(
+        F.col("__id").alias("doc_id"),
+        F.col("__sz").alias("set_size"),
+        F.col("__tok").alias("token"),
+    )
+    new_tokens = eff_freq.filter(F.col("__is_new_tok")).select(
+        F.col("__tok").alias("token"), F.col("__freq").alias("freq")
+    )
+    return {
+        "pairs": pairs,
+        "new_prefixes": new_prefixes,
+        "new_tokens": new_tokens,
+    }

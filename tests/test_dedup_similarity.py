@@ -493,6 +493,19 @@ def test_connected_components_star_chain_and_equality(spark):
         for r in connected_components_star(small).collect()
     }
     assert star_small == prop
+    # the two join strategies (broadcast min frames vs sort-merge) must
+    # be result-identical — the partitioned path is what runs past the
+    # broadcast node limit at scale
+    stats_p: dict = {}
+    part = {
+        (r["node"], r["component"])
+        for r in connected_components_star(
+            edges, stats=stats_p, broadcast_labels=False
+        ).collect()
+    }
+    assert stats_p["strategy"] == "partitioned"
+    assert stats["strategy"] == "broadcast"
+    assert part == star
 
 
 def _random_bucket_view(spark, rng, n_docs: int, bands: int, n_buckets: int):

@@ -485,3 +485,77 @@ def dedup_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity_join(
         docs, "doc_id", "text", threshold=0.2, shingle_k=3
     )
+
+
+@register(
+    "dedup_jaccard_join_incremental",
+    # FULL oracle: the increment must produce EXACTLY the brute-force
+    # all-pairs Jaccard restricted to pairs touching a delta doc — the
+    # frozen-token-order candidate completeness is hash-verified against
+    # DuckDB, not argued from the prefix theorem alone.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id % 5 = 3 OR b.doc_id % 5 = 3)
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="O(Δ) incremental EXACT Jaccard join (operators/dedup.py:"
+    "jaccard_join_increment — the exact sibling of "
+    "minhash_incremental_pairs): the corpus's 4/5 'accepted' docs build "
+    "a persisted prefix + frozen-token-frequency sidecar (parquet "
+    "round-trip in-query), the remaining 1/5 folds in as a delta — "
+    "shingle/prefix passes over the delta only, candidate join against "
+    "the state restricted to delta prefix tokens, verification "
+    "semi-join-restricted to candidate ids. Exactness hinges on the "
+    "frozen token order: the prefix filter is complete under ANY fixed "
+    "total order, so accepted tokens keep their first-seen frequency "
+    "rank and unseen tokens extend the order; the DuckDB oracle is the "
+    "brute-force all-pairs join over the FULL corpus restricted to "
+    "delta-touching pairs, so candidate completeness is hash-verified.",
+)
+def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_join_increment,
+        jaccard_join_state,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    base = docs.filter(F.col("doc_id") % 5 != 3)
+    delta = docs.filter(F.col("doc_id") % 5 == 3)
+    state = jaccard_join_state(
+        base, "doc_id", "text", threshold=0.2, shingle_k=3
+    )
+    root = tempfile.mkdtemp(prefix="jaccard_state_")
+    state["prefixes"].write.mode("overwrite").parquet(f"{root}/prefixes")
+    state["tokens"].write.mode("overwrite").parquet(f"{root}/tokens")
+    inc = jaccard_join_increment(
+        delta,
+        spark.read.parquet(f"{root}/prefixes"),
+        spark.read.parquet(f"{root}/tokens"),
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.2,
+        shingle_k=3,
+    )
+    return inc["pairs"]

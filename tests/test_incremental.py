@@ -135,3 +135,71 @@ def test_minhash_incremental_equals_full(spark):
     assert (4, 6) in inc_pairs  # new-new pair found without state
     # bucket-state delta has one row per (doc, band)
     assert inc["new_buckets"].count() == 3 * 16
+
+
+def _jacc_pairs(df):
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()
+    }
+
+
+def test_jaccard_join_incremental_equals_full(spark):
+    """Invariant of the O(delta) EXACT Jaccard join: full-corpus join ==
+    old-corpus join ∪ incremental pairs, with identical scores — across
+    TWO chained increments (the frozen-token-order induction: accepted
+    tokens must never re-rank, or stored prefixes silently lose
+    candidate completeness)."""
+    import random
+
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_join_increment,
+        jaccard_join_state,
+        jaccard_similarity_join,
+    )
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base = doc(30)
+    old_rows = [(i, base if i % 4 == 0 else doc(rng.randint(8, 35)))
+                for i in range(1, 13)]
+    d1_rows = [(100 + i, base if i % 3 == 0 else doc(rng.randint(8, 35)))
+               for i in range(6)]
+    # second delta introduces BRAND-NEW vocabulary (extends the order)
+    d2_rows = [(200, base), (201, doc(20) + " zz1 zz2 zz3 zz1 zz2 zz3"),
+               (202, "zz1 zz2 zz3 zz4 zz5 zz1 zz2 zz3 zz4 zz5 zz6 zz7")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    d1 = spark.createDataFrame(d1_rows, "doc_id long, text string")
+    d2 = spark.createDataFrame(d2_rows, "doc_id long, text string")
+    kw = dict(threshold=0.3, shingle_k=3)
+
+    full01 = old.unionByName(d1)
+    full012 = full01.unionByName(d2)
+    pairs_old = _jacc_pairs(jaccard_similarity_join(old, "doc_id", "text", **kw))
+    pairs_f1 = _jacc_pairs(jaccard_similarity_join(full01, "doc_id", "text", **kw))
+    pairs_f2 = _jacc_pairs(jaccard_similarity_join(full012, "doc_id", "text", **kw))
+    assert pairs_f1, "fixture must produce pairs"
+
+    state = jaccard_join_state(old, "doc_id", "text", **kw)
+    inc1 = jaccard_join_increment(
+        d1, state["prefixes"], state["tokens"], full01, "doc_id", "text", **kw
+    )
+    got1 = _jacc_pairs(inc1["pairs"])
+    assert all(a >= 100 or b >= 100 for a, b in got1)
+    assert {**pairs_old, **got1} == pairs_f1  # pair sets AND exact scores
+
+    # chain: append the delta's prefixes + brand-new tokens, fold delta 2
+    prefixes2 = state["prefixes"].unionByName(inc1["new_prefixes"])
+    tokens2 = state["tokens"].unionByName(inc1["new_tokens"])
+    inc2 = jaccard_join_increment(
+        d2, prefixes2, tokens2, full012, "doc_id", "text", **kw
+    )
+    got2 = _jacc_pairs(inc2["pairs"])
+    assert all(a >= 200 or b >= 200 for a, b in got2)
+    assert {**pairs_f1, **got2} == pairs_f2
+    # the all-new-vocab doc pair (201, 202) shares only zz tokens
+    assert inc2["new_tokens"].filter(
+        F.col("token").like("%zz%")).count() > 0

@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="fold a streamed ANN index's stats deltas once more than "
         "this many batch partitions exist",
     )
+    sweep.add_argument(
+        "--dry-run", action="store_true",
+        help="report-only: mutate NOTHING, print what recovery/compaction "
+        "WOULD do, and exit 3 when any tree needs recovery or compaction "
+        "(0 when the lake is clean) — the check mode for operators who "
+        "want the report without the chores",
+    )
 
     expire = sub.add_parser(
         "expire", help="drop year/month/day partitions older than a retention window"
@@ -102,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         reports = sweep_lake(
             spark, args.root,
             compact_deltas_window=args.compact_deltas_window,
+            dry_run=args.dry_run,
         )
         recovered = sum(r["recovered"] for r in reports)
         for r in reports:
@@ -116,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
                     extra += (
                         f", deltas {r['deltas_compacted']['before']}"
                         f"->{r['deltas_compacted']['after']}"
+                    )
+                if "would_compact_deltas" in r:
+                    extra += (
+                        f", would compact "
+                        f"{r['would_compact_deltas']['batches']} delta "
+                        f"batches (window "
+                        f"{r['would_compact_deltas']['window']})"
                     )
                 tag = f"ann-{r['kind']}/{r['maintainer']}"
             elif r["family"] == "bm25":
@@ -142,6 +157,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"sweep[{tag}]: {r['path']} — {r['parquet_files']} files, "
                 f"recovered={r['recovered']}, {extra}"
             )
+        if args.dry_run:
+            would_compact = sum(
+                1 for r in reports if "would_compact_deltas" in r
+            )
+            print(
+                f"sweep (dry-run): {len(reports)} state trees, "
+                f"{recovered} pending swaps/commits, "
+                f"{would_compact} compactable delta trees — nothing touched"
+            )
+            # documented contract: non-zero when the lake needs work
+            return 3 if (recovered or would_compact) else 0
         print(
             f"sweep: {len(reports)} state trees, "
             f"{recovered} recovered swaps/commits"

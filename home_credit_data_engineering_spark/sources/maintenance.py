@@ -74,6 +74,33 @@ def recover_state_swap(state_path: str) -> str | None:
     return "discarded"
 
 
+def pending_state_swap(state_path: str) -> str | None:
+    """Read-only twin of :func:`recover_state_swap`: report what recovery
+    WOULD do (``"finish"`` / ``"discard"``), or ``None`` when the tree is
+    clean. Touches nothing — the ``sweep --dry-run`` primitive."""
+    next_path = staged_state_path(state_path)
+    if not os.path.isdir(next_path):
+        return None
+    complete = os.path.exists(os.path.join(next_path, "_SUCCESS"))
+    if complete and not os.path.isdir(state_path):
+        return "finish"
+    return "discard"
+
+
+def pending_fold_commits(state_root: str) -> list[str]:
+    """Read-only twin of :func:`recover_fold_commits`: fingerprints whose
+    fold crashed between ``begin_fold_commit`` and ``finish_fold_commit``
+    (a ``.committing`` marker is present). Touches nothing."""
+    d = ledger_dir(state_root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        name[: -len(".committing")]
+        for name in os.listdir(d)
+        if name.endswith(".committing")
+    )
+
+
 def swap_in_state(state_path: str) -> None:
     """Promote a fully-written ``{state}__next`` to ``state_path``.
 

@@ -45,10 +45,19 @@ from home_credit_data_engineering_spark.plans.corpus_pipeline import (
     STATE_DIRS as _CORPUS_LEGS,
 )
 from home_credit_data_engineering_spark.sources.maintenance import (
+    pending_fold_commits,
+    pending_state_swap,
     recover_fold_commits,
     recover_state_swap,
     staged_state_path,
 )
+
+
+def _swap(path: str, dry_run: bool) -> bool:
+    """Recover a swap (live) or detect one (dry-run); True if one
+    was/would-be handled."""
+    probe = pending_state_swap if dry_run else recover_state_swap
+    return probe(path) is not None
 
 
 def _parquet_file_count(root: str) -> int:
@@ -68,11 +77,11 @@ def _read_layout(path: str) -> dict | None:
         return json.load(fh)
 
 
-def _recover_nested_swaps(root: str) -> int:
+def _recover_nested_swaps(root: str, dry_run: bool = False) -> int:
     """Generic recovery for families without a dedicated recovery order:
     finish/discard every ``*__next`` staged dir under ``root`` (deepest
     first, so a parent swap never renames a child's staged dir away
-    before the child is recovered)."""
+    before the child is recovered). ``dry_run`` counts without acting."""
     pending: list[str] = []
     for dirpath, dirnames, _files in os.walk(root):
         for d in dirnames:
@@ -80,7 +89,7 @@ def _recover_nested_swaps(root: str) -> int:
                 pending.append(os.path.join(dirpath, d[: -len("__next")]))
     n = 0
     for base in sorted(pending, key=lambda p: -p.count(os.sep)):
-        if recover_state_swap(base) is not None:
+        if _swap(base, dry_run):
             n += 1
     return n
 
@@ -101,7 +110,10 @@ def _classify(dirnames: list[str], filenames: list[str]) -> str | None:
 
 
 def _sweep_ann(
-    spark: SparkSession, path: str, compact_deltas_window: int
+    spark: SparkSession,
+    path: str,
+    compact_deltas_window: int,
+    dry_run: bool = False,
 ) -> dict[str, Any]:
     from home_credit_data_engineering_spark.operators.ann_state import (
         _stats_path,
@@ -120,12 +132,12 @@ def _sweep_ann(
     recovered = 0
     # root/deltas recovery FIRST: a died compaction/rebuild must finish
     # before anything (layout inference included) trusts the live dirs
-    recovered += recover_state_swap(path) is not None
-    recovered += recover_state_swap(deltas) is not None
+    recovered += _swap(path, dry_run)
+    recovered += _swap(deltas, dry_run)
     for sub in ("codes", "vectors"):
         p = os.path.join(path, sub)
         if os.path.isdir(p) or os.path.isdir(staged_state_path(p)):
-            recovered += recover_state_swap(p) is not None
+            recovered += _swap(p, dry_run)
     streamed = (
         layout["maintainer"] == "streamed"
         if layout
@@ -137,24 +149,37 @@ def _sweep_ann(
         else ("ivfpq" if os.path.isdir(os.path.join(path, "codes")) else "ivf")
     )
     compacted: tuple[int, int] | None = None
+    would_compact: int | None = None
     if streamed:
         ids = _delta_batch_ids(deltas)
         if len(ids) > compact_deltas_window:
-            _compact_deltas(spark, path, max(ids))
-            compacted = (len(ids), len(_delta_batch_ids(deltas)))
+            if dry_run:
+                would_compact = len(ids)
+            else:
+                _compact_deltas(spark, path, max(ids))
+                compacted = (len(ids), len(_delta_batch_ids(deltas)))
         # a stream that died between bootstrap and its first stats
-        # delta leaves no deltas dir — report empty stats, don't abort
+        # delta leaves no deltas dir — report empty stats, don't abort.
+        # Dry-run with pending recovery: the live dirs may be mid-swap —
+        # skip the data read rather than trust an unrecovered tree.
         rows = (
             read_streaming_cell_stats(spark, path).collect()
-            if os.path.isdir(deltas)
+            if os.path.isdir(deltas) and not (dry_run and recovered)
             else []
         )
     else:
-        recovered += bool(recover_fold_commits(path, [_stats_path(path)]))
-        recovered += recover_state_swap(_stats_path(path)) is not None
+        if dry_run:
+            recovered += bool(pending_fold_commits(path))
+            recovered += _swap(_stats_path(path), True)
+        else:
+            recovered += bool(
+                recover_fold_commits(path, [_stats_path(path)])
+            )
+            recovered += recover_state_swap(_stats_path(path)) is not None
         rows = (
             read_cell_stats(spark, path).collect()
             if os.path.isdir(_stats_path(path))
+            and not (dry_run and recovered)
             else []
         )
     centers = np.load(os.path.join(path, "_centroids.npy"))
@@ -176,33 +201,44 @@ def _sweep_ann(
         out["deltas_compacted"] = {
             "before": compacted[0], "after": compacted[1]
         }
+    if would_compact is not None:
+        out["would_compact_deltas"] = {
+            "batches": would_compact, "window": compact_deltas_window
+        }
     return out
 
 
-def _sweep_bm25(spark: SparkSession, path: str) -> dict[str, Any]:
+def _sweep_bm25(
+    spark: SparkSession, path: str, dry_run: bool = False
+) -> dict[str, Any]:
     from pyspark.sql import functions as F
 
     layout = _read_layout(path)
     recovered = 0
     if layout and layout["maintainer"] == "batch":
-        recovered += bool(
-            recover_fold_commits(
-                path, [os.path.join(path, "df"), os.path.join(path, "stats")]
+        if dry_run:
+            recovered += bool(pending_fold_commits(path))
+        else:
+            recovered += bool(
+                recover_fold_commits(
+                    path,
+                    [os.path.join(path, "df"), os.path.join(path, "stats")],
+                )
             )
-        )
     for leg in ("postings", "df", "doclens", "stats"):
-        recovered += (
-            recover_state_swap(os.path.join(path, leg)) is not None
-        )
+        recovered += _swap(os.path.join(path, leg), dry_run)
     stats_dir = os.path.join(path, "stats")
     streamed_shape = any(
         d.startswith("batch=")
         for d in (os.listdir(stats_dir) if os.path.isdir(stats_dir) else ())
     )
+    # dry-run with pending recovery: don't read a mid-swap stats leg
     row = (
         spark.read.parquet(stats_dir)
         .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
         .first()
+        if not (dry_run and recovered)
+        else {"n": 0, "t": 0.0}
     )
     n_docs = float(row["n"] or 0.0)
     return {
@@ -228,10 +264,10 @@ def _sweep_bm25(spark: SparkSession, path: str) -> dict[str, Any]:
     }
 
 
-def _sweep_entity(path: str) -> dict[str, Any]:
+def _sweep_entity(path: str, dry_run: bool = False) -> dict[str, Any]:
     # recover FIRST so the snapshot/file report reflects the tree the
     # sweep leaves behind, not the pre-recovery state
-    recovered = _recover_nested_swaps(path)
+    recovered = _recover_nested_swaps(path, dry_run)
     entities = os.path.join(path, "entities")
     snaps = sorted(
         int(d.split("=", 1)[1])
@@ -248,9 +284,9 @@ def _sweep_entity(path: str) -> dict[str, Any]:
     }
 
 
-def _sweep_corpus(path: str) -> dict[str, Any]:
+def _sweep_corpus(path: str, dry_run: bool = False) -> dict[str, Any]:
     # recover FIRST so the per-leg report reflects the recovered tree
-    recovered = _recover_nested_swaps(path)
+    recovered = _recover_nested_swaps(path, dry_run)
     legs = {}
     for leg in _CORPUS_LEGS:
         p = os.path.join(path, leg)
@@ -277,12 +313,20 @@ def sweep_lake(
     spark: SparkSession,
     root: str,
     compact_deltas_window: int = 16,
+    dry_run: bool = False,
 ) -> list[dict[str, Any]]:
     """Walk ``root``, recover + compact + report every state tree found.
 
     Returns one dict per tree (see the module doc for the families).
     Run with any maintaining streams STOPPED — the streamed-delta
     compaction has the same contract as ``compact_streamed_ann_index``.
+
+    ``dry_run`` mutates NOTHING: each report's ``recovered`` counts the
+    actions recovery WOULD take (pending swaps / fold commits), delta
+    compaction reports ``would_compact_deltas`` instead of folding, and
+    data reads are skipped on trees with pending recovery (a mid-swap
+    leg is not safe to read). Orphan root swaps report action
+    ``"would-finish"`` / ``"would-discard"``.
     """
     reports: list[dict[str, Any]] = []
     for dirpath, dirnames, filenames in os.walk(root):
@@ -297,9 +341,12 @@ def sweep_lake(
         ]
         for base in orphans:
             full = os.path.join(dirpath, base)
-            action = recover_state_swap(full)
-            if action == "finished":
-                dirnames.append(base)  # classify the recovered tree
+            if dry_run:
+                action = "would-" + (pending_state_swap(full) or "")
+            else:
+                action = recover_state_swap(full)
+                if action == "finished":
+                    dirnames.append(base)  # classify the recovered tree
             reports.append(
                 {
                     "family": "orphan-swap",
@@ -317,14 +364,14 @@ def sweep_lake(
             continue
         if kind == "ann":
             reports.append(
-                _sweep_ann(spark, dirpath, compact_deltas_window)
+                _sweep_ann(spark, dirpath, compact_deltas_window, dry_run)
             )
         elif kind == "bm25":
-            reports.append(_sweep_bm25(spark, dirpath))
+            reports.append(_sweep_bm25(spark, dirpath, dry_run))
         elif kind == "entity":
-            reports.append(_sweep_entity(dirpath))
+            reports.append(_sweep_entity(dirpath, dry_run))
         elif kind == "corpus":
-            reports.append(_sweep_corpus(dirpath))
+            reports.append(_sweep_corpus(dirpath, dry_run))
         if kind is not None:
             dirnames[:] = []
             continue

@@ -205,3 +205,60 @@ def test_sweep_recovers_orphan_root_swap(spark, tmp_path):
     ann = [r for r in reports if r["family"] == "ann"][0]
     assert ann["n_vectors"] == 30
     assert os.path.isdir(idx)
+
+
+def _fs_snapshot(root):
+    snap = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        for d in dirnames:
+            snap.add(("d", os.path.relpath(os.path.join(dirpath, d), root)))
+        for f in filenames:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            snap.add(
+                ("f", os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+            )
+    return snap
+
+
+def test_sweep_dry_run_mutates_nothing_and_exit_codes(spark, tmp_path, capsys):
+    """--dry-run contract: byte-identical lake afterwards, exit 3 while
+    the lake needs recovery, exit 0 once a live sweep cleaned it."""
+    from home_credit_data_engineering_spark.jobs import maintenance as job
+
+    root = tmp_path / "dirty_lake"
+    ents = spark.createDataFrame(
+        [(1, 100), (2, 100)], "record_id long, entity_id long"
+    )
+    ents.write.parquet(str(root / "er" / "entities" / "batch=0"))
+    # crashed root swap: completed aux__next, live dir gone
+    staged = root / "er" / "aux__next"
+    os.makedirs(staged)
+    open(staged / "_SUCCESS", "w").close()
+    with open(staged / "data.txt", "w") as fh:
+        fh.write("recovered")
+
+    before = _fs_snapshot(root)
+    assert job.main(["sweep", "--root", str(root), "--dry-run"]) == 3
+    assert _fs_snapshot(root) == before, "--dry-run must not touch the lake"
+    out = capsys.readouterr().out
+    assert "dry-run" in out and "would-finish" in out
+    assert "nothing touched" in out
+
+    # live sweep performs the recovery…
+    assert job.main(["sweep", "--root", str(root)]) == 0
+    assert os.path.exists(root / "er" / "aux" / "data.txt")
+    capsys.readouterr()
+    # …after which the check mode reports clean
+    assert job.main(["sweep", "--root", str(root), "--dry-run"]) == 0
+    assert "0 pending" in capsys.readouterr().out
+
+
+def test_sweep_dry_run_never_mutates_module_lake(spark, lake):
+    """Regardless of the module lake's current recovery/compaction state,
+    dry_run=True must leave every byte in place (incl. the streamed ANN
+    delta tree, which live sweeps WOULD compact past the window)."""
+    before = _fs_snapshot(lake)
+    reports = sweep_lake(spark, lake, compact_deltas_window=2, dry_run=True)
+    assert _fs_snapshot(lake) == before
+    assert all("deltas_compacted" not in r for r in reports)

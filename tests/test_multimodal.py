@@ -65,9 +65,47 @@ def test_frame_sampling_expands_rows(payloads):
     assert all(len(r["frame_bytes"]) <= 64 for r in rows)
 
 
-def test_real_decoder_is_explicitly_unavailable(payloads):
-    with pytest.raises(NotImplementedError):
-        decode_image(payloads, "doc_id", "payload")
+def test_real_decoder_rejects_codec_formats(payloads):
+    # text payloads are not codec-free rasters: the real decoder must
+    # refuse them loudly (execution-time, per-payload) instead of
+    # emitting fake metadata — the honest boundary of the no-PIL decode
+    with pytest.raises(Exception, match="codec-free raster"):
+        decode_image(payloads, "doc_id", "payload").collect()
+
+
+def test_real_decode_bmp_ppm_and_resize(spark):
+    import numpy as np
+
+    from home_credit_data_engineering_spark.functions.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        resize_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    px1 = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    px2 = rng.randint(0, 256, (3, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px1))), (2, bytearray(encode_ppm(px2)))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image(df, "doc_id", "payload").collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("bmp", 7, 5)
+    assert got[1]["pixel_sum"] == int(px1.sum())
+    assert got[1]["top_row_sum"] == int(px1[0].sum())  # bottom-up honored
+    assert got[1]["n_pixel_bytes"] == 7 * 5 * 3  # padding excluded
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("ppm", 4, 3)
+    assert got[2]["pixel_sum"] == int(px2.sum())
+
+    resized = resize_frames(df, "doc_id", "payload", width=4, height=2)
+    rdec = {
+        r["doc_id"]: r
+        for r in decode_image(resized, "doc_id", "resized").collect()
+    }
+    taps_r = (np.arange(2) * 5) // 2
+    taps_c = (np.arange(4) * 7) // 4
+    assert rdec[1]["width"] == 4 and rdec[1]["height"] == 2
+    assert rdec[1]["pixel_sum"] == int(px1[taps_r][:, taps_c].sum())
 
 
 def test_resize_stub_fixed_output_size(spark):

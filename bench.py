@@ -217,6 +217,14 @@ def main() -> None:
         sf_val = sf
     verdicts = adjudicate(sf_dir, timings, load_bench_ref("headline", sf_val))
 
+    # Load gate (VERDICT r12 #7): flag a hot box IN the artifact and on
+    # stderr, so a noise-dominated snapshot carries its own caveat.
+    from bench_scaled import load_gate
+
+    gate = load_gate(load_before[0])
+    if gate["warning"]:
+        print(gate["warning"], file=sys.stderr)
+
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -228,6 +236,7 @@ def main() -> None:
         "verdicts": verdicts,
         "load_avg_before": load_before,
         "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        "load_gate": gate,
     }
 
     spark.stop()
@@ -257,6 +266,8 @@ def main() -> None:
             result["queries_scaled_spread"] = scaled["spread"]
             result["verdicts_scaled"] = scaled.get("verdicts", {})
             result["value_scaled"] = round(sum(scaled["queries"].values()), 3)
+            if "load_gate" in scaled:
+                result["load_gate_scaled"] = scaled["load_gate"]
         else:
             # A failed scaled leg must be VISIBLE in the artifact — a
             # silently missing section reads as "not run" (r6: a stale

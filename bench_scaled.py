@@ -209,6 +209,36 @@ def load_bench_ref(
     return dict(data.get(section, {}))
 
 
+def load_gate(load_1min: float, cpus: int | None = None) -> dict:
+    """Machine-load gate for bench snapshots (VERDICT r12 #7: two
+    successive driver rounds shipped noise-dominated numbers from a
+    load-7-17 box with nothing in the artifact flagging it up front).
+
+    Committed references are quiet-box minima (load ~1-2 on 32 cpus);
+    a snapshot taken above ``hot_load`` (cpus/4, same threshold the
+    adjudicator uses, ``SPARK_GRAFT_HOT_LOAD`` to override) measures
+    the box, not the code. Returns ``{"threshold", "load_1min", "hot",
+    "warning"}`` — callers embed it in the artifact and print the
+    warning to stderr so the hot-box caveat rides WITH the numbers.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    threshold = float(os.environ.get("SPARK_GRAFT_HOT_LOAD", str(cpus / 4)))
+    hot = load_1min > threshold
+    return {
+        "threshold": round(threshold, 2),
+        "load_1min": round(load_1min, 2),
+        "hot": hot,
+        "warning": (
+            f"WARNING: 1-min load {load_1min:.1f} exceeds the quiet-box "
+            f"gate {threshold:.1f} — timings measure the box, not the "
+            "code; treat minima as upper bounds and trust verdicts only"
+            if hot
+            else None
+        ),
+    }
+
+
 def _time_ann_increment(spark, sf_dir: str, runs: int = 2) -> list[float]:
     """Build an IVF index over ``sf_dir``'s embeddings (UNTIMED), then
     time ``runs`` folds of a fixed 2,000-vector delta with fresh ids —
@@ -601,6 +631,12 @@ def run_scaled(
     scaled_dir = build_scaled_cache(spark, sf_dir, replicas)
     runs = max(2, int(os.environ.get("SPARK_GRAFT_SCALED_RUNS", "3")))
     names = [n for n in SCALED_QUERIES if n in registry]
+    try:
+        sf_scaled: object = round(
+            float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * replicas, 3
+        )
+    except ValueError:
+        sf_scaled = None
     # Interleaved passes, for the same burst-robustness reason as the
     # headline loop (see bench.py): one external load burst must not be
     # able to sink every sample of one query.
@@ -616,6 +652,28 @@ def run_scaled(
             # ContextCleaner sees their refs dead — nudge both GCs so one
             # query's checkpoint blocks don't become the next query's
             # memory pressure.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+    # Load-robust minima for the heaviest legs (VERDICT r12 #7): the
+    # top-5 queries dominate the scaled sum and a burst landing on all
+    # `runs` interleaved samples of one of them produced two rounds of
+    # driver-box noise verdicts. Rank by the committed quiet-box ref
+    # (falling back to the measured min when no ref applies) and give
+    # each SPARK_GRAFT_TOP_EXTRA_RUNS extra samples.
+    extra_runs = max(0, int(os.environ.get("SPARK_GRAFT_TOP_EXTRA_RUNS", "2")))
+    ref_for_top = load_bench_ref("scaled", sf_scaled)
+    top5 = sorted(
+        names,
+        key=lambda n: -(ref_for_top.get(n) or min(all_samples[n])),
+    )[:5]
+    for _ in range(extra_runs):
+        for name in top5:
+            start = time.perf_counter()
+            registry[name].build(spark, scaled_dir).count()
+            all_samples[name].append(time.perf_counter() - start)
+            spark.catalog.clearCache()
             import gc
 
             gc.collect()
@@ -710,12 +768,6 @@ def run_scaled(
         "max": round(sorted(inc_samples)[-1], 3),
     }
 
-    try:
-        sf_scaled: object = round(
-            float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) * replicas, 3
-        )
-    except ValueError:
-        sf_scaled = None
     # always_probe_top=5 (VERDICT r8 #3): the five most expensive scaled
     # queries get unconditional fresh-JVM telemetry — r8 shipped pagerank
     # medians 4x the min with zero probes because the trigger never fired.
@@ -753,8 +805,21 @@ def _main() -> int:
         },
     )
     prep(spark)
+    gate = load_gate(os.getloadavg()[0])
+    if gate["warning"]:
+        print(gate["warning"], file=sys.stderr)
     timings, spread, verdicts = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
-    print(json.dumps({"queries": timings, "spread": spread, "verdicts": verdicts}))
+    print(
+        json.dumps(
+            {
+                "queries": timings,
+                "spread": spread,
+                "verdicts": verdicts,
+                "load_gate": gate,
+                "load_avg_after": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
     spark.stop()
     return 0
 

@@ -218,3 +218,26 @@ def test_bench_ref_refuses_foreign_cpu_count(tmp_path, monkeypatch):
     del ref["host_cpus"]  # pre-r12 ref: accepted for compatibility
     p.write_text(json.dumps(ref))
     assert load_bench_ref("headline", 0.1, path=str(p)) == {"q1": 1.0}
+
+
+def test_load_gate_warn_and_quiet(monkeypatch):
+    """VERDICT r12 #7: the gate must flag a hot box in the artifact
+    (hot=True + a human-readable warning) and stay silent on a quiet
+    one; the threshold follows SPARK_GRAFT_HOT_LOAD."""
+    import bench_scaled
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    monkeypatch.delenv("SPARK_GRAFT_HOT_LOAD", raising=False)
+    quiet = bench_scaled.load_gate(1.3)
+    assert quiet == {
+        "threshold": 8.0,
+        "load_1min": 1.3,
+        "hot": False,
+        "warning": None,
+    }
+    hot = bench_scaled.load_gate(12.7)
+    assert hot["hot"] and hot["threshold"] == 8.0
+    assert "12.7" in hot["warning"] and "WARNING" in hot["warning"]
+    monkeypatch.setenv("SPARK_GRAFT_HOT_LOAD", "2.0")
+    assert bench_scaled.load_gate(2.5)["hot"]
+    assert not bench_scaled.load_gate(1.5)["hot"]

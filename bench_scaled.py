@@ -111,6 +111,12 @@ SCALED_QUERIES = (
     "dedup_simhash",
     "dedup_minhash_collapsed",
     "dedup_minhash_lsh",
+    # r13 (VERDICT r12 #5): the EXACT Jaccard join family at its
+    # worst-case regime (verbatim 10x duplication => d^2 candidate
+    # fan-out). The collapsed form rides the suite; the direct form is
+    # a dedicated single-sample leg below (it exists to measure the
+    # fan-out the collapse removes — ~88s vs ~14s, ratio logged).
+    "dedup_jaccard_join_collapsed",
     "sim_ivf_topk",
     # r7: distributed Lloyd's k-means (k=8 x 3 iterations). Per
     # iteration: broadcast-centroid join over the exploded scalar
@@ -560,6 +566,76 @@ def _time_related_docs_serving(spark: SparkSession, table_dir: str) -> None:
     related_documents(spark, idx, panel, k=5, n_buckets=64).count()
 
 
+def _time_skew_salted_vs_naive(spark: SparkSession, table_dir: str) -> dict:
+    """Planted-skew comparison leg (VERDICT r12 #3): the SAME
+    pathological join — 90% of the 10× lineitem rows on ONE hot key,
+    1000-row band dim — through ``salted_join(16)`` vs the naive
+    unsalted sort-merge, with broadcast AND AQE skew-split disabled for
+    BOTH legs so each is a genuine shuffle join (a 1000-row dim would
+    otherwise broadcast and hide the skew entirely; AQE's skew split
+    would rescue the naive plan — its plan shape is asserted separately
+    in test_skew_handling). This measures the salting mechanism itself:
+    the fallback for engines/paths where neither rescue applies.
+
+    Returns ``{"salted_min", "naive_min", "ratio"}`` (ratio =
+    naive/salted, min of 2 runs each, interleaved).
+    """
+    from home_credit_data_engineering_spark.operators.joins import salted_join
+    from home_credit_data_engineering_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, table_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(100)) < 90, F.lit(1))
+        .otherwise(F.pmod("l_orderkey", F.lit(1000)) + 1)
+        .cast("bigint")
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(1, 1001).select(
+        F.col("id").alias("k"),
+        F.pmod("id", F.lit(7)).cast("int").alias("band"),
+    )
+
+    def _agg(joined: DataFrame) -> None:
+        joined.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        ).count()
+
+    knobs = {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in knobs}
+    salted_s: list[float] = []
+    naive_s: list[float] = []
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        for _ in range(2):
+            start = time.perf_counter()
+            _agg(salted_join(skewed, dim, on="k", salt_buckets=16))
+            salted_s.append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            _agg(skewed.join(dim, "k"))
+            naive_s.append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    salted_min, naive_min = min(salted_s), min(naive_s)
+    return {
+        "salted_min": round(salted_min, 3),
+        "naive_min": round(naive_min, 3),
+        "ratio": round(naive_min / salted_min, 3) if salted_min else None,
+    }
+
+
 def _cache_dir(sf_dir: str, replicas: int) -> str:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return os.path.join(
@@ -752,6 +828,63 @@ def run_scaled(
     spread["related_docs_serving"] = {
         "med": round(rd_samples[-1], 3),
         "max": round(rd_samples[-1], 3),
+    }
+
+    # Direct (uncollapsed) exact Jaccard join at 10x with the fan-out
+    # stat (VERDICT r12 #5): ONE sample — the leg exists to measure the
+    # prefix-filter fan-out under worst-case duplication against its
+    # collapsed sibling in the suite above, and min-of-N of a ~90 s leg
+    # would dominate the whole suite. The in-flight stat (one extra
+    # count over the checkpointed candidate frame) records
+    # candidates vs brute-force pairs; the timing includes it.
+    from home_credit_data_engineering_spark.functions.text import (
+        tokens as _tokens,
+    )
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    jstats: dict = {}
+    start = time.perf_counter()
+    jdocs = read_testdata(spark, scaled_dir, "documents").filter(
+        F.size(_tokens("text")) >= 3
+    )
+    jaccard_similarity_join(
+        jdocs, "doc_id", "text", threshold=0.2, shingle_k=3, stats=jstats
+    ).count()
+    jt = round(time.perf_counter() - start, 3)
+    spark.catalog.clearCache()
+    timings["dedup_jaccard_join_exact"] = jt
+    spread["dedup_jaccard_join_exact"] = {
+        "med": jt,
+        "max": jt,
+        "fanout": {
+            "candidate_pairs": jstats.get("candidate_pairs"),
+            "brute_force_pairs": jstats.get("brute_force_pairs"),
+            "candidates_vs_brute": (
+                round(
+                    jstats["candidate_pairs"] / jstats["brute_force_pairs"], 6
+                )
+                if jstats.get("brute_force_pairs")
+                else None
+            ),
+        },
+    }
+
+    # Planted-skew salted-vs-naive comparison (VERDICT r12 #3): both
+    # legs as genuine shuffle joins (broadcast + AQE skew-split off) —
+    # the measured naive/salted ratio IS the 100 TB skew-story evidence
+    # docs/SCALE.md cites, replacing the argued-from-theory version.
+    skew = _time_skew_salted_vs_naive(spark, scaled_dir)
+    timings["join_skew_salted_noaqe"] = skew["salted_min"]
+    timings["join_skew_naive_noaqe"] = skew["naive_min"]
+    spread["join_skew_salted_noaqe"] = {
+        "med": skew["salted_min"], "max": skew["salted_min"]
+    }
+    spread["join_skew_naive_noaqe"] = {
+        "med": skew["naive_min"],
+        "max": skew["naive_min"],
+        "naive_vs_salted_ratio": skew["ratio"],
     }
 
     # O(Δ) claim measured, not argued: the SAME fixed 2,000-vector fold

@@ -1797,6 +1797,7 @@ def jaccard_similarity_join(
     threshold: float = 0.5,
     shingle_k: int = 3,
     round_digits: int = 6,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering — every pair of
     documents whose shingle-set Jaccard clears ``threshold``, with NO
@@ -1862,6 +1863,17 @@ def jaccard_similarity_join(
         .select("__ida", "__idb")
         .distinct()
     )
+    if stats is not None:
+        # fan-out observability: how many pairs the prefix+length
+        # filters let through vs the all-pairs product they replaced —
+        # the operator's scale-risk number (hot prefix tokens blow this
+        # up). Costs one extra count; the checkpoint keeps the verify
+        # join from recomputing the candidate chain.
+        cand = cand.localCheckpoint(eager=True)
+        n_docs = sets.count()
+        stats["candidate_pairs"] = cand.count()
+        stats["brute_force_pairs"] = n_docs * (n_docs - 1) // 2
+        stats["n_docs"] = n_docs
     return _jaccard_verify_sets(cand, sets, threshold, round_digits)
 
 
@@ -1952,6 +1964,116 @@ def _jaccard_verify_sets(
             F.round("__j", round_digits).alias("jaccard"),
         )
     )
+
+
+def jaccard_join_collapsed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    round_digits: int = 6,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Collapse-exact-first EXACT Jaccard join — identical output to
+    :func:`jaccard_similarity_join`, built for the duplicated-corpus
+    regime (the ``minhash_dedup_collapsed`` discipline applied to the
+    exact join).
+
+    Byte-identical documents (md5 fingerprint groups) have identical
+    shingle sets, hence Jaccard 1 with each other and identical
+    similarity to everything else. So: collapse each group to its
+    min-id representative, run the prefix-filter join over
+    REPRESENTATIVES only, then expand — cross-group pairs fan out over
+    both groups' members carrying the representative score, and each
+    group of size d contributes its C(d,2) internal pairs at 1.0.
+
+    At duplication factor d this cuts candidate pairs d²× (measured at
+    the 10×-replica bench: 76.8M → 0.77M candidates) while the OUTPUT
+    (which genuinely is d²× bigger) is produced by cheap id-only
+    expansion joins instead of array-shipping verification. ``stats``
+    receives the representative-level fan-out numbers plus
+    ``n_groups``/``n_docs``.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # zero-token docs have no shingle set and never pair in the full
+    # join — exclude them here too, or identical empty docs would gain
+    # intra-group pairs the full join doesn't emit
+    fp = docs.filter(F.size(tokens(text_col)) >= 1).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.md5(F.col(text_col)).alias("__fp"),
+    )
+    # members is consumed by the expansion joins AND the intra-group
+    # pair generation; representatives feed the prefix-filter join —
+    # shared lineage, checkpoint once
+    members = fp.select("__id", "__fp").localCheckpoint(eager=True)
+    reps = (
+        fp.groupBy("__fp")
+        .agg(
+            F.min("__id").alias("__rid"),
+            F.min_by("__text", "__id").alias("__rtext"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep_pairs = jaccard_similarity_join(
+        reps.select(
+            F.col("__rid").alias("doc_id"), F.col("__rtext").alias("text")
+        ),
+        "doc_id",
+        "text",
+        threshold=threshold,
+        shingle_k=shingle_k,
+        round_digits=round_digits,
+        stats=stats,
+    )
+    # AFTER the inner call: its stats hook writes the representative-
+    # level n_docs (what candidate_pairs/brute_force_pairs refer to);
+    # this layer reports the corpus-level counts alongside
+    if stats is not None:
+        stats["n_groups"] = stats.pop("n_docs", None) or reps.count()
+        stats["n_docs"] = members.count()
+    # expansion: representative pair -> every (member_a, member_b) combo;
+    # id-only joins, score carried through unchanged
+    rid_fp = reps.select("__rid", "__fp")
+    a_side = rid_fp.withColumnRenamed("__rid", "doc_a").withColumnRenamed(
+        "__fp", "__fpa"
+    )
+    b_side = rid_fp.withColumnRenamed("__rid", "doc_b").withColumnRenamed(
+        "__fp", "__fpb"
+    )
+    cross = (
+        rep_pairs.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .join(
+            members.select(
+                F.col("__id").alias("__ma"), F.col("__fp").alias("__fpa")
+            ),
+            "__fpa",
+        )
+        .join(
+            members.select(
+                F.col("__id").alias("__mb"), F.col("__fp").alias("__fpb")
+            ),
+            "__fpb",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: byte-identical docs are Jaccard 1.0 by
+    # definition (thresholds are <= 1, so every such pair qualifies)
+    m_a = members.select("__fp", F.col("__id").alias("doc_a"))
+    m_b = members.select("__fp", F.col("__id").alias("doc_b"))
+    intra = (
+        m_a.join(m_b, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def jaccard_join_state(

@@ -488,6 +488,56 @@ def dedup_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_join_collapsed",
+    # FULL oracle — the SAME brute-force all-pairs join as
+    # dedup_jaccard_join_exact: the collapsed form's output contract is
+    # bit-identical pairs and scores, so one oracle certifies both.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="Collapse-exact-first EXACT Jaccard join (operators/dedup.py:"
+    "jaccard_join_collapsed — the minhash_dedup_collapsed discipline "
+    "applied to the prefix-filter join): byte-identical docs collapse "
+    "to min-id representatives before the candidate join, cross-group "
+    "pairs expand back over members with the representative score, and "
+    "each group contributes its internal pairs at Jaccard 1.0. Output "
+    "is bit-identical to dedup_jaccard_join_exact (same brute-force "
+    "oracle) at d-squared fewer candidate pairs under duplication "
+    "factor d — measured at the 10x-replica scaled leg: 76.8M -> 0.77M "
+    "candidates, the common-crawl boilerplate regime.",
+)
+def dedup_jaccard_join_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_join_collapsed,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    return jaccard_join_collapsed(
+        docs, "doc_id", "text", threshold=0.2, shingle_k=3
+    )
+
+
+@register(
     "dedup_jaccard_join_incremental",
     # FULL oracle: the increment must produce EXACTLY the brute-force
     # all-pairs Jaccard restricted to pairs touching a delta doc — the

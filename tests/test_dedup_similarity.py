@@ -1170,3 +1170,63 @@ def test_jaccard_join_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_join_collapsed_equals_full(spark):
+    """Collapse-exact-first exact Jaccard join: identical output (pairs
+    AND scores) to the direct prefix-filter join on a corpus with
+    planted byte-duplicates, near-duplicates, and empty-text twins
+    (which must NOT pair — zero-token docs have no shingle set)."""
+    import random
+
+    from home_credit_data_engineering_spark.operators.dedup import (
+        jaccard_join_collapsed,
+        jaccard_similarity_join,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base_a, base_b = doc(25), doc(18)
+    rows = []
+    for i in range(40):
+        if i % 5 == 0:
+            rows.append((i, base_a))          # dup group of 8
+        elif i % 7 == 0:
+            rows.append((i, base_b))          # dup group of ~5
+        else:
+            rows.append((i, doc(rng.randint(6, 28))))
+    # empty/whitespace texts tokenize to the single empty-string token
+    # (tokens("") == [""]), so these three are Jaccard-1 twins of each
+    # other in the FULL join — across two md5 groups ("" vs "   "),
+    # which exercises the cross-group expansion at J=1.0; a null text
+    # row is dropped by both forms
+    rows += [(100, ""), (101, ""), (102, "   "), (103, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.25, shingle_k=3)
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_similarity_join(docs, "doc_id", "text", **kw).collect()
+    }
+    stats: dict = {}
+    col = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_join_collapsed(
+            docs, "doc_id", "text", stats=stats, **kw
+        ).collect()
+    }
+    assert col == full
+    assert (0, 5) in full  # the byte-dup group really pairs at 1.0
+    assert full[(0, 5)] == 1.0
+    assert full[(100, 101)] == full[(100, 102)] == full[(101, 102)] == 1.0
+    assert not any(103 in p for p in full)
+    # the collapse really collapsed: reps < docs, candidates computed
+    # at representative level
+    assert stats["n_groups"] < stats["n_docs"]
+    assert stats["brute_force_pairs"] == (
+        stats["n_groups"] * (stats["n_groups"] - 1) // 2
+    )

@@ -219,9 +219,12 @@ def main() -> None:
 
     # Load gate (VERDICT r12 #7): flag a hot box IN the artifact and on
     # stderr, so a noise-dominated snapshot carries its own caveat.
+    # Gate on max(before, after): the r12 noise landed on samples DURING
+    # the run — a burst starting mid-suite must still flag the artifact.
     from bench_scaled import load_gate
 
-    gate = load_gate(load_before[0])
+    load_after = [round(x, 2) for x in os.getloadavg()]
+    gate = load_gate(max(load_before[0], load_after[0]))
     if gate["warning"]:
         print(gate["warning"], file=sys.stderr)
 
@@ -235,7 +238,7 @@ def main() -> None:
         "queries_spread": spread,
         "verdicts": verdicts,
         "load_avg_before": load_before,
-        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_after": load_after,
         "load_gate": gate,
     }
 

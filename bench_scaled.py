@@ -215,6 +215,15 @@ def load_bench_ref(
     return dict(data.get(section, {}))
 
 
+def _hot_load_threshold(cpus: int | None = None) -> float:
+    """The ONE definition of 'hot box': 1-min load above cpus/4
+    (``SPARK_GRAFT_HOT_LOAD`` to override) — shared by the artifact's
+    load gate and the adjudicator so they can never disagree."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    return float(os.environ.get("SPARK_GRAFT_HOT_LOAD", str(cpus / 4)))
+
+
 def load_gate(load_1min: float, cpus: int | None = None) -> dict:
     """Machine-load gate for bench snapshots (VERDICT r12 #7: two
     successive driver rounds shipped noise-dominated numbers from a
@@ -227,9 +236,7 @@ def load_gate(load_1min: float, cpus: int | None = None) -> dict:
     "warning"}`` — callers embed it in the artifact and print the
     warning to stderr so the hot-box caveat rides WITH the numbers.
     """
-    if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
-    threshold = float(os.environ.get("SPARK_GRAFT_HOT_LOAD", str(cpus / 4)))
+    threshold = _hot_load_threshold(cpus)
     hot = load_1min > threshold
     return {
         "threshold": round(threshold, 2),
@@ -344,6 +351,18 @@ def _probe_main(sf_dir: str, name: str, runs: int) -> int:
         print(json.dumps({"min": round(min(inc), 3)}))
         spark.stop()
         return 0
+    if name in ("join_skew_salted_noaqe", "join_skew_naive_noaqe"):
+        # both legs come from the one comparison helper; report the
+        # requested side (min over `runs` helper invocations, each of
+        # which is itself a min-of-2 interleave)
+        side = "salted_min" if "salted" in name else "naive_min"
+        mins = [
+            _time_skew_salted_vs_naive(spark, sf_dir)[side]
+            for _ in range(max(1, runs // 2))
+        ]
+        print(json.dumps({"min": round(min(mins), 3)}))
+        spark.stop()
+        return 0
     samples = []
     for _ in range(runs):
         start = time.perf_counter()
@@ -426,11 +445,10 @@ def adjudicate(
     # against this floor instead of 1.5x a warm-suite minimum — a real
     # regression in a small query still probes well above it.
     cold_floor = 1.5
-    # Hot-box threshold: 1-min load above cpus/4 means the probe shares
-    # the machine with substantial external work (the committed refs are
-    # quiet-box minima, load ~1-2 on 32 cpus). Overridable for odd boxes.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
-    hot_load = float(os.environ.get("SPARK_GRAFT_HOT_LOAD", str(cpus / 4)))
+    # Hot-box threshold: shared with load_gate (_hot_load_threshold) so
+    # the artifact's gate and these verdicts can never disagree about
+    # what 'hot' means. Quiet-box refs are load ~1-2 on 32 cpus.
+    hot_load = _hot_load_threshold()
     backoff = float(os.environ.get("SPARK_GRAFT_PROBE_BACKOFF", "30"))
     #: refs under this many seconds get the tightened hot criterion
     small_ref = 2.0
@@ -938,10 +956,14 @@ def _main() -> int:
         },
     )
     prep(spark)
-    gate = load_gate(os.getloadavg()[0])
+    load_before = os.getloadavg()[0]
+    timings, spread, verdicts = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
+    # gate on max(before, after): a burst starting mid-run must still
+    # flag the artifact (the r12 failure mode)
+    load_after = os.getloadavg()[0]
+    gate = load_gate(max(load_before, load_after))
     if gate["warning"]:
         print(gate["warning"], file=sys.stderr)
-    timings, spread, verdicts = run_scaled(spark, REGISTRY, sf_dir, replicas=10)
     print(
         json.dumps(
             {
@@ -949,7 +971,8 @@ def _main() -> int:
                 "spread": spread,
                 "verdicts": verdicts,
                 "load_gate": gate,
-                "load_avg_after": round(os.getloadavg()[0], 2),
+                "load_avg_before": round(load_before, 2),
+                "load_avg_after": round(load_after, 2),
             }
         )
     )

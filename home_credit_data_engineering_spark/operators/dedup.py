@@ -233,22 +233,23 @@ def connected_components_star(
     )
     # Self-pairs (a == b) drop out of the iteration but contribute
     # singleton components below.
+    # lazy checkpoint: the strategy count below materializes it, and the
+    # final roots anti-join then reuses the materialization instead of
+    # re-running the union+distinct (it is consumed twice)
     all_nodes = (
         e_all.select(F.col("u").alias("node"))
         .unionByName(e_all.select(F.col("v").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     e = e_all.filter(F.col("u") != F.col("v"))
 
     # One bounded scalar decides the per-round join strategy (docstring);
-    # it also eagerly materializes the up-front checkpoint before the
-    # loop starts, so round timings measure rounds.
-    n_nodes = all_nodes.count()
-    use_bcast = (
-        broadcast_labels
-        if broadcast_labels is not None
-        else n_nodes <= broadcast_node_limit
-    )
+    # skipped entirely when the caller forces the strategy.
+    if broadcast_labels is None:
+        use_bcast = all_nodes.count() <= broadcast_node_limit
+    else:
+        use_bcast = broadcast_labels
 
     def _min_side(m: DataFrame) -> DataFrame:
         return F.broadcast(m) if use_bcast else m
@@ -777,6 +778,80 @@ def minhash_dedup(
 _COLLAPSED_MEMBERS_PERSISTED: dict[str, DataFrame] = {}
 
 
+def _expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    max_group_pairs: int | None = None,
+) -> DataFrame:
+    """Shared expansion half of the collapse-exact-first joins
+    (:func:`minhash_dedup_collapsed`, :func:`jaccard_join_collapsed`).
+
+    ``members`` is the group table ``(__m, __rep, __gsz)`` (member id,
+    min-id representative, group size); ``rep_pairs`` the verified
+    representative-level ``(doc_a, doc_b, jaccard)``. Cross-group pairs
+    inherit their representatives' score through two id-only joins;
+    intra-group pairs (byte-identical texts) emit at Jaccard 1.0.
+
+    ``max_group_pairs`` is the quadratic-corner guard: groups above it
+    emit STAR pairs (rep ↔ member, same CC connectivity, O(group) rows)
+    instead of all-pairs, and are represented by their rep only in the
+    cross expansion. ``None`` disables the guard — the EXACT contract
+    (output bit-identical to the uncollapsed join, inherently d²-sized
+    under duplication factor d).
+    """
+    if max_group_pairs is None:
+        exp = members
+        small = members
+    else:
+        # over-cap groups participate through their rep only (their
+        # members reach the cluster via the star pairs below)
+        exp = members.filter(
+            (F.col("__gsz") <= max_group_pairs)
+            | (F.col("__m") == F.col("__rep"))
+        )
+        small = members.filter(F.col("__gsz") <= max_group_pairs)
+    # cross-group expansion: every member pair inherits its reps' jaccard
+    ma = exp.select(F.col("__rep").alias("doc_a"), F.col("__m").alias("__xa"))
+    mb = exp.select(F.col("__rep").alias("doc_b"), F.col("__m").alias("__xb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("__xa", "__xb").alias("doc_a"),
+            F.greatest("__xa", "__xb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # intra-group expansion: identical texts are jaccard-1.0 pairs;
+    # all-pairs within the cap (or always, exact mode), star beyond it
+    intra = (
+        small.alias("l")
+        .join(small.alias("r"), F.col("l.__rep") == F.col("r.__rep"))
+        .filter(F.col("l.__m") < F.col("r.__m"))
+        .select(
+            F.col("l.__m").alias("doc_a"),
+            F.col("r.__m").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(intra)
+    if max_group_pairs is None:
+        return out
+    star = (
+        members.filter(
+            (F.col("__gsz") > max_group_pairs)
+            & (F.col("__m") != F.col("__rep"))
+        )
+        # rep = group min id, so rep < member always
+        .select(
+            F.col("__rep").alias("doc_a"),
+            F.col("__m").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return out.unionByName(star)
+
+
 def minhash_dedup_collapsed(
     df: DataFrame,
     id_col: str,
@@ -877,48 +952,7 @@ def minhash_dedup_collapsed(
         shingle_k=shingle_k,
         threshold=threshold,
     )
-    # Expansion sides: over-cap groups participate through their rep
-    # only (their members reach the cluster via the star pairs below).
-    exp = members.filter(
-        (F.col("__gsz") <= max_group_pairs) | (F.col("__m") == F.col("__rep"))
-    )
-    # cross-group expansion: every member pair inherits its reps' jaccard
-    ma = exp.select(F.col("__rep").alias("doc_a"), F.col("__m").alias("__xa"))
-    mb = exp.select(F.col("__rep").alias("doc_b"), F.col("__m").alias("__xb"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("__xa", "__xb").alias("doc_a"),
-            F.greatest("__xa", "__xb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # intra-group expansion: identical texts are jaccard-1.0 pairs;
-    # all-pairs within the cap, star (rep <-> member) beyond it
-    small = members.filter(F.col("__gsz") <= max_group_pairs)
-    intra = (
-        small.alias("l")
-        .join(small.alias("r"), F.col("l.__rep") == F.col("r.__rep"))
-        .filter(F.col("l.__m") < F.col("r.__m"))
-        .select(
-            F.col("l.__m").alias("doc_a"),
-            F.col("r.__m").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    star = (
-        members.filter(
-            (F.col("__gsz") > max_group_pairs) & (F.col("__m") != F.col("__rep"))
-        )
-        # rep = group min id, so rep < member always
-        .select(
-            F.col("__rep").alias("doc_a"),
-            F.col("__m").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(intra).unionByName(star)
+    return _expand_collapsed_pairs(rep_pairs, members, max_group_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -2001,25 +2035,27 @@ def jaccard_join_collapsed(
     # join — exclude them here too, or identical empty docs would gain
     # intra-group pairs the full join doesn't emit
     fp = docs.filter(F.size(tokens(text_col)) >= 1).select(
-        F.col(id_col).alias("__id"),
+        F.col(id_col).alias("__m"),
         F.col(text_col).alias("__text"),
         F.md5(F.col(text_col)).alias("__fp"),
     )
+    rep_of = fp.groupBy("__fp").agg(
+        F.min("__m").alias("__rep"),
+        F.min_by("__text", "__m").alias("__rtext"),
+        F.count(F.lit(1)).alias("__gsz"),
+    ).localCheckpoint(eager=True)
     # members is consumed by the expansion joins AND the intra-group
-    # pair generation; representatives feed the prefix-filter join —
-    # shared lineage, checkpoint once
-    members = fp.select("__id", "__fp").localCheckpoint(eager=True)
-    reps = (
-        fp.groupBy("__fp")
-        .agg(
-            F.min("__id").alias("__rid"),
-            F.min_by("__text", "__id").alias("__rtext"),
-        )
+    # pair generation (inside _expand_collapsed_pairs) — shared lineage,
+    # checkpoint once
+    members = (
+        fp.select("__m", "__fp")
+        .join(rep_of.select("__fp", "__rep", "__gsz"), "__fp")
+        .select("__m", "__rep", "__gsz")
         .localCheckpoint(eager=True)
     )
     rep_pairs = jaccard_similarity_join(
-        reps.select(
-            F.col("__rid").alias("doc_id"), F.col("__rtext").alias("text")
+        rep_of.select(
+            F.col("__rep").alias("doc_id"), F.col("__rtext").alias("text")
         ),
         "doc_id",
         "text",
@@ -2032,48 +2068,12 @@ def jaccard_join_collapsed(
     # level n_docs (what candidate_pairs/brute_force_pairs refer to);
     # this layer reports the corpus-level counts alongside
     if stats is not None:
-        stats["n_groups"] = stats.pop("n_docs", None) or reps.count()
+        stats["n_groups"] = stats.pop("n_docs", None) or rep_of.count()
         stats["n_docs"] = members.count()
-    # expansion: representative pair -> every (member_a, member_b) combo;
-    # id-only joins, score carried through unchanged
-    rid_fp = reps.select("__rid", "__fp")
-    a_side = rid_fp.withColumnRenamed("__rid", "doc_a").withColumnRenamed(
-        "__fp", "__fpa"
-    )
-    b_side = rid_fp.withColumnRenamed("__rid", "doc_b").withColumnRenamed(
-        "__fp", "__fpb"
-    )
-    cross = (
-        rep_pairs.join(a_side, "doc_a")
-        .join(b_side, "doc_b")
-        .join(
-            members.select(
-                F.col("__id").alias("__ma"), F.col("__fp").alias("__fpa")
-            ),
-            "__fpa",
-        )
-        .join(
-            members.select(
-                F.col("__id").alias("__mb"), F.col("__fp").alias("__fpb")
-            ),
-            "__fpb",
-        )
-        .select(
-            F.least("__ma", "__mb").alias("doc_a"),
-            F.greatest("__ma", "__mb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # intra-group pairs: byte-identical docs are Jaccard 1.0 by
-    # definition (thresholds are <= 1, so every such pair qualifies)
-    m_a = members.select("__fp", F.col("__id").alias("doc_a"))
-    m_b = members.select("__fp", F.col("__id").alias("doc_b"))
-    intra = (
-        m_a.join(m_b, "__fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
-    )
-    return cross.unionByName(intra)
+    # max_group_pairs=None: the EXACT contract — output bit-identical
+    # to jaccard_similarity_join, no star-pair cap (the approximate
+    # sibling minhash_dedup_collapsed takes the capped path)
+    return _expand_collapsed_pairs(rep_pairs, members, None)
 
 
 def jaccard_join_state(

@@ -53,9 +53,15 @@ from home_credit_data_engineering_spark.sources.maintenance import (
 )
 
 
-def _swap(path: str, dry_run: bool) -> bool:
+def _swap(path: str, dry_run: bool, skip: frozenset[str] = frozenset()) -> bool:
     """Recover a swap (live) or detect one (dry-run); True if one
-    was/would-be handled."""
+    was/would-be handled. ``skip`` holds paths already counted as
+    walk-level orphan reports — in dry-run nothing was renamed, so the
+    family sweeper would otherwise count the same pending action twice
+    (live mode recovers orphans before the sweeper runs, making its
+    re-check a natural no-op)."""
+    if dry_run and path in skip:
+        return False
     probe = pending_state_swap if dry_run else recover_state_swap
     return probe(path) is not None
 
@@ -77,11 +83,14 @@ def _read_layout(path: str) -> dict | None:
         return json.load(fh)
 
 
-def _recover_nested_swaps(root: str, dry_run: bool = False) -> int:
+def _recover_nested_swaps(
+    root: str, dry_run: bool = False, skip: frozenset[str] = frozenset()
+) -> int:
     """Generic recovery for families without a dedicated recovery order:
     finish/discard every ``*__next`` staged dir under ``root`` (deepest
     first, so a parent swap never renames a child's staged dir away
-    before the child is recovered). ``dry_run`` counts without acting."""
+    before the child is recovered). ``dry_run`` counts without acting;
+    ``skip`` excludes walk-level orphan reports from the count."""
     pending: list[str] = []
     for dirpath, dirnames, _files in os.walk(root):
         for d in dirnames:
@@ -89,7 +98,7 @@ def _recover_nested_swaps(root: str, dry_run: bool = False) -> int:
                 pending.append(os.path.join(dirpath, d[: -len("__next")]))
     n = 0
     for base in sorted(pending, key=lambda p: -p.count(os.sep)):
-        if _swap(base, dry_run):
+        if _swap(base, dry_run, skip):
             n += 1
     return n
 
@@ -114,6 +123,7 @@ def _sweep_ann(
     path: str,
     compact_deltas_window: int,
     dry_run: bool = False,
+    skip: frozenset[str] = frozenset(),
 ) -> dict[str, Any]:
     from home_credit_data_engineering_spark.operators.ann_state import (
         _stats_path,
@@ -132,12 +142,12 @@ def _sweep_ann(
     recovered = 0
     # root/deltas recovery FIRST: a died compaction/rebuild must finish
     # before anything (layout inference included) trusts the live dirs
-    recovered += _swap(path, dry_run)
-    recovered += _swap(deltas, dry_run)
+    recovered += _swap(path, dry_run, skip)
+    recovered += _swap(deltas, dry_run, skip)
     for sub in ("codes", "vectors"):
         p = os.path.join(path, sub)
         if os.path.isdir(p) or os.path.isdir(staged_state_path(p)):
-            recovered += _swap(p, dry_run)
+            recovered += _swap(p, dry_run, skip)
     streamed = (
         layout["maintainer"] == "streamed"
         if layout
@@ -169,8 +179,13 @@ def _sweep_ann(
         )
     else:
         if dry_run:
-            recovered += bool(pending_fold_commits(path))
-            recovered += _swap(_stats_path(path), True)
+            # a pending fold commit's own leg swap is the SAME recovery
+            # action — counting both would report 2 where the live
+            # sweep performs (and reports) 1
+            pend_folds = bool(pending_fold_commits(path))
+            recovered += pend_folds
+            if not pend_folds:
+                recovered += _swap(_stats_path(path), True, skip)
         else:
             recovered += bool(
                 recover_fold_commits(path, [_stats_path(path)])
@@ -209,15 +224,20 @@ def _sweep_ann(
 
 
 def _sweep_bm25(
-    spark: SparkSession, path: str, dry_run: bool = False
+    spark: SparkSession,
+    path: str,
+    dry_run: bool = False,
+    skip: frozenset[str] = frozenset(),
 ) -> dict[str, Any]:
     from pyspark.sql import functions as F
 
     layout = _read_layout(path)
     recovered = 0
+    pend_folds = False
     if layout and layout["maintainer"] == "batch":
         if dry_run:
-            recovered += bool(pending_fold_commits(path))
+            pend_folds = bool(pending_fold_commits(path))
+            recovered += pend_folds
         else:
             recovered += bool(
                 recover_fold_commits(
@@ -226,7 +246,11 @@ def _sweep_bm25(
                 )
             )
     for leg in ("postings", "df", "doclens", "stats"):
-        recovered += _swap(os.path.join(path, leg), dry_run)
+        # a pending fold's own swap legs (df/stats) are part of the fold
+        # recovery action — don't double-count them in dry-run
+        if pend_folds and leg in ("df", "stats"):
+            continue
+        recovered += _swap(os.path.join(path, leg), dry_run, skip)
     stats_dir = os.path.join(path, "stats")
     streamed_shape = any(
         d.startswith("batch=")
@@ -264,10 +288,12 @@ def _sweep_bm25(
     }
 
 
-def _sweep_entity(path: str, dry_run: bool = False) -> dict[str, Any]:
+def _sweep_entity(
+    path: str, dry_run: bool = False, skip: frozenset[str] = frozenset()
+) -> dict[str, Any]:
     # recover FIRST so the snapshot/file report reflects the tree the
     # sweep leaves behind, not the pre-recovery state
-    recovered = _recover_nested_swaps(path, dry_run)
+    recovered = _recover_nested_swaps(path, dry_run, skip)
     entities = os.path.join(path, "entities")
     snaps = sorted(
         int(d.split("=", 1)[1])
@@ -284,9 +310,11 @@ def _sweep_entity(path: str, dry_run: bool = False) -> dict[str, Any]:
     }
 
 
-def _sweep_corpus(path: str, dry_run: bool = False) -> dict[str, Any]:
+def _sweep_corpus(
+    path: str, dry_run: bool = False, skip: frozenset[str] = frozenset()
+) -> dict[str, Any]:
     # recover FIRST so the per-leg report reflects the recovered tree
-    recovered = _recover_nested_swaps(path, dry_run)
+    recovered = _recover_nested_swaps(path, dry_run, skip)
     legs = {}
     for leg in _CORPUS_LEGS:
         p = os.path.join(path, leg)
@@ -358,20 +386,30 @@ def sweep_lake(
                     "action": action,
                 }
             )
+        # dry-run leaves orphan staged dirs in place, so the family
+        # sweeper below would re-detect (and re-count) them — exclude
+        # what this walk level already reported
+        skip = (
+            frozenset(os.path.join(dirpath, b) for b in orphans)
+            if dry_run
+            else frozenset()
+        )
         kind = _classify(dirnames, filenames)
         if kind == "checkpoint":
             dirnames[:] = []
             continue
         if kind == "ann":
             reports.append(
-                _sweep_ann(spark, dirpath, compact_deltas_window, dry_run)
+                _sweep_ann(
+                    spark, dirpath, compact_deltas_window, dry_run, skip
+                )
             )
         elif kind == "bm25":
-            reports.append(_sweep_bm25(spark, dirpath, dry_run))
+            reports.append(_sweep_bm25(spark, dirpath, dry_run, skip))
         elif kind == "entity":
-            reports.append(_sweep_entity(dirpath, dry_run))
+            reports.append(_sweep_entity(dirpath, dry_run, skip))
         elif kind == "corpus":
-            reports.append(_sweep_corpus(dirpath, dry_run))
+            reports.append(_sweep_corpus(dirpath, dry_run, skip))
         if kind is not None:
             dirnames[:] = []
             continue

@@ -244,6 +244,10 @@ def test_sweep_dry_run_mutates_nothing_and_exit_codes(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "dry-run" in out and "would-finish" in out
     assert "nothing touched" in out
+    # exactly ONE pending action: the orphan report must not be
+    # double-counted by the entity sweeper's nested walk (the live
+    # sweep performs and reports exactly one recovery)
+    assert "1 pending swaps/commits" in out
 
     # live sweep performs the recovery…
     assert job.main(["sweep", "--root", str(root)]) == 0

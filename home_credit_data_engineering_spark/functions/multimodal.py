@@ -410,6 +410,138 @@ def resize_frames(
     return df.select(id_col, binary_col).mapInPandas(resample, out_schema)
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Encode an ``(n_samples,)`` or ``(n_samples, n_channels)`` int16
+    array as a PCM WAV (RIFF/WAVE, fmt chunk 16, audio format 1)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+    )
+    return hdr + data
+
+
+#: Output schema of the real WAV decoder: typed audio metadata + sample
+#: checksums. ``sample_sum`` is position-insensitive; ``first_frame_sum``
+#: pins channel interleaving and data-chunk offset.
+DECODE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("first_frame_sum", T.LongType(), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[dict, "np.ndarray"]:
+    """PCM 16-bit WAV → (meta dict, (n_samples, n_channels) int16).
+    Walks the RIFF chunk list (fmt may be followed by LIST/fact chunks
+    before data); compressed/float formats raise — they need a codec."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "payload is not a RIFF/WAVE container; compressed audio "
+            "(mp3/ogg/aac) requires a codec library not present here"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is codec-free (got format={audio_fmt}, "
+            f"bits={bits})"
+        )
+    n = len(data) // (ch * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return {"sample_rate": rate, "n_channels": ch}, samples
+
+
+def decode_audio(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """REAL audio decode for PCM WAV via mapInPandas — the audio twin of
+    :func:`decode_image`: binary in → typed metadata + sample checksums
+    out, Arrow-batched, no shuffle. Compressed audio raises."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                meta, s = _decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        "wav",
+                        meta["sample_rate"],
+                        s.shape[1],
+                        s.shape[0],
+                        s.shape[0] * 1000 // meta["sample_rate"],
+                        int(s.sum(dtype="int64")),
+                        int(s[0].sum(dtype="int64")) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_AUDIO_SCHEMA.fields]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        decode_batches, DECODE_AUDIO_SCHEMA
+    )
+
+
+def resample_audio(
+    df: DataFrame, id_col: str, binary_col: str, target_rate: int
+) -> DataFrame:
+    """REAL nearest-neighbor resample for PCM WAV: decode, pick source
+    frames at ``src_i = i * rate // target_rate``, re-encode at the
+    target rate — binary in → binary out, 1→1 rows, the audio twin of
+    :func:`resize_frames` (a production pipeline swaps the tap-picker
+    for a windowed-sinc kernel behind the same signature)."""
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("resampled", T.BinaryType(), True),
+            T.StructField("out_rate", T.IntegerType(), True),
+        ]
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                meta, s = _decode_wav(bytes(payload))
+                rate = meta["sample_rate"]
+                n_out = int(len(s)) * target_rate // rate
+                taps = (np.arange(n_out) * rate) // target_rate
+                outs.append(encode_wav(s[taps], sample_rate=target_rate))
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {"doc_id": ids, "resampled": outs, "out_rate": target_rate}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(resample, out_schema)
+
+
 def with_binary_payload(df: DataFrame, text_col: str, out_col: str = "payload") -> DataFrame:
     """Materialize a binary column from text (UTF-8 bytes) — the stand-in
     for reading real media bytes; gives tests a genuine BinaryType column."""

@@ -133,3 +133,96 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_row_sum",
         "r_pixel_sum",
     )
+
+
+def _plant_wavs(batches):
+    """Planting half of the real audio-decode certificate: per doc_id a
+    PCM WAV at 8 kHz, 1 + id%2 channels, 50 + id%40 frames, frame i
+    holding value (id%100 + i) on every channel — frame-varying values
+    pin the data-chunk offset and channel interleaving. (1e9 divides
+    every modulus, so shapes survive the 10x replica id shift.)"""
+    import numpy as np
+    import pandas as pd
+
+    from home_credit_data_engineering_spark.functions.multimodal import (
+        encode_wav,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            ch, n, base = 1 + d % 2, 50 + d % 40, d % 100
+            frames = np.tile(
+                np.arange(base, base + n, dtype=np.int16).reshape(n, 1),
+                (1, ch),
+            )
+            payloads.append(encode_wav(frames, sample_rate=8000))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register(
+    "multimodal_audio_real",
+    # FULL oracle: dimensions, duration, and sample checksums of every
+    # planted WAV in closed form — sample_sum = ch*(n*base + n(n-1)/2)
+    # (frame i contributes ch*(base+i)); the resampled leg re-decodes
+    # the 4 kHz nearest-neighbor output whose frame i samples source
+    # frame 2i, so r_sample_sum = ch*((n//2)*base + (n//2)*((n//2)-1)).
+    oracle="""
+    SELECT doc_id, 'wav' AS format,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           CAST(50 + doc_id % 40 AS BIGINT) AS n_samples,
+           CAST((50 + doc_id % 40) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST((1 + doc_id % 2)
+                * ((50 + doc_id % 40) * (doc_id % 100)
+                   + ((50 + doc_id % 40) * (50 + doc_id % 40 - 1)) // 2)
+             AS BIGINT) AS sample_sum,
+           CAST((1 + doc_id % 2) * (doc_id % 100) AS BIGINT)
+             AS first_frame_sum,
+           CAST((1 + doc_id % 2)
+                * (((50 + doc_id % 40) // 2) * (doc_id % 100)
+                   + ((50 + doc_id % 40) // 2)
+                     * (((50 + doc_id % 40) // 2) - 1))
+             AS BIGINT) AS r_sample_sum
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+    operators=("M-ext:decode",),
+    doc="REAL audio decode + resample for PCM WAV "
+    "(functions/multimodal.py:decode_audio/resample_audio — pure "
+    "struct+numpy RIFF chunk walker, word-aligned chunk skipping, no "
+    "torchaudio): planted 8 kHz mono/stereo WAVs decode to true "
+    "rate/channels/frames/duration and sample checksums (frame-varying "
+    "values pin data-chunk offset and interleaving), then "
+    "nearest-neighbor resample to 4 kHz re-encodes and re-decodes. "
+    "Every value recomputed in closed form by the oracle; compressed "
+    "audio (mp3/ogg/aac) honestly raises — codec-only surface.",
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.multimodal import (
+        decode_audio,
+        resample_audio,
+    )
+
+    docs = (
+        read_testdata(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    planted = docs.mapInPandas(_plant_wavs, "doc_id long, payload binary")
+    dec = decode_audio(planted, "doc_id", "payload")
+    res = resample_audio(planted, "doc_id", "payload", target_rate=4000)
+    rdec = decode_audio(res, "doc_id", "resampled").select(
+        "doc_id", F.col("sample_sum").alias("r_sample_sum")
+    )
+    return dec.join(rdec, "doc_id").select(
+        "doc_id",
+        "format",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        "sample_sum",
+        "first_frame_sum",
+        "r_sample_sum",
+    )

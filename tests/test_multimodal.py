@@ -126,3 +126,47 @@ def test_resize_stub_fixed_output_size(spark):
     again = {r.doc_id: r.resized
              for r in resize_stub(payloads, "doc_id", "payload", 4, 4).collect()}
     assert {k: v.resized for k, v in out.items()} == again
+
+
+def test_real_wav_decode_and_resample(spark):
+    import numpy as np
+
+    from home_credit_data_engineering_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+        resample_audio,
+    )
+
+    rng = np.random.RandomState(3)
+    mono = rng.randint(-32768, 32768, (160, 1)).astype(np.int16)
+    stereo = rng.randint(-32768, 32768, (101, 2)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(mono, 16000))),
+            (2, bytearray(encode_wav(stereo, 44100))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_audio(df, "doc_id", "payload").collect()}
+    assert (got[1]["sample_rate"], got[1]["n_channels"], got[1]["n_samples"]) == (
+        16000, 1, 160,
+    )
+    assert got[1]["duration_ms"] == 10
+    assert got[1]["sample_sum"] == int(mono.sum(dtype="int64"))
+    assert got[2]["n_channels"] == 2
+    assert got[2]["first_frame_sum"] == int(stereo[0].sum(dtype="int64"))
+
+    res = resample_audio(df, "doc_id", "payload", target_rate=8000)
+    rdec = {
+        r["doc_id"]: r
+        for r in decode_audio(res, "doc_id", "resampled").collect()
+    }
+    assert rdec[1]["sample_rate"] == 8000 and rdec[1]["n_samples"] == 80
+    taps = (np.arange(80) * 16000) // 8000
+    assert rdec[1]["sample_sum"] == int(mono[taps].sum(dtype="int64"))
+    # compressed audio refuses loudly
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"ID3\x03not-actually-pcm"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        decode_audio(bad, "doc_id", "payload").collect()

@@ -138,7 +138,13 @@ DRIVER_SET: tuple[str, ...] = (
     # medallion_risk_profile) and tpch:q14 is a showcase label. q14
     # remains registered and parity-tested in-repo.
     "er_sorted_neighborhood",
-    "dedup_ngram_jaccard",
+    # New in r13: the O(Δ) incremental EXACT Jaccard join (frozen-token-
+    # order prefix state, parquet round-trip in-query, brute-force
+    # oracle over delta-touching pairs) takes dedup_ngram_jaccard's
+    # slot — the D-ext:ngram-jaccard tag stays covered here AND by
+    # dedup_jaccard_join_exact above; dedup_ngram_jaccard remains
+    # registered and parity-tested in-repo.
+    "dedup_jaccard_join_incremental",
     "text_winnowing_md5",
     "sim_bruteforce_topk",
     "embedding_centroids",
@@ -179,7 +185,12 @@ DRIVER_SET: tuple[str, ...] = (
     "o3_seeded_sample",
     "medallion_risk_profile",
     "medallion_portfolio_rollup",
-    "multimodal_decode_stub",
+    # r13: the REAL BMP/PPM decode+resize certificate (closed-form pixel
+    # checksums, order-sensitive top_row_sum) takes the byte-arithmetic
+    # stub's slot — strictly stronger evidence for the same M-ext:decode
+    # tag; multimodal_decode_stub remains registered and parity-tested
+    # in-repo (and benched headline).
+    "multimodal_decode_real",
     "dedup_embedding_neardup",
 )
 

@@ -138,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
                 if r["batches"] is not None:
                     extra += f", {r['batches']} batches"
                 tag = f"bm25/{r['maintainer']}"
+            elif r["family"] == "jaccard":
+                extra = (
+                    f"{r['n_docs']} docs / {r['n_prefix_rows']} prefix rows "
+                    f"/ {r['n_tokens']} tokens, t={r['threshold']}"
+                    if r["n_docs"] is not None
+                    else "pending recovery (details skipped in dry-run)"
+                )
+                tag = "jaccard"
             elif r["family"] == "entity":
                 extra = (
                     f"{r['snapshots']} snapshots "

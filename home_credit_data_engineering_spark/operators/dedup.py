@@ -2204,6 +2204,10 @@ def jaccard_join_increment(
     cand_new_old = (
         a.join(b_state, "__tok")
         .filter(_jaccard_length_filter(t_dec))
+        # id disjointness is the caller's contract, but a violated
+        # contract (e.g. a crashed half-published state append) must
+        # not surface as (x, x) self-pairs at J=1 — guard is free
+        .filter(F.col("__ida") != F.col("__idb"))
         .select(
             F.least("__ida", "__idb").alias("__ida"),
             F.greatest("__ida", "__idb").alias("__idb"),

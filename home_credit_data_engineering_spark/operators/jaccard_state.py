@@ -1,0 +1,224 @@
+"""Persisted EXACT-Jaccard prefix state as a maintained index family.
+
+``operators/dedup.py:jaccard_join_increment`` defines the O(Δ) math
+(frozen-token-order prefix state); this module gives that state the same
+operational discipline as the ANN/BM25 index trees
+(``operators/ann_state.py``, ``operators/retrieval.py``):
+
+- a persisted tree ``{root}/prefixes`` + ``{root}/tokens`` with a
+  ``_layout.json`` maintainer marker and a ``_jaccard_meta.json``
+  sidecar pinning the SEMANTIC parameters (threshold, shingle_k, id and
+  text column names) — an increment can never silently fold under
+  different join semantics than the state was built with;
+- **replay-idempotent folds** via the processed-delta ledger
+  (``sources/maintenance.py``): the delta is identified by a content
+  fingerprint, both state legs are APPEND-ONLY and published under
+  deterministic ``delta-{fp}-N.parquet`` names (a crashed half-publish
+  is overwritten, not duplicated), and the fold commits under the
+  two-state ``{fp}.committing → {fp}`` marker. Re-running a completed
+  fold is a byte-level no-op; every crash point either replays the
+  whole fold or completes it.
+
+Unlike the ANN fold there are NO read-modify-write sidecar legs — both
+legs only ever gain rows (stored prefixes stay valid forever by the
+frozen-order argument; the token leg gains only first-seen tokens) —
+so the ledger marker alone makes the fold atomic: it is created only
+after both publishes are complete.
+
+No reference counterpart (the reference has no similarity-join state);
+this is north-star extension surface, the ``jobs/ann_index.py``
+maintenance discipline applied to the newest state family. The
+lake-wide sweep (``sources/sweep.py``) classifies these trees by their
+meta sidecar and recovers/reports them like the other families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.dedup import (
+    jaccard_join_increment,
+    jaccard_join_state,
+)
+from home_credit_data_engineering_spark.sources.maintenance import (
+    assert_layout_if_marked,
+    begin_fold_commit,
+    check_state_layout,
+    delta_fingerprint,
+    finish_fold_commit,
+    incoming_delta_path,
+    publish_delta_files,
+    read_fold_marker,
+    recover_fold_commits,
+    recover_state_swap,
+    write_state_layout,
+)
+
+META_NAME = "_jaccard_meta.json"
+
+
+def _prefixes_path(root: str) -> str:
+    return os.path.join(root, "prefixes")
+
+
+def _tokens_path(root: str) -> str:
+    return os.path.join(root, "tokens")
+
+
+def _meta_path(root: str) -> str:
+    return os.path.join(root, META_NAME)
+
+
+def _unpublish_delta(dest: str, fingerprint: str) -> None:
+    """Remove a fingerprint's published files (crash-replay hygiene —
+    the exact inverse of ``publish_delta_files``' deterministic names)."""
+    if not os.path.isdir(dest):
+        return
+    prefix = f"delta-{fingerprint}-"
+    for f in os.listdir(dest):
+        if f.startswith(prefix):
+            os.remove(os.path.join(dest, f))
+
+
+def read_jaccard_meta(root: str) -> dict:
+    """The pinned semantic parameters of a state tree (raises on a tree
+    that was never built by :func:`write_jaccard_state`)."""
+    with open(_meta_path(root)) as fh:
+        return json.load(fh)
+
+
+def write_jaccard_state(
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> dict:
+    """Build and persist the initial prefix state over the accepted
+    corpus. Returns ``{"n_prefix_rows", "n_tokens"}``."""
+    state = jaccard_join_state(
+        docs, id_col, text_col, threshold=threshold, shingle_k=shingle_k
+    )
+    state["prefixes"].write.mode("overwrite").parquet(_prefixes_path(root))
+    state["tokens"].write.mode("overwrite").parquet(_tokens_path(root))
+    write_state_layout(root, "batch", "jaccard")
+    tmp = _meta_path(root) + ".__tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "threshold": threshold,
+                "shingle_k": shingle_k,
+                "id_col": id_col,
+                "text_col": text_col,
+                "version": 1,
+            },
+            fh,
+        )
+    os.replace(tmp, _meta_path(root))
+    spark = docs.sparkSession
+    return {
+        "n_prefix_rows": spark.read.parquet(_prefixes_path(root)).count(),
+        "n_tokens": spark.read.parquet(_tokens_path(root)).count(),
+    }
+
+
+def jaccard_state_increment(
+    new_docs: DataFrame,
+    root: str,
+    all_texts: DataFrame,
+) -> dict:
+    """One replay-idempotent fold of a delta into a persisted state tree.
+
+    Semantic parameters come from the tree's pinned meta — never from
+    the caller (folding under a different threshold/shingle order would
+    silently corrupt candidate completeness). Returns
+    ``{"pairs", "report", "replayed"}``: ``pairs`` is the verified
+    delta-touching pair frame (eagerly materialized BEFORE the state
+    appends so its plan cannot re-read the state it is about to grow),
+    ``None`` on a replayed (already-completed) fold, whose saved report
+    is returned instead.
+    """
+    spark = new_docs.sparkSession
+    # layout guard + recovery ordering (the ann_state discipline):
+    # explicit marker mismatch raises before anything touches the tree;
+    # then root recovery; then stranded fold markers finish (append-only
+    # legs: the publishes were complete before the marker existed).
+    assert_layout_if_marked(root, "batch", "jaccard")
+    recover_state_swap(root)
+    recover_fold_commits(root, [])
+    check_state_layout(root, "batch", "jaccard")
+    meta = read_jaccard_meta(root)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+
+    fp = delta_fingerprint(new_docs, [id_col, text_col])
+    done = read_fold_marker(root, fp)
+    if done is not None:
+        return {"pairs": None, "report": done["report"], "replayed": True}
+
+    # Un-publish any half-published files from a crashed earlier attempt
+    # of THIS delta before recomputing: unlike the ANN fold (whose cell
+    # assignment is state-independent), the increment READS the legs it
+    # appends to — a partial publish would make the delta's own rows
+    # look like accepted state (self-pairs, wrong new-token detection).
+    for leg in (_prefixes_path(root), _tokens_path(root)):
+        _unpublish_delta(leg, fp)
+
+    inc = jaccard_join_increment(
+        new_docs,
+        spark.read.parquet(_prefixes_path(root)),
+        spark.read.parquet(_tokens_path(root)),
+        all_texts,
+        id_col,
+        text_col,
+        threshold=meta["threshold"],
+        shingle_k=meta["shingle_k"],
+    )
+    # materialize pairs BEFORE publishing the appends: the pair plan
+    # reads the state parquet lazily, and an executed-after-append scan
+    # would see the delta's own prefix rows as accepted state
+    pairs = inc["pairs"].localCheckpoint(eager=True)
+
+    incoming = incoming_delta_path(root, fp)
+    inc["new_prefixes"].write.mode("overwrite").parquet(
+        os.path.join(incoming, "prefixes")
+    )
+    inc["new_tokens"].write.mode("overwrite").parquet(
+        os.path.join(incoming, "tokens")
+    )
+    n_files = publish_delta_files(
+        os.path.join(incoming, "prefixes"), _prefixes_path(root), fp
+    )
+    n_files += publish_delta_files(
+        os.path.join(incoming, "tokens"), _tokens_path(root), fp
+    )
+    report = {
+        "delta_fingerprint": fp,
+        "n_pairs": pairs.count(),
+        "n_new_prefix_rows": inc["new_prefixes"].count(),
+        "n_new_tokens": inc["new_tokens"].count(),
+        "files_published": n_files,
+    }
+    # both append-only legs are fully published — the marker commits
+    begin_fold_commit(root, fp, {"report": report})
+    finish_fold_commit(root, fp)
+    return {"pairs": pairs, "report": report, "replayed": False}
+
+
+def jaccard_state_report(spark: SparkSession, root: str) -> dict:
+    """Bounded state summary (parquet-metadata counts + the meta
+    sidecar) — the sweep's report body."""
+    meta = read_jaccard_meta(root)
+    return {
+        "threshold": meta["threshold"],
+        "shingle_k": meta["shingle_k"],
+        "n_prefix_rows": spark.read.parquet(_prefixes_path(root)).count(),
+        "n_tokens": spark.read.parquet(_tokens_path(root)).count(),
+        "n_docs": spark.read.parquet(_prefixes_path(root))
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .first()["n"],
+    }

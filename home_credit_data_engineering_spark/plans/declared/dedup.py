@@ -582,9 +582,9 @@ def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
 
     from home_credit_data_engineering_spark.functions.text import tokens
-    from home_credit_data_engineering_spark.operators.dedup import (
-        jaccard_join_increment,
-        jaccard_join_state,
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        jaccard_state_increment,
+        write_jaccard_state,
     )
 
     docs = read_testdata(spark, sf_dir, "documents").filter(
@@ -592,20 +592,9 @@ def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
     base = docs.filter(F.col("doc_id") % 5 != 3)
     delta = docs.filter(F.col("doc_id") % 5 == 3)
-    state = jaccard_join_state(
-        base, "doc_id", "text", threshold=0.2, shingle_k=3
-    )
-    root = tempfile.mkdtemp(prefix="jaccard_state_")
-    state["prefixes"].write.mode("overwrite").parquet(f"{root}/prefixes")
-    state["tokens"].write.mode("overwrite").parquet(f"{root}/tokens")
-    inc = jaccard_join_increment(
-        delta,
-        spark.read.parquet(f"{root}/prefixes"),
-        spark.read.parquet(f"{root}/tokens"),
-        docs,
-        "doc_id",
-        "text",
-        threshold=0.2,
-        shingle_k=3,
-    )
-    return inc["pairs"]
+    # the REAL maintained-state path (operators/jaccard_state.py):
+    # layout marker + pinned meta + ledger-idempotent fold — the driver
+    # slot exercises the production machinery, not a hand round-trip
+    root = tempfile.mkdtemp(prefix="jaccard_state_") + "/state"
+    write_jaccard_state(base, root, "doc_id", "text", threshold=0.2, shingle_k=3)
+    return jaccard_state_increment(delta, root, docs)["pairs"]

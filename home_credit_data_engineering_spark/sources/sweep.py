@@ -16,6 +16,10 @@ sweep --root`` walks the lake once and dispatches:
   partitions exist, report the current drift verdict.
 - **BM25 indexes** (``postings/`` + ``stats/`` legs): fold-commit /
   per-leg swap recovery, corpus-size report.
+- **Exact-Jaccard prefix states** (dir holding ``_jaccard_meta.json``;
+  see ``operators/jaccard_state.py``): finish stranded fold-commit
+  markers (append-only legs), swap recovery, bounded corpus/vocab
+  report.
 - **Entity-resolution states** (``entities/batch=N`` snapshots):
   generic ``__next`` recovery underneath, snapshot/file report.
 - **Corpus pipeline states** (two or more of the
@@ -109,6 +113,8 @@ def _classify(dirnames: list[str], filenames: list[str]) -> str | None:
         return "checkpoint"
     if "_centroids.npy" in filenames:
         return "ann"
+    if "_jaccard_meta.json" in filenames:
+        return "jaccard"
     if {"postings", "stats"} <= names:
         return "bm25"
     if "entities" in names:
@@ -288,6 +294,41 @@ def _sweep_bm25(
     }
 
 
+def _sweep_jaccard(
+    spark: SparkSession,
+    path: str,
+    dry_run: bool = False,
+    skip: frozenset[str] = frozenset(),
+) -> dict[str, Any]:
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        jaccard_state_report,
+    )
+
+    recovered = 0
+    recovered += _swap(path, dry_run, skip)
+    if dry_run:
+        recovered += bool(pending_fold_commits(path))
+    else:
+        # append-only legs: a stranded marker just finishes (the fold's
+        # publishes were complete before the marker was created)
+        recovered += bool(recover_fold_commits(path, []))
+    for leg in ("prefixes", "tokens"):
+        recovered += _swap(os.path.join(path, leg), dry_run, skip)
+    body: dict[str, Any] = {}
+    if not (dry_run and recovered):
+        body = jaccard_state_report(spark, path)
+    return {
+        "family": "jaccard",
+        "path": path,
+        "parquet_files": _parquet_file_count(path),
+        "recovered": int(recovered),
+        "n_docs": body.get("n_docs"),
+        "n_prefix_rows": body.get("n_prefix_rows"),
+        "n_tokens": body.get("n_tokens"),
+        "threshold": body.get("threshold"),
+    }
+
+
 def _sweep_entity(
     path: str, dry_run: bool = False, skip: frozenset[str] = frozenset()
 ) -> dict[str, Any]:
@@ -404,6 +445,8 @@ def sweep_lake(
                     spark, dirpath, compact_deltas_window, dry_run, skip
                 )
             )
+        elif kind == "jaccard":
+            reports.append(_sweep_jaccard(spark, dirpath, dry_run, skip))
         elif kind == "bm25":
             reports.append(_sweep_bm25(spark, dirpath, dry_run, skip))
         elif kind == "entity":

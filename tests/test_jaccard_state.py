@@ -1,0 +1,261 @@
+"""Persisted exact-Jaccard prefix-state maintenance
+(``operators/jaccard_state.py`` + ``jobs/jaccard_index.py`` + the sweep
+classification): ledger-idempotent folds, crash replay convergence,
+pinned semantics, lake-sweep discovery."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from home_credit_data_engineering_spark.operators.dedup import (
+    jaccard_similarity_join,
+)
+from home_credit_data_engineering_spark.operators.jaccard_state import (
+    jaccard_state_increment,
+    read_jaccard_meta,
+    write_jaccard_state,
+)
+
+KW = dict(threshold=0.3, shingle_k=3)
+
+
+def _corpus(spark):
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(35)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base = doc(28)
+    old = spark.createDataFrame(
+        [(i, base if i % 4 == 0 else doc(rng.randint(8, 30)))
+         for i in range(1, 15)],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(100 + i, base if i % 3 == 0 else doc(rng.randint(8, 30)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(200, base), (201, doc(15) + " qq1 qq2 qq3 qq1 qq2 qq3")],
+        "doc_id long, text string",
+    )
+    return old, d1, d2
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+
+def test_state_folds_match_full_join_across_two_deltas(spark, tmp_path):
+    old, d1, d2 = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    meta = read_jaccard_meta(root)
+    assert meta["threshold"] == 0.3 and meta["shingle_k"] == 3
+
+    full01 = old.unionByName(d1)
+    full012 = full01.unionByName(d2)
+    r1 = jaccard_state_increment(d1, root, full01)
+    assert not r1["replayed"]
+    got1 = _pairs(r1["pairs"])
+    pairs_old = _pairs(jaccard_similarity_join(old, "doc_id", "text", **KW))
+    pairs_f1 = _pairs(jaccard_similarity_join(full01, "doc_id", "text", **KW))
+    assert {**pairs_old, **got1} == pairs_f1
+
+    # second fold chains on the appended state (frozen-order induction
+    # through the PERSISTED tree, incl. brand-new qq tokens)
+    r2 = jaccard_state_increment(d2, root, full012)
+    got2 = _pairs(r2["pairs"])
+    pairs_f2 = _pairs(jaccard_similarity_join(full012, "doc_id", "text", **KW))
+    assert {**pairs_f1, **got2} == pairs_f2
+    assert r2["report"]["n_new_tokens"] > 0  # qq vocabulary extended
+
+
+def _fs_snapshot(root):
+    snap = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            snap.add((os.path.relpath(p, root), os.path.getsize(p)))
+    return snap
+
+
+def test_replayed_fold_is_byte_level_noop(spark, tmp_path):
+    old, d1, _ = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    first = jaccard_state_increment(d1, root, old.unionByName(d1))
+    snap = _fs_snapshot(root)
+    again = jaccard_state_increment(d1, root, old.unionByName(d1))
+    assert again["replayed"] and again["pairs"] is None
+    assert again["report"] == first["report"]
+    assert _fs_snapshot(root) == snap
+
+
+def test_crash_replay_converges(spark, tmp_path, monkeypatch):
+    """Kill the fold at both crash points; the retry must converge to
+    the same state bytes and the same pairs as an uncrashed fold."""
+    import home_credit_data_engineering_spark.operators.jaccard_state as js
+
+    old, d1, _ = _corpus(spark)
+    all_texts = old.unionByName(d1)
+
+    # uncrashed reference
+    ref_root = str(tmp_path / "ref")
+    write_jaccard_state(old, ref_root, "doc_id", "text", **KW)
+    ref = jaccard_state_increment(d1, ref_root, all_texts)
+    ref_pairs = _pairs(ref["pairs"])
+
+    # crash A: after the FIRST publish (prefixes appended, tokens not,
+    # no marker) — the dirty-state case the un-publish step exists for
+    root_a = str(tmp_path / "a")
+    write_jaccard_state(old, root_a, "doc_id", "text", **KW)
+    real_publish = js.publish_delta_files
+    calls = {"n": 0}
+
+    def exploding_publish(src, dest, fp):
+        calls["n"] += 1
+        out = real_publish(src, dest, fp)
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after first publish")
+        return out
+
+    monkeypatch.setattr(js, "publish_delta_files", exploding_publish)
+    with pytest.raises(RuntimeError, match="injected"):
+        jaccard_state_increment(d1, root_a, all_texts)
+    monkeypatch.setattr(js, "publish_delta_files", real_publish)
+    retry = jaccard_state_increment(d1, root_a, all_texts)
+    assert not retry["replayed"]
+    assert _pairs(retry["pairs"]) == ref_pairs
+    assert retry["report"] == ref["report"]
+
+    # crash B: between begin_fold_commit and finish_fold_commit (marker
+    # stranded at .committing; publishes complete) — the retry's
+    # recover_fold_commits finishes it, so the fold reports replayed
+    root_b = str(tmp_path / "b")
+    write_jaccard_state(old, root_b, "doc_id", "text", **KW)
+    real_finish = js.finish_fold_commit
+    monkeypatch.setattr(
+        js,
+        "finish_fold_commit",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected pre-finish")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        jaccard_state_increment(d1, root_b, all_texts)
+    monkeypatch.setattr(js, "finish_fold_commit", real_finish)
+    retry_b = jaccard_state_increment(d1, root_b, all_texts)
+    assert retry_b["replayed"]
+    assert retry_b["report"] == ref["report"]
+
+    # the PUBLISHED delta files carry deterministic names — they must be
+    # identical (name and size) across the crashed-and-retried roots;
+    # base-build part files keep Spark's per-run UUID names, so compare
+    # the delta set, plus total state row counts
+    def _delta_files(root):
+        out = set()
+        for leg in ("prefixes", "tokens"):
+            d = os.path.join(root, leg)
+            out |= {
+                (leg, f, os.path.getsize(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if f.startswith("delta-")
+            }
+        return out
+
+    assert _delta_files(root_b) == _delta_files(root_a)
+    for leg in ("prefixes", "tokens"):
+        assert (
+            spark.read.parquet(os.path.join(root_b, leg)).count()
+            == spark.read.parquet(os.path.join(root_a, leg)).count()
+        )
+
+
+def test_layout_and_meta_guards(spark, tmp_path):
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        write_state_layout,
+    )
+
+    old, d1, _ = _corpus(spark)
+    # a foreign (streamed) tree must be refused BEFORE recovery
+    foreign = str(tmp_path / "foreign")
+    os.makedirs(foreign)
+    write_state_layout(foreign, "streamed", "jaccard")
+    with pytest.raises(ValueError, match="streamed-maintained"):
+        jaccard_state_increment(d1, foreign, old)
+
+
+def test_sweep_classifies_and_dry_runs_jaccard_state(spark, tmp_path):
+    from home_credit_data_engineering_spark.jobs import maintenance as job
+    from home_credit_data_engineering_spark.sources.sweep import sweep_lake
+
+    old, d1, _ = _corpus(spark)
+    lake = tmp_path / "lake"
+    root = str(lake / "indexes" / "jac")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    jaccard_state_increment(d1, root, old.unionByName(d1))
+    # strand a fold marker to exercise the sweep's recovery
+    ledger = os.path.join(root, "_delta_ledger")
+    done = [f for f in os.listdir(ledger) if not f.endswith(".committing")]
+    os.rename(
+        os.path.join(ledger, done[0]),
+        os.path.join(ledger, done[0] + ".committing"),
+    )
+
+    # dry-run: pending detected, nothing touched
+    before = _fs_snapshot(str(lake))
+    reports = sweep_lake(spark, str(lake), dry_run=True)
+    assert [r["family"] for r in reports] == ["jaccard"]
+    assert reports[0]["recovered"] == 1
+    assert reports[0]["n_docs"] is None  # reads skipped on pending trees
+    assert _fs_snapshot(str(lake)) == before
+
+    # live sweep finishes the marker and reports the state body
+    assert job.main(["sweep", "--root", str(lake)]) == 0
+    reports = sweep_lake(spark, str(lake))
+    assert reports[0]["recovered"] == 0
+    assert reports[0]["n_docs"] == 20  # 14 base + 6 delta docs
+    assert reports[0]["threshold"] == 0.3
+
+
+def test_jaccard_cli_build_and_increment(spark, tmp_path, capsys):
+    from home_credit_data_engineering_spark.jobs import jaccard_index as job
+
+    old, d1, _ = _corpus(spark)
+    docs_p = str(tmp_path / "docs.parquet")
+    delta_p = str(tmp_path / "delta.parquet")
+    all_p = str(tmp_path / "all.parquet")
+    old.write.parquet(docs_p)
+    d1.write.parquet(delta_p)
+    old.unionByName(d1).write.parquet(all_p)
+    state = str(tmp_path / "state")
+    out_pairs = str(tmp_path / "pairs")
+
+    assert job.main(
+        ["--input", docs_p, "--state-dir", state,
+         "--threshold", "0.3", "--shingle-k", "3"]
+    ) == 0
+    assert "build:" in capsys.readouterr().out
+    assert job.main(
+        ["--input", delta_p, "--state-dir", state,
+         "--all-texts", all_p, "--output-pairs", out_pairs]
+    ) == 0
+    assert "increment:" in capsys.readouterr().out
+    got = _pairs(spark.read.parquet(out_pairs))
+    full = _pairs(
+        jaccard_similarity_join(
+            old.unionByName(d1), "doc_id", "text", **KW
+        )
+    )
+    old_pairs = _pairs(jaccard_similarity_join(old, "doc_id", "text", **KW))
+    assert {**old_pairs, **got} == full
+    # re-run = replayed no-op
+    assert job.main(
+        ["--input", delta_p, "--state-dir", state, "--all-texts", all_p]
+    ) == 0
+    assert "replayed" in capsys.readouterr().out

@@ -960,6 +960,11 @@ def _main() -> int:
     # by the just-finished headline suite's own work — the honest
     # quiet-box signal is the load at TRUE suite start, passed through
     # the environment. Standalone runs fall back to their own start.
+    # Known limitation: an external burst that starts DURING the run is
+    # invisible to this gate by construction (every later reading mixes
+    # in our own 32-thread work); that window belongs to the
+    # adjudicator, whose forced per-query probes carry their own
+    # before/after load telemetry.
     load_before = float(
         os.environ.get("SPARK_GRAFT_LOAD_AT_SUITE_START")
         or os.getloadavg()[0]

@@ -471,6 +471,12 @@ def _decode_wav(payload: bytes) -> tuple[dict, "np.ndarray"]:
             f"only 16-bit PCM WAV is codec-free (got format={audio_fmt}, "
             f"bits={bits})"
         )
+    if ch < 1 or rate < 1:
+        # corrupt fmt chunk: raise the module's descriptive contract,
+        # not a ZeroDivisionError deep in a task
+        raise ValueError(
+            f"corrupt WAV fmt chunk: channels={ch}, sample_rate={rate}"
+        )
     n = len(data) // (ch * 2)
     samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return {"sample_rate": rate, "n_channels": ch}, samples

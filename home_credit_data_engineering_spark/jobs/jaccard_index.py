@@ -51,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from home_credit_data_engineering_spark import get_session
     from home_credit_data_engineering_spark.operators.jaccard_state import (
+        META_NAME,
         jaccard_state_increment,
         read_jaccard_meta,
         write_jaccard_state,
@@ -59,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="jaccard-index")
     docs = spark.read.parquet(args.input)
 
-    if not os.path.isfile(os.path.join(args.state_dir, "_jaccard_meta.json")):
+    if not os.path.isfile(os.path.join(args.state_dir, META_NAME)):
         stats = write_jaccard_state(
             docs,
             args.state_dir,
@@ -80,18 +81,28 @@ def main(argv: list[str] | None = None) -> int:
             "increment mode (existing state tree) requires --all-texts"
         )
     meta = read_jaccard_meta(args.state_dir)
+    # --output-pairs rides INSIDE the fold (written before the ledger
+    # marker commits): a caller-side write here would sit past the
+    # commit point, and a crash in that window would strand a completed
+    # marker whose replay can never regenerate the pairs
     result = jaccard_state_increment(
-        docs, args.state_dir, spark.read.parquet(args.all_texts)
+        docs,
+        args.state_dir,
+        spark.read.parquet(args.all_texts),
+        output_pairs=args.output_pairs,
     )
     rep = result["report"]
     if result["replayed"]:
+        where = (
+            f"; pairs at {rep['output_pairs']}"
+            if rep.get("output_pairs")
+            else ""
+        )
         print(
             f"increment: fold {rep['delta_fingerprint']} already applied "
-            f"(replayed — no-op); {rep['n_pairs']} pairs at the time"
+            f"(replayed — no-op); {rep['n_pairs']} pairs at the time{where}"
         )
         return 0
-    if args.output_pairs:
-        result["pairs"].write.mode("overwrite").parquet(args.output_pairs)
     print(
         f"increment: {rep['n_pairs']} delta-touching pairs at "
         f"t={meta['threshold']}, +{rep['n_new_prefix_rows']} prefix rows, "

@@ -127,10 +127,54 @@ def write_jaccard_state(
     }
 
 
+def reconcile_orphan_deltas(root: str, dry_run: bool = False) -> int:
+    """Remove (or in ``dry_run`` count) published ``delta-*`` files and
+    ``_incoming`` staging dirs whose fingerprint has NO ledger entry —
+    the residue of a pre-marker crash whose delta was then amended
+    (different content → different fingerprint → the retry's own
+    un-publish never matches). Returns the number of orphan fingerprints
+    handled. Run only with no fold in flight (same single-maintainer
+    contract as the ANN increments)."""
+    import shutil
+
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        ledger_dir,
+    )
+
+    d = ledger_dir(root)
+    ledgered = set()
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            ledgered.add(name.removesuffix(".committing").removesuffix(".__tmp"))
+    orphan_fps: set[str] = set()
+    for leg in (_prefixes_path(root), _tokens_path(root)):
+        if not os.path.isdir(leg):
+            continue
+        for f in os.listdir(leg):
+            # delta-{fp}-NNNNN.parquet, fp = "{count:x}-{xor:016x}"
+            if f.startswith("delta-") and f.endswith(".parquet"):
+                fp = f[len("delta-"):].rsplit("-", 1)[0]
+                if fp not in ledgered:
+                    orphan_fps.add(fp)
+                    if not dry_run:
+                        os.remove(os.path.join(leg, f))
+    incoming_root = os.path.join(root, "_incoming")
+    if os.path.isdir(incoming_root):
+        for fp in os.listdir(incoming_root):
+            if fp not in ledgered:
+                orphan_fps.add(fp)
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(incoming_root, fp), ignore_errors=True
+                    )
+    return len(orphan_fps)
+
+
 def jaccard_state_increment(
     new_docs: DataFrame,
     root: str,
     all_texts: DataFrame,
+    output_pairs: str | None = None,
 ) -> dict:
     """One replay-idempotent fold of a delta into a persisted state tree.
 
@@ -142,15 +186,23 @@ def jaccard_state_increment(
     appends so its plan cannot re-read the state it is about to grow),
     ``None`` on a replayed (already-completed) fold, whose saved report
     is returned instead.
+
+    ``output_pairs``: persist the pair frame to this parquet path AS
+    PART OF the fold, BEFORE the ledger marker commits — a caller-side
+    write after the fold returns would sit past the commit point, so a
+    crash there would strand a completed marker with the pairs lost to
+    replay. The path is recorded in the fold report.
     """
     spark = new_docs.sparkSession
     # layout guard + recovery ordering (the ann_state discipline):
     # explicit marker mismatch raises before anything touches the tree;
     # then root recovery; then stranded fold markers finish (append-only
-    # legs: the publishes were complete before the marker existed).
+    # legs: the publishes were complete before the marker existed);
+    # then orphan residue of ABANDONED fingerprints is swept out.
     assert_layout_if_marked(root, "batch", "jaccard")
     recover_state_swap(root)
     recover_fold_commits(root, [])
+    reconcile_orphan_deltas(root)
     check_state_layout(root, "batch", "jaccard")
     meta = read_jaccard_meta(root)
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -182,6 +234,11 @@ def jaccard_state_increment(
     # reads the state parquet lazily, and an executed-after-append scan
     # would see the delta's own prefix rows as accepted state
     pairs = inc["pairs"].localCheckpoint(eager=True)
+    if output_pairs:
+        # inside the fold, before the marker: a crash after this write
+        # replays the whole fold (overwrite converges); a crash after
+        # the marker finds the pairs already durable
+        pairs.write.mode("overwrite").parquet(output_pairs)
 
     incoming = incoming_delta_path(root, fp)
     inc["new_prefixes"].write.mode("overwrite").parquet(
@@ -196,6 +253,9 @@ def jaccard_state_increment(
     n_files += publish_delta_files(
         os.path.join(incoming, "tokens"), _tokens_path(root), fp
     )
+    import shutil
+
+    shutil.rmtree(incoming, ignore_errors=True)  # staging skeleton
     report = {
         "delta_fingerprint": fp,
         "n_pairs": pairs.count(),
@@ -203,6 +263,8 @@ def jaccard_state_increment(
         "n_new_tokens": inc["new_tokens"].count(),
         "files_published": n_files,
     }
+    if output_pairs:
+        report["output_pairs"] = output_pairs
     # both append-only legs are fully published — the marker commits
     begin_fold_commit(root, fp, {"report": report})
     finish_fold_commit(root, fp)
@@ -210,15 +272,21 @@ def jaccard_state_increment(
 
 
 def jaccard_state_report(spark: SparkSession, root: str) -> dict:
-    """Bounded state summary (parquet-metadata counts + the meta
-    sidecar) — the sweep's report body."""
+    """Bounded state summary (one aggregate per leg + the meta sidecar)
+    — the sweep's report body."""
     meta = read_jaccard_meta(root)
+    prow = (
+        spark.read.parquet(_prefixes_path(root))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .first()
+    )
     return {
         "threshold": meta["threshold"],
         "shingle_k": meta["shingle_k"],
-        "n_prefix_rows": spark.read.parquet(_prefixes_path(root)).count(),
+        "n_prefix_rows": prow["rows"],
         "n_tokens": spark.read.parquet(_tokens_path(root)).count(),
-        "n_docs": spark.read.parquet(_prefixes_path(root))
-        .agg(F.countDistinct("doc_id").alias("n"))
-        .first()["n"],
+        "n_docs": prow["docs"],
     }

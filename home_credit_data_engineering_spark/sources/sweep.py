@@ -302,16 +302,22 @@ def _sweep_jaccard(
 ) -> dict[str, Any]:
     from home_credit_data_engineering_spark.operators.jaccard_state import (
         jaccard_state_report,
+        reconcile_orphan_deltas,
     )
 
     recovered = 0
     recovered += _swap(path, dry_run, skip)
     if dry_run:
         recovered += bool(pending_fold_commits(path))
+        recovered += bool(reconcile_orphan_deltas(path, dry_run=True))
     else:
         # append-only legs: a stranded marker just finishes (the fold's
-        # publishes were complete before the marker was created)
+        # publishes were complete before the marker was created); then
+        # residue of ABANDONED fingerprints (pre-marker crash whose
+        # delta was amended) is swept out so reports don't count
+        # phantom rows
         recovered += bool(recover_fold_commits(path, []))
+        recovered += bool(reconcile_orphan_deltas(path))
     for leg in ("prefixes", "tokens"):
         recovered += _swap(os.path.join(path, leg), dry_run, skip)
     body: dict[str, Any] = {}

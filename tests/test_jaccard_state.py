@@ -259,3 +259,90 @@ def test_jaccard_cli_build_and_increment(spark, tmp_path, capsys):
         ["--input", delta_p, "--state-dir", state, "--all-texts", all_p]
     ) == 0
     assert "replayed" in capsys.readouterr().out
+
+
+def test_abandoned_fingerprint_residue_is_reconciled(spark, tmp_path, monkeypatch):
+    """A fold that crashes pre-marker and is then AMENDED (different
+    content -> different fingerprint) leaves orphan delta files the
+    retry's own un-publish can never match; reconcile_orphan_deltas
+    (run by every increment and by the sweep) must remove exactly that
+    residue, and dry-run must only count it."""
+    import home_credit_data_engineering_spark.operators.jaccard_state as js
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        reconcile_orphan_deltas,
+    )
+
+    old, d1, _ = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+
+    # crash after the first publish of the ORIGINAL delta
+    real_publish = js.publish_delta_files
+    calls = {"n": 0}
+
+    def exploding(src, dest, fp):
+        calls["n"] += 1
+        out = real_publish(src, dest, fp)
+        if calls["n"] == 1:
+            raise RuntimeError("injected")
+        return out
+
+    monkeypatch.setattr(js, "publish_delta_files", exploding)
+    with pytest.raises(RuntimeError, match="injected"):
+        jaccard_state_increment(d1, root, old.unionByName(d1))
+    monkeypatch.setattr(js, "publish_delta_files", real_publish)
+    orphans = [
+        f
+        for f in os.listdir(os.path.join(root, "prefixes"))
+        if f.startswith("delta-")
+    ]
+    assert orphans, "crash must have left published residue"
+
+    # dry-run counts without touching
+    assert reconcile_orphan_deltas(root, dry_run=True) == 1
+    assert all(
+        os.path.exists(os.path.join(root, "prefixes", f)) for f in orphans
+    )
+
+    # the AMENDED delta (one row fixed -> new fingerprint) folds clean:
+    # the increment's own reconcile removes the abandoned residue first
+    amended = d1.withColumn(
+        "text", F.when(F.col("doc_id") == 100, F.lit("fixed row")).otherwise(
+            F.col("text")
+        )
+    )
+    all_texts = old.unionByName(amended)
+    res = jaccard_state_increment(amended, root, all_texts)
+    assert not res["replayed"]
+    assert not any(
+        os.path.exists(os.path.join(root, "prefixes", f)) for f in orphans
+    )
+    got = _pairs(res["pairs"])
+    pairs_old = _pairs(jaccard_similarity_join(old, "doc_id", "text", **KW))
+    pairs_full = _pairs(
+        jaccard_similarity_join(all_texts, "doc_id", "text", **KW)
+    )
+    assert {**pairs_old, **got} == pairs_full
+    # no phantom rows: prefix doc count == true corpus size
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        jaccard_state_report,
+    )
+
+    assert jaccard_state_report(spark, root)["n_docs"] == 20
+
+
+def test_output_pairs_written_inside_the_fold(spark, tmp_path):
+    old, d1, _ = _corpus(spark)
+    root = str(tmp_path / "state")
+    out = str(tmp_path / "pairs")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    res = jaccard_state_increment(
+        d1, root, old.unionByName(d1), output_pairs=out
+    )
+    assert res["report"]["output_pairs"] == out
+    assert _pairs(spark.read.parquet(out)) == _pairs(res["pairs"])
+    # replay still points at the durable output
+    again = jaccard_state_increment(
+        d1, root, old.unionByName(d1), output_pairs=out
+    )
+    assert again["replayed"] and again["report"]["output_pairs"] == out

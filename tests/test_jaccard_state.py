@@ -346,3 +346,77 @@ def test_output_pairs_written_inside_the_fold(spark, tmp_path):
         d1, root, old.unionByName(d1), output_pairs=out
     )
     assert again["replayed"] and again["report"]["output_pairs"] == out
+
+
+def test_streamed_jaccard_ingest_replay_idempotent(spark, tmp_path):
+    """Structured-Streaming maintenance: micro-batches fold through the
+    same ledger as the batch CLI — stream result == full recompute, a
+    resumed stream over the same source folds nothing new, and a
+    content-duplicate redelivery is a committed no-op."""
+    import glob
+    import shutil
+
+    from home_credit_data_engineering_spark.streaming.jaccard import (
+        foreach_batch_jaccard_ingest,
+    )
+
+    old, d1, d2 = _corpus(spark)
+    all_docs = old.unionByName(d1).unionByName(d2)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+
+    # the streaming source: the deltas as single-file parquet drops
+    # (one file per micro-batch via maxFilesPerTrigger), and the texts
+    # lake the verify reads from
+    texts_p = str(tmp_path / "texts.parquet")
+    all_docs.write.parquet(texts_p)
+    src = str(tmp_path / "_src")
+    os.makedirs(src)
+    for i, frame in enumerate((d1, d2)):
+        stage = str(tmp_path / f"_stage{i}")
+        frame.coalesce(1).write.parquet(stage)
+        shutil.copy(
+            glob.glob(stage + "/part-*.parquet")[0], f"{src}/{i:02d}.parquet"
+        )
+
+    def start(reports):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        return foreach_batch_jaccard_ingest(
+            stream,
+            root,
+            texts_p,
+            str(tmp_path / "ckpt"),
+            pairs_dir=str(tmp_path / "pairs"),
+            reports=reports,
+        )
+
+    reports: list = []
+    start(reports)
+    assert [r["replayed"] for r in reports] == [False, False]
+
+    # stream pairs ∪ base pairs == full recompute
+    streamed = _pairs(spark.read.parquet(str(tmp_path / "pairs")).drop("batch"))
+    pairs_old = _pairs(jaccard_similarity_join(old, "doc_id", "text", **KW))
+    pairs_full = _pairs(
+        jaccard_similarity_join(all_docs, "doc_id", "text", **KW)
+    )
+    assert {**pairs_old, **streamed} == pairs_full
+
+    # resume on the same checkpoint: no data, no folds
+    reports2: list = []
+    start(reports2)
+    assert reports2 == []
+
+    # content-duplicate redelivery (fresh checkpoint, same files):
+    # every fold replays as a committed no-op and the state is unchanged
+    snap = _fs_snapshot(root)
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    reports3: list = []
+    start(reports3)
+    assert [r["replayed"] for r in reports3] == [True, True]
+    assert _fs_snapshot(root) == snap

@@ -2000,6 +2000,96 @@ def _jaccard_verify_sets(
     )
 
 
+def containment_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT asymmetric containment join: every (probe, reference) pair
+    with ``|P ∩ R| / |P| >= threshold`` over shingle sets — the
+    set-containment form of benchmark decontamination (a training doc
+    that CONTAINS most of a benchmark item, or is contained by one,
+    scores high where symmetric Jaccard is diluted by length mismatch;
+    complements the positional span form in ``operators/spans.py``).
+
+    Asymmetric prefix filter (the R-S join of Vernica/Carey/Li SIGMOD
+    2010, §3.3): ``C(P, R) >= t`` forces ``|P ∩ R| >= ceil(t·|P|)``,
+    and any set sharing >= k elements with P must hit one of P's first
+    ``|P| - k + 1`` elements under ANY fixed total order — so only the
+    PROBE side ships prefixes (its rarest tokens under the corpus
+    frequency order), while the reference side is fully indexed (one
+    posting per token). That asymmetry is the scale shape: the
+    reference (benchmark suite) is orders of magnitude smaller than the
+    probe corpus, so full postings on the small side + prefix-only on
+    the big side keeps the candidate equi-join bounded by probe-prefix
+    rarity. A length filter (``|R| >= ceil(t·|P|)``, since the
+    intersection can't exceed |R|) prunes before exact verification.
+    Exact decimal ``ceil`` arithmetic throughout (the IEEE ``0.2*35``
+    trap). No UDF; candidates verify via ``array_intersect``.
+
+    Returns ``(probe_id, ref_id, containment)``. Probe and reference
+    may overlap in ids; self-pairs (same id both sides) are excluded.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_dec = F.lit(threshold).cast("decimal(12,9)")
+
+    p_sets = _jaccard_shingle_sets(probe, id_col, text_col, shingle_k)
+    r_sets = _jaccard_shingle_sets(reference, id_col, text_col, shingle_k)
+    p_elems = p_sets.select(
+        "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
+    )
+    # order by PROBE-corpus frequency: the probe side dominates the
+    # token statistics, and the lemma only needs one fixed total order
+    freq = p_elems.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    prefix = _jaccard_prefix_rows(p_elems, freq, t_dec).select(
+        F.col("__id").alias("__pid"),
+        F.col("__sz").alias("__psz"),
+        "__tok",
+    )
+    postings = r_sets.select(
+        F.col("__id").alias("__rid"),
+        F.size("__set").alias("__rsz"),
+        F.explode("__set").alias("__tok"),
+    )
+    cand = (
+        prefix.join(postings, "__tok")
+        .filter(F.col("__pid") != F.col("__rid"))
+        # |P ∩ R| <= |R|, so C >= t needs |R| >= ceil(t·|P|)
+        .filter(
+            F.col("__rsz").cast("decimal(20,9)") >= F.ceil(t_dec * F.col("__psz"))
+        )
+        .select("__pid", "__rid")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("__pset", "__rset")).cast("double")
+    return (
+        cand.join(
+            p_sets.select(
+                F.col("__id").alias("__pid"), F.col("__set").alias("__pset")
+            ),
+            "__pid",
+        )
+        .join(
+            r_sets.select(
+                F.col("__id").alias("__rid"), F.col("__set").alias("__rset")
+            ),
+            "__rid",
+        )
+        .withColumn("__c", inter / F.size("__pset").cast("double"))
+        .filter(F.col("__c") >= F.lit(float(threshold)))
+        .select(
+            F.col("__pid").alias("probe_id"),
+            F.col("__rid").alias("ref_id"),
+            F.round("__c", round_digits).alias("containment"),
+        )
+    )
+
+
 def jaccard_join_collapsed(
     docs: DataFrame,
     id_col: str = "doc_id",

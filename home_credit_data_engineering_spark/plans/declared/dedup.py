@@ -598,3 +598,61 @@ def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     root = tempfile.mkdtemp(prefix="jaccard_state_") + "/state"
     write_jaccard_state(base, root, "doc_id", "text", threshold=0.2, shingle_k=3)
     return jaccard_state_increment(delta, root, docs)["pairs"]
+
+
+@register(
+    "dedup_containment_join",
+    # FULL oracle: brute-force asymmetric containment over the same
+    # probe/reference split — candidate completeness of the one-sided
+    # prefix scheme (probe prefixes vs full reference postings) is
+    # hash-verified, not argued from the lemma alone. The split moduli
+    # divide 1e9, so the planted shape survives the replica id shift.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT p.doc_id AS probe_id, r.doc_id AS ref_id,
+           ROUND(CAST(len(list_intersect(p.shingles, r.shingles)) AS DOUBLE)
+                 / len(p.shingles), 6) AS containment
+    FROM sh p JOIN sh r
+      ON p.doc_id % 20 <> 7 AND r.doc_id % 20 = 7 AND p.doc_id <> r.doc_id
+    WHERE CAST(len(list_intersect(p.shingles, r.shingles)) AS DOUBLE)
+          / len(p.shingles) >= 0.5
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="EXACT asymmetric containment join at 0.5 (operators/dedup.py:"
+    "containment_join — the R-S prefix scheme of Vernica SIGMOD'10 "
+    "§3.3): probe docs ship only their |P| - ceil(t|P|) + 1 rarest "
+    "tokens while the (small) reference side is fully indexed, plus a "
+    "|R| >= ceil(t|P|) length filter, then exact array_intersect "
+    "verification of |P∩R|/|P|. The set-containment form of benchmark "
+    "decontamination — a training doc containing most of a benchmark "
+    "item scores high where symmetric Jaccard is diluted by length "
+    "mismatch; complements the positional span form "
+    "(text_decontaminate_spans). The DuckDB oracle is the brute-force "
+    "asymmetric join, so one-sided candidate completeness is "
+    "hash-verified.",
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.dedup import (
+        containment_join,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    return containment_join(
+        docs.filter(F.col("doc_id") % 20 != 7),
+        docs.filter(F.col("doc_id") % 20 == 7),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle_k=3,
+    )

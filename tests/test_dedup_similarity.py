@@ -1230,3 +1230,65 @@ def test_jaccard_join_collapsed_equals_full(spark):
     assert stats["brute_force_pairs"] == (
         stats["n_groups"] * (stats["n_groups"] - 1) // 2
     )
+
+
+def test_containment_join_planted_subsets(spark):
+    """Asymmetric containment: a probe doc that is a SUBSET of a
+    reference doc scores 1.0 regardless of the reference's extra length
+    (where symmetric Jaccard dilutes); direction matters; near-subsets
+    score their exact fraction; unrelated docs never pair."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        containment_join,
+        jaccard_similarity_join,
+    )
+
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows_ref = [(1, bench), (2, "totally different reference words here "
+                                "one two three four five six seven")]
+    rows_probe = [
+        # exact subset: first 8 tokens of bench -> all 6 of its 3-gram
+        # shingles appear in bench -> containment 1.0
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        # half-contaminated: 6 bench tokens + 6 novel tokens
+        (101, "alpha beta gamma delta epsilon zeta q1 q2 q3 q4 q5 q6"),
+        # unrelated
+        (102, "nothing in common with either reference document at all"),
+        # superset probe: bench + extra tail -> containment < 1 (its own
+        # set is bigger), while REVERSED roles would give 1.0
+        (103, bench + " extra tail words beyond the benchmark"),
+    ]
+    ref = spark.createDataFrame(rows_ref, "doc_id long, text string")
+    probe = spark.createDataFrame(rows_probe, "doc_id long, text string")
+
+    got = {
+        (r["probe_id"], r["ref_id"]): r["containment"]
+        for r in containment_join(
+            probe, ref, "doc_id", "text", threshold=0.4, shingle_k=3
+        ).collect()
+    }
+    assert got[(100, 1)] == 1.0  # subset detected despite length gap
+    # symmetric Jaccard on the same pair is diluted well below 0.4 —
+    # the reason the containment form exists
+    sym = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_similarity_join(
+            probe.unionByName(ref), "doc_id", "text",
+            threshold=0.01, shingle_k=3,
+        ).collect()
+    }
+    assert sym[(1, 100)] < 0.4
+    # half-contaminated probe: 4 of its 10 shingles hit the bench
+    # (novel-token boundary shingles don't) -> 0.4 exactly
+    assert got[(101, 1)] == 0.4
+    assert not any(p == 102 for p, _ in got)
+    # direction: the superset probe's containment is |bench_shingles|/|own|
+    assert (103, 1) in got and got[(103, 1)] < 1.0
+    # reversed roles: bench IS a subset of probe 103
+    rev = {
+        (r["probe_id"], r["ref_id"]): r["containment"]
+        for r in containment_join(
+            ref, probe, "doc_id", "text", threshold=0.9, shingle_k=3
+        ).collect()
+    }
+    assert rev[(1, 103)] == 1.0

@@ -457,6 +457,16 @@ def _decode_wav(payload: bytes) -> tuple[dict, "np.ndarray"]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data" and pos + 8 + size > len(payload):
+            # the chunk size field is untrusted input: a data chunk
+            # declaring more bytes than the payload holds would silently
+            # truncate samples (wrong n_samples/duration) — raise, the
+            # same contract as the BMP/PPM 'truncated before pixel data
+            # end' guards
+            raise ValueError(
+                f"WAV data chunk declares {size} bytes but payload ends "
+                f"{pos + 8 + size - len(payload)} bytes short — truncated"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)

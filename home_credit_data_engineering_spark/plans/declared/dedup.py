@@ -579,6 +579,7 @@ def dedup_jaccard_join_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta-touching pairs, so candidate completeness is hash-verified.",
 )
 def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from home_credit_data_engineering_spark.functions.text import tokens
@@ -595,9 +596,18 @@ def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     # the REAL maintained-state path (operators/jaccard_state.py):
     # layout marker + pinned meta + ledger-idempotent fold — the driver
     # slot exercises the production machinery, not a hand round-trip
-    root = tempfile.mkdtemp(prefix="jaccard_state_") + "/state"
-    write_jaccard_state(base, root, "doc_id", "text", threshold=0.2, shingle_k=3)
-    return jaccard_state_increment(delta, root, docs)["pairs"]
+    tmp = tempfile.mkdtemp(prefix="jaccard_state_")
+    root = tmp + "/state"
+    try:
+        write_jaccard_state(
+            base, root, "doc_id", "text", threshold=0.2, shingle_k=3
+        )
+        # pairs is eagerly localCheckpointed inside the fold, so the
+        # returned frame never re-reads the tree — safe to remove now
+        # (repeated bench samples were each leaking a full state copy)
+        return jaccard_state_increment(delta, root, docs)["pairs"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

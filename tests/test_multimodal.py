@@ -170,3 +170,29 @@ def test_real_wav_decode_and_resample(spark):
     )
     with pytest.raises(Exception, match="RIFF/WAVE"):
         decode_audio(bad, "doc_id", "payload").collect()
+
+
+def test_wav_truncated_data_chunk_raises(spark):
+    """The RIFF data-chunk size field is untrusted: declaring more bytes
+    than the payload holds must raise (like the image decoders'
+    truncation guards), not silently shorten n_samples/duration."""
+    import struct
+
+    import numpy as np
+
+    from home_credit_data_engineering_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    good = bytes(encode_wav(rng.randint(-100, 100, (40, 1)).astype(np.int16), 8000))
+    # find the data chunk and inflate its declared size past the payload
+    i = good.index(b"data")
+    (size,) = struct.unpack_from("<I", good, i + 4)
+    bad = good[: i + 4] + struct.pack("<I", size + 64) + good[i + 8 :]
+    df = spark.createDataFrame(
+        [(1, bytearray(bad))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_audio(df, "doc_id", "payload").collect()

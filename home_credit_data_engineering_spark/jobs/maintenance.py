@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
         "this many batch partitions exist",
     )
     sweep.add_argument(
+        "--reconcile", action="store_true",
+        help="also sweep abandoned-fingerprint delta residue out of "
+        "prefix-state trees. Opt-in: a fold in flight (published files, "
+        "marker not yet committed) looks exactly like residue, so only "
+        "run this when no fold is running anywhere in the lake",
+    )
+    sweep.add_argument(
         "--dry-run", action="store_true",
         help="report-only: mutate NOTHING, print what recovery/compaction "
         "WOULD do, and exit 3 when any tree needs recovery or compaction "
@@ -110,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.root,
             compact_deltas_window=args.compact_deltas_window,
             dry_run=args.dry_run,
+            reconcile_orphans=args.reconcile,
         )
         recovered = sum(r["recovered"] for r in reports)
         for r in reports:
@@ -145,6 +153,22 @@ def main(argv: list[str] | None = None) -> int:
                     if r["n_docs"] is not None
                     else "pending recovery (details skipped in dry-run)"
                 )
+                if "deltas_compacted" in r:
+                    extra += (
+                        f", delta files {r['deltas_compacted']['before']}"
+                        f"->{r['deltas_compacted']['after']}"
+                    )
+                if "would_compact_deltas" in r:
+                    extra += (
+                        f", would compact "
+                        f"{r['would_compact_deltas']['files']} delta files "
+                        f"(window {r['would_compact_deltas']['window']})"
+                    )
+                if r.get("compaction_blocked_by_orphans"):
+                    extra += (
+                        ", compaction blocked by unledgered residue "
+                        "(run --reconcile first)"
+                    )
                 tag = "jaccard"
             elif r["family"] == "entity":
                 extra = (

@@ -191,7 +191,12 @@ def jaccard_state_increment(
     PART OF the fold, BEFORE the ledger marker commits — a caller-side
     write after the fold returns would sit past the commit point, so a
     crash there would strand a completed marker with the pairs lost to
-    replay. The path is recorded in the fold report.
+    replay. The path is recorded in the fold report. On a REPLAYED fold
+    the pairs cannot be regenerated (the state already contains the
+    delta), so if ``output_pairs`` is requested but the completed fold
+    never persisted pairs there — or the recorded file is gone — the
+    call RAISES instead of returning a 0-exit whose promised output
+    does not exist (scripted callers assume the path after success).
     """
     spark = new_docs.sparkSession
     # layout guard + recovery ordering (the ann_state discipline):
@@ -202,6 +207,11 @@ def jaccard_state_increment(
     assert_layout_if_marked(root, "batch", "jaccard")
     recover_state_swap(root)
     recover_fold_commits(root, [])
+    # a compaction (compact_jaccard_state) that died mid leg-swap leaves
+    # either a discardable staged dir or a finished-but-unrenamed one —
+    # recover both legs before reading them
+    for leg in (_prefixes_path(root), _tokens_path(root)):
+        recover_state_swap(leg)
     reconcile_orphan_deltas(root)
     check_state_layout(root, "batch", "jaccard")
     meta = read_jaccard_meta(root)
@@ -210,6 +220,20 @@ def jaccard_state_increment(
     fp = delta_fingerprint(new_docs, [id_col, text_col])
     done = read_fold_marker(root, fp)
     if done is not None:
+        if output_pairs is not None:
+            recorded = done["report"].get("output_pairs")
+            if recorded != output_pairs or not os.path.isdir(recorded):
+                raise RuntimeError(
+                    f"fold {fp} already completed "
+                    + (
+                        f"with pairs at {recorded!r}"
+                        if recorded
+                        else "without persisting pairs"
+                    )
+                    + f"; cannot produce {output_pairs!r} on replay — the "
+                    "state already contains this delta, so the "
+                    "delta-touching pairs are not regenerable"
+                )
         return {"pairs": None, "report": done["report"], "replayed": True}
 
     # Un-publish any half-published files from a crashed earlier attempt
@@ -269,6 +293,30 @@ def jaccard_state_increment(
     begin_fold_commit(root, fp, {"report": report})
     finish_fold_commit(root, fp)
     return {"pairs": pairs, "report": report, "replayed": False}
+
+
+def compact_jaccard_state(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> dict:
+    """Rewrite both append-only legs to a bounded file count — every
+    fold publishes ``delta-{fp}-N.parquet`` files into ``prefixes/`` and
+    ``tokens/`` forever, the classic small-files regression. Ledger
+    markers stay (a replayed fold still no-ops); run with NO fold in
+    flight; refuses on unledgered residue (see
+    ``sources/maintenance.py:compact_ledgered_legs``)."""
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        compact_ledgered_legs,
+    )
+
+    assert_layout_if_marked(root, "batch", "jaccard")
+    recover_state_swap(root)
+    recover_fold_commits(root, [])
+    for leg in (_prefixes_path(root), _tokens_path(root)):
+        recover_state_swap(leg)
+    check_state_layout(root, "batch", "jaccard")
+    return compact_ledgered_legs(
+        spark, root, ("prefixes", "tokens"), target_files
+    )
 
 
 def jaccard_state_report(spark: SparkSession, root: str) -> dict:

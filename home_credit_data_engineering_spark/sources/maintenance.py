@@ -293,6 +293,91 @@ def publish_delta_files(
     return n
 
 
+def published_delta_fingerprints(leg_dir: str) -> set[str]:
+    """Fingerprints that have published ``delta-{fp}-NNNNN.parquet``
+    files in this leg directory (driver-side listing, no Spark)."""
+    out: set[str] = set()
+    if not os.path.isdir(leg_dir):
+        return out
+    for f in os.listdir(leg_dir):
+        if f.startswith("delta-") and f.endswith(".parquet"):
+            out.add(f[len("delta-"):].rsplit("-", 1)[0])
+    return out
+
+
+def delta_file_count(state_root: str, legs: tuple[str, ...]) -> int:
+    """Largest per-leg count of published ``delta-*`` files — the
+    small-files pressure gauge the sweep compares to its window."""
+    worst = 0
+    for leg in legs:
+        p = os.path.join(state_root, leg)
+        if not os.path.isdir(p):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(p)
+            if f.startswith("delta-") and f.endswith(".parquet")
+        )
+        worst = max(worst, n)
+    return worst
+
+
+def compact_ledgered_legs(
+    spark: SparkSession,
+    state_root: str,
+    legs: tuple[str, ...],
+    target_files: int = 4,
+) -> dict:
+    """Small-files compaction for ledger-maintained APPEND-ONLY state
+    legs (the exact-Jaccard / containment prefix states): rewrite each
+    leg to ``target_files`` files through the two-phase ``__next`` swap,
+    keeping the processed-fingerprint ledger untouched — a replayed fold
+    still no-ops on its marker after its delta files are folded into the
+    base.
+
+    Run with NO fold in flight (single-maintainer contract — a
+    concurrent fold both reads the legs this rewrites and publishes
+    files the rewrite would drop). REFUSES when UNLEDGERED delta files
+    exist (``{"skipped": "unledgered-delta-residue", ...}``): those are
+    either a fold mid-publish or crash residue of an abandoned
+    fingerprint, and baking them into the compacted base would make the
+    phantom rows permanent and unreconcilable — reconcile first
+    (``reconcile_orphan_deltas`` / ``sweep --reconcile``), then compact.
+
+    Crash-safe: each leg goes through ``compact_parquet``'s staged swap,
+    and the state families' increment preambles recover a died leg swap
+    (discard a staged dir when the live leg survives; finish the rename
+    when it doesn't). A crash between the two legs' swaps leaves one leg
+    compacted and one not — both content-identical to before, so the
+    next run just re-compacts. Returns per-leg
+    ``{"files_before", "files_after", "rows"}``.
+    """
+    ledgered: set[str] = set()
+    d = ledger_dir(state_root)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            ledgered.add(
+                name.removesuffix(".committing").removesuffix(".__tmp")
+            )
+    published: set[str] = set()
+    for leg in legs:
+        published |= published_delta_fingerprints(
+            os.path.join(state_root, leg)
+        )
+    orphans = published - ledgered
+    if orphans:
+        return {
+            "skipped": "unledgered-delta-residue",
+            "orphan_fingerprints": sorted(orphans),
+        }
+    return {
+        leg: compact_parquet(
+            spark, os.path.join(state_root, leg), target_files
+        )
+        for leg in legs
+    }
+
+
 def carry_ledger(state_root: str, staged_root: str) -> None:
     """Copy the processed-delta ledger into a rebuild's staged sibling
     (completed markers only — a ``.committing`` from a crashed fold is

@@ -18,8 +18,10 @@ sweep --root`` walks the lake once and dispatches:
   per-leg swap recovery, corpus-size report.
 - **Exact-Jaccard prefix states** (dir holding ``_jaccard_meta.json``;
   see ``operators/jaccard_state.py``): finish stranded fold-commit
-  markers (append-only legs), swap recovery, bounded corpus/vocab
-  report.
+  markers (append-only legs), swap recovery, small-files compaction of
+  the per-fold ``delta-*`` files once more than
+  ``compact_deltas_window`` exist in a leg (ledger untouched; blocked
+  by unledgered residue), bounded corpus/vocab report.
 - **Entity-resolution states** (``entities/batch=N`` snapshots):
   generic ``__next`` recovery underneath, snapshot/file report.
 - **Corpus pipeline states** (two or more of the
@@ -297,33 +299,75 @@ def _sweep_bm25(
 def _sweep_jaccard(
     spark: SparkSession,
     path: str,
+    compact_deltas_window: int = 16,
     dry_run: bool = False,
     skip: frozenset[str] = frozenset(),
+    reconcile_orphans: bool = False,
 ) -> dict[str, Any]:
     from home_credit_data_engineering_spark.operators.jaccard_state import (
         jaccard_state_report,
         reconcile_orphan_deltas,
+    )
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        compact_ledgered_legs,
+        delta_file_count,
     )
 
     recovered = 0
     recovered += _swap(path, dry_run, skip)
     if dry_run:
         recovered += bool(pending_fold_commits(path))
-        recovered += bool(reconcile_orphan_deltas(path, dry_run=True))
+        if reconcile_orphans:
+            recovered += bool(reconcile_orphan_deltas(path, dry_run=True))
     else:
         # append-only legs: a stranded marker just finishes (the fold's
-        # publishes were complete before the marker was created); then
-        # residue of ABANDONED fingerprints (pre-marker crash whose
-        # delta was amended) is swept out so reports don't count
-        # phantom rows
+        # publishes were complete before the marker was created); then —
+        # ONLY on request — residue of ABANDONED fingerprints (pre-marker
+        # crash whose delta was amended) is swept out. Orphan
+        # reconciliation is opt-in (--reconcile) because a fold IN FLIGHT
+        # between publish_delta_files and begin_fold_commit looks exactly
+        # like residue: a concurrent sweep would delete its just-published
+        # delta files and the fold would then commit a marker over missing
+        # rows — silent permanent state loss. The maintainer's own startup
+        # path (jaccard_state_increment) reconciles safely under the
+        # single-maintainer contract; run the sweep with --reconcile only
+        # when no fold is in flight.
         recovered += bool(recover_fold_commits(path, []))
-        recovered += bool(reconcile_orphan_deltas(path))
+        if reconcile_orphans:
+            recovered += bool(reconcile_orphan_deltas(path))
     for leg in ("prefixes", "tokens"):
         recovered += _swap(os.path.join(path, leg), dry_run, skip)
+    # small-files compaction: every fold publishes delta-{fp}-N.parquet
+    # into both legs forever; past the window, rewrite the legs through
+    # the staged swap (ledger untouched — replays still no-op). Blocked
+    # by unledgered residue unless the sweep also reconciles it — baking
+    # a crashed half-publish into the base would be permanent.
+    legs = ("prefixes", "tokens")
+    compacted: dict[str, Any] | None = None
+    would_compact: int | None = None
+    blocked = False
+    n_delta = delta_file_count(path, legs)
+    if n_delta > compact_deltas_window:
+        if dry_run:
+            if reconcile_orphans or not reconcile_orphan_deltas(
+                path, dry_run=True
+            ):
+                would_compact = n_delta
+            else:
+                blocked = True
+        else:
+            rep = compact_ledgered_legs(spark, path, legs)
+            if "skipped" in rep:
+                blocked = True
+            else:
+                compacted = {
+                    "before": n_delta,
+                    "after": delta_file_count(path, legs),
+                }
     body: dict[str, Any] = {}
     if not (dry_run and recovered):
         body = jaccard_state_report(spark, path)
-    return {
+    out: dict[str, Any] = {
         "family": "jaccard",
         "path": path,
         "parquet_files": _parquet_file_count(path),
@@ -333,6 +377,16 @@ def _sweep_jaccard(
         "n_tokens": body.get("n_tokens"),
         "threshold": body.get("threshold"),
     }
+    if compacted is not None:
+        out["deltas_compacted"] = compacted
+    if would_compact is not None:
+        out["would_compact_deltas"] = {
+            "files": would_compact,
+            "window": compact_deltas_window,
+        }
+    if blocked:
+        out["compaction_blocked_by_orphans"] = True
+    return out
 
 
 def _sweep_entity(
@@ -389,6 +443,7 @@ def sweep_lake(
     root: str,
     compact_deltas_window: int = 16,
     dry_run: bool = False,
+    reconcile_orphans: bool = False,
 ) -> list[dict[str, Any]]:
     """Walk ``root``, recover + compact + report every state tree found.
 
@@ -402,6 +457,12 @@ def sweep_lake(
     data reads are skipped on trees with pending recovery (a mid-swap
     leg is not safe to read). Orphan root swaps report action
     ``"would-finish"`` / ``"would-discard"``.
+
+    ``reconcile_orphans`` additionally sweeps abandoned-fingerprint
+    delta residue out of prefix-state trees. OFF by default: published
+    delta files of a fold in flight (between publish and marker) are
+    indistinguishable from residue, so this is only safe when no fold
+    is running anywhere in the lake (see ``_sweep_jaccard``).
     """
     reports: list[dict[str, Any]] = []
     for dirpath, dirnames, filenames in os.walk(root):
@@ -452,7 +513,16 @@ def sweep_lake(
                 )
             )
         elif kind == "jaccard":
-            reports.append(_sweep_jaccard(spark, dirpath, dry_run, skip))
+            reports.append(
+                _sweep_jaccard(
+                    spark,
+                    dirpath,
+                    compact_deltas_window,
+                    dry_run,
+                    skip,
+                    reconcile_orphans,
+                )
+            )
         elif kind == "bm25":
             reports.append(_sweep_bm25(spark, dirpath, dry_run, skip))
         elif kind == "entity":

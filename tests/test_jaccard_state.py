@@ -420,3 +420,279 @@ def test_streamed_jaccard_ingest_replay_idempotent(spark, tmp_path):
     start(reports3)
     assert [r["replayed"] for r in reports3] == [True, True]
     assert _fs_snapshot(root) == snap
+
+
+def test_replay_with_unpersisted_output_pairs_raises(spark, tmp_path):
+    """A replayed fold cannot regenerate pairs (the state already holds
+    the delta) — requesting output_pairs the completed fold never wrote
+    must RAISE, not exit clean with the promised file absent."""
+    old, d1, _ = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    all_texts = old.unionByName(d1)
+    jaccard_state_increment(d1, root, all_texts)  # fold without pairs
+    with pytest.raises(RuntimeError, match="without persisting pairs"):
+        jaccard_state_increment(
+            d1, root, all_texts, output_pairs=str(tmp_path / "late")
+        )
+    # a DIFFERENT requested path than the recorded one raises too
+    old2, d2 = _corpus(spark)[0], _corpus(spark)[2]
+    root2 = str(tmp_path / "state2")
+    out2 = str(tmp_path / "pairs2")
+    write_jaccard_state(old2, root2, "doc_id", "text", **KW)
+    all2 = old2.unionByName(d2)
+    jaccard_state_increment(d2, root2, all2, output_pairs=out2)
+    with pytest.raises(RuntimeError, match="cannot produce"):
+        jaccard_state_increment(
+            d2, root2, all2, output_pairs=str(tmp_path / "elsewhere")
+        )
+    # recorded path deleted since the fold -> same contract
+    import shutil
+
+    shutil.rmtree(out2)
+    with pytest.raises(RuntimeError, match="cannot produce"):
+        jaccard_state_increment(d2, root2, all2, output_pairs=out2)
+
+
+def test_sweep_reconciles_orphans_only_on_request(spark, tmp_path):
+    """Published delta files of a fold IN FLIGHT are indistinguishable
+    from abandoned residue — the lake sweep must leave them alone unless
+    --reconcile is passed (the maintainer's own startup reconcile stays
+    the safe default path)."""
+    from home_credit_data_engineering_spark.sources.sweep import sweep_lake
+
+    old, d1, _ = _corpus(spark)
+    lake = tmp_path / "lake"
+    root = str(lake / "jstate")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    res = jaccard_state_increment(d1, root, old.unionByName(d1))
+    assert not res["replayed"]
+    # simulate a fold between publish and marker-commit: delta files
+    # present, ledger entry removed (what an in-flight fold looks like)
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        ledger_dir,
+    )
+
+    fp = res["report"]["delta_fingerprint"]
+    os.remove(os.path.join(ledger_dir(root), fp))
+    published = [
+        f
+        for f in os.listdir(os.path.join(root, "prefixes"))
+        if f.startswith(f"delta-{fp}-")
+    ]
+    assert published
+
+    # default sweep: files survive, dry-run reports no orphan action
+    reports = sweep_lake(spark, str(lake), dry_run=True)
+    assert reports[0]["recovered"] == 0
+    sweep_lake(spark, str(lake))
+    assert all(
+        os.path.exists(os.path.join(root, "prefixes", f)) for f in published
+    )
+
+    # opt-in reconcile: dry-run counts it, live sweep removes it
+    reports = sweep_lake(spark, str(lake), dry_run=True, reconcile_orphans=True)
+    assert reports[0]["recovered"] == 1
+    sweep_lake(spark, str(lake), reconcile_orphans=True)
+    assert not any(
+        os.path.exists(os.path.join(root, "prefixes", f)) for f in published
+    )
+
+
+def _state_rows(spark, root):
+    pre = {
+        (r["doc_id"], r["set_size"], r["token"])
+        for r in spark.read.parquet(os.path.join(root, "prefixes")).collect()
+    }
+    tok = {
+        (r["token"], r["freq"])
+        for r in spark.read.parquet(os.path.join(root, "tokens")).collect()
+    }
+    return pre, tok
+
+
+def test_compaction_bounds_files_and_preserves_state(spark, tmp_path):
+    """Ledgered-leg compaction: delta files fold into the base, ledger
+    markers survive (replay stays a no-op), state rows are identical,
+    and the next fold appends normally."""
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        compact_jaccard_state,
+    )
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        delta_file_count,
+    )
+
+    old, d1, d2 = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    full01 = old.unionByName(d1)
+    r1 = jaccard_state_increment(d1, root, full01)
+    before = _state_rows(spark, root)
+    assert delta_file_count(root, ("prefixes", "tokens")) > 0
+
+    rep = compact_jaccard_state(spark, root, target_files=2)
+    assert "skipped" not in rep
+    assert rep["prefixes"]["files_after"] <= 2
+    assert delta_file_count(root, ("prefixes", "tokens")) == 0
+    assert _state_rows(spark, root) == before
+
+    # replay of the compacted-away fold is still a committed no-op
+    again = jaccard_state_increment(d1, root, full01)
+    assert again["replayed"] and again["report"] == r1["report"]
+
+    # and the NEXT delta folds cleanly on the compacted base
+    full012 = full01.unionByName(d2)
+    r2 = jaccard_state_increment(d2, root, full012)
+    assert not r2["replayed"]
+    got = _pairs(r1["pairs"]) | _pairs(r2["pairs"])
+    pairs_old = _pairs(jaccard_similarity_join(old, "doc_id", "text", **KW))
+    pairs_full = _pairs(
+        jaccard_similarity_join(full012, "doc_id", "text", **KW)
+    )
+    assert {**pairs_old, **got} == pairs_full
+
+
+def test_compaction_refuses_unledgered_residue(spark, tmp_path):
+    """Baking a half-published (in-flight or abandoned) delta into the
+    compacted base would make phantom rows permanent — compaction must
+    refuse, and proceed once the residue is reconciled."""
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        compact_jaccard_state,
+        reconcile_orphan_deltas,
+    )
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        ledger_dir,
+    )
+
+    old, d1, _ = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    res = jaccard_state_increment(d1, root, old.unionByName(d1))
+    fp = res["report"]["delta_fingerprint"]
+    os.remove(os.path.join(ledger_dir(root), fp))  # now looks in-flight
+
+    rep = compact_jaccard_state(spark, root)
+    assert rep["skipped"] == "unledgered-delta-residue"
+    assert rep["orphan_fingerprints"] == [fp]
+
+    reconcile_orphan_deltas(root)
+    rep2 = compact_jaccard_state(spark, root, target_files=2)
+    assert "skipped" not in rep2
+
+
+def test_compaction_crash_matrix(spark, tmp_path, monkeypatch):
+    """Kill the compaction at each crash point; the increment preamble's
+    per-leg swap recovery must leave identical state rows and a working
+    next fold either way."""
+    import home_credit_data_engineering_spark.sources.maintenance as mt
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        compact_jaccard_state,
+    )
+
+    old, d1, d2 = _corpus(spark)
+    full01 = old.unionByName(d1)
+    full012 = full01.unionByName(d2)
+
+    # reference: uncrashed compaction then fold d2
+    ref_root = str(tmp_path / "ref")
+    write_jaccard_state(old, ref_root, "doc_id", "text", **KW)
+    jaccard_state_increment(d1, ref_root, full01)
+    compact_jaccard_state(spark, ref_root)
+    ref2 = jaccard_state_increment(d2, ref_root, full012)
+    ref_rows = _state_rows(spark, ref_root)
+
+    real_swap = mt.swap_in_state
+
+    # crash A: staged rewrite complete for leg 1, swap never ran
+    # (discardable staged dir; live legs untouched)
+    # crash B: between the two legs' swaps (prefixes compacted, tokens
+    # not — both content-identical to before)
+    for label, explode_at in (("a", 1), ("b", 2)):
+        root = str(tmp_path / label)
+        write_jaccard_state(old, root, "doc_id", "text", **KW)
+        jaccard_state_increment(d1, root, full01)
+        pre_rows = _state_rows(spark, root)
+        calls = {"n": 0}
+
+        def exploding_swap(path, _c=calls, _k=explode_at):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise RuntimeError("injected compaction crash")
+            return real_swap(path)
+
+        monkeypatch.setattr(mt, "swap_in_state", exploding_swap)
+        with pytest.raises(RuntimeError, match="injected"):
+            compact_jaccard_state(spark, root)
+        monkeypatch.setattr(mt, "swap_in_state", real_swap)
+        # state content is unchanged through the crash
+        assert _state_rows(spark, root) == pre_rows
+        # the next fold recovers the leg swaps in its preamble and
+        # converges to the reference state
+        r2 = jaccard_state_increment(d2, root, full012)
+        assert not r2["replayed"]
+        assert _pairs(r2["pairs"]) == _pairs(ref2["pairs"])
+        assert _state_rows(spark, root) == ref_rows
+
+
+def test_sweep_compacts_jaccard_deltas_past_window(spark, tmp_path):
+    """Lake sweep: dry-run reports would_compact_deltas (and exits 3 via
+    the CLI contract), live sweep folds the delta files; orphan residue
+    blocks compaction unless --reconcile rides along."""
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        delta_file_count,
+        ledger_dir,
+    )
+    from home_credit_data_engineering_spark.sources.sweep import sweep_lake
+
+    old, d1, d2 = _corpus(spark)
+    lake = tmp_path / "lake"
+    root = str(lake / "jstate")
+    write_jaccard_state(old, root, "doc_id", "text", **KW)
+    full01 = old.unionByName(d1)
+    jaccard_state_increment(d1, root, full01)
+    res2 = jaccard_state_increment(d2, root, full01.unionByName(d2))
+    n = delta_file_count(root, ("prefixes", "tokens"))
+    assert n >= 2
+    before = _state_rows(spark, root)
+
+    # under the window: no compaction proposed
+    r = sweep_lake(spark, str(lake), compact_deltas_window=n)[0]
+    assert "deltas_compacted" not in r and "would_compact_deltas" not in r
+
+    # over the window: dry-run proposes, live sweep compacts
+    r = sweep_lake(spark, str(lake), compact_deltas_window=1, dry_run=True)[0]
+    assert r["would_compact_deltas"] == {"files": n, "window": 1}
+    r = sweep_lake(spark, str(lake), compact_deltas_window=1)[0]
+    assert r["deltas_compacted"]["before"] == n
+    assert r["deltas_compacted"]["after"] == 0
+    assert _state_rows(spark, root) == before
+
+    # orphan residue blocks compaction (both modes) without --reconcile;
+    # d3's marker is removed (looks in-flight) while d4 stays ledgered
+    d3 = spark.createDataFrame(
+        [(300, "zz1 zz2 zz3 zz4 zz5 zz6")], "doc_id long, text string"
+    )
+    d4 = spark.createDataFrame(
+        [(301, "yy1 yy2 yy3 yy4 yy5 yy6")], "doc_id long, text string"
+    )
+    full3 = full01.unionByName(d2).unionByName(d3)
+    res3 = jaccard_state_increment(d3, root, full3)
+    jaccard_state_increment(d4, root, full3.unionByName(d4))
+    os.remove(os.path.join(ledger_dir(root), res3["report"]["delta_fingerprint"]))
+    r = sweep_lake(spark, str(lake), compact_deltas_window=0, dry_run=True)[0]
+    assert r.get("compaction_blocked_by_orphans") is True
+    assert "would_compact_deltas" not in r
+    r = sweep_lake(spark, str(lake), compact_deltas_window=0)[0]
+    assert r.get("compaction_blocked_by_orphans") is True
+    # with --reconcile the dry-run proposes, and the live sweep removes
+    # the residue then compacts the ledgered (d4) delta files
+    r = sweep_lake(
+        spark, str(lake), compact_deltas_window=0, dry_run=True,
+        reconcile_orphans=True,
+    )[0]
+    assert "would_compact_deltas" in r
+    r = sweep_lake(
+        spark, str(lake), compact_deltas_window=0, reconcile_orphans=True
+    )[0]
+    assert r["deltas_compacted"]["after"] == 0
+    assert delta_file_count(root, ("prefixes", "tokens")) == 0

@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output-pairs",
                         help="increment mode: write the verified "
                         "delta-touching (doc_a, doc_b, jaccard) pairs here")
+    parser.add_argument("--collapse-exact", action="store_true",
+                        help="increment mode: collapse byte-identical "
+                        "docs within the delta before candidate "
+                        "generation and expand after — bit-identical "
+                        "pairs/state, d-squared fewer candidates on a "
+                        "boilerplate-heavy delta")
     parser.add_argument("--id-col", default="doc_id")
     parser.add_argument("--text-col", default="text")
     parser.add_argument("--threshold", type=float, default=0.5,
@@ -90,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         args.state_dir,
         spark.read.parquet(args.all_texts),
         output_pairs=args.output_pairs,
+        collapse_exact=args.collapse_exact,
     )
     rep = result["report"]
     if result["replayed"]:

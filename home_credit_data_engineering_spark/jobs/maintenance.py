@@ -170,6 +170,30 @@ def main(argv: list[str] | None = None) -> int:
                         "(run --reconcile first)"
                     )
                 tag = "jaccard"
+            elif r["family"] == "containment":
+                extra = (
+                    f"{r['n_refs']} refs / {r['n_postings']} postings "
+                    f"/ {r['n_tokens']} tokens, t={r['threshold']}"
+                    if r["n_refs"] is not None
+                    else "pending recovery (details skipped in dry-run)"
+                )
+                if "deltas_compacted" in r:
+                    extra += (
+                        f", delta files {r['deltas_compacted']['before']}"
+                        f"->{r['deltas_compacted']['after']}"
+                    )
+                if "would_compact_deltas" in r:
+                    extra += (
+                        f", would compact "
+                        f"{r['would_compact_deltas']['files']} delta files "
+                        f"(window {r['would_compact_deltas']['window']})"
+                    )
+                if r.get("compaction_blocked_by_orphans"):
+                    extra += (
+                        ", compaction blocked by unledgered residue "
+                        "(run --reconcile first)"
+                    )
+                tag = "containment"
             elif r["family"] == "entity":
                 extra = (
                     f"{r['snapshots']} snapshots "

@@ -2216,6 +2216,8 @@ def jaccard_join_increment(
     threshold: float = 0.5,
     shingle_k: int = 3,
     round_digits: int = 6,
+    collapse_exact: bool = False,
+    stats: dict | None = None,
 ) -> dict:
     """O(Δ) incremental EXACT Jaccard similarity join: every pair at
     ``J >= threshold`` involving at least one new doc, without
@@ -2249,6 +2251,21 @@ def jaccard_join_increment(
     (brand-new tokens with their frozen delta frequencies) to the token
     state for the next run. Invariant (tested): full-corpus join ==
     old-corpus join ∪ incremental pairs.
+
+    ``collapse_exact`` applies the :func:`jaccard_join_collapsed`
+    discipline INSIDE the fold — the boilerplate-heavy-delta regime,
+    where d byte-identical copies in one delta re-incur the d²
+    candidate blowup on every fold: collapse the delta's md5 groups to
+    min-id representatives, run prefix/candidate/verify over
+    representatives only, then expand (cross pairs inherit the rep
+    score through id-only joins; each group adds its C(d,2) internal
+    pairs at 1.0). Output and state appends are BIT-IDENTICAL to the
+    direct increment (tested): the frozen-order extension uses the
+    FULL delta's token frequencies either way, and duplicate members'
+    prefix rows are the rep's rows re-keyed (identical sets ⇒ identical
+    prefixes under the same fixed order). ``stats`` receives
+    ``candidate_pairs`` (+ ``n_groups``/``n_docs`` when collapsing) for
+    the fold report's fan-out observability.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -2276,8 +2293,40 @@ def jaccard_join_increment(
         F.coalesce("__sfreq", "__dfreq").alias("__freq"),
         F.col("__sfreq").isNull().alias("__is_new_tok"),
     ).localCheckpoint(eager=True)
+
+    members = None
+    rep_of = None
+    if collapse_exact:
+        # md5 groups over the docs that actually shingle (the zero-set
+        # exclusion mirrors _jaccard_shingle_sets — identical empty docs
+        # never pair in the direct path either)
+        fp = new_docs.select(
+            F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
+        ).join(sets_new.select(F.col("__id").alias("__m")), "__m")
+        rep_of = fp.groupBy("__fp").agg(
+            F.min("__m").alias("__rep"),
+            F.count(F.lit(1)).cast("long").alias("__gsz"),
+        )
+        members = (
+            fp.join(rep_of, "__fp")
+            .select("__m", "__rep", "__gsz")
+            .localCheckpoint(eager=True)
+        )
+        probe_sets = sets_new.join(
+            rep_of.select(F.col("__rep").alias("__id")), "__id", "left_semi"
+        ).localCheckpoint(eager=True)
+        probe_elems = probe_sets.select(
+            "__id",
+            F.size("__set").alias("__sz"),
+            F.explode("__set").alias("__tok"),
+        )
+    else:
+        probe_elems = elems_new
+    # probe prefixes (reps only when collapsing); the frozen-order
+    # extension above always uses the FULL delta's frequencies, so the
+    # two modes share one total order
     new_prefix = _jaccard_prefix_rows(
-        elems_new, eff_freq.select("__tok", "__freq"), t_dec
+        probe_elems, eff_freq.select("__tok", "__freq"), t_dec
     ).localCheckpoint(eager=True)
 
     a = new_prefix.select(
@@ -2313,6 +2362,9 @@ def jaccard_join_increment(
         .select("__ida", "__idb")
     )
     cand = cand_new_old.unionByName(cand_new_new).distinct()
+    if stats is not None:
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidate_pairs"] = cand.count()
 
     # verify with the SAME set construction as the full join (string
     # shingles), restricted to candidate ids out of all_texts
@@ -2327,11 +2379,52 @@ def jaccard_join_increment(
     sets_cand = _jaccard_shingle_sets(relevant, id_col, text_col, shingle_k)
     pairs = _jaccard_verify_sets(cand, sets_cand, threshold, round_digits)
 
-    new_prefixes = new_prefix.select(
-        F.col("__id").alias("doc_id"),
-        F.col("__sz").alias("set_size"),
-        F.col("__tok").alias("token"),
-    )
+    if collapse_exact:
+        # rep-level pairs expand over the delta's md5 groups; state ids
+        # (and singleton reps) ride as identity rows so the expansion's
+        # inner joins keep them. The pair frame is consumed three times
+        # (cross join + two id extractions) — checkpoint once.
+        pairs = pairs.localCheckpoint(eager=True)
+        state_ids = (
+            pairs.select(F.col("doc_a").alias("__m"))
+            .unionByName(pairs.select(F.col("doc_b").alias("__m")))
+            .distinct()
+            .join(members.select("__m"), "__m", "left_anti")
+            .select(
+                "__m",
+                F.col("__m").alias("__rep"),
+                F.lit(1).cast("long").alias("__gsz"),
+            )
+        )
+        pairs = _expand_collapsed_pairs(
+            pairs, members.unionByName(state_ids), None
+        ).select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "jaccard",
+        )
+        if stats is not None:
+            stats["n_groups"] = rep_of.count()
+            stats["n_docs"] = members.count()
+
+    if collapse_exact:
+        # every duplicate member's prefix rows are its rep's rows
+        # re-keyed: identical sets ⇒ identical (size, token) prefixes
+        # under the shared order — the state append is bit-identical to
+        # the direct path's per-doc computation
+        new_prefixes = members.join(
+            new_prefix, members["__rep"] == new_prefix["__id"]
+        ).select(
+            F.col("__m").alias("doc_id"),
+            F.col("__sz").alias("set_size"),
+            F.col("__tok").alias("token"),
+        )
+    else:
+        new_prefixes = new_prefix.select(
+            F.col("__id").alias("doc_id"),
+            F.col("__sz").alias("set_size"),
+            F.col("__tok").alias("token"),
+        )
     new_tokens = eff_freq.filter(F.col("__is_new_tok")).select(
         F.col("__tok").alias("token"), F.col("__freq").alias("freq")
     )
@@ -2340,3 +2433,173 @@ def jaccard_join_increment(
         "new_prefixes": new_prefixes,
         "new_tokens": new_tokens,
     }
+
+
+def containment_reference_state(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> dict:
+    """Sidecar state for :func:`containment_join_increment`: the FIXED
+    reference corpus fully indexed, plus seed token frequencies.
+
+    Decontamination is the nightly job par excellence: the benchmark
+    reference is fixed, only the probe corpus grows — so the expensive
+    side of :func:`containment_join` (shingling + posting the reference,
+    materializing its verification sets) is computed ONCE and persisted,
+    and each probe delta folds in O(Δ).
+
+    Returns ``{"postings", "ref_sets", "tokens"}``:
+
+    - ``postings`` — ``(ref_id, ref_size, token)``, one posting per
+      reference token (the fully-indexed small side of the Vernica R-S
+      scheme; never grows);
+    - ``ref_sets`` — ``(ref_id, ref_set)`` shingle-string sets for exact
+      verification (never grows);
+    - ``tokens`` — ``(token, freq)`` seed frequencies from the reference
+      itself, extended append-only by each fold's first-seen probe
+      tokens. Unlike :func:`jaccard_join_state`, candidate COMPLETENESS
+      here never depends on the order (the reference side posts ALL its
+      tokens, so any per-delta prefix order intersects it); the frozen
+      order is a fan-out heuristic — stable rarity estimates that
+      improve as the corpus accumulates — kept append-only under the
+      same frozen-first-seen discipline so folds never rewrite it.
+    """
+    r_sets = _jaccard_shingle_sets(reference, id_col, text_col, shingle_k)
+    postings = r_sets.select(
+        F.col("__id").alias("ref_id"),
+        F.size("__set").alias("ref_size"),
+        F.explode("__set").alias("token"),
+    )
+    tokens_seed = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    return {
+        "postings": postings,
+        "ref_sets": r_sets.select(
+            F.col("__id").alias("ref_id"), F.col("__set").alias("ref_set")
+        ),
+        "tokens": tokens_seed,
+    }
+
+
+def containment_join_increment(
+    new_probe: DataFrame,
+    postings: DataFrame,
+    token_state: DataFrame,
+    ref_sets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    round_digits: int = 6,
+    stats: dict | None = None,
+) -> dict:
+    """O(Δ) incremental EXACT asymmetric containment join: every
+    (new probe doc, reference doc) pair with ``|P ∩ R| / |P| >=
+    threshold``, touching ONLY the delta and the persisted reference
+    state (:func:`containment_reference_state`) — the incremental form
+    of :func:`containment_join`.
+
+    Unlike the Jaccard increment there are no probe-probe pairs, so no
+    probe prefixes are ever persisted: the delta ships its own prefixes
+    (its rarest tokens under the frozen order, extended by first-seen
+    delta tokens keyed by delta frequency), the reference postings are
+    read as-is, and verification joins the delta's own shingle sets
+    against the persisted ``ref_sets`` — no ``all_texts`` contract at
+    all. Completeness is per-pair and order-independent (the reference
+    side is fully posted), so the union of per-delta increments equals
+    the full :func:`containment_join` over the accumulated probe corpus
+    (tested).
+
+    Returns ``{"pairs", "new_tokens"}``: ``pairs`` is
+    ``(probe_id, ref_id, containment)``; append ``new_tokens`` to the
+    token state for the next fold's fan-out. ``stats`` receives
+    ``candidate_pairs`` / ``brute_force_pairs`` (delta × reference) for
+    the fold report's fan-out observability.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_dec = F.lit(threshold).cast("decimal(12,9)")
+
+    p_sets = _jaccard_shingle_sets(new_probe, id_col, text_col, shingle_k)
+    p_elems = p_sets.select(
+        "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
+    )
+    delta_freq = p_elems.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__dfreq")
+    )
+    # frozen state frequency wins; first-seen tokens slot in by delta
+    # frequency — the state side is vocabulary-sized, join delta-restricted
+    eff_freq = (
+        delta_freq.join(
+            token_state.select(
+                F.col("token").alias("__tok"), F.col("freq").alias("__sfreq")
+            ),
+            "__tok",
+            "left",
+        )
+        .select(
+            "__tok",
+            F.coalesce("__sfreq", "__dfreq").alias("__freq"),
+            F.col("__sfreq").isNull().alias("__is_new_tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prefix = _jaccard_prefix_rows(
+        p_elems, eff_freq.select("__tok", "__freq"), t_dec
+    ).select(
+        F.col("__id").alias("__pid"),
+        F.col("__sz").alias("__psz"),
+        "__tok",
+    )
+    cand = (
+        prefix.join(
+            postings.select(
+                F.col("ref_id").alias("__rid"),
+                F.col("ref_size").alias("__rsz"),
+                F.col("token").alias("__tok"),
+            ),
+            "__tok",
+        )
+        .filter(F.col("__pid") != F.col("__rid"))
+        # |P ∩ R| <= |R|, so C >= t needs |R| >= ceil(t·|P|)
+        .filter(
+            F.col("__rsz").cast("decimal(20,9)")
+            >= F.ceil(t_dec * F.col("__psz"))
+        )
+        .select("__pid", "__rid")
+        .distinct()
+    )
+    if stats is not None:
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidate_pairs"] = cand.count()
+        stats["brute_force_pairs"] = p_sets.count() * ref_sets.count()
+    inter = F.size(F.array_intersect("__pset", "__rset")).cast("double")
+    pairs = (
+        cand.join(
+            p_sets.select(
+                F.col("__id").alias("__pid"), F.col("__set").alias("__pset")
+            ),
+            "__pid",
+        )
+        .join(
+            ref_sets.select(
+                F.col("ref_id").alias("__rid"),
+                F.col("ref_set").alias("__rset"),
+            ),
+            "__rid",
+        )
+        .withColumn("__c", inter / F.size("__pset").cast("double"))
+        .filter(F.col("__c") >= F.lit(float(threshold)))
+        .select(
+            F.col("__pid").alias("probe_id"),
+            F.col("__rid").alias("ref_id"),
+            F.round("__c", round_digits).alias("containment"),
+        )
+    )
+    new_tokens = eff_freq.filter(F.col("__is_new_tok")).select(
+        F.col("__tok").alias("token"), F.col("__freq").alias("freq")
+    )
+    return {"pairs": pairs, "new_tokens": new_tokens}

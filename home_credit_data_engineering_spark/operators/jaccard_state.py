@@ -128,46 +128,17 @@ def write_jaccard_state(
 
 
 def reconcile_orphan_deltas(root: str, dry_run: bool = False) -> int:
-    """Remove (or in ``dry_run`` count) published ``delta-*`` files and
-    ``_incoming`` staging dirs whose fingerprint has NO ledger entry —
-    the residue of a pre-marker crash whose delta was then amended
-    (different content → different fingerprint → the retry's own
-    un-publish never matches). Returns the number of orphan fingerprints
-    handled. Run only with no fold in flight (same single-maintainer
-    contract as the ANN increments)."""
-    import shutil
-
+    """Remove (or in ``dry_run`` count) abandoned-fingerprint delta
+    residue from both legs (see
+    ``sources/maintenance.py:reconcile_orphan_delta_files`` — run only
+    with no fold in flight)."""
     from home_credit_data_engineering_spark.sources.maintenance import (
-        ledger_dir,
+        reconcile_orphan_delta_files,
     )
 
-    d = ledger_dir(root)
-    ledgered = set()
-    if os.path.isdir(d):
-        for name in os.listdir(d):
-            ledgered.add(name.removesuffix(".committing").removesuffix(".__tmp"))
-    orphan_fps: set[str] = set()
-    for leg in (_prefixes_path(root), _tokens_path(root)):
-        if not os.path.isdir(leg):
-            continue
-        for f in os.listdir(leg):
-            # delta-{fp}-NNNNN.parquet, fp = "{count:x}-{xor:016x}"
-            if f.startswith("delta-") and f.endswith(".parquet"):
-                fp = f[len("delta-"):].rsplit("-", 1)[0]
-                if fp not in ledgered:
-                    orphan_fps.add(fp)
-                    if not dry_run:
-                        os.remove(os.path.join(leg, f))
-    incoming_root = os.path.join(root, "_incoming")
-    if os.path.isdir(incoming_root):
-        for fp in os.listdir(incoming_root):
-            if fp not in ledgered:
-                orphan_fps.add(fp)
-                if not dry_run:
-                    shutil.rmtree(
-                        os.path.join(incoming_root, fp), ignore_errors=True
-                    )
-    return len(orphan_fps)
+    return reconcile_orphan_delta_files(
+        root, ("prefixes", "tokens"), dry_run
+    )
 
 
 def jaccard_state_increment(
@@ -175,6 +146,7 @@ def jaccard_state_increment(
     root: str,
     all_texts: DataFrame,
     output_pairs: str | None = None,
+    collapse_exact: bool = False,
 ) -> dict:
     """One replay-idempotent fold of a delta into a persisted state tree.
 
@@ -197,6 +169,14 @@ def jaccard_state_increment(
     never persisted pairs there — or the recorded file is gone — the
     call RAISES instead of returning a 0-exit whose promised output
     does not exist (scripted callers assume the path after success).
+
+    ``collapse_exact`` folds boilerplate-heavy deltas through the
+    collapse-exact-first path (``jaccard_join_increment`` docstring):
+    pairs and state appends are bit-identical; the report's
+    ``candidate_pairs``/``n_groups``/``n_docs`` record the measured
+    candidate cut. NOTE: the delta fingerprint is content-based, so a
+    collapsed and a direct fold of the same delta share one ledger
+    marker — as they must, since their effects are identical.
     """
     spark = new_docs.sparkSession
     # layout guard + recovery ordering (the ann_state discipline):
@@ -244,6 +224,7 @@ def jaccard_state_increment(
     for leg in (_prefixes_path(root), _tokens_path(root)):
         _unpublish_delta(leg, fp)
 
+    stats: dict = {}
     inc = jaccard_join_increment(
         new_docs,
         spark.read.parquet(_prefixes_path(root)),
@@ -253,6 +234,8 @@ def jaccard_state_increment(
         text_col,
         threshold=meta["threshold"],
         shingle_k=meta["shingle_k"],
+        collapse_exact=collapse_exact,
+        stats=stats,
     )
     # materialize pairs BEFORE publishing the appends: the pair plan
     # reads the state parquet lazily, and an executed-after-append scan
@@ -286,7 +269,16 @@ def jaccard_state_increment(
         "n_new_prefix_rows": inc["new_prefixes"].count(),
         "n_new_tokens": inc["new_tokens"].count(),
         "files_published": n_files,
+        # fan-out observability: candidate pairs the prefix+length
+        # filters let through (rep-level when collapsing — the measured
+        # candidate cut of the collapse-exact-first path)
+        "candidate_pairs": stats.get("candidate_pairs"),
     }
+    if collapse_exact:
+        report["collapsed"] = {
+            "n_groups": stats.get("n_groups"),
+            "n_docs": stats.get("n_docs"),
+        }
     if output_pairs:
         report["output_pairs"] = output_pairs
     # both append-only legs are fully published — the marker commits

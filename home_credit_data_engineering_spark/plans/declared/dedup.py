@@ -666,3 +666,85 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shingle_k=3,
     )
+
+
+@register(
+    "dedup_containment_join_incremental",
+    # FULL oracle: the same brute-force asymmetric containment as
+    # dedup_containment_join — the union of the two per-delta folds
+    # must equal the full join over the accumulated probe corpus, so
+    # both the one-sided prefix completeness AND the fold-chaining
+    # (frozen-order extension, persisted reference legs) are
+    # hash-verified. The split moduli divide 1e9, so the planted shape
+    # survives the replica id shift.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT p.doc_id AS probe_id, r.doc_id AS ref_id,
+           ROUND(CAST(len(list_intersect(p.shingles, r.shingles)) AS DOUBLE)
+                 / len(p.shingles), 6) AS containment
+    FROM sh p JOIN sh r
+      ON p.doc_id % 20 <> 7 AND r.doc_id % 20 = 7 AND p.doc_id <> r.doc_id
+    WHERE CAST(len(list_intersect(p.shingles, r.shingles)) AS DOUBLE)
+          / len(p.shingles) >= 0.5
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="O(Δ) incremental EXACT containment decontamination "
+    "(operators/containment_state.py + operators/dedup.py:"
+    "containment_join_increment): the benchmark reference (doc_id % 20 "
+    "== 7) builds a persisted state tree ONCE — full postings + "
+    "verification sets + seed token frequencies — then the probe corpus "
+    "folds in as TWO ledgered deltas (doc_id % 5 split), each an "
+    "O(Δ) pass: delta-only shingle/prefix work under the frozen token "
+    "order (extended append-only by first-seen delta tokens), candidate "
+    "join against the fixed reference postings, verification against "
+    "the persisted reference sets — no all_texts contract at all "
+    "(probe docs never pair with each other). The DuckDB oracle is the "
+    "brute-force asymmetric join over the FULL corpus, so the union of "
+    "the two folds is hash-verified against the one-shot join — the "
+    "production nightly-decontamination path, exercised end to end "
+    "(layout marker, pinned meta, ledger idempotence, parquet round "
+    "trips) inside the driver slot.",
+)
+def dedup_containment_join_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.containment_state import (
+        containment_state_increment,
+        write_containment_state,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    reference = docs.filter(F.col("doc_id") % 20 == 7)
+    probe = docs.filter(F.col("doc_id") % 20 != 7)
+    tmp = tempfile.mkdtemp(prefix="containment_state_")
+    root = tmp + "/state"
+    try:
+        write_containment_state(
+            reference, root, "doc_id", "text", threshold=0.5, shingle_k=3
+        )
+        # two chained folds: the second runs under the token order the
+        # first extended — pairs are eagerly checkpointed inside each
+        # fold, so the union never re-reads the removed tree
+        p1 = containment_state_increment(
+            probe.filter(F.col("doc_id") % 5 != 3), root
+        )["pairs"]
+        p2 = containment_state_increment(
+            probe.filter(F.col("doc_id") % 5 == 3), root
+        )["pairs"]
+        return p1.unionByName(p2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

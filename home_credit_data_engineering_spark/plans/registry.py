@@ -105,15 +105,17 @@ DRIVER_SET: tuple[str, ...] = (
     "combo_timeseries_fill",
     "combo_pivot_unpivot",
     # — previously driver-unverified singles —
-    # New in r12: the EXACT prefix-filter all-pairs Jaccard join
-    # (operators/dedup.py:jaccard_similarity_join — completeness
-    # hash-verified against a brute-force all-pairs DuckDB oracle)
-    # takes text_quality_filter's slot — its tags (T-ext:quality,
-    # T-ext:gopher) stay covered by combo_text_profile (and
-    # corpus_pipeline_ledger), and it remains registered and
-    # parity-tested in-repo. (text_quality_filter itself replaced
+    # New in r14: the O(Δ) incremental containment decontamination
+    # (operators/containment_state.py — persisted reference postings +
+    # frozen probe-token order, two chained ledgered folds, union
+    # hash-verified against the brute-force one-shot join) takes
+    # dedup_jaccard_join_exact's slot — the D-ext:ngram-jaccard tag
+    # stays covered by dedup_jaccard_join_incremental below;
+    # dedup_jaccard_join_exact remains registered, parity-tested
+    # in-repo, and benched scaled. (dedup_jaccard_join_exact itself
+    # replaced text_quality_filter in r12, which replaced
     # q4_order_priority in r4.)
-    "dedup_jaccard_join_exact",
+    "dedup_containment_join_incremental",
     "cross_join_nation_pairs",
     "text_edit_distance_pairs",
     # New in r9: the composed corpus-pipeline ledger (quality -> exact

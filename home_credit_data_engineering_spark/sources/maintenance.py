@@ -293,6 +293,50 @@ def publish_delta_files(
     return n
 
 
+def reconcile_orphan_delta_files(
+    state_root: str, legs: tuple[str, ...], dry_run: bool = False
+) -> int:
+    """Remove (or in ``dry_run`` count) published ``delta-*`` files and
+    ``_incoming`` staging dirs whose fingerprint has NO ledger entry —
+    the residue of a pre-marker crash whose delta was then amended
+    (different content → different fingerprint → the retry's own
+    un-publish never matches). Returns the number of orphan fingerprints
+    handled. Run only with no fold in flight (single-maintainer
+    contract): a fold between publish and marker-commit looks exactly
+    like residue.
+    """
+    d = ledger_dir(state_root)
+    ledgered: set[str] = set()
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            ledgered.add(
+                name.removesuffix(".committing").removesuffix(".__tmp")
+            )
+    orphan_fps: set[str] = set()
+    for leg in legs:
+        leg_dir = os.path.join(state_root, leg)
+        if not os.path.isdir(leg_dir):
+            continue
+        for f in os.listdir(leg_dir):
+            # delta-{fp}-NNNNN.parquet, fp = "{count:x}-{xor:016x}"
+            if f.startswith("delta-") and f.endswith(".parquet"):
+                fp = f[len("delta-"):].rsplit("-", 1)[0]
+                if fp not in ledgered:
+                    orphan_fps.add(fp)
+                    if not dry_run:
+                        os.remove(os.path.join(leg_dir, f))
+    incoming_root = os.path.join(state_root, "_incoming")
+    if os.path.isdir(incoming_root):
+        for fp in os.listdir(incoming_root):
+            if fp not in ledgered:
+                orphan_fps.add(fp)
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(incoming_root, fp), ignore_errors=True
+                    )
+    return len(orphan_fps)
+
+
 def published_delta_fingerprints(leg_dir: str) -> set[str]:
     """Fingerprints that have published ``delta-{fp}-NNNNN.parquet``
     files in this leg directory (driver-side listing, no Spark)."""

@@ -22,6 +22,10 @@ sweep --root`` walks the lake once and dispatches:
   the per-fold ``delta-*`` files once more than
   ``compact_deltas_window`` exist in a leg (ledger untouched; blocked
   by unledgered residue), bounded corpus/vocab report.
+- **Containment decontamination states** (dir holding
+  ``_containment_meta.json``; see ``operators/containment_state.py``):
+  same discipline, but only the ``tokens`` leg ever gains delta files
+  (the reference postings/sets are fixed at build).
 - **Entity-resolution states** (``entities/batch=N`` snapshots):
   generic ``__next`` recovery underneath, snapshot/file report.
 - **Corpus pipeline states** (two or more of the
@@ -117,6 +121,8 @@ def _classify(dirnames: list[str], filenames: list[str]) -> str | None:
         return "ann"
     if "_jaccard_meta.json" in filenames:
         return "jaccard"
+    if "_containment_meta.json" in filenames:
+        return "containment"
     if {"postings", "stats"} <= names:
         return "bm25"
     if "entities" in names:
@@ -389,6 +395,89 @@ def _sweep_jaccard(
     return out
 
 
+def _sweep_containment(
+    spark: SparkSession,
+    path: str,
+    compact_deltas_window: int = 16,
+    dry_run: bool = False,
+    skip: frozenset[str] = frozenset(),
+    reconcile_orphans: bool = False,
+) -> dict[str, Any]:
+    """The jaccard sweeper's shape for the decontamination family: only
+    the ``tokens`` leg gains delta files (postings/ref_sets are fixed at
+    build), so reconciliation and compaction target it alone."""
+    from home_credit_data_engineering_spark.operators.containment_state import (
+        GROWING_LEGS,
+        containment_state_report,
+    )
+    from home_credit_data_engineering_spark.sources.maintenance import (
+        compact_ledgered_legs,
+        delta_file_count,
+        reconcile_orphan_delta_files,
+    )
+
+    recovered = 0
+    recovered += _swap(path, dry_run, skip)
+    if dry_run:
+        recovered += bool(pending_fold_commits(path))
+        if reconcile_orphans:
+            recovered += bool(
+                reconcile_orphan_delta_files(path, GROWING_LEGS, dry_run=True)
+            )
+    else:
+        recovered += bool(recover_fold_commits(path, []))
+        if reconcile_orphans:
+            recovered += bool(
+                reconcile_orphan_delta_files(path, GROWING_LEGS)
+            )
+    for leg in ("postings", "ref_sets", "tokens"):
+        recovered += _swap(os.path.join(path, leg), dry_run, skip)
+    compacted: dict[str, Any] | None = None
+    would_compact: int | None = None
+    blocked = False
+    n_delta = delta_file_count(path, GROWING_LEGS)
+    if n_delta > compact_deltas_window:
+        if dry_run:
+            if reconcile_orphans or not reconcile_orphan_delta_files(
+                path, GROWING_LEGS, dry_run=True
+            ):
+                would_compact = n_delta
+            else:
+                blocked = True
+        else:
+            rep = compact_ledgered_legs(spark, path, GROWING_LEGS)
+            if "skipped" in rep:
+                blocked = True
+            else:
+                compacted = {
+                    "before": n_delta,
+                    "after": delta_file_count(path, GROWING_LEGS),
+                }
+    body: dict[str, Any] = {}
+    if not (dry_run and recovered):
+        body = containment_state_report(spark, path)
+    out: dict[str, Any] = {
+        "family": "containment",
+        "path": path,
+        "parquet_files": _parquet_file_count(path),
+        "recovered": int(recovered),
+        "n_refs": body.get("n_refs"),
+        "n_postings": body.get("n_postings"),
+        "n_tokens": body.get("n_tokens"),
+        "threshold": body.get("threshold"),
+    }
+    if compacted is not None:
+        out["deltas_compacted"] = compacted
+    if would_compact is not None:
+        out["would_compact_deltas"] = {
+            "files": would_compact,
+            "window": compact_deltas_window,
+        }
+    if blocked:
+        out["compaction_blocked_by_orphans"] = True
+    return out
+
+
 def _sweep_entity(
     path: str, dry_run: bool = False, skip: frozenset[str] = frozenset()
 ) -> dict[str, Any]:
@@ -515,6 +604,17 @@ def sweep_lake(
         elif kind == "jaccard":
             reports.append(
                 _sweep_jaccard(
+                    spark,
+                    dirpath,
+                    compact_deltas_window,
+                    dry_run,
+                    skip,
+                    reconcile_orphans,
+                )
+            )
+        elif kind == "containment":
+            reports.append(
+                _sweep_containment(
                     spark,
                     dirpath,
                     compact_deltas_window,

@@ -696,3 +696,48 @@ def test_sweep_compacts_jaccard_deltas_past_window(spark, tmp_path):
     )[0]
     assert r["deltas_compacted"]["after"] == 0
     assert delta_file_count(root, ("prefixes", "tokens")) == 0
+
+
+def test_collapse_exact_increment_bit_identical_on_duplicated_delta(
+    spark, tmp_path
+):
+    """The collapse-exact-first fold (boilerplate-heavy-delta regime):
+    pairs AND state appends bit-identical to the direct increment on a
+    10x-duplicated delta, with the measured candidate cut in the fold
+    report; the state it leaves behind chains a later direct fold to the
+    same full-join closure."""
+    old, d1, d2 = _corpus(spark)
+    # 10 byte-identical copies of every d1 doc under fresh ids
+    delta = d1
+    for k in range(1, 10):
+        delta = delta.unionByName(
+            d1.withColumn("doc_id", F.col("doc_id") + F.lit(1000 * k))
+        )
+    all_texts = old.unionByName(delta)
+
+    root_d = str(tmp_path / "direct")
+    root_c = str(tmp_path / "collapsed")
+    for root in (root_d, root_c):
+        write_jaccard_state(old, root, "doc_id", "text", **KW)
+    rd = jaccard_state_increment(delta, root_d, all_texts)
+    rc = jaccard_state_increment(
+        delta, root_c, all_texts, collapse_exact=True
+    )
+    assert _pairs(rc["pairs"]) == _pairs(rd["pairs"])
+    assert rc["report"]["n_pairs"] == rd["report"]["n_pairs"]
+    assert _state_rows(spark, root_c) == _state_rows(spark, root_d)
+    # measured candidate cut: 60 delta docs collapse to 5 groups (d1's
+    # six docs already hold one byte-dup pair), so rep-level candidates
+    # must be far below the direct fold's
+    assert rc["report"]["collapsed"] == {"n_groups": 5, "n_docs": 60}
+    cut = rd["report"]["candidate_pairs"] / rc["report"]["candidate_pairs"]
+    assert cut > 10, f"candidate cut only {cut:.1f}x"
+
+    # the collapsed-built state chains: a later DIRECT fold closes to
+    # the same full-join pair set
+    full = all_texts.unionByName(d2)
+    r2 = jaccard_state_increment(d2, root_c, full)
+    got = _pairs(rd["pairs"]) | _pairs(r2["pairs"])
+    pairs_old = _pairs(jaccard_similarity_join(old, "doc_id", "text", **KW))
+    pairs_full = _pairs(jaccard_similarity_join(full, "doc_id", "text", **KW))
+    assert {**pairs_old, **got} == pairs_full

@@ -215,7 +215,18 @@ def main() -> None:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
-    verdicts = adjudicate(sf_dir, timings, load_bench_ref("headline", sf_val))
+    # always_probe_top=5 (VERDICT r13 #3): scaled legs had forced solo
+    # probes since r8 but headline legs had none — r13 shipped a +14%
+    # headline sum from a loaded box with an EMPTY verdicts block, a
+    # blind spot the judge had to resolve by re-running. The five most
+    # expensive headline legs by reference now get unconditional
+    # fresh-JVM telemetry every run.
+    verdicts = adjudicate(
+        sf_dir,
+        timings,
+        load_bench_ref("headline", sf_val),
+        always_probe_top=5,
+    )
 
     # Load gate (VERDICT r12 #7): flag a hot box IN the artifact and on
     # stderr, so a noise-dominated snapshot carries its own caveat.

@@ -400,6 +400,7 @@ def adjudicate(
     threshold: float = 1.5,
     probe_runs: int = 3,
     always_probe_top: int = 0,
+    always_probe: tuple[str, ...] = (),
 ) -> dict[str, dict]:
     """Self-adjudicate apparent regressions on a noisy box (VERDICT r5 #2,
     load-aware per VERDICT r6 #1, calibrated per VERDICT r8 #3).
@@ -439,6 +440,10 @@ def adjudicate(
       these entries (verdict ``forced_probe_ok`` when the probe lands
       inside the limit) are that telemetry. A forced probe that EXCEEDS
       the limit escalates into the normal two-probe confirmation flow.
+    - **``always_probe``** names specific legs to force-probe regardless
+      of cost rank (VERDICT r13 #1: dedup_cc_star drifted +19% across
+      two rounds without ever being solo-probed — it is neither
+      top-5-expensive nor 1.5x-triggered, exactly the blind spot).
     """
     # A fresh JVM cannot measure below ~1.5s (JIT + parquet-footer cold
     # start dominates min-of-N), so small references compare the probe
@@ -477,6 +482,9 @@ def adjudicate(
             key=lambda n: -ref[n],
         )
         forced = [n for n in by_cost[:always_probe_top] if n not in triggered]
+    for n in always_probe:
+        if n in timings and ref.get(n) is not None and n not in triggered + forced:
+            forced.append(n)
 
     verdicts: dict[str, dict] = {}
     for name in triggered + forced:
@@ -922,11 +930,15 @@ def run_scaled(
     # always_probe_top=5 (VERDICT r8 #3): the five most expensive scaled
     # queries get unconditional fresh-JVM telemetry — r8 shipped pagerank
     # medians 4x the min with zero probes because the trigger never fired.
+    # dedup_cc_star is force-probed by name (VERDICT r13 #1): it drifted
+    # +19% over two rounds while sitting below both the top-5 cutoff and
+    # the 1.5x trigger.
     verdicts = adjudicate(
         scaled_dir,
         timings,
         load_bench_ref("scaled", sf_scaled),
         always_probe_top=5,
+        always_probe=("dedup_cc_star",),
     )
     return timings, spread, verdicts
 

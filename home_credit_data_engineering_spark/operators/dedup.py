@@ -183,6 +183,7 @@ def connected_components_star(
     stats: dict | None = None,
     broadcast_labels: bool | None = None,
     broadcast_node_limit: int = 2_000_000,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(node, component) via alternating large-star/small-star — the
     web-scale connected-components algorithm (Kiveris et al., "Connected
@@ -209,13 +210,32 @@ def connected_components_star(
     **Two-path join strategy** (the PageRank/HITS idea from
     ``graph.py:190-224`` applied to the star rounds): each round's
     cost centers are the two (edge ⋈ min-frame) joins, and the min
-    frame is always ids-only and node-count-bounded. When the node
-    count — one bounded scalar, measured once up front — is at most
-    ``broadcast_node_limit``, the min frames ship as broadcast-hash
-    joins, so the (larger) edge side never shuffles for a join; only
-    the groupBy-min shuffles remain. Above the limit the original
-    sort-merge form runs unchanged — the broadcast path degrades
-    gracefully into the partitioned path at 100× scale.
+    frame is always ids-only and node-count-bounded.
+
+    Default decision (settled empirically in r14 — docs/EXPLAIN.md):
+
+    - **local master → partitioned.** The groupBy-min that produces the
+      min frame has ALREADY shuffled the (symmetrized) edge frame by
+      ``u``, and Catalyst's ReusedExchange feeds that same shuffle into
+      the sort-merge join — so broadcasting buys no avoided exchange
+      and pays two driver collect+ship rounds per iteration. Measured
+      at the 10× replica graph (250.6k edges): broadcast-off min
+      1.938 s vs broadcast-on 2.189 s, faster in every sample and
+      every per-round timing. (This differs from PageRank/HITS, where
+      the rank frame changes but the EDGE frame is static — broadcast
+      there lets iterations reuse one edge partitioning forever.)
+    - **cluster master → broadcast, doubly bounded.** Exchange reuse
+      applies on a cluster too, but a broadcast-hash join still skips
+      the per-round SORT of the (much larger) edge side and the
+      all-nodes exchange of the final roots anti-join; the min frame
+      ships only when the node count is at most
+      ``broadcast_node_limit`` AND its ESTIMATED bytes (node count ×
+      (average id width + per-row hash-relation overhead), one
+      combined aggregate) fit ``broadcast_max_bytes`` — wide string
+      node ids degrade to the partitioned path long before the row
+      limit (a 2M-node frame of 200-byte ids is ~0.5 GB shipped twice
+      per round).
+
     ``broadcast_labels`` forces the decision either way.
     """
     # One eager checkpoint of the normalized edge list up front: the
@@ -244,12 +264,25 @@ def connected_components_star(
     )
     e = e_all.filter(F.col("u") != F.col("v"))
 
-    # One bounded scalar decides the per-round join strategy (docstring);
-    # skipped entirely when the caller forces the strategy.
-    if broadcast_labels is None:
-        use_bcast = all_nodes.count() <= broadcast_node_limit
-    else:
+    # Strategy decision (docstring): forced > local-master partitioned >
+    # cluster broadcast under the row AND estimated-byte bounds (one
+    # combined bounded aggregate).
+    if broadcast_labels is not None:
         use_bcast = broadcast_labels
+    elif edges.sparkSession.sparkContext.master.startswith("local"):
+        use_bcast = False
+    else:
+        row = all_nodes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length(F.col("node").cast("string"))).alias("w"),
+        ).first()
+        n_nodes = int(row["n"] or 0)
+        # ~48 B/row covers the JVM hash-relation envelope around the id
+        est_bytes = n_nodes * (float(row["w"] or 8.0) + 48.0)
+        use_bcast = (
+            n_nodes <= broadcast_node_limit
+            and est_bytes <= broadcast_max_bytes
+        )
 
     def _min_side(m: DataFrame) -> DataFrame:
         return F.broadcast(m) if use_bcast else m

@@ -241,3 +241,31 @@ def test_load_gate_warn_and_quiet(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_HOT_LOAD", "2.0")
     assert bench_scaled.load_gate(2.5)["hot"]
     assert not bench_scaled.load_gate(1.5)["hot"]
+
+
+def test_always_probe_by_name_fires_regardless_of_rank(monkeypatch):
+    # r13 blind spot: dedup_cc_star drifted +19% over two rounds while
+    # below both the top-N cutoff and the 1.5x trigger — named legs in
+    # always_probe get forced telemetry anyway (and are not probed
+    # twice when they already ranked or triggered)
+    probe_iter = iter([18.5, 2.9])  # probe order: top-N (big), then named (cc)
+    monkeypatch.setenv("SPARK_GRAFT_HOT_LOAD", "8")
+    monkeypatch.setenv("SPARK_GRAFT_PROBE_BACKOFF", "0")
+    monkeypatch.setattr(
+        bench_scaled, "solo_probe", lambda d, n, r: next(probe_iter)
+    )
+    monkeypatch.setattr(
+        bench_scaled.os, "getloadavg", lambda: (1.0, 0.0, 0.0)
+    )
+    timings = {"cc": 3.2, "big": 20.0, "small": 1.0}
+    refs = {"cc": 3.0, "big": 19.0, "small": 1.0}
+    verdicts = bench_scaled.adjudicate(
+        ".", timings, refs, always_probe_top=1, always_probe=("cc", "big")
+    )
+    # cc: neither triggered (3.2 < 1.5x3.0) nor top-1 (big is) — still
+    # probed by name; big probed once only (as the top-1 entry)
+    assert set(verdicts) == {"cc", "big"}
+    assert verdicts["cc"]["forced"] is True
+    assert verdicts["cc"]["verdict"] == "forced_probe_ok"
+    assert timings["cc"] == 2.9
+    assert verdicts["big"]["verdict"] == "forced_probe_ok"

@@ -494,18 +494,19 @@ def test_connected_components_star_chain_and_equality(spark):
     }
     assert star_small == prop
     # the two join strategies (broadcast min frames vs sort-merge) must
-    # be result-identical — the partitioned path is what runs past the
-    # broadcast node limit at scale
-    stats_p: dict = {}
-    part = {
+    # be result-identical — under a LOCAL master the default is the
+    # partitioned path (r14 decision: the groupBy-min exchange is reused
+    # by the SMJ, so broadcast only pays off on a real cluster)
+    assert stats["strategy"] == "partitioned"
+    stats_b: dict = {}
+    bcast = {
         (r["node"], r["component"])
         for r in connected_components_star(
-            edges, stats=stats_p, broadcast_labels=False
+            edges, stats=stats_b, broadcast_labels=True
         ).collect()
     }
-    assert stats_p["strategy"] == "partitioned"
-    assert stats["strategy"] == "broadcast"
-    assert part == star
+    assert stats_b["strategy"] == "broadcast"
+    assert bcast == star
 
 
 def _random_bucket_view(spark, rng, n_docs: int, bands: int, n_buckets: int):

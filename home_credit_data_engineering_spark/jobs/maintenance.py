@@ -68,6 +68,29 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _prefix_state_extra(r: dict) -> str:
+    """Compaction suffix shared by the prefix-state families' report
+    lines (jaccard / containment)."""
+    extra = ""
+    if "deltas_compacted" in r:
+        extra += (
+            f", delta files {r['deltas_compacted']['before']}"
+            f"->{r['deltas_compacted']['after']}"
+        )
+    if "would_compact_deltas" in r:
+        extra += (
+            f", would compact "
+            f"{r['would_compact_deltas']['files']} delta files "
+            f"(window {r['would_compact_deltas']['window']})"
+        )
+    if r.get("compaction_blocked_by_orphans"):
+        extra += (
+            ", compaction blocked by unledgered residue "
+            "(run --reconcile first)"
+        )
+    return extra
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "compact":
@@ -152,23 +175,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"/ {r['n_tokens']} tokens, t={r['threshold']}"
                     if r["n_docs"] is not None
                     else "pending recovery (details skipped in dry-run)"
-                )
-                if "deltas_compacted" in r:
-                    extra += (
-                        f", delta files {r['deltas_compacted']['before']}"
-                        f"->{r['deltas_compacted']['after']}"
-                    )
-                if "would_compact_deltas" in r:
-                    extra += (
-                        f", would compact "
-                        f"{r['would_compact_deltas']['files']} delta files "
-                        f"(window {r['would_compact_deltas']['window']})"
-                    )
-                if r.get("compaction_blocked_by_orphans"):
-                    extra += (
-                        ", compaction blocked by unledgered residue "
-                        "(run --reconcile first)"
-                    )
+                ) + _prefix_state_extra(r)
                 tag = "jaccard"
             elif r["family"] == "containment":
                 extra = (
@@ -176,23 +183,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"/ {r['n_tokens']} tokens, t={r['threshold']}"
                     if r["n_refs"] is not None
                     else "pending recovery (details skipped in dry-run)"
-                )
-                if "deltas_compacted" in r:
-                    extra += (
-                        f", delta files {r['deltas_compacted']['before']}"
-                        f"->{r['deltas_compacted']['after']}"
-                    )
-                if "would_compact_deltas" in r:
-                    extra += (
-                        f", would compact "
-                        f"{r['would_compact_deltas']['files']} delta files "
-                        f"(window {r['would_compact_deltas']['window']})"
-                    )
-                if r.get("compaction_blocked_by_orphans"):
-                    extra += (
-                        ", compaction blocked by unledgered residue "
-                        "(run --reconcile first)"
-                    )
+                ) + _prefix_state_extra(r)
                 tag = "containment"
             elif r["family"] == "entity":
                 extra = (
@@ -217,13 +208,26 @@ def main(argv: list[str] | None = None) -> int:
             would_compact = sum(
                 1 for r in reports if "would_compact_deltas" in r
             )
+            blocked = sum(
+                1
+                for r in reports
+                if r.get("compaction_blocked_by_orphans")
+            )
             print(
                 f"sweep (dry-run): {len(reports)} state trees, "
                 f"{recovered} pending swaps/commits, "
-                f"{would_compact} compactable delta trees — nothing touched"
+                f"{would_compact} compactable delta trees"
+                + (
+                    f", {blocked} blocked by unledgered residue"
+                    if blocked
+                    else ""
+                )
+                + " — nothing touched"
             )
-            # documented contract: non-zero when the lake needs work
-            return 3 if (recovered or would_compact) else 0
+            # documented contract: non-zero when the lake needs work — a
+            # tree whose compaction is BLOCKED by residue needs work too
+            # (reconcile, then compact), so it must not read as clean
+            return 3 if (recovered or would_compact or blocked) else 0
         print(
             f"sweep: {len(reports)} state trees, "
             f"{recovered} recovered swaps/commits"

@@ -56,6 +56,7 @@ from home_credit_data_engineering_spark.sources.maintenance import (
     reconcile_orphan_delta_files,
     recover_fold_commits,
     recover_state_swap,
+    unpublish_delta_files,
     write_state_layout,
 )
 
@@ -79,17 +80,6 @@ def _tokens_path(root: str) -> str:
 
 def _meta_path(root: str) -> str:
     return os.path.join(root, META_NAME)
-
-
-def _unpublish_delta(dest: str, fingerprint: str) -> None:
-    """Remove a fingerprint's published files (crash-replay hygiene —
-    the exact inverse of ``publish_delta_files``' deterministic names)."""
-    if not os.path.isdir(dest):
-        return
-    prefix = f"delta-{fingerprint}-"
-    for f in os.listdir(dest):
-        if f.startswith(prefix):
-            os.remove(os.path.join(dest, f))
 
 
 def read_containment_meta(root: str) -> dict:
@@ -151,6 +141,7 @@ def containment_state_increment(
     new_probe: DataFrame,
     root: str,
     output_pairs: str | None = None,
+    strict_replay_pairs: bool = True,
 ) -> dict:
     """One replay-idempotent fold of a probe delta against the persisted
     reference state.
@@ -165,7 +156,9 @@ def containment_state_increment(
 
     ``output_pairs`` follows the ``jaccard_state_increment`` contract:
     written INSIDE the fold before the marker commits; a replayed fold
-    that never persisted the requested path RAISES.
+    that never persisted the requested path RAISES
+    (``strict_replay_pairs=False`` downgrades to the plain replayed
+    no-op — the streaming-maintainer contract).
     """
     spark = new_probe.sparkSession
     # layout guard + recovery ordering (the jaccard_state discipline)
@@ -182,7 +175,7 @@ def containment_state_increment(
     fp = delta_fingerprint(new_probe, [id_col, text_col])
     done = read_fold_marker(root, fp)
     if done is not None:
-        if output_pairs is not None:
+        if output_pairs is not None and strict_replay_pairs:
             recorded = done["report"].get("output_pairs")
             if recorded != output_pairs or not os.path.isdir(recorded):
                 raise RuntimeError(
@@ -202,7 +195,7 @@ def containment_state_increment(
     # of THIS delta before recomputing: the increment READS the tokens
     # leg it appends to — a partial publish would make the delta's own
     # first-seen tokens look like frozen state frequencies
-    _unpublish_delta(_tokens_path(root), fp)
+    unpublish_delta_files(_tokens_path(root), fp)
 
     stats: dict = {}
     inc = containment_join_increment(

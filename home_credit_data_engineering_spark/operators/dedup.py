@@ -2429,16 +2429,21 @@ def jaccard_join_increment(
                 F.lit(1).cast("long").alias("__gsz"),
             )
         )
+        # the expansion's output is already canonically ordered (cross
+        # pairs via least/greatest of member ids, intra via __m < __m)
         pairs = _expand_collapsed_pairs(
             pairs, members.unionByName(state_ids), None
-        ).select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-            "jaccard",
         )
         if stats is not None:
-            stats["n_groups"] = rep_of.count()
-            stats["n_docs"] = members.count()
+            # one aggregate over the CHECKPOINTED members frame — a
+            # rep_of.count() would re-run the md5+join lineage over the
+            # full delta
+            grow = members.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("__rep").alias("g"),
+            ).first()
+            stats["n_groups"] = grow["g"]
+            stats["n_docs"] = grow["n"]
 
     if collapse_exact:
         # every duplicate member's prefix rows are its rep's rows

@@ -55,6 +55,7 @@ from home_credit_data_engineering_spark.sources.maintenance import (
     read_fold_marker,
     recover_fold_commits,
     recover_state_swap,
+    unpublish_delta_files,
     write_state_layout,
 )
 
@@ -71,17 +72,6 @@ def _tokens_path(root: str) -> str:
 
 def _meta_path(root: str) -> str:
     return os.path.join(root, META_NAME)
-
-
-def _unpublish_delta(dest: str, fingerprint: str) -> None:
-    """Remove a fingerprint's published files (crash-replay hygiene —
-    the exact inverse of ``publish_delta_files``' deterministic names)."""
-    if not os.path.isdir(dest):
-        return
-    prefix = f"delta-{fingerprint}-"
-    for f in os.listdir(dest):
-        if f.startswith(prefix):
-            os.remove(os.path.join(dest, f))
 
 
 def read_jaccard_meta(root: str) -> dict:
@@ -147,6 +137,7 @@ def jaccard_state_increment(
     all_texts: DataFrame,
     output_pairs: str | None = None,
     collapse_exact: bool = False,
+    strict_replay_pairs: bool = True,
 ) -> dict:
     """One replay-idempotent fold of a delta into a persisted state tree.
 
@@ -169,6 +160,12 @@ def jaccard_state_increment(
     never persisted pairs there — or the recorded file is gone — the
     call RAISES instead of returning a 0-exit whose promised output
     does not exist (scripted callers assume the path after success).
+    ``strict_replay_pairs=False`` downgrades that raise to the plain
+    replayed no-op return: the streaming maintainer
+    (``streaming/jaccard.py``) EXPECTS content-duplicate batches under
+    new batch ids to replay without writing their per-batch pairs path
+    — by design, the pairs were already produced — and a raise there
+    would kill the query instead.
 
     ``collapse_exact`` folds boilerplate-heavy deltas through the
     collapse-exact-first path (``jaccard_join_increment`` docstring):
@@ -200,7 +197,7 @@ def jaccard_state_increment(
     fp = delta_fingerprint(new_docs, [id_col, text_col])
     done = read_fold_marker(root, fp)
     if done is not None:
-        if output_pairs is not None:
+        if output_pairs is not None and strict_replay_pairs:
             recorded = done["report"].get("output_pairs")
             if recorded != output_pairs or not os.path.isdir(recorded):
                 raise RuntimeError(
@@ -222,7 +219,7 @@ def jaccard_state_increment(
     # appends to — a partial publish would make the delta's own rows
     # look like accepted state (self-pairs, wrong new-token detection).
     for leg in (_prefixes_path(root), _tokens_path(root)):
-        _unpublish_delta(leg, fp)
+        unpublish_delta_files(leg, fp)
 
     stats: dict = {}
     inc = jaccard_join_increment(

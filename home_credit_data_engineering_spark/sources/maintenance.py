@@ -293,6 +293,21 @@ def publish_delta_files(
     return n
 
 
+def unpublish_delta_files(dest_root: str, fingerprint: str) -> None:
+    """Remove a fingerprint's published files — the exact inverse of
+    :func:`publish_delta_files`' deterministic names. Crash-replay
+    hygiene for increments that READ the legs they append to: a partial
+    publish from a crashed earlier attempt of the SAME delta must be
+    swept before recompute, or the delta's own rows look like accepted
+    state."""
+    if not os.path.isdir(dest_root):
+        return
+    prefix = f"delta-{fingerprint}-"
+    for f in os.listdir(dest_root):
+        if f.startswith(prefix):
+            os.remove(os.path.join(dest_root, f))
+
+
 def reconcile_orphan_delta_files(
     state_root: str, legs: tuple[str, ...], dry_run: bool = False
 ) -> int:
@@ -349,19 +364,36 @@ def published_delta_fingerprints(leg_dir: str) -> set[str]:
     return out
 
 
-def delta_file_count(state_root: str, legs: tuple[str, ...]) -> int:
+def delta_file_count(
+    state_root: str, legs: tuple[str, ...], ledgered_only: bool = False
+) -> int:
     """Largest per-leg count of published ``delta-*`` files — the
-    small-files pressure gauge the sweep compares to its window."""
+    small-files pressure gauge the sweep compares to its window.
+    ``ledgered_only`` excludes unledgered (orphan/in-flight) files:
+    what a compaction would actually fold after reconciliation."""
+    ledgered: set[str] | None = None
+    if ledgered_only:
+        ledgered = set()
+        d = ledger_dir(state_root)
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                ledgered.add(
+                    name.removesuffix(".committing").removesuffix(".__tmp")
+                )
     worst = 0
     for leg in legs:
         p = os.path.join(state_root, leg)
         if not os.path.isdir(p):
             continue
-        n = sum(
-            1
-            for f in os.listdir(p)
-            if f.startswith("delta-") and f.endswith(".parquet")
-        )
+        n = 0
+        for f in os.listdir(p):
+            if not (f.startswith("delta-") and f.endswith(".parquet")):
+                continue
+            if ledgered is not None:
+                fp = f[len("delta-"):].rsplit("-", 1)[0]
+                if fp not in ledgered:
+                    continue
+            n += 1
         worst = max(worst, n)
     return worst
 

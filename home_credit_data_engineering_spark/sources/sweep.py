@@ -302,114 +302,25 @@ def _sweep_bm25(
     }
 
 
-def _sweep_jaccard(
+def _sweep_prefix_state(
     spark: SparkSession,
     path: str,
+    family: str,
+    swap_legs: tuple[str, ...],
+    growing_legs: tuple[str, ...],
+    report_fn,
+    body_keys: tuple[str, ...],
     compact_deltas_window: int = 16,
     dry_run: bool = False,
     skip: frozenset[str] = frozenset(),
     reconcile_orphans: bool = False,
 ) -> dict[str, Any]:
-    from home_credit_data_engineering_spark.operators.jaccard_state import (
-        jaccard_state_report,
-        reconcile_orphan_deltas,
-    )
-    from home_credit_data_engineering_spark.sources.maintenance import (
-        compact_ledgered_legs,
-        delta_file_count,
-    )
-
-    recovered = 0
-    recovered += _swap(path, dry_run, skip)
-    if dry_run:
-        recovered += bool(pending_fold_commits(path))
-        if reconcile_orphans:
-            recovered += bool(reconcile_orphan_deltas(path, dry_run=True))
-    else:
-        # append-only legs: a stranded marker just finishes (the fold's
-        # publishes were complete before the marker was created); then —
-        # ONLY on request — residue of ABANDONED fingerprints (pre-marker
-        # crash whose delta was amended) is swept out. Orphan
-        # reconciliation is opt-in (--reconcile) because a fold IN FLIGHT
-        # between publish_delta_files and begin_fold_commit looks exactly
-        # like residue: a concurrent sweep would delete its just-published
-        # delta files and the fold would then commit a marker over missing
-        # rows — silent permanent state loss. The maintainer's own startup
-        # path (jaccard_state_increment) reconciles safely under the
-        # single-maintainer contract; run the sweep with --reconcile only
-        # when no fold is in flight.
-        recovered += bool(recover_fold_commits(path, []))
-        if reconcile_orphans:
-            recovered += bool(reconcile_orphan_deltas(path))
-    for leg in ("prefixes", "tokens"):
-        recovered += _swap(os.path.join(path, leg), dry_run, skip)
-    # small-files compaction: every fold publishes delta-{fp}-N.parquet
-    # into both legs forever; past the window, rewrite the legs through
-    # the staged swap (ledger untouched — replays still no-op). Blocked
-    # by unledgered residue unless the sweep also reconciles it — baking
-    # a crashed half-publish into the base would be permanent.
-    legs = ("prefixes", "tokens")
-    compacted: dict[str, Any] | None = None
-    would_compact: int | None = None
-    blocked = False
-    n_delta = delta_file_count(path, legs)
-    if n_delta > compact_deltas_window:
-        if dry_run:
-            if reconcile_orphans or not reconcile_orphan_deltas(
-                path, dry_run=True
-            ):
-                would_compact = n_delta
-            else:
-                blocked = True
-        else:
-            rep = compact_ledgered_legs(spark, path, legs)
-            if "skipped" in rep:
-                blocked = True
-            else:
-                compacted = {
-                    "before": n_delta,
-                    "after": delta_file_count(path, legs),
-                }
-    body: dict[str, Any] = {}
-    if not (dry_run and recovered):
-        body = jaccard_state_report(spark, path)
-    out: dict[str, Any] = {
-        "family": "jaccard",
-        "path": path,
-        "parquet_files": _parquet_file_count(path),
-        "recovered": int(recovered),
-        "n_docs": body.get("n_docs"),
-        "n_prefix_rows": body.get("n_prefix_rows"),
-        "n_tokens": body.get("n_tokens"),
-        "threshold": body.get("threshold"),
-    }
-    if compacted is not None:
-        out["deltas_compacted"] = compacted
-    if would_compact is not None:
-        out["would_compact_deltas"] = {
-            "files": would_compact,
-            "window": compact_deltas_window,
-        }
-    if blocked:
-        out["compaction_blocked_by_orphans"] = True
-    return out
-
-
-def _sweep_containment(
-    spark: SparkSession,
-    path: str,
-    compact_deltas_window: int = 16,
-    dry_run: bool = False,
-    skip: frozenset[str] = frozenset(),
-    reconcile_orphans: bool = False,
-) -> dict[str, Any]:
-    """The jaccard sweeper's shape for the decontamination family: only
-    the ``tokens`` leg gains delta files (postings/ref_sets are fixed at
-    build), so reconciliation and compaction target it alone."""
-    from home_credit_data_engineering_spark.operators.containment_state import (
-        GROWING_LEGS,
-        containment_state_report,
-    )
+    """Shared sweeper for the ledger-fold prefix-state families
+    (exact-Jaccard, containment): recovery, opt-in orphan
+    reconciliation, small-files compaction of the growing legs, bounded
+    report. One policy implementation — the jaccard/containment
+    sweepers differ only in legs, report body, and family tag.
+    """
     from home_credit_data_engineering_spark.sources.maintenance import (
         compact_ledgered_legs,
         delta_file_count,
@@ -422,50 +333,74 @@ def _sweep_containment(
         recovered += bool(pending_fold_commits(path))
         if reconcile_orphans:
             recovered += bool(
-                reconcile_orphan_delta_files(path, GROWING_LEGS, dry_run=True)
+                reconcile_orphan_delta_files(path, growing_legs, dry_run=True)
             )
     else:
+        # append-only legs: a stranded marker just finishes (the fold's
+        # publishes were complete before the marker was created); then -
+        # ONLY on request - residue of ABANDONED fingerprints (pre-marker
+        # crash whose delta was amended) is swept out. Orphan
+        # reconciliation is opt-in (--reconcile) because a fold IN FLIGHT
+        # between publish_delta_files and begin_fold_commit looks exactly
+        # like residue: a concurrent sweep would delete its just-published
+        # delta files and the fold would then commit a marker over missing
+        # rows - silent permanent state loss. The maintainer's own startup
+        # path reconciles safely under the single-maintainer contract; run
+        # the sweep with --reconcile only when no fold is in flight.
         recovered += bool(recover_fold_commits(path, []))
         if reconcile_orphans:
             recovered += bool(
-                reconcile_orphan_delta_files(path, GROWING_LEGS)
+                reconcile_orphan_delta_files(path, growing_legs)
             )
-    for leg in ("postings", "ref_sets", "tokens"):
+    for leg in swap_legs:
         recovered += _swap(os.path.join(path, leg), dry_run, skip)
+    # small-files compaction: every fold publishes delta-{fp}-N.parquet
+    # into the growing legs forever; past the window, rewrite them
+    # through the staged swap (ledger untouched - replays still no-op).
+    # Blocked by unledgered residue unless the sweep also reconciles it -
+    # baking a crashed half-publish into the base would be permanent.
     compacted: dict[str, Any] | None = None
     would_compact: int | None = None
     blocked = False
-    n_delta = delta_file_count(path, GROWING_LEGS)
+    n_delta = delta_file_count(path, growing_legs)
     if n_delta > compact_deltas_window:
         if dry_run:
-            if reconcile_orphans or not reconcile_orphan_delta_files(
-                path, GROWING_LEGS, dry_run=True
+            if reconcile_orphans:
+                # count what a live --reconcile sweep would actually
+                # compact: the ledgered files left AFTER reconciliation
+                # (counting orphans would overstate the promise)
+                would_compact = delta_file_count(
+                    path, growing_legs, ledgered_only=True
+                )
+                if would_compact <= compact_deltas_window:
+                    would_compact = None
+            elif not reconcile_orphan_delta_files(
+                path, growing_legs, dry_run=True
             ):
                 would_compact = n_delta
             else:
                 blocked = True
         else:
-            rep = compact_ledgered_legs(spark, path, GROWING_LEGS)
+            rep = compact_ledgered_legs(spark, path, growing_legs)
             if "skipped" in rep:
                 blocked = True
             else:
                 compacted = {
                     "before": n_delta,
-                    "after": delta_file_count(path, GROWING_LEGS),
+                    "after": delta_file_count(path, growing_legs),
                 }
     body: dict[str, Any] = {}
     if not (dry_run and recovered):
-        body = containment_state_report(spark, path)
+        body = report_fn(spark, path)
     out: dict[str, Any] = {
-        "family": "containment",
+        "family": family,
         "path": path,
         "parquet_files": _parquet_file_count(path),
         "recovered": int(recovered),
-        "n_refs": body.get("n_refs"),
-        "n_postings": body.get("n_postings"),
-        "n_tokens": body.get("n_tokens"),
         "threshold": body.get("threshold"),
     }
+    for key in body_keys:
+        out[key] = body.get(key)
     if compacted is not None:
         out["deltas_compacted"] = compacted
     if would_compact is not None:
@@ -476,6 +411,64 @@ def _sweep_containment(
     if blocked:
         out["compaction_blocked_by_orphans"] = True
     return out
+
+
+def _sweep_jaccard(
+    spark: SparkSession,
+    path: str,
+    compact_deltas_window: int = 16,
+    dry_run: bool = False,
+    skip: frozenset[str] = frozenset(),
+    reconcile_orphans: bool = False,
+) -> dict[str, Any]:
+    from home_credit_data_engineering_spark.operators.jaccard_state import (
+        jaccard_state_report,
+    )
+
+    return _sweep_prefix_state(
+        spark,
+        path,
+        "jaccard",
+        ("prefixes", "tokens"),
+        ("prefixes", "tokens"),
+        jaccard_state_report,
+        ("n_docs", "n_prefix_rows", "n_tokens"),
+        compact_deltas_window,
+        dry_run,
+        skip,
+        reconcile_orphans,
+    )
+
+
+def _sweep_containment(
+    spark: SparkSession,
+    path: str,
+    compact_deltas_window: int = 16,
+    dry_run: bool = False,
+    skip: frozenset[str] = frozenset(),
+    reconcile_orphans: bool = False,
+) -> dict[str, Any]:
+    # only the tokens leg gains delta files (postings/ref_sets are fixed
+    # at build), so reconciliation and compaction target it alone
+    from home_credit_data_engineering_spark.operators.containment_state import (
+        GROWING_LEGS,
+        containment_state_report,
+    )
+
+    return _sweep_prefix_state(
+        spark,
+        path,
+        "containment",
+        ("postings", "ref_sets", "tokens"),
+        GROWING_LEGS,
+        containment_state_report,
+        ("n_refs", "n_postings", "n_tokens"),
+        compact_deltas_window,
+        dry_run,
+        skip,
+        reconcile_orphans,
+    )
+
 
 
 def _sweep_entity(

@@ -58,11 +58,17 @@ def foreach_batch_jaccard_ingest(
         out = (
             f"{pairs_dir}/batch={batch_id}" if pairs_dir is not None else None
         )
+        # strict_replay_pairs=False: a CONTENT-duplicate batch under a
+        # NEW batch_id (producer re-drop, post-checkpoint redelivery)
+        # must replay as the documented committed no-op — the strict
+        # scripted-caller raise would kill the streaming query over
+        # pairs that were already produced under the earlier batch path
         result = jaccard_state_increment(
             batch_df,
             root,
             spark.read.parquet(texts_source_path),
             output_pairs=out,
+            strict_replay_pairs=False,
         )
         if reports is not None:
             reports.append(

@@ -265,3 +265,71 @@ def test_containment_cli_build_and_increment(spark, tmp_path, capsys):
         "--input", d1_pq, "--state-dir", root, "--output-pairs", out,
     ]) == 0
     assert "replayed" in capsys.readouterr().out
+
+
+def test_streamed_containment_ingest_replay_idempotent(spark, tmp_path):
+    """Structured-Streaming decontamination tap: micro-batches fold
+    through the same ledger as the batch CLI — stream pairs == one-shot
+    containment_join, a resumed stream folds nothing, and a
+    content-duplicate redelivery (same OR new batch id) is a committed
+    no-op."""
+    import glob
+    import shutil
+
+    from home_credit_data_engineering_spark.streaming.containment import (
+        foreach_batch_containment_ingest,
+    )
+
+    reference, d1, d2 = _corpus(spark)
+    root = str(tmp_path / "state")
+    write_containment_state(reference, root, "doc_id", "text", **KW)
+
+    src = str(tmp_path / "_src")
+    os.makedirs(src)
+    for i, frame in enumerate((d1, d2)):
+        stage = str(tmp_path / f"_stage{i}")
+        frame.coalesce(1).write.parquet(stage)
+        shutil.copy(
+            glob.glob(stage + "/part-*.parquet")[0], f"{src}/{i:02d}.parquet"
+        )
+
+    def start(reports):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        return foreach_batch_containment_ingest(
+            stream,
+            root,
+            str(tmp_path / "ckpt"),
+            pairs_dir=str(tmp_path / "pairs"),
+            reports=reports,
+        )
+
+    reports: list = []
+    start(reports)
+    assert [r["replayed"] for r in reports] == [False, False]
+    streamed = _pairs(spark.read.parquet(str(tmp_path / "pairs")).drop("batch"))
+    full = containment_join(
+        d1.unionByName(d2), reference, "doc_id", "text", **KW
+    )
+    assert streamed == _pairs(full) and streamed
+
+    # resume on the same checkpoint: no data, no folds
+    reports2: list = []
+    start(reports2)
+    assert reports2 == []
+
+    # content-duplicate under a NEW batch id (producer re-drop): the
+    # documented committed no-op, not the strict scripted-caller raise
+    before = containment_state_report(spark, root)
+    shutil.copy(f"{src}/00.parquet", f"{src}/99.parquet")
+    reports3: list = []
+    start(reports3)
+    assert [r["replayed"] for r in reports3] == [True]
+    assert containment_state_report(spark, root) == before
+    assert not os.path.isdir(
+        str(tmp_path / "pairs") + f"/batch={reports3[0]['batch_id']}"
+    )

@@ -421,6 +421,21 @@ def test_streamed_jaccard_ingest_replay_idempotent(spark, tmp_path):
     assert [r["replayed"] for r in reports3] == [True, True]
     assert _fs_snapshot(root) == snap
 
+    # content-duplicate under a NEW batch id (producer re-drops the same
+    # file): the per-batch pairs path differs from the fold's recorded
+    # one, and the documented contract is a committed no-op that writes
+    # nothing — NOT the strict scripted-caller raise (which would kill
+    # the streaming query)
+    shutil.copy(f"{src}/00.parquet", f"{src}/99.parquet")
+    reports4: list = []
+    start(reports4)
+    assert [r["replayed"] for r in reports4] == [True]
+    assert reports4[0]["batch_id"] not in (0, 1)
+    assert _fs_snapshot(root) == snap
+    assert not os.path.isdir(
+        str(tmp_path / "pairs") + f"/batch={reports4[0]['batch_id']}"
+    )
+
 
 def test_replay_with_unpersisted_output_pairs_raises(spark, tmp_path):
     """A replayed fold cannot regenerate pairs (the state already holds
@@ -682,15 +697,28 @@ def test_sweep_compacts_jaccard_deltas_past_window(spark, tmp_path):
     r = sweep_lake(spark, str(lake), compact_deltas_window=0, dry_run=True)[0]
     assert r.get("compaction_blocked_by_orphans") is True
     assert "would_compact_deltas" not in r
+    # blocked compaction IS pending work — the CLI dry-run contract
+    # (exit 3 when the lake needs anything) must not read it as clean
+    from home_credit_data_engineering_spark.jobs import maintenance as job
+
+    assert job.main([
+        "sweep", "--root", str(lake), "--dry-run",
+        "--compact-deltas-window", "0",
+    ]) == 3
     r = sweep_lake(spark, str(lake), compact_deltas_window=0)[0]
     assert r.get("compaction_blocked_by_orphans") is True
     # with --reconcile the dry-run proposes, and the live sweep removes
-    # the residue then compacts the ledgered (d4) delta files
+    # the residue then compacts the ledgered (d4) delta files. The
+    # dry-run count excludes the orphans a live --reconcile would
+    # delete before compacting (else it overstates the promise).
+    n_ledgered = delta_file_count(root, ("prefixes", "tokens"), ledgered_only=True)
+    n_all = delta_file_count(root, ("prefixes", "tokens"))
+    assert n_ledgered < n_all
     r = sweep_lake(
         spark, str(lake), compact_deltas_window=0, dry_run=True,
         reconcile_orphans=True,
     )[0]
-    assert "would_compact_deltas" in r
+    assert r["would_compact_deltas"]["files"] == n_ledgered
     r = sweep_lake(
         spark, str(lake), compact_deltas_window=0, reconcile_orphans=True
     )[0]

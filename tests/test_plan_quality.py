@@ -139,16 +139,24 @@ def test_cc_star_shuffles_node_ids_only_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     heads = _exchange_heads(plan)
     assert heads, "expected at least one exchange in the final labeling pass"
-    # This graph is far below the broadcast limit, so the two-path
-    # strategy must ship the node-bounded min frames as broadcasts —
-    # those exchanges print a BroadcastMode head, not partitioning keys.
-    bcast = [h for h in heads if "BroadcastMode" in h]
+    # r14 default under a LOCAL master is the PARTITIONED path (the
+    # groupBy-min exchange is reused by the SMJ — measured faster than
+    # broadcasting; docs/EXPLAIN.md), so every exchange must shuffle
+    # node-id columns only.
     shuffles = [h for h in heads if "BroadcastMode" not in h]
-    assert bcast, "small graph should take the broadcast-labels path"
     for head in shuffles:
         assert (
             "node#" in head or "u#" in head or "v#" in head or "m#" in head
         ), f"CC shuffle not on a node-id column: {head}"
+    # the cluster-shape broadcast path stays available and must ship the
+    # min frames as BroadcastMode exchanges when forced
+    blabels = connected_components_star(edges, broadcast_labels=True)
+    blabels.count()
+    bplan = blabels._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in bplan and "ArrowEvalPython" not in bplan
+    assert [
+        h for h in _exchange_heads(bplan) if "BroadcastMode" in h
+    ], "forced broadcast-labels path should ship BroadcastMode exchanges"
 
 
 def test_combo_dedup_near_no_payload_through_shuffles(spark, sf_dir):

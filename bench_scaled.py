@@ -117,6 +117,13 @@ SCALED_QUERIES = (
     # a dedicated single-sample leg below (it exists to measure the
     # fan-out the collapse removes — ~88s vs ~14s, ratio logged).
     "dedup_jaccard_join_collapsed",
+    # r14: asymmetric containment decontamination at the replica cache's
+    # worst case — every probe doc has 10 verbatim twins and every
+    # reference doc 10 twins too, so the one-sided prefix filter faces
+    # d² candidate density while the fully-indexed reference side is 10×
+    # bigger. The curve should track the probe-prefix scan, not the
+    # probe×reference product (brute-force would be ~1.1e10 pairs).
+    "dedup_containment_join",
     "sim_ivf_topk",
     # r7: distributed Lloyd's k-means (k=8 x 3 iterations). Per
     # iteration: broadcast-centroid join over the exploded scalar

@@ -2,7 +2,9 @@
 finish its pending crash recovery, compact streamed stats deltas past
 the replay window, and emit one drift/file-count report.
 
-The lake accumulates four state families, each with its own
+The lake accumulates several state families (ANN, BM25, Jaccard
+prefix, containment decontamination, entity-resolution, corpus
+pipeline), each with its own
 recover/compact/expire entry point (``jobs/ann_index.py``,
 ``jobs/bm25_index.py``, ``jobs/entity_resolution.py``,
 ``jobs/corpus_pipeline.py``). An operator should not need to know which

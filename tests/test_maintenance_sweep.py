@@ -38,7 +38,9 @@ def _vectors(spark, n=40, seed=0, id_base=0):
 
 @pytest.fixture(scope="module")
 def lake(spark, tmp_path_factory):
-    """A fixture lake holding all four state families plus decoys."""
+    """A fixture lake holding the original four state families plus decoys
+    (the jaccard/containment prefix-state families have their own
+    dedicated sweep tests)."""
     root = tmp_path_factory.mktemp("lake")
 
     # 1. batch-maintained ANN index

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "increments ignore it by design)")
     parser.add_argument("--shingle-k", type=int, default=3,
                         help="build mode only (pinned like --threshold)")
+    parser.add_argument("--collapse-exact", action="store_true",
+                        help="increment mode: collapse byte-identical "
+                        "probe docs before candidate generation "
+                        "(bit-identical pairs/state; the boilerplate-"
+                        "heavy-delta regime)")
     return parser
 
 
@@ -78,7 +83,10 @@ def main(argv: list[str] | None = None) -> int:
 
     meta = read_containment_meta(args.state_dir)
     result = containment_state_increment(
-        docs, args.state_dir, output_pairs=args.output_pairs
+        docs,
+        args.state_dir,
+        output_pairs=args.output_pairs,
+        collapse_exact=args.collapse_exact,
     )
     rep = result["report"]
     if result["replayed"]:

@@ -142,6 +142,7 @@ def containment_state_increment(
     root: str,
     output_pairs: str | None = None,
     strict_replay_pairs: bool = True,
+    collapse_exact: bool = False,
 ) -> dict:
     """One replay-idempotent fold of a probe delta against the persisted
     reference state.
@@ -159,6 +160,12 @@ def containment_state_increment(
     that never persisted the requested path RAISES
     (``strict_replay_pairs=False`` downgrades to the plain replayed
     no-op — the streaming-maintainer contract).
+
+    ``collapse_exact`` folds boilerplate-heavy deltas through the
+    collapse-exact-first discipline (pairs and token appends
+    bit-identical to the direct fold — see
+    ``dedup.containment_join_increment``); the report gains a
+    ``collapsed`` block with the measured group structure.
     """
     spark = new_probe.sparkSession
     # layout guard + recovery ordering (the jaccard_state discipline)
@@ -207,6 +214,7 @@ def containment_state_increment(
         text_col,
         threshold=meta["threshold"],
         shingle_k=meta["shingle_k"],
+        collapse_exact=collapse_exact,
         stats=stats,
     )
     # materialize pairs BEFORE publishing the token appends (lazy plan
@@ -233,6 +241,11 @@ def containment_state_increment(
         "candidate_pairs": stats.get("candidate_pairs"),
         "brute_force_pairs": stats.get("brute_force_pairs"),
     }
+    if collapse_exact:
+        report["collapsed"] = {
+            "n_groups": stats.get("n_groups"),
+            "n_docs": stats.get("n_docs"),
+        }
     if output_pairs:
         report["output_pairs"] = output_pairs
     # the single append-only leg is fully published — the marker commits

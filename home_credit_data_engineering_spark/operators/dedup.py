@@ -2532,6 +2532,7 @@ def containment_join_increment(
     threshold: float = 0.8,
     shingle_k: int = 3,
     round_digits: int = 6,
+    collapse_exact: bool = False,
     stats: dict | None = None,
 ) -> dict:
     """O(Δ) incremental EXACT asymmetric containment join: every
@@ -2556,6 +2557,24 @@ def containment_join_increment(
     token state for the next fold's fan-out. ``stats`` receives
     ``candidate_pairs`` / ``brute_force_pairs`` (delta × reference) for
     the fold report's fan-out observability.
+
+    ``collapse_exact`` is the boilerplate-heavy-delta regime of the
+    Jaccard sibling (:func:`jaccard_join_increment`), specialized to
+    the asymmetric shape: collapse the delta's md5 groups to min-id
+    representatives, run prefix/candidate/verify over representatives
+    only against the fixed reference, then re-key each member to its
+    representative's ``(ref_id, containment)`` pairs (identical text ⇒
+    identical shingle set ⇒ identical containment against every
+    reference doc — no intra-group pairs exist in this join). Output
+    and ``new_tokens`` are BIT-IDENTICAL to the direct increment
+    (tested): the frozen-order extension always uses the FULL delta's
+    token frequencies, and ``new_tokens`` derives from them alone. The
+    self-pair guard (``probe_id != ref_id``) moves POST-expansion in
+    this mode — a representative sharing an id with a reference doc
+    must not drop its whole group's pairs, while a member sharing one
+    must still be dropped. ``stats['candidate_pairs']`` is rep-level
+    (the measured candidate cut); ``brute_force_pairs`` stays full
+    delta × reference in both modes for comparability.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -2585,8 +2604,37 @@ def containment_join_increment(
         )
         .localCheckpoint(eager=True)
     )
+    members = None
+    if collapse_exact:
+        # md5 groups over the docs that actually shingle (the zero-set
+        # exclusion mirrors _jaccard_shingle_sets — empty probes never
+        # reach the candidate join in the direct path either)
+        fp = new_probe.select(
+            F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
+        ).join(p_sets.select(F.col("__id").alias("__m")), "__m")
+        rep_of = fp.groupBy("__fp").agg(F.min("__m").alias("__rep"))
+        members = (
+            fp.join(rep_of, "__fp")
+            .select("__m", "__rep")
+            .localCheckpoint(eager=True)
+        )
+        probe_elems = (
+            p_sets.join(
+                rep_of.select(F.col("__rep").alias("__id")), "__id", "left_semi"
+            )
+            .select(
+                "__id",
+                F.size("__set").alias("__sz"),
+                F.explode("__set").alias("__tok"),
+            )
+        )
+    else:
+        probe_elems = p_elems
+    # probe prefixes (reps only when collapsing); the frozen-order
+    # extension above always uses the FULL delta's frequencies, so the
+    # two modes share one total order
     prefix = _jaccard_prefix_rows(
-        p_elems, eff_freq.select("__tok", "__freq"), t_dec
+        probe_elems, eff_freq.select("__tok", "__freq"), t_dec
     ).select(
         F.col("__id").alias("__pid"),
         F.col("__sz").alias("__psz"),
@@ -2601,7 +2649,6 @@ def containment_join_increment(
             ),
             "__tok",
         )
-        .filter(F.col("__pid") != F.col("__rid"))
         # |P ∩ R| <= |R|, so C >= t needs |R| >= ceil(t·|P|)
         .filter(
             F.col("__rsz").cast("decimal(20,9)")
@@ -2610,6 +2657,10 @@ def containment_join_increment(
         .select("__pid", "__rid")
         .distinct()
     )
+    if not collapse_exact:
+        # collapsed mode defers the self-pair guard to post-expansion
+        # (see the docstring) — here it is free to apply early
+        cand = cand.filter(F.col("__pid") != F.col("__rid"))
     if stats is not None:
         cand = cand.localCheckpoint(eager=True)
         stats["candidate_pairs"] = cand.count()
@@ -2637,6 +2688,25 @@ def containment_join_increment(
             F.round("__c", round_digits).alias("containment"),
         )
     )
+    if collapse_exact:
+        # rep-level pairs re-key over the delta's md5 groups (members
+        # inherit the rep's score — identical sets); the deferred
+        # self-pair guard applies per MEMBER, matching the direct path
+        pairs = (
+            members.join(pairs, members["__rep"] == pairs["probe_id"])
+            .filter(F.col("__m") != F.col("ref_id"))
+            .select(
+                F.col("__m").alias("probe_id"), "ref_id", "containment"
+            )
+        )
+        if stats is not None:
+            # one aggregate over the CHECKPOINTED members frame
+            grow = members.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("__rep").alias("g"),
+            ).first()
+            stats["n_groups"] = grow["g"]
+            stats["n_docs"] = grow["n"]
     new_tokens = eff_freq.filter(F.col("__is_new_tok")).select(
         F.col("__tok").alias("token"), F.col("__freq").alias("freq")
     )

@@ -34,6 +34,7 @@ def foreach_batch_containment_ingest(
     checkpoint_dir: str,
     pairs_dir: str | None = None,
     reports: list | None = None,
+    collapse_exact: bool = False,
 ):
     """Fold each micro-batch of probe documents against a persisted
     decontamination state (built beforehand with
@@ -51,6 +52,10 @@ def foreach_batch_containment_ingest(
     ``reports`` (optional list) collects per-batch fold reports with
     ``batch_id`` and ``replayed`` attached. Blocks until the available
     data is processed (``trigger(availableNow=True)``).
+
+    ``collapse_exact`` applies the collapse-exact-first discipline to
+    every micro-batch (bit-identical pairs/state; the right default
+    when the stream carries boilerplate-heavy drops).
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,6 +69,7 @@ def foreach_batch_containment_ingest(
             root,
             output_pairs=out,
             strict_replay_pairs=False,
+            collapse_exact=collapse_exact,
         )
         if reports is not None:
             reports.append(

@@ -34,6 +34,7 @@ def foreach_batch_jaccard_ingest(
     checkpoint_dir: str,
     pairs_dir: str | None = None,
     reports: list | None = None,
+    collapse_exact: bool = False,
 ):
     """Fold each micro-batch of documents into a persisted prefix state
     (built beforehand with ``write_jaccard_state``).
@@ -49,6 +50,10 @@ def foreach_batch_jaccard_ingest(
     ``reports`` (optional list) collects per-batch fold reports with
     ``batch_id`` and ``replayed`` attached. Blocks until the available
     data is processed (``trigger(availableNow=True)``).
+
+    ``collapse_exact`` applies the collapse-exact-first discipline to
+    every micro-batch (bit-identical pairs/state; the right default
+    when the stream carries boilerplate-heavy drops).
     """
     spark = stream_docs.sparkSession
 
@@ -69,6 +74,7 @@ def foreach_batch_jaccard_ingest(
             spark.read.parquet(texts_source_path),
             output_pairs=out,
             strict_replay_pairs=False,
+            collapse_exact=collapse_exact,
         )
         if reports is not None:
             reports.append(

@@ -236,6 +236,82 @@ def test_compaction_and_sweep(spark, tmp_path):
     assert delta_file_count(root, ("tokens",)) == 0
 
 
+def test_collapse_exact_increment_bit_identical_on_duplicated_delta(
+    spark, tmp_path
+):
+    """Collapse-exact-first containment fold (boilerplate-heavy-delta
+    regime): pairs AND token appends bit-identical to the direct
+    increment on a 10x-duplicated delta, with the measured candidate
+    cut in the fold report. Plants a group whose REPRESENTATIVE id
+    equals a reference id — the deferred self-pair guard must drop the
+    rep's own (x, x) pair while keeping every other member's pair with
+    that reference (a candidate-level guard would drop the whole
+    group's)."""
+    reference, d1, d2 = _corpus(spark)
+    bench2 = reference.filter(F.col("doc_id") == 902).first()["text"]
+    delta = d1
+    for k in range(1, 10):
+        delta = delta.unionByName(
+            d1.withColumn("doc_id", F.col("doc_id") + F.lit(1000 * k))
+        )
+    # the planted group: min id 902 IS a reference id; 5002 is not
+    delta = delta.unionByName(
+        spark.createDataFrame(
+            [(902, bench2), (77777, bench2)], "doc_id long, text string"
+        )
+    )
+
+    root_d = str(tmp_path / "direct")
+    root_c = str(tmp_path / "collapsed")
+    for root in (root_d, root_c):
+        write_containment_state(reference, root, "doc_id", "text", **KW)
+    rd = containment_state_increment(delta, root_d)
+    rc = containment_state_increment(delta, root_c, collapse_exact=True)
+    got = _pairs(rc["pairs"])
+    assert got == _pairs(rd["pairs"])
+    assert rc["report"]["n_pairs"] == rd["report"]["n_pairs"]
+    # the planted edge: the member keeps its reference pair, the
+    # rep's self-pair is dropped — in BOTH modes
+    assert got[(77777, 902)] == 1.0
+    assert (902, 902) not in got
+
+    def _tokens(root):
+        return {
+            (r["token"], r["freq"])
+            for r in spark.read.parquet(os.path.join(root, "tokens")).collect()
+        }
+
+    assert _tokens(root_c) == _tokens(root_d)
+    # 42 shingling delta docs collapse to 5 md5 groups (d1's four
+    # distinct texts + the planted bench2 group)
+    assert rc["report"]["collapsed"] == {"n_groups": 5, "n_docs": 42}
+    cut = rd["report"]["candidate_pairs"] / rc["report"]["candidate_pairs"]
+    assert cut > 5, f"candidate cut only {cut:.1f}x"
+
+    # the collapsed-built state chains: a later DIRECT fold closes to
+    # the full containment_join over the accumulated probe corpus
+    r2 = containment_state_increment(d2, root_c)
+    full = containment_join(
+        delta.unionByName(d2), reference, "doc_id", "text", **KW
+    )
+    assert (got | _pairs(r2["pairs"])) == _pairs(full)
+
+    # CLI surface: --collapse-exact on a fresh tree reproduces the
+    # direct pairs
+    from home_credit_data_engineering_spark.jobs import containment_index as job
+
+    root_cli = str(tmp_path / "cli")
+    write_containment_state(reference, root_cli, "doc_id", "text", **KW)
+    delta_pq = str(tmp_path / "delta_pq")
+    out = str(tmp_path / "cli_pairs")
+    delta.write.parquet(delta_pq)
+    assert job.main([
+        "--input", delta_pq, "--state-dir", root_cli,
+        "--output-pairs", out, "--collapse-exact",
+    ]) == 0
+    assert _pairs(spark.read.parquet(out)) == got
+
+
 def test_containment_cli_build_and_increment(spark, tmp_path, capsys):
     from home_credit_data_engineering_spark.jobs import containment_index as job
 

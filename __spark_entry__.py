@@ -4,7 +4,7 @@
 scan → window latest-per-key → left join → multi-measure aggregate) on
 sf0.001. ``queries()`` / ``oracle_sql()`` expose the curated 50-slot
 driver set (``plans.registry.DRIVER_SET``) whose operator-tag union
-covers the FULL 213-query registry — the driver's gate records rows for
+covers the FULL 214-query registry — the driver's gate records rows for
 the first ~50 entries only, so combo queries pack whole operator
 families into single slots (docs/COVERAGE.md maps slots → operators →
 subsumed queries; ``tests/test_oracle_parity.py`` runs the full
@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The curated driver set (registry.DRIVER_SET): 50 slots covering
     every operator tag in the registry — combo queries pack whole
     families into single slots because the driver's gate records rows
-    for the first ~50 entries only. The FULL registry (213 queries, 213 oracled) runs
+    for the first ~50 entries only. The FULL registry (214 queries, 214 oracled) runs
     under the in-repo parity gate (tests/test_oracle_parity.py);
     docs/COVERAGE.md maps slots → operators → subsumed queries."""
     return driver_queries()

@@ -124,6 +124,13 @@ SCALED_QUERIES = (
     # bigger. The curve should track the probe-prefix scan, not the
     # probe×reference product (brute-force would be ~1.1e10 pairs).
     "dedup_containment_join",
+    # r14: the duplication-regime answer for the same query —
+    # collapse-exact-first on BOTH sides (10× probe twins × 10× ref
+    # twins = 100× candidate inflation per contaminated pair paid once
+    # at rep level, expanded by id-only joins; bit-identical output,
+    # same DuckDB oracle). Read this leg against dedup_containment_join
+    # exactly like dedup_jaccard_join_collapsed vs _exact.
+    "dedup_containment_join_collapsed",
     "sim_ivf_topk",
     # r7: distributed Lloyd's k-means (k=8 x 3 iterations). Per
     # iteration: broadcast-centroid join over the exploded scalar

@@ -2073,6 +2073,26 @@ def containment_join(
 
     p_sets = _jaccard_shingle_sets(probe, id_col, text_col, shingle_k)
     r_sets = _jaccard_shingle_sets(reference, id_col, text_col, shingle_k)
+    return _containment_pairs_from_sets(
+        p_sets, r_sets, t_dec, threshold, round_digits, exclude_self=True
+    )
+
+
+def _containment_pairs_from_sets(
+    p_sets: DataFrame,
+    r_sets: DataFrame,
+    t_dec: Column,
+    threshold: float,
+    round_digits: int,
+    exclude_self: bool,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The containment R-S core over prepared ``(__id, __set)`` frames:
+    probe prefixes (rarest tokens under the probe-corpus frequency
+    order) vs full reference postings, length filter, exact
+    verification. ``exclude_self=False`` is for callers that must defer
+    the self-pair guard (the collapsed form applies it per expanded
+    member, not per representative)."""
     p_elems = p_sets.select(
         "__id", F.size("__set").alias("__sz"), F.explode("__set").alias("__tok")
     )
@@ -2091,7 +2111,6 @@ def containment_join(
     )
     cand = (
         prefix.join(postings, "__tok")
-        .filter(F.col("__pid") != F.col("__rid"))
         # |P ∩ R| <= |R|, so C >= t needs |R| >= ceil(t·|P|)
         .filter(
             F.col("__rsz").cast("decimal(20,9)") >= F.ceil(t_dec * F.col("__psz"))
@@ -2099,6 +2118,11 @@ def containment_join(
         .select("__pid", "__rid")
         .distinct()
     )
+    if exclude_self:
+        cand = cand.filter(F.col("__pid") != F.col("__rid"))
+    if stats is not None:
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidate_pairs"] = cand.count()
     inter = F.size(F.array_intersect("__pset", "__rset")).cast("double")
     return (
         cand.join(
@@ -2119,6 +2143,104 @@ def containment_join(
             F.col("__pid").alias("probe_id"),
             F.col("__rid").alias("ref_id"),
             F.round("__c", round_digits).alias("containment"),
+        )
+    )
+
+
+def containment_join_collapsed(
+    probe: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    round_digits: int = 6,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Collapse-exact-first EXACT containment join — identical output to
+    :func:`containment_join`, built for the duplication regime on BOTH
+    sides: d byte-identical copies of a probe doc × e copies of a
+    reference doc inflate the direct candidate join by d·e per
+    contaminated pair, while the collapsed form pays it once and
+    expands by id-only joins.
+
+    Both sides collapse independently to min-id md5 representatives
+    (restricted to docs that actually shingle — identical empty docs
+    never reach the candidate join in the direct path either); the R-S
+    prefix core runs over representatives (the prefix ORDER comes from
+    the collapsed probe's token frequencies — completeness is
+    order-independent, so candidates may differ but verified pairs
+    cannot); each rep-level pair then expands over probe-group ×
+    ref-group members, every member pair inheriting the rep's
+    containment (identical text ⇒ identical shingle set ⇒ identical
+    |P∩R|/|P|). The self-pair guard applies per expanded MEMBER —
+    the same wrinkle as the incremental fold's collapsed mode: a
+    representative sharing an id with a reference doc must not drop its
+    whole group's pairs.
+
+    ``stats`` receives ``candidate_pairs`` (rep-level) plus
+    ``n_probe_groups/n_probe_docs/n_ref_groups/n_ref_docs``.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_dec = F.lit(threshold).cast("decimal(12,9)")
+
+    p_sets = _jaccard_shingle_sets(probe, id_col, text_col, shingle_k)
+    r_sets = _jaccard_shingle_sets(reference, id_col, text_col, shingle_k)
+
+    def _groups(docs: DataFrame, sets: DataFrame):
+        fp = docs.select(
+            F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
+        ).join(sets.select(F.col("__id").alias("__m")), "__m")
+        rep_of = fp.groupBy("__fp").agg(F.min("__m").alias("__rep"))
+        members = (
+            fp.join(rep_of, "__fp")
+            .select("__m", "__rep")
+            .localCheckpoint(eager=True)
+        )
+        rep_sets = sets.join(
+            rep_of.select(F.col("__rep").alias("__id")), "__id", "left_semi"
+        ).localCheckpoint(eager=True)
+        return members, rep_sets
+
+    p_members, p_rep_sets = _groups(probe, p_sets)
+    r_members, r_rep_sets = _groups(reference, r_sets)
+
+    rep_pairs = _containment_pairs_from_sets(
+        p_rep_sets,
+        r_rep_sets,
+        t_dec,
+        threshold,
+        round_digits,
+        exclude_self=False,
+        stats=stats,
+    )
+    if stats is not None:
+        for side, members in (("probe", p_members), ("ref", r_members)):
+            grow = members.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("__rep").alias("g"),
+            ).first()
+            stats[f"n_{side}_groups"] = grow["g"]
+            stats[f"n_{side}_docs"] = grow["n"]
+    return (
+        rep_pairs.join(
+            p_members.select(
+                F.col("__m").alias("__pm"), F.col("__rep").alias("probe_id")
+            ),
+            "probe_id",
+        )
+        .join(
+            r_members.select(
+                F.col("__m").alias("__rm"), F.col("__rep").alias("ref_id")
+            ),
+            "ref_id",
+        )
+        .filter(F.col("__pm") != F.col("__rm"))
+        .select(
+            F.col("__pm").alias("probe_id"),
+            F.col("__rm").alias("ref_id"),
+            "containment",
         )
     )
 

@@ -669,6 +669,64 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_join_collapsed",
+    # SAME brute-force oracle as dedup_containment_join: the collapsed
+    # form's contract is bit-identical output, so the identical oracle
+    # hash IS the equivalence proof at driver scale.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT p.doc_id AS probe_id, r.doc_id AS ref_id,
+           ROUND(CAST(len(list_intersect(p.shingles, r.shingles)) AS DOUBLE)
+                 / len(p.shingles), 6) AS containment
+    FROM sh p JOIN sh r
+      ON p.doc_id % 20 <> 7 AND r.doc_id % 20 = 7 AND p.doc_id <> r.doc_id
+    WHERE CAST(len(list_intersect(p.shingles, r.shingles)) AS DOUBLE)
+          / len(p.shingles) >= 0.5
+    """,
+    operators=("D-ext:ngram-jaccard",),
+    doc="Collapse-exact-first containment join (operators/dedup.py:"
+    "containment_join_collapsed) — identical output to "
+    "dedup_containment_join, built for duplication on BOTH sides: d "
+    "byte-identical probe copies × e reference copies inflate the "
+    "direct candidate join by d·e per contaminated pair, while this "
+    "form collapses each side to min-id md5 representatives, runs the "
+    "R-S prefix core over representatives only, and expands rep-level "
+    "pairs over probe-group × ref-group members through id-only joins "
+    "(the self-pair guard applies per expanded member — a rep sharing "
+    "an id with a reference doc must not drop its group). The DuckDB "
+    "oracle is the SAME brute-force asymmetric join, so bit-identity "
+    "with the direct form is hash-verified.",
+)
+def dedup_containment_join_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from home_credit_data_engineering_spark.functions.text import tokens
+    from home_credit_data_engineering_spark.operators.dedup import (
+        containment_join_collapsed,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 3
+    )
+    return containment_join_collapsed(
+        docs.filter(F.col("doc_id") % 20 != 7),
+        docs.filter(F.col("doc_id") % 20 == 7),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle_k=3,
+    )
+
+
+@register(
     "dedup_containment_join_incremental",
     # FULL oracle: the same brute-force asymmetric containment as
     # dedup_containment_join — the union of the two per-delta folds

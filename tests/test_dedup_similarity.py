@@ -1293,3 +1293,61 @@ def test_containment_join_planted_subsets(spark):
         ).collect()
     }
     assert rev[(1, 103)] == 1.0
+
+
+def test_containment_join_collapsed_equals_direct(spark):
+    """Collapse-exact-first containment: bit-identical output to the
+    direct R-S join on a corpus duplicated on BOTH sides, including the
+    planted edge where a probe group's REPRESENTATIVE id equals a
+    reference id — its own self-pair drops but the rest of the group's
+    pairs (and its own cross pairs) survive."""
+    from home_credit_data_engineering_spark.operators.dedup import (
+        containment_join,
+        containment_join_collapsed,
+    )
+
+    r_a = " ".join(f"a{i}" for i in range(10))
+    r_b = " ".join(f"b{i}" for i in range(10))
+    r_c = " ".join(f"c{i}" for i in range(10))
+    unrel = " ".join(f"u{i}" for i in range(10))
+    ref_rows = (
+        [(900 + i, r_a) for i in range(5)]
+        + [(910 + i, r_b) for i in range(3)]
+        + [(920, r_c), (930, "")]
+    )
+    probe_rows = (
+        [(i, r_a) for i in range(1, 9)]
+        # rep id 910 == a reference id carrying the SAME text
+        + [(910, r_b), (5555, r_b)]
+        + [(50 + i, unrel) for i in range(3)]
+        + [(60, ""), (61, None)]
+    )
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    kw = dict(threshold=0.5, shingle_k=3)
+
+    full = {
+        (r["probe_id"], r["ref_id"]): r["containment"]
+        for r in containment_join(probe, ref, "doc_id", "text", **kw).collect()
+    }
+    stats: dict = {}
+    col = {
+        (r["probe_id"], r["ref_id"]): r["containment"]
+        for r in containment_join_collapsed(
+            probe, ref, "doc_id", "text", stats=stats, **kw
+        ).collect()
+    }
+    assert col == full
+    # 8 R_A probes x 5 R_A refs + rep 910 x {911, 912} + 5555 x 3, plus
+    # the empty-text twins: tokens("") == [""] (pinned repo-wide), so
+    # the empty probe and empty ref pair at containment 1.0 in BOTH
+    # forms
+    assert len(full) == 8 * 5 + 2 + 3 + 1
+    assert (910, 910) not in full and full[(910, 911)] == 1.0
+    assert full[(5555, 910)] == 1.0
+    assert full[(60, 930)] == 1.0 and not any(p == 61 for p, _ in full)
+    # the collapse really collapsed both sides: candidates computed at
+    # representative level (3 rep pairs vs 46 expanded)
+    assert stats["n_probe_groups"] == 4 and stats["n_probe_docs"] == 14
+    assert stats["n_ref_groups"] == 4 and stats["n_ref_docs"] == 10
+    assert stats["candidate_pairs"] * 10 <= len(full)

@@ -885,6 +885,41 @@ def _expand_collapsed_pairs(
     return out.unionByName(star)
 
 
+def _collapse_md5_groups(
+    docs: DataFrame, sets: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared collapse half of the collapse-exact-first joins: min-id
+    md5 representatives of byte-identical texts, restricted to the docs
+    that actually shingle (ids present in the prepared ``(__id, __set)``
+    frame — identical zero-shingle docs never reach a candidate join in
+    the direct paths, so they must not gain pairs here either).
+
+    Returns ``(members, rep_of)``: ``members`` is the CHECKPOINTED
+    ``(__m, __rep, __gsz)`` group table (consumed by expansion joins
+    and stats aggregates — shared lineage, checkpoint once); ``rep_of``
+    is ``(__fp, __rep, __gsz)`` for representative semi-joins.
+
+    :func:`jaccard_join_collapsed` keeps its own specialized form — it
+    collapses BEFORE shingling (that is its whole cost advantage) and
+    therefore derives group membership from ``tokens() >= 1`` and
+    carries the representative TEXT, which this sets-based helper
+    cannot provide.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
+    ).join(sets.select(F.col("__id").alias("__m")), "__m")
+    rep_of = fp.groupBy("__fp").agg(
+        F.min("__m").alias("__rep"),
+        F.count(F.lit(1)).cast("long").alias("__gsz"),
+    )
+    members = (
+        fp.join(rep_of, "__fp")
+        .select("__m", "__rep", "__gsz")
+        .localCheckpoint(eager=True)
+    )
+    return members, rep_of
+
+
 def minhash_dedup_collapsed(
     df: DataFrame,
     id_col: str,
@@ -2189,15 +2224,7 @@ def containment_join_collapsed(
     r_sets = _jaccard_shingle_sets(reference, id_col, text_col, shingle_k)
 
     def _groups(docs: DataFrame, sets: DataFrame):
-        fp = docs.select(
-            F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
-        ).join(sets.select(F.col("__id").alias("__m")), "__m")
-        rep_of = fp.groupBy("__fp").agg(F.min("__m").alias("__rep"))
-        members = (
-            fp.join(rep_of, "__fp")
-            .select("__m", "__rep")
-            .localCheckpoint(eager=True)
-        )
+        members, rep_of = _collapse_md5_groups(docs, sets, id_col, text_col)
         rep_sets = sets.join(
             rep_of.select(F.col("__rep").alias("__id")), "__id", "left_semi"
         ).localCheckpoint(eager=True)
@@ -2278,7 +2305,12 @@ def jaccard_join_collapsed(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # zero-token docs have no shingle set and never pair in the full
     # join — exclude them here too, or identical empty docs would gain
-    # intra-group pairs the full join doesn't emit
+    # intra-group pairs the full join doesn't emit. This is the one
+    # collapse site that cannot use _collapse_md5_groups: it collapses
+    # BEFORE shingling (its whole cost advantage) and must carry the
+    # representative text forward, so membership comes from tokens(),
+    # not from a prepared shingle-set frame — keep the two exclusion
+    # rules equivalent if _jaccard_shingle_sets ever changes.
     fp = docs.filter(F.size(tokens(text_col)) >= 1).select(
         F.col(id_col).alias("__m"),
         F.col(text_col).alias("__text"),
@@ -2452,20 +2484,8 @@ def jaccard_join_increment(
     members = None
     rep_of = None
     if collapse_exact:
-        # md5 groups over the docs that actually shingle (the zero-set
-        # exclusion mirrors _jaccard_shingle_sets — identical empty docs
-        # never pair in the direct path either)
-        fp = new_docs.select(
-            F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
-        ).join(sets_new.select(F.col("__id").alias("__m")), "__m")
-        rep_of = fp.groupBy("__fp").agg(
-            F.min("__m").alias("__rep"),
-            F.count(F.lit(1)).cast("long").alias("__gsz"),
-        )
-        members = (
-            fp.join(rep_of, "__fp")
-            .select("__m", "__rep", "__gsz")
-            .localCheckpoint(eager=True)
+        members, rep_of = _collapse_md5_groups(
+            new_docs, sets_new, id_col, text_col
         )
         probe_sets = sets_new.join(
             rep_of.select(F.col("__rep").alias("__id")), "__id", "left_semi"
@@ -2728,17 +2748,8 @@ def containment_join_increment(
     )
     members = None
     if collapse_exact:
-        # md5 groups over the docs that actually shingle (the zero-set
-        # exclusion mirrors _jaccard_shingle_sets — empty probes never
-        # reach the candidate join in the direct path either)
-        fp = new_probe.select(
-            F.col(id_col).alias("__m"), F.md5(F.col(text_col)).alias("__fp")
-        ).join(p_sets.select(F.col("__id").alias("__m")), "__m")
-        rep_of = fp.groupBy("__fp").agg(F.min("__m").alias("__rep"))
-        members = (
-            fp.join(rep_of, "__fp")
-            .select("__m", "__rep")
-            .localCheckpoint(eager=True)
+        members, rep_of = _collapse_md5_groups(
+            new_probe, p_sets, id_col, text_col
         )
         probe_elems = (
             p_sets.join(

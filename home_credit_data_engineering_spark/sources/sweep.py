@@ -6,7 +6,8 @@ The lake accumulates several state families (ANN, BM25, Jaccard
 prefix, containment decontamination, entity-resolution, corpus
 pipeline), each with its own
 recover/compact/expire entry point (``jobs/ann_index.py``,
-``jobs/bm25_index.py``, ``jobs/entity_resolution.py``,
+``jobs/bm25_index.py``, ``jobs/jaccard_index.py``,
+``jobs/containment_index.py``, ``jobs/entity_resolution.py``,
 ``jobs/corpus_pipeline.py``). An operator should not need to know which
 trees exist where to run the nightly chores — ``jobs/maintenance.py
 sweep --root`` walks the lake once and dispatches:

@@ -254,7 +254,9 @@ def test_collapse_exact_increment_bit_identical_on_duplicated_delta(
         delta = delta.unionByName(
             d1.withColumn("doc_id", F.col("doc_id") + F.lit(1000 * k))
         )
-    # the planted group: min id 902 IS a reference id; 5002 is not
+    # the planted group: min id 902 IS a reference id; 77777 is not
+    # (and does not collide with any replica-shifted d1 id, unlike
+    # e.g. 5002 which is doc 2's k=5 twin)
     delta = delta.unionByName(
         spark.createDataFrame(
             [(902, bench2), (77777, bench2)], "doc_id long, text string"
@@ -369,7 +371,7 @@ def test_streamed_containment_ingest_replay_idempotent(spark, tmp_path):
             glob.glob(stage + "/part-*.parquet")[0], f"{src}/{i:02d}.parquet"
         )
 
-    def start(reports):
+    def start(reports, tag="", **kw):
         stream = (
             spark.readStream.format("parquet")
             .schema("doc_id long, text string")
@@ -378,10 +380,11 @@ def test_streamed_containment_ingest_replay_idempotent(spark, tmp_path):
         )
         return foreach_batch_containment_ingest(
             stream,
-            root,
-            str(tmp_path / "ckpt"),
-            pairs_dir=str(tmp_path / "pairs"),
+            str(tmp_path / f"state{tag}") if tag else root,
+            str(tmp_path / f"ckpt{tag}"),
+            pairs_dir=str(tmp_path / f"pairs{tag}"),
             reports=reports,
+            **kw,
         )
 
     reports: list = []
@@ -409,3 +412,19 @@ def test_streamed_containment_ingest_replay_idempotent(spark, tmp_path):
     assert not os.path.isdir(
         str(tmp_path / "pairs") + f"/batch={reports3[0]['batch_id']}"
     )
+
+    # collapse_exact plumb-through: a collapsed-mode stream over the
+    # same source (fresh state/checkpoint) folds with the collapsed
+    # report block and produces the same durable pairs
+    write_containment_state(
+        reference, str(tmp_path / "state_c"), "doc_id", "text", **KW
+    )
+    reports_c: list = []
+    start(reports_c, tag="_c", collapse_exact=True)
+    # three files by now (00, 01, 99): two real folds + the dup no-op
+    assert [r["replayed"] for r in reports_c] == [False, False, True]
+    assert all("collapsed" in r for r in reports_c if not r["replayed"])
+    streamed_c = _pairs(
+        spark.read.parquet(str(tmp_path / "pairs_c")).drop("batch")
+    )
+    assert streamed_c == streamed

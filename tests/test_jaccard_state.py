@@ -379,7 +379,7 @@ def test_streamed_jaccard_ingest_replay_idempotent(spark, tmp_path):
             glob.glob(stage + "/part-*.parquet")[0], f"{src}/{i:02d}.parquet"
         )
 
-    def start(reports):
+    def start(reports, tag="", **kw):
         stream = (
             spark.readStream.format("parquet")
             .schema("doc_id long, text string")
@@ -388,11 +388,12 @@ def test_streamed_jaccard_ingest_replay_idempotent(spark, tmp_path):
         )
         return foreach_batch_jaccard_ingest(
             stream,
-            root,
+            str(tmp_path / f"state{tag}") if tag else root,
             texts_p,
-            str(tmp_path / "ckpt"),
-            pairs_dir=str(tmp_path / "pairs"),
+            str(tmp_path / f"ckpt{tag}"),
+            pairs_dir=str(tmp_path / f"pairs{tag}"),
             reports=reports,
+            **kw,
         )
 
     reports: list = []
@@ -435,6 +436,20 @@ def test_streamed_jaccard_ingest_replay_idempotent(spark, tmp_path):
     assert not os.path.isdir(
         str(tmp_path / "pairs") + f"/batch={reports4[0]['batch_id']}"
     )
+
+    # collapse_exact plumb-through: a collapsed-mode stream over the
+    # same source (fresh state/checkpoint) folds with the collapsed
+    # report block and the same durable pairs
+    write_jaccard_state(old, str(tmp_path / "state_c"), "doc_id", "text", **KW)
+    reports_c: list = []
+    start(reports_c, tag="_c", collapse_exact=True)
+    # three files by now (00, 01, 99-dup of 00): two real folds + no-op
+    assert [r["replayed"] for r in reports_c] == [False, False, True]
+    assert all("collapsed" in r for r in reports_c if not r["replayed"])
+    streamed_c = _pairs(
+        spark.read.parquet(str(tmp_path / "pairs_c")).drop("batch")
+    )
+    assert streamed_c == streamed
 
 
 def test_replay_with_unpersisted_output_pairs_raises(spark, tmp_path):

@@ -113,23 +113,19 @@ SCALED_QUERIES = (
     "dedup_minhash_lsh",
     # r13 (VERDICT r12 #5): the EXACT Jaccard join family at its
     # worst-case regime (verbatim 10x duplication => d^2 candidate
-    # fan-out). The collapsed form rides the suite; the direct form is
-    # a dedicated single-sample leg below (it exists to measure the
-    # fan-out the collapse removes — ~88s vs ~14s, ratio logged).
+    # fan-out). r14: collapse-exact-first became the OPERATOR default
+    # (bit-identical output, same oracle), so this leg and the
+    # dedicated dedup_jaccard_join_exact single-sample leg below now
+    # time the same collapse-first plan — the historical direct-form
+    # contrast (~57-88 s vs ~7 s) lives in OPTIMIZATION_r14.md.
     "dedup_jaccard_join_collapsed",
     # r14: asymmetric containment decontamination at the replica cache's
     # worst case — every probe doc has 10 verbatim twins and every
-    # reference doc 10 twins too, so the one-sided prefix filter faces
-    # d² candidate density while the fully-indexed reference side is 10×
-    # bigger. The curve should track the probe-prefix scan, not the
-    # probe×reference product (brute-force would be ~1.1e10 pairs).
+    # reference doc 10 twins too. Collapse-exact-first on BOTH sides is
+    # the operator default since r14 (bit-identical output, same DuckDB
+    # oracle), so both legs time the collapsed plan; the direct form's
+    # 7.7 s contrast number is preserved in OPTIMIZATION_r14.md.
     "dedup_containment_join",
-    # r14: the duplication-regime answer for the same query —
-    # collapse-exact-first on BOTH sides (10× probe twins × 10× ref
-    # twins = 100× candidate inflation per contaminated pair paid once
-    # at rep level, expanded by id-only joins; bit-identical output,
-    # same DuckDB oracle). Read this leg against dedup_containment_join
-    # exactly like dedup_jaccard_join_collapsed vs _exact.
     "dedup_containment_join_collapsed",
     "sim_ivf_topk",
     # r7: distributed Lloyd's k-means (k=8 x 3 iterations). Per
@@ -870,13 +866,16 @@ def run_scaled(
         "max": round(rd_samples[-1], 3),
     }
 
-    # Direct (uncollapsed) exact Jaccard join at 10x with the fan-out
-    # stat (VERDICT r12 #5): ONE sample — the leg exists to measure the
-    # prefix-filter fan-out under worst-case duplication against its
-    # collapsed sibling in the suite above, and min-of-N of a ~90 s leg
-    # would dominate the whole suite. The in-flight stat (one extra
-    # count over the checkpointed candidate frame) records
-    # candidates vs brute-force pairs; the timing includes it.
+    # Exact Jaccard join at 10x with the fan-out stat (VERDICT r12 #5).
+    # r14: the operator now collapses byte-identical docs BEFORE
+    # candidate generation by default (collapse_exact=True — the
+    # production answer for this leg's own worst-case regime, folded
+    # into the operator; bit-identical output, same oracle), so this
+    # leg times the same plan the declared query runs and the fan-out
+    # stat records REP-level candidates vs rep-level brute force. The
+    # direct form's historical numbers (76.8M candidates, 57.5-87.8 s)
+    # are preserved in OPTIMIZATION_r14.md; pass collapse_exact=False
+    # to re-measure it. ONE sample, as before.
     from home_credit_data_engineering_spark.functions.text import (
         tokens as _tokens,
     )

@@ -309,6 +309,93 @@ def score_name_pairs(
     )
 
 
+def collapsed_match_edges(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    name_col: str,
+    max_lev: int,
+    max_block_rows: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """CONNECTIVITY-EQUIVALENT match edges for CC-based resolution —
+    the collapse-exact-first discipline (``dedup.jaccard_join_collapsed``)
+    applied to the blocked-pairs → thresholded-levenshtein → connected-
+    components pipeline. Returns ``({id}_a, {id}_b)`` edges whose
+    connected components EQUAL those of the full match-pair set
+    ``blocked_pairs(...) |> score_name_pairs(max_lev=k) (lev <= k)``,
+    at a d² smaller pair budget under duplication factor d.
+
+    Why equivalent (the verbatim-duplicate regime): records sharing
+    (``block_cols``, ``name_col``) are lev-0 matches of each other, and
+    a member-level pair's distance equals its REPRESENTATIVES' distance
+    (identical names ⇒ identical comparator inputs). So the full match
+    set is exactly: complete graphs within each (block, name) group,
+    plus complete bipartite graphs between every group pair whose rep
+    names are within ``max_lev``. STAR edges (min-id rep ↔ member)
+    span each group's complete graph; ONE rep-rep edge spans each
+    matching group pair's bipartite graph — components, labels (min id:
+    every group's rep IS its min id, so component minima are unchanged)
+    and sizes are identical, asserted against the direct pipeline in
+    ``test_linkage``. NOT a pair list: scores/multiplicities are
+    deliberately dropped — feed this to :func:`resolve_entities` /
+    :func:`entity_safe_split`, never to pair-output queries.
+
+    ``max_block_rows`` applies to MEMBER counts per block (the direct
+    path's guard surface, ``oversize="raise"`` semantics), so the guard
+    fires exactly when the uncollapsed pipeline's would.
+    """
+    slim = df.select(*dict.fromkeys([id_col, *block_cols, name_col]))
+    if max_block_rows is not None:
+        over = (
+            slim.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__blk_n"))
+            .filter(F.col("__blk_n") > max_block_rows)
+        )
+        n_over = over.count()
+        if stats is not None:
+            stats["oversized_blocks"] = n_over
+        if n_over:
+            raise ValueError(
+                f"{n_over} block(s) exceed max_block_rows="
+                f"{max_block_rows}; refine block_cols"
+            )
+    group_cols = list(dict.fromkeys([*block_cols, name_col]))
+    # min-id representative per (block, name) group; the group table is
+    # consumed by the star edges AND the rep-level pair generation —
+    # checkpoint once (shared-lineage rule)
+    members = (
+        slim.select(id_col, *group_cols)
+        .withColumn(
+            "__rep", F.min(id_col).over(W.partitionBy(*group_cols))
+        )
+        .localCheckpoint(eager=True)
+    )
+    stars = members.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias(f"{id_col}_a"),
+        F.col(id_col).alias(f"{id_col}_b"),
+    )
+    reps = members.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, *group_cols
+    )
+    rep_pairs = blocked_pairs(
+        reps,
+        id_col=id_col,
+        block_cols=block_cols,
+        carry_cols=[name_col],
+        # the member-level guard above is the faithful one; rep-level
+        # blocks are only ever smaller
+        max_block_rows=None,
+    )
+    rep_edges = score_name_pairs(
+        rep_pairs, f"{name_col}_a", f"{name_col}_b", max_lev=max_lev
+    ).select(f"{id_col}_a", f"{id_col}_b")
+    if stats is not None:
+        stats["n_docs"] = members.count()
+        stats["n_groups"] = reps.count()
+    return stars.unionByName(rep_edges)
+
+
 def jaro_winkler(s1: str, s2: str) -> float:
     """Reference Jaro-Winkler (Winkler 1990): standard p=0.1 prefix
     boost capped at 4 chars, applied only when jaro > 0.7 (the classic

@@ -471,7 +471,12 @@ def dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact array_intersect verification. The completeness the sketch "
     "pipelines (dedup_minhash_lsh) trade away, at equi-join cost instead "
     "of an all-pairs product; the DuckDB oracle IS the brute-force "
-    "all-pairs join, so candidate completeness is hash-verified.",
+    "all-pairs join, so candidate completeness is hash-verified. Since "
+    "r14 the operator collapses byte-identical docs to min-id reps "
+    "before candidate generation by default (collapse_exact=True — "
+    "bit-identical output, same oracle; d² fewer candidates under "
+    "duplication factor d, the measured 57.5 s → ~7 s win at the "
+    "10×-replica bench leg).",
 )
 def dedup_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from home_credit_data_engineering_spark.functions.text import tokens
@@ -641,7 +646,10 @@ def dedup_jaccard_join_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     "§3.3): probe docs ship only their |P| - ceil(t|P|) + 1 rarest "
     "tokens while the (small) reference side is fully indexed, plus a "
     "|R| >= ceil(t|P|) length filter, then exact array_intersect "
-    "verification of |P∩R|/|P|. The set-containment form of benchmark "
+    "verification of |P∩R|/|P| (collapse_exact=True since r14: both "
+    "sides collapse byte-identical docs to min-id reps first — "
+    "bit-identical output, same oracle, d·e fewer candidates under "
+    "two-sided duplication). The set-containment form of benchmark "
     "decontamination — a training doc containing most of a benchmark "
     "item scores high where symmetric Jaccard is diluted by length "
     "mismatch; complements the positional span form "

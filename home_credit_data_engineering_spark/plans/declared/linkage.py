@@ -67,6 +67,39 @@ def _pairs(spark: SparkSession, sf_dir: str, max_lev: int) -> DataFrame:
     return score_name_pairs(pairs, "c_name_a", "c_name_b", max_lev=max_lev)
 
 
+def _match_edges(spark: SparkSession, sf_dir: str, max_lev: int) -> DataFrame:
+    """Connectivity-equivalent match EDGES for the CC-consuming queries
+    (er_resolved_entities, er_entity_safe_split) — r14 optimization:
+    their outputs depend on the match graph only through its CONNECTED
+    COMPONENTS, so the collapse-exact-first edge builder
+    (operators/linkage.py:collapsed_match_edges) replaces the full
+    blocked pair set with star edges per verbatim-duplicate (block,
+    name) group plus one rep-level scored edge per matching group pair
+    — same components, labels and sizes (the shared recursive-CTE
+    oracle is the proof), at a d² smaller lev budget under the
+    10×-replica duplication regime (30.7M → ~0.3M comparator pairs).
+    Pair-OUTPUT queries (er_candidate_pairs, er_fellegi_sunter) keep
+    the direct :func:`_pairs` path."""
+    from home_credit_data_engineering_spark.operators.linkage import (
+        collapsed_match_edges,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, _PREFIX).alias("blk"),
+    )
+    return collapsed_match_edges(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "blk"],
+        name_col="c_name",
+        max_lev=max_lev,
+        max_block_rows=100_000,
+    )
+
+
 @register(
     "er_candidate_pairs",
     oracle=f"""
@@ -194,7 +227,7 @@ def er_resolved_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = read_testdata(spark, sf_dir, "customer")
-    matches = _pairs(spark, sf_dir, max_lev=1)
+    matches = _match_edges(spark, sf_dir, max_lev=1)
     resolved = resolve_entities(
         cust, matches, "c_custkey", "c_custkey_a", "c_custkey_b"
     )
@@ -249,7 +282,7 @@ def er_entity_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = read_testdata(spark, sf_dir, "customer")
-    matches = _pairs(spark, sf_dir, max_lev=1)
+    matches = _match_edges(spark, sf_dir, max_lev=1)
     return entity_safe_split(
         cust,
         matches,

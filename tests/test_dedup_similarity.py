@@ -1209,9 +1209,14 @@ def test_jaccard_join_collapsed_equals_full(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kw = dict(threshold=0.25, shingle_k=3)
 
+    # collapse_exact=False pins the DIRECT prefix-filter path as the
+    # reference side — the default now routes through the collapsed form
+    # (r14), which would make this equivalence check tautological
     full = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in jaccard_similarity_join(docs, "doc_id", "text", **kw).collect()
+        for r in jaccard_similarity_join(
+            docs, "doc_id", "text", collapse_exact=False, **kw
+        ).collect()
     }
     stats: dict = {}
     col = {
@@ -1326,9 +1331,13 @@ def test_containment_join_collapsed_equals_direct(spark):
     probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
     kw = dict(threshold=0.5, shingle_k=3)
 
+    # collapse_exact=False pins the DIRECT R-S path as the reference
+    # side (the default routes through the collapsed form since r14)
     full = {
         (r["probe_id"], r["ref_id"]): r["containment"]
-        for r in containment_join(probe, ref, "doc_id", "text", **kw).collect()
+        for r in containment_join(
+            probe, ref, "doc_id", "text", collapse_exact=False, **kw
+        ).collect()
     }
     stats: dict = {}
     col = {

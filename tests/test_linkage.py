@@ -109,6 +109,101 @@ def test_score_and_resolve_chain(spark):
     }
 
 
+def test_collapsed_match_edges_equals_direct_components(spark):
+    """r14 optimization: the collapsed edge builder must yield the SAME
+    resolved entities (labels AND sizes) as the full blocked-pair match
+    set, on a corpus with verbatim-duplicate names (the 10×-replica
+    regime), near-matches that bridge duplicate groups, and blocks that
+    never pair."""
+    from home_credit_data_engineering_spark.operators.linkage import (
+        collapsed_match_edges,
+    )
+
+    rows = []
+    # block B1: two duplicate groups whose reps are lev-1 of each other,
+    # plus a far name — groups {1,2,3} ("ann smith" ×3) and {10, 11}
+    # ("ann smyth" ×2) must merge into one entity; 20 stays alone
+    rows += [(i, "B1", "ann smith") for i in (1, 2, 3)]
+    rows += [(i, "B1", "ann smyth") for i in (10, 11)]
+    rows += [(20, "B1", "zoe quinn")]
+    # block B2: same name text as B1's group — must NOT cross blocks
+    rows += [(30, "B2", "ann smith"), (31, "B2", "ann smith")]
+    # singleton block
+    rows += [(40, "B3", "solo record")]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+
+    direct_matches = score_name_pairs(
+        blocked_pairs(
+            df, id_col="id", block_cols=["blk"], carry_cols=["name"]
+        ),
+        "name_a",
+        "name_b",
+        max_lev=1,
+    )
+    stats: dict = {}
+    collapsed = collapsed_match_edges(
+        df,
+        id_col="id",
+        block_cols=["blk"],
+        name_col="name",
+        max_lev=1,
+        stats=stats,
+    )
+
+    def _resolved(matches):
+        return {
+            (r["id"], r["entity_id"], r["entity_size"])
+            for r in resolve_entities(
+                df, matches, "id", "id_a", "id_b"
+            ).collect()
+        }
+
+    want = _resolved(direct_matches)
+    got = _resolved(collapsed)
+    assert got == want
+    # the fixture really merged across duplicate groups and kept blocks
+    # apart: {1,2,3,10,11} one entity, {30,31} another, singletons alone
+    assert (11, 1, 5) in got and (31, 30, 2) in got and (40, 40, 1) in got
+    # the collapse really collapsed (9 docs, 5 (block, name) groups) and
+    # the edge budget is linear: 4 stars + rep-level scored edges
+    assert stats["n_docs"] == 9 and stats["n_groups"] == 5
+    assert collapsed.count() < direct_matches.count()
+
+
+def test_collapsed_match_edges_member_level_guard(spark):
+    """The max_block_rows guard must fire on MEMBER counts (the direct
+    path's surface), not post-collapse group counts: 5 members in one
+    block exceed a guard of 4 even though they collapse to 2 groups."""
+    from home_credit_data_engineering_spark.operators.linkage import (
+        collapsed_match_edges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "B1", "ann smith") for i in range(4)]
+        + [(9, "B1", "ann smyth")],
+        ["id", "blk", "name"],
+    )
+    with pytest.raises(ValueError, match="max_block_rows"):
+        collapsed_match_edges(
+            df,
+            id_col="id",
+            block_cols=["blk"],
+            name_col="name",
+            max_lev=1,
+            max_block_rows=4,
+        )
+    # at the guard boundary it passes
+    edges = collapsed_match_edges(
+        df,
+        id_col="id",
+        block_cols=["blk"],
+        name_col="name",
+        max_lev=1,
+        max_block_rows=5,
+    )
+    assert edges.count() == 4  # 3 stars + 1 rep-level lev-1 edge
+
+
 def test_sorted_neighborhood_exact_pair_set(spark):
     from home_credit_data_engineering_spark.operators.linkage import (
         sorted_neighborhood_pairs,

@@ -25,13 +25,20 @@ reproduce; all later state is a pure function of it. Empty clusters are
 DROPPED (the standard Lloyd caveat): a centroid that attracts no points
 leaves the centroid frame and k shrinks — deterministic on both engines.
 
-100 TB posture: points explode to (id, ord, value) scalar triples —
-a fixed dim-fold row inflation, no payloads; the centroid frame is
-k x dim rows and is BROADCAST into the assignment join (no shuffle of
-the point set by centroid); the two per-iteration shuffles — the
-(id, cid) distance aggregate and the (cid, ord) centroid aggregate —
-are both map-side-combinable hash aggregates; the argmin window
-partitions by id over exactly k rows per id (no skew). The centroid
+100 TB posture (r14 ``impl="array"`` default): the point set NEVER
+shuffles. Assignment is a narrow pass — the k x dim centroid frame is
+collapsed to ONE broadcast row of (cid, vector) structs, each point
+row computes its k exact-decimal distances with ``zip_with`` +
+``aggregate`` over its own array and takes the (dist, cid) struct
+``array_min`` argmin in place (zero Exchange, zero per-point hash
+aggregate). The one per-iteration shuffle is the centroid recompute's
+(cid, ord) hash aggregate — map-side combined into at most k x dim
+cells. The r13 ``impl="explode"`` form (points exploded to (id, ord,
+value) scalar triples, broadcast centroid join on ord, two
+data-sized per-iteration aggregates) is kept reachable for
+measurement and equivalence tests; both compute bit-identical frames
+(same round-9 products, same order-free DECIMAL sums — asserted in
+``test_cluster`` and by the unrolled DuckDB twin). The centroid
 frame is localCheckpoint-ed per iteration so the plan does not grow
 with the iteration count. For latency-critical ASSIGN-only serving at
 fixed centroids, a GEMM mapInPandas pass (the
@@ -67,6 +74,96 @@ def _points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             "__ord", "__v"
         ),
     ).select("__id", "__ord", F.round("__v", 9).alias("__v"))
+
+
+def _arrays(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __a) rows with round-9 double components, array form.
+
+    Null/empty vectors are dropped — the explode form never emits a
+    triple for them, so the id vanishes from the fit there too.
+    """
+    a = F.transform(
+        F.col(vec_col).cast("array<double>"), lambda v: F.round(v, 9)
+    )
+    return df.select(F.col(id_col).alias("__id"), a.alias("__a")).filter(
+        F.size("__a") > 0
+    )
+
+
+def _sq_dist(a, c):
+    """Exact squared-L2 between two round-9 arrays: per-component
+    ``round(diff*diff, 9)`` DECIMAL(18,9) terms folded with an exact
+    decimal add — the same terms and (order-free) sum as the explode
+    form's groupBy, so distances are bit-identical."""
+    sq = F.zip_with(
+        a, c, lambda x, y: F.round((x - y) * (x - y), 9).cast(_DEC)
+    )
+    return F.aggregate(
+        sq, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
+def _centroid_arrays(cent: DataFrame) -> DataFrame:
+    """Long-form (cid, ord, c) centroids -> (cid, __carr) arrays,
+    ordered by ord (array_sort on (ord, c) structs; ords are unique)."""
+    return cent.groupBy("__cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__ord", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__carr")
+    )
+
+
+def _assign_arrays(arrs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, __a, cid, dist) argmin assignment, zero-shuffle form: the
+    k centroids collapse to ONE broadcast row of (cid, vector) structs
+    and each point row takes the lexicographic (dist, cid) struct
+    ``array_min`` over its k exact distances in place — same argmin and
+    lower-cid tie-break as the explode form's struct-min aggregate."""
+    cent_list = _centroid_arrays(cent).agg(
+        F.array_sort(F.collect_list(F.struct("__cid", "__carr"))).alias(
+            "__cl"
+        )
+    )
+    m = F.array_min(
+        F.transform(
+            "__cl",
+            lambda s: F.struct(
+                _sq_dist(F.col("__a"), s["__carr"]).alias("__dist"),
+                s["__cid"].alias("__cid"),
+            ),
+        )
+    )
+    return (
+        arrs.crossJoin(F.broadcast(cent_list))
+        .select("__id", "__a", m.alias("__m"))
+        .select(
+            "__id",
+            "__a",
+            F.col("__m.__cid").alias("__cid"),
+            F.col("__m.__dist").alias("__dist"),
+        )
+    )
+
+
+def _recompute_arrays(assigned: DataFrame) -> DataFrame:
+    """Per-(cluster, ord) mean from the array-form assignment: one
+    posexplode feeding a map-side-combinable hash aggregate into at
+    most k x dim cells — the iteration's only Exchange. Same exact
+    decimal sum / count / round-9 divide as the explode form."""
+    return (
+        assigned.select(
+            "__cid", F.posexplode("__a").alias("__ord", "__v")
+        )
+        .groupBy("__cid", "__ord")
+        .agg(
+            F.round(
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("__c")
+        )
+    )
 
 
 def _init_centroids(pts: DataFrame, k: int) -> DataFrame:
@@ -147,6 +244,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     checkpoint: bool = True,
     need_centroids: bool = True,
+    impl: str = "array",
 ) -> tuple[DataFrame, DataFrame | None]:
     """Fixed-iteration distributed Lloyd's k-means (Lloyd 1982).
 
@@ -167,22 +265,83 @@ def kmeans_fit(
     ``need_centroids=False`` skips the last centroid recompute (the
     final assignment does not depend on it) and returns ``None`` in its
     place — the assignment-only fast path.
+
+    ``impl`` (r14 optimization): ``"array"`` (default) keeps every
+    point as one array row — assignment is a narrow zero-shuffle pass
+    against ONE broadcast row of centroid structs and the only
+    per-iteration Exchange is the k x dim-cell recompute aggregate;
+    ``"explode"`` is the r13 scalar-triple form (broadcast centroid
+    join on ord + two data-sized per-iteration hash aggregates), kept
+    for measurement and as the equivalence reference. Both produce
+    bit-identical frames (same round-9 terms, same order-free decimal
+    sums, same (dist, cid) argmin tie-break) — asserted in
+    ``test_cluster`` and by the unrolled DuckDB twin.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    pts = _points(df, id_col, vec_col).persist()
-    cent = _init_centroids(pts, k)
-    assign = None
+    if impl not in ("array", "explode"):
+        raise ValueError(f"impl must be 'array' or 'explode', got {impl}")
+    if impl == "explode":
+        pts = _points(df, id_col, vec_col).persist()
+        cent = _init_centroids(pts, k)
+        assign = None
+        for i in range(iterations):
+            if checkpoint:
+                cent = cent.localCheckpoint(eager=True)
+            assign = _assign(pts, cent)
+            if checkpoint:
+                assign = assign.localCheckpoint(eager=True)
+            if need_centroids or i < iterations - 1:
+                cent = _recompute(pts, assign)
+        cent_out = None
+        if need_centroids:
+            cent_out = cent.select(
+                F.col("__cid").cast("int").alias("cluster"),
+                F.col("__ord").cast("int").alias("ord"),
+                F.col("__c").alias("value"),
+            )
+        assign_out = assign.select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").cast("int").alias("cluster"),
+            F.round(F.col("__dist").cast("double"), 9).alias("dist"),
+        )
+        if checkpoint:
+            if cent_out is not None:
+                cent_out = cent_out.localCheckpoint(eager=True)
+            pts.unpersist()
+        return assign_out, cent_out
+    arrs = _arrays(df, id_col, vec_col).persist()
+    # same (md5(id), id) seed order as _init_centroids; the centroid
+    # state stays long-form (cid, ord, c) so checkpoints and the
+    # returned frame are identical across impls
+    seed = (
+        arrs.select("__id")
+        .distinct()
+        .select("__id", F.md5(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h", "__id")
+        .limit(k)
+    )
+    numbered = seed.withColumn(
+        "__cid",
+        F.row_number().over(Window.orderBy("__h", "__id")) - 1,
+    ).select("__id", "__cid")
+    cent = arrs.join(F.broadcast(numbered), "__id").select(
+        "__cid", F.posexplode("__a").alias("__ord", "__c")
+    )
+    assigned = None
     for i in range(iterations):
         if checkpoint:
             cent = cent.localCheckpoint(eager=True)
-        assign = _assign(pts, cent)
-        if checkpoint:
-            assign = assign.localCheckpoint(eager=True)
+        assigned = _assign_arrays(arrs, cent)
+        # no per-iteration assignment checkpoint: its lineage is the
+        # persisted array frame x the checkpointed centroid row — flat
+        # regardless of iteration count, and recomputing the narrow
+        # pass once for the final output is cheaper than materializing
+        # (id, array) rows every round
         if need_centroids or i < iterations - 1:
-            cent = _recompute(pts, assign)
+            cent = _recompute_arrays(assigned)
     cent_out = None
     if need_centroids:
         cent_out = cent.select(
@@ -190,15 +349,16 @@ def kmeans_fit(
             F.col("__ord").cast("int").alias("ord"),
             F.col("__c").alias("value"),
         )
-    assign_out = assign.select(
+    assign_out = assigned.select(
         F.col("__id").alias(id_col),
         F.col("__cid").cast("int").alias("cluster"),
         F.round(F.col("__dist").cast("double"), 9).alias("dist"),
     )
     if checkpoint:
+        assign_out = assign_out.localCheckpoint(eager=True)
         if cent_out is not None:
             cent_out = cent_out.localCheckpoint(eager=True)
-        pts.unpersist()
+        arrs.unpersist()
     return assign_out, cent_out
 
 
@@ -211,6 +371,7 @@ def kmeans(
     vec_col: str = "embedding",
     checkpoint: bool = True,
     return_centroids: bool = False,
+    impl: str = "array",
 ) -> DataFrame:
     """Single-frame convenience wrapper over :func:`kmeans_fit`:
     assignments by default (skipping the final centroid recompute the
@@ -224,6 +385,7 @@ def kmeans(
         vec_col=vec_col,
         checkpoint=checkpoint,
         need_centroids=return_centroids,
+        impl=impl,
     )
     return cent if return_centroids else assign
 
@@ -241,7 +403,7 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
 
 
 def embedding_covariance(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, *, impl: str = "array"
 ) -> DataFrame:
     """Exact population covariance of an embedding column:
     ``(i, j, cov)`` for every ``i <= j`` (upper triangle of the d x d
@@ -252,14 +414,23 @@ def embedding_covariance(
     hash-identical. The PCA/OPQ/whitening input statistic, computed
     over EVERY row (not a sample).
 
-    Plan shape: (id, ord, value) scalar triples self-join on the id
-    (groups of exactly d rows — no skew), ``i <= j`` cut halves the
-    product stream, then ONE map-side-combinable hash aggregate into
-    d(d+1)/2 cells; means are a second d-cell aggregate broadcast onto
-    the result. Work is d^2/2 multiplies per row — the same constant
-    every covariance pass pays — and nothing after the aggregates
-    scales with the data.
+    Plan shape (r14 ``impl="array"`` default): each row generates its
+    own d(d+1)/2 upper-triangle (i, j, product) structs in place with
+    nested index-aware ``transform``s over the round-9 array — no join,
+    no shuffle of anything data-sized — and ONE map-side-combinable
+    hash aggregate folds the product stream into d(d+1)/2 cells; means
+    are a second d-cell aggregate broadcast onto the result. Work is
+    d^2/2 multiplies per row — the same constant every covariance pass
+    pays — and nothing after the aggregates scales with the data.
+    ``impl="explode"`` keeps the r13 form — (id, ord, value) scalar
+    triples SELF-JOINED on the id (two Exchanges of the exploded
+    stream + the join's d^2-per-id row production) — for measurement
+    and as the equivalence reference; both are bit-identical (same
+    round-9 products, same order-free decimal sums — asserted in
+    ``test_cluster`` and by the DuckDB twin).
     """
+    if impl not in ("array", "explode"):
+        raise ValueError(f"impl must be 'array' or 'explode', got {impl}")
     pts = _points(df, id_col, vec_col)
     means = pts.groupBy("__ord").agg(
         F.round(
@@ -268,21 +439,47 @@ def embedding_covariance(
             9,
         ).alias("__mean")
     )
-    b = pts.select(
-        F.col("__id").alias("__id2"),
-        F.col("__ord").alias("__j"),
-        F.col("__v").alias("__vj"),
-    )
-    prods = (
-        pts.join(b, (pts["__id"] == b["__id2"]) & (pts["__ord"] <= b["__j"]))
-        .select(
-            F.col("__ord").alias("__i"),
-            "__j",
-            F.round(F.col("__v") * F.col("__vj"), 9).cast(_DEC).alias("__p"),
+    if impl == "array":
+        arrs = _arrays(df, id_col, vec_col)
+        pairs = F.flatten(
+            F.transform(
+                "__a",
+                lambda vi, i: F.transform(
+                    F.slice("__a", i + 1, F.size("__a") - i),
+                    lambda vj, joff: F.struct(
+                        i.alias("__i"),
+                        (i + joff).alias("__j"),
+                        F.round(vi * vj, 9).cast(_DEC).alias("__p"),
+                    ),
+                ),
+            )
         )
-        .groupBy("__i", "__j")
-        .agg(F.sum("__p").alias("__s"), F.count(F.lit(1)).alias("__n"))
-    )
+        prods = (
+            arrs.select(F.explode(pairs).alias("__pr"))
+            .select("__pr.__i", "__pr.__j", "__pr.__p")
+            .groupBy("__i", "__j")
+            .agg(F.sum("__p").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        )
+    else:
+        b = pts.select(
+            F.col("__id").alias("__id2"),
+            F.col("__ord").alias("__j"),
+            F.col("__v").alias("__vj"),
+        )
+        prods = (
+            pts.join(
+                b, (pts["__id"] == b["__id2"]) & (pts["__ord"] <= b["__j"])
+            )
+            .select(
+                F.col("__ord").alias("__i"),
+                "__j",
+                F.round(F.col("__v") * F.col("__vj"), 9)
+                .cast(_DEC)
+                .alias("__p"),
+            )
+            .groupBy("__i", "__j")
+            .agg(F.sum("__p").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        )
     mi = means.select(
         F.col("__ord").alias("__i"), F.col("__mean").alias("__mi")
     )

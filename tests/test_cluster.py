@@ -113,6 +113,34 @@ def test_validation(spark):
         kmeans(df, k=0, iterations=1)
     with pytest.raises(ValueError):
         kmeans(df, k=1, iterations=0)
+    with pytest.raises(ValueError):
+        kmeans(df, k=1, iterations=1, impl="nope")
+
+
+def test_kmeans_array_impl_equals_explode(spark):
+    """r14 optimization: the zero-shuffle array assignment must yield
+    bit-identical assignments AND centroids to the r13 exploded
+    scalar-triple form — same round-9 terms, same order-free decimal
+    sums, same (dist, cid) argmin tie-break — on a fixture with
+    coincident points (tie-break), an empty cluster (drop rule), and
+    k > 1 surviving clusters."""
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [0.0, 0.0]),
+        (3, [9.0, 9.0]),
+        (4, [9.1, 8.9]),
+        (5, [0.2, -0.1]),
+    ]
+    df = _df(spark, rows)
+    outs = {}
+    for impl in ("array", "explode"):
+        assign, cent = kmeans_fit(df, k=3, iterations=2, impl=impl)
+        outs[impl] = (
+            sorted(map(tuple, assign.collect())),
+            sorted(map(tuple, cent.collect())),
+        )
+    assert outs["array"][0] == outs["explode"][0]
+    assert outs["array"][1] == outs["explode"][1]
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +176,34 @@ def test_covariance_matches_numpy(spark):
     assert len(got) == 5 * 6 // 2
     for (i, j), v in got.items():
         assert v == pytest.approx(ref[i, j], abs=1e-6), (i, j)
+
+
+def test_covariance_array_impl_equals_explode(spark):
+    """r14 optimization: the joinless per-row pair generation must be
+    bit-identical to the r13 exploded self-join form (same round-9
+    products, same order-free decimal cell sums)."""
+    rng = np.random.default_rng(11)
+    x = np.round(rng.normal(size=(25, 6)), 6)
+    df = _emb_df(spark, x)
+    a = sorted(
+        map(
+            tuple,
+            embedding_covariance(
+                df, "vec_id", "embedding", impl="array"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            embedding_covariance(
+                df, "vec_id", "embedding", impl="explode"
+            ).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        embedding_covariance(df, "vec_id", "embedding", impl="nope")
 
 
 def test_covariance_partitioning_invariant(spark):

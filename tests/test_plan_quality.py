@@ -300,13 +300,15 @@ def test_funnel_and_cohort_shuffle_user_ts_metadata_only(spark, sf_dir):
 
 
 def test_kmeans_broadcast_centroids_no_python(spark, sf_dir):
-    # Each Lloyd iteration must (a) stay JVM-side — the assignment is a
-    # BROADCAST hash join of the exploded scalar point triples against
-    # the tiny k x dim centroid frame, never a Python eval and never a
-    # shuffle of the point set keyed by centroid — and (b) move only
-    # (id, ord, number) scalars through every Exchange (the embedding
-    # arrays never ride a shuffle). checkpoint=False keeps the full
-    # iteration lineage visible, same as the pagerank gate.
+    # Each Lloyd iteration must (a) stay JVM-side — since r14 the
+    # assignment is a NARROW pass: the k x dim centroid frame collapses
+    # to one broadcast row of (cid, vector) structs and every point row
+    # computes its argmin in place, never a Python eval and never a
+    # shuffle of the point set (by centroid or otherwise) — and (b)
+    # move only (id, ord, number) scalars through every Exchange (the
+    # point arrays never ride a shuffle; the only data-sized aggregate
+    # is the k x dim-cell centroid recompute). checkpoint=False keeps
+    # the full iteration lineage visible, same as the pagerank gate.
     from home_credit_data_engineering_spark.operators.cluster import kmeans
     from home_credit_data_engineering_spark.sources.readers import read_testdata
 
@@ -316,9 +318,10 @@ def test_kmeans_broadcast_centroids_no_python(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the k-row init-seed attach
     for head in _exchange_heads(plan):
         assert "embedding#" not in head, f"vector payload in shuffle: {head}"
+        assert "__a#" not in head, f"vector payload in shuffle: {head}"
 
 
 def test_pagerank_no_python_no_cartesian(spark, sf_dir):

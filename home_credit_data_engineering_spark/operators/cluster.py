@@ -403,7 +403,7 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
 
 
 def embedding_covariance(
-    df: DataFrame, id_col: str, vec_col: str, *, impl: str = "array"
+    df: DataFrame, id_col: str, vec_col: str, *, impl: str = "explode"
 ) -> DataFrame:
     """Exact population covariance of an embedding column:
     ``(i, j, cov)`` for every ``i <= j`` (upper triangle of the d x d
@@ -414,19 +414,25 @@ def embedding_covariance(
     hash-identical. The PCA/OPQ/whitening input statistic, computed
     over EVERY row (not a sample).
 
-    Plan shape (r14 ``impl="array"`` default): each row generates its
-    own d(d+1)/2 upper-triangle (i, j, product) structs in place with
-    nested index-aware ``transform``s over the round-9 array — no join,
-    no shuffle of anything data-sized — and ONE map-side-combinable
-    hash aggregate folds the product stream into d(d+1)/2 cells; means
-    are a second d-cell aggregate broadcast onto the result. Work is
-    d^2/2 multiplies per row — the same constant every covariance pass
-    pays — and nothing after the aggregates scales with the data.
-    ``impl="explode"`` keeps the r13 form — (id, ord, value) scalar
-    triples SELF-JOINED on the id (two Exchanges of the exploded
-    stream + the join's d^2-per-id row production) — for measurement
-    and as the equivalence reference; both are bit-identical (same
-    round-9 products, same order-free decimal sums — asserted in
+    ``impl="explode"`` (default): (id, ord, value) scalar triples
+    SELF-JOINED on the id (two Exchanges of the exploded stream + the
+    join's d^2-per-id row production) feeding the d(d+1)/2-cell decimal
+    aggregate — codegen'd joins and aggregates end to end.
+
+    ``impl="array"`` generates each row's d(d+1)/2 upper-triangle
+    (i, j, product) structs in place with nested index-aware
+    ``transform``s — no join, nothing data-sized crosses an Exchange —
+    but the nested higher-order functions run INTERPRETED (no
+    whole-stage codegen) and allocate a d(d+1)/2 struct array per row
+    before the generator; measured in r14 that per-row constant loses
+    to the explode form's codegen'd join on parquet-scanned input
+    (interleaved same-JVM minima: explode 2.5 s vs array 12.1 s per
+    pass at 20k x 64-dim, and the array form degraded far worse under
+    host CPU-steal bursts — 80-270 s samples). Kept for measurement,
+    as the equivalence reference, and for callers whose exchange costs
+    dominate per-task CPU (real network shuffles of a much larger
+    exploded stream). Both impls are bit-identical (same round-9
+    products, same order-free decimal sums — asserted in
     ``test_cluster`` and by the DuckDB twin).
     """
     if impl not in ("array", "explode"):

@@ -250,6 +250,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # Effective-session echo (VERDICT r14 #2a): the driver's scaling
+        # probe concluded `suspect_cpus_ignored` because the artifact
+        # never proved which master/core budget produced the numbers —
+        # these three fields make the knob's effect verifiable from the
+        # one-line JSON alone.
+        "master": f"local[{cpus}]",
+        "cpus": int(cpus),
+        "sf_dir": sf_dir,
         "runs_per_query": runs,
         "queries_spread": spread,
         "verdicts": verdicts,
@@ -305,6 +313,36 @@ def main() -> None:
             )
 
     line = json.dumps(result)
+    # Tail-safe stdout line (VERDICT r14 #2c): the driver records only
+    # the LAST 2000 characters of stdout, and the full result object
+    # (~10 KB with spreads/verdicts/scaled detail) overflows that window
+    # — r13's round-over-round PERF table was lost to exactly this. The
+    # printed line keeps the driver contract (metric/value/unit/queries/
+    # sf, plus the effective master/cpus/sf_dir echo and the scaled-sum
+    # scalar) and points at the durable full artifact; every diagnostic
+    # key (spreads, verdicts, per-leg scaled timings, load telemetry)
+    # still lands in BOTH file copies below. No `queries` entry is ever
+    # dropped from the printed line.
+    compact_keys = (
+        "metric", "value", "unit", "queries", "sf", "master", "cpus",
+        "sf_dir", "runs_per_query", "value_scaled", "sf_scaled",
+        "scaled_error",
+    )
+    compact = {k: result[k] for k in compact_keys if k in result}
+    compact["load_hot"] = bool(
+        result["load_gate"]["hot"]
+        or result.get("load_gate_scaled", {}).get("hot", False)
+    )
+    compact["detail"] = "BENCH_FULL_LATEST.json"
+    compact_line = json.dumps(compact)
+    if len(compact_line) > 1900:
+        # never let the printed line outgrow the tail window: drop the
+        # decoration keys first, never `queries`
+        for k in ("detail", "sf_dir", "master"):
+            compact.pop(k, None)
+            compact_line = json.dumps(compact)
+            if len(compact_line) <= 1900:
+                break
     # The driver captures only the tail of stdout (r4's headline metric
     # was truncated away); the file copy is the durable record. The path
     # is gitignored (ADVICE r5: local runs must not dirty the tree with
@@ -327,7 +365,7 @@ def main() -> None:
     )
     with open(tracked, "w", encoding="utf-8") as fh:
         fh.write(line + "\n")
-    print(line)
+    print(compact_line)
 
 
 if __name__ == "__main__":

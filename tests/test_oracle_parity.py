@@ -13,6 +13,12 @@ from home_credit_data_engineering_spark.plans.registry import REGISTRY
 from tests.parity import check_query
 
 
+# The full-registry sweep is the `parity` gate (VERDICT r14 #2b): it is
+# excluded from the default pytest run via pytest.ini addopts so the
+# driver's VERIFY budget fits, and run explicitly each round with
+# `pytest -m parity tests/test_oracle_parity.py`. The smoke/contract
+# tests below stay in the default run.
+@pytest.mark.parity
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_declared_query_parity(spark, sf_dir, name):
     check_query(spark, name, sf_dir)
